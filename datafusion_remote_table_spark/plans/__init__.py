@@ -1,0 +1,50 @@
+"""Query plan library.
+
+Every implemented operator/query from SURVEY.md §2 registers itself here:
+a callable ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) a
+DuckDB-compatible oracle SQL string over the same parquet tables.
+
+Determinism conventions (so value-hashes match the DuckDB oracle):
+- money/quantity aggregates: cast operands to DECIMAL before SUM (exact,
+  order-independent), cast the result back to DOUBLE;
+- timestamps in outputs are formatted to strings in both engines;
+- every top-k has a total-order tie-break on a unique key;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optional oracle SQL) to the registry."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return wrap
+
+
+def load_all() -> None:
+    """Import every plan module so registration side effects run."""
+    from . import relational  # noqa: F401
+
+    try:
+        from . import llm_data  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import remote_queries  # noqa: F401
+    except ImportError:
+        pass

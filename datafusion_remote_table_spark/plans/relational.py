@@ -1,0 +1,531 @@
+"""Relational query surface (SURVEY.md §2.B).
+
+These are the queries a user of the reference runs through DataFusion on
+top of the remote provider — here expressed directly against Catalyst so
+pushdown/pruning/broadcast come free. Each has a DuckDB oracle.
+
+Scale notes are per-query; the common posture: filters sit directly on
+the parquet scan (PushedFilters), dimension joins are broadcast, fact
+joins shuffle on their natural keys and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from . import register
+
+# Money/quantity columns are doubles in the source; summing doubles is
+# order-dependent, so every SUM casts to decimal first (exact, associative)
+# and casts the final value back to double. DuckDB oracles do the same.
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_tables(spark, sf_dir, tuple(names))
+    return [dfs[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape (flagship).
+# Scale: single scan + one shuffle on a 6-value grouping key; partial aggs
+# map-side; the date filter reaches the parquet scan.
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — join customer⋈orders⋈lineitem, top 10 by revenue.
+# Scale: customer filter first (broadcastable at dim scale; at 100TB the
+# orders⋈lineitem join shuffles on o_orderkey which is uniform), top-k via
+# ORDER+LIMIT which Spark executes as TakeOrdered (no global sort).
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5_local_supplier — 6-way join, region-filtered, customer and supplier in
+# the same nation. Scale: region/nation broadcast (25 rows at any SF);
+# the fact-side joins shuffle once on orderkey then once on (suppkey,
+# nationkey); AQE reorders/skew-splits at runtime.
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        customer.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q6_forecast_revenue — pushdown showcase: all three predicates reach the
+# parquet scan; single partial+final agg, no join, no wide shuffle.
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q10_returned_items — returned-item revenue per customer, top 20.
+# Scale: nation broadcast; orders⋈lineitem shuffles on orderkey; the
+# customer join shuffles on custkey; TakeOrdered top-k.
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, nation = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        customer.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(lineitem.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# join_broadcast — supplier rollup through explicitly broadcast dims.
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT r.r_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation, region = _t(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast(DEC)).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_distinct — exact distinct aggregation (Spark expands to a two-stage
+# shuffle with partial distinct; at 100TB prefer approx_count_distinct for
+# dashboards — kept exact here for oracle parity).
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window_topn_per_group — top 3 orders by totalprice per priority class.
+# Scale: one shuffle on the partition key; rank pruning happens before the
+# final projection so only 3 rows per group survive the window stage.
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# window_running_sum — running per-user revenue over event time. The frame
+# is a total order (ts, event_id) so the float accumulation sequence is
+# identical in both engines; operands still go through decimal for safety.
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sort_limit — global top-k; Spark plans TakeOrderedAndProject (per-partition
+# heap + driver merge of k rows), never a full global sort.
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 50
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# union_set_ops — INTERSECT / EXCEPT (distinct semantics) tagged and unioned.
+@register(
+    "union_set_ops",
+    oracle="""
+    SELECT 'active' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'dormant' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders
+    )
+    """,
+)
+def union_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = orders.select(F.col("o_custkey").alias("c_custkey"))
+    active = building.intersect(ordered).select(F.lit("active").alias("tag"), "c_custkey")
+    dormant = building.exceptAll(ordered.distinct()).distinct().select(F.lit("dormant").alias("tag"), "c_custkey")
+    return active.unionAll(dormant)
+
+
+# --------------------------------------------------------------------------
+# subquery_exists — EXISTS correlated subquery (Catalyst rewrites to a left
+# semi join shuffling on custkey; broadcastable when the filtered side fits).
+@register(
+    "subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# case_expr_agg — conditional aggregation (CASE inside SUM), one scan.
+@register(
+    "case_expr_agg",
+    oracle="""
+    SELECT p_brand,
+           SUM(CASE WHEN p_size < 15 THEN 1 ELSE 0 END) AS n_small,
+           SUM(CASE WHEN p_size >= 15 AND p_size < 35 THEN 1 ELSE 0 END) AS n_medium,
+           SUM(CASE WHEN p_size >= 35 THEN 1 ELSE 0 END) AS n_large,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def case_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("p_size") < 15, 1).otherwise(0)).alias("n_small"),
+        F.sum(F.when((F.col("p_size") >= 15) & (F.col("p_size") < 35), 1).otherwise(0)).alias("n_medium"),
+        F.sum(F.when(F.col("p_size") >= 35, 1).otherwise(0)).alias("n_large"),
+        (F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sessionize — gap-based sessionization (30-min inactivity) done with
+# window functions: lag → new-session flag → running session index → rollup.
+# Scale: one shuffle on user_id; everything after is per-partition sorted
+# streaming — the batch analogue of a session window.
+_SESSIONIZE_SQL = """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           {fmt_min} AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR {gap_seconds} > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "events_sessionize",
+    oracle=_SESSIONIZE_SQL.format(
+        fmt_min="strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')",
+        gap_seconds="date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)",
+    ),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _SESSIONIZE_SQL.format(
+            fmt_min="date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss')",
+            gap_seconds=(
+                "unix_timestamp(ts) - unix_timestamp(lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id))"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_tumbling_window — 1-hour tumbling windows per event type (batch
+# version; the streaming twin lives in streaming/).
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

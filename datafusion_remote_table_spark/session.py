@@ -1,0 +1,91 @@
+"""SparkSession construction tuned for the engine.
+
+Defaults chosen for local[N] testing but written for cluster scale:
+AQE on (runtime re-planning, skew-join handling), Arrow enabled for
+every Pandas-UDF hop, shuffle partitions sized by env so a 1000-executor
+deployment can raise them without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Every config here matters at scale:
+    - AQE: coalesces post-shuffle partitions and splits skewed ones at
+      runtime — the 100TB safety net for joins/aggs on skewed keys.
+    - Arrow: all mapInPandas/pandas_udf traffic is columnar batches.
+    - autoBroadcastJoinThreshold: generous (64m) so dimension tables
+      (region/nation/supplier/part at any SF) broadcast instead of shuffle.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Spark has no nanosecond timestamp type; read parquet NANOS as long
+        # and convert to microsecond timestamps at load (matches DuckDB's
+        # ns→µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{DEFAULT_CPUS}]")
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict:
+    """Load the driver-generated parquet tables and register temp views.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst keeps full
+    pushdown/pruning; views let plans be written in SQL where clearer.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+    from pyspark.sql import functions as F
+
+    dfs = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            # Nanosecond timestamps arrive as long (see nanosAsLong config);
+            # truncate to µs — exactly what DuckDB does reading the same file.
+            arrow_schema = pq.read_schema(path)
+            for field in arrow_schema:
+                if pat.is_timestamp(field.type) and field.type.unit == "ns":
+                    df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+            df.createOrReplaceTempView(name)
+            dfs[name] = df
+    return dfs
