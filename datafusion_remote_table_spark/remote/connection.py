@@ -1,0 +1,77 @@
+"""DB-API connection factories, import-gated per backend.
+
+Parity: /root/reference/remote-table/src/connection/mod.rs (the
+`connect` entry point + per-backend pools). Executor tasks open their
+own connection per partition — the Spark analogue of the reference's
+connection pool feeding parallel streams.
+
+sqlite (stdlib) and duckdb are always available in this container;
+postgres/mysql/oracle factories resolve their drivers lazily so the
+module imports cleanly without them (same spirit as the reference's
+cargo feature gates).
+"""
+
+from __future__ import annotations
+
+from .options import ConnectionOptions
+
+
+def connect(options: ConnectionOptions):
+    backend = options.backend
+    if backend == "sqlite":
+        import sqlite3
+
+        return sqlite3.connect(options.path)
+    if backend == "duckdb":
+        import duckdb
+
+        # read_only so N executor tasks can share one database file
+        return duckdb.connect(options.path, read_only=True)
+    if backend == "postgres":
+        try:
+            import psycopg2  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "postgres backend requires psycopg2 (not bundled in this environment)"
+            ) from e
+        return psycopg2.connect(
+            host=options.host,
+            port=options.port,
+            user=options.username,
+            password=options.password,
+            dbname=options.database,
+        )
+    if backend == "mysql":
+        try:
+            import pymysql  # type: ignore
+        except ImportError as e:
+            raise ImportError("mysql backend requires pymysql (not bundled in this environment)") from e
+        return pymysql.connect(
+            host=options.host,
+            port=options.port,
+            user=options.username,
+            password=options.password,
+            database=options.database,
+        )
+    if backend == "oracle":
+        try:
+            import oracledb  # type: ignore
+        except ImportError as e:
+            raise ImportError("oracle backend requires oracledb (not bundled in this environment)") from e
+        return oracledb.connect(
+            host=options.host,
+            port=options.port,
+            user=options.username,
+            password=options.password,
+            service_name=options.service_name,
+        )
+    raise ValueError(f"unknown backend: {backend}")
+
+
+def connect_writable(options: ConnectionOptions):
+    """Writer-side connection (insert path needs read-write)."""
+    if options.backend == "duckdb":
+        import duckdb
+
+        return duckdb.connect(options.path, read_only=False)
+    return connect(options)

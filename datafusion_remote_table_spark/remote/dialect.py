@@ -1,0 +1,158 @@
+"""Per-backend SQL dialects: identifier quoting, literal rendering,
+query composition (select-all, limit, count rewrite, subquery wrap).
+
+Parity: /root/reference/remote-table/src/literalize.rs (literal
+rendering per dialect) and schema.rs `RemoteDbType::select_all_query` /
+`query_limit_1` helpers. Composition here is string-level on purpose —
+the remote side is an opaque SQL engine, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Sequence
+
+
+class Dialect:
+    name = "ansi"
+    quote_char = '"'
+
+    # -- identifiers -------------------------------------------------------
+    def quote_ident(self, ident: str) -> str:
+        q = self.quote_char
+        return f"{q}{ident.replace(q, q * 2)}{q}"
+
+    def table_ref(self, identifiers: Sequence[str]) -> str:
+        return ".".join(self.quote_ident(i) for i in identifiers)
+
+    # -- literals (literalize.rs parity) -----------------------------------
+    def literal(self, value) -> str:
+        if value is None:
+            return "NULL"
+        if isinstance(value, bool):
+            return self.bool_literal(value)
+        if isinstance(value, (int, float)):
+            return repr(value)
+        if isinstance(value, str):
+            return "'" + value.replace("'", "''") + "'"
+        if isinstance(value, bytes):
+            return self.bytes_literal(value)
+        if isinstance(value, dt.datetime):
+            return self.timestamp_literal(value)
+        if isinstance(value, dt.date):
+            return self.date_literal(value)
+        if isinstance(value, dt.time):
+            return f"TIME '{value.isoformat()}'"
+        if isinstance(value, (list, tuple)):
+            return "(" + ", ".join(self.literal(v) for v in value) + ")"
+        raise TypeError(f"cannot literalize {type(value).__name__}: {value!r}")
+
+    def bool_literal(self, value: bool) -> str:
+        return "TRUE" if value else "FALSE"
+
+    def bytes_literal(self, value: bytes) -> str:
+        return f"X'{value.hex()}'"
+
+    def timestamp_literal(self, value: dt.datetime) -> str:
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+
+    def date_literal(self, value: dt.date) -> str:
+        return f"DATE '{value.isoformat()}'"
+
+    # -- query composition --------------------------------------------------
+    def select_all_query(self, identifiers: Sequence[str]) -> str:
+        """Parity: RemoteDbType::select_all_query (table.rs:69-76)."""
+        return f"SELECT * FROM {self.table_ref(identifiers)}"
+
+    def wrap_subquery(self, query: str, alias: str = "__remote_t") -> str:
+        return f"({query}) AS {self.quote_ident(alias)}"
+
+    def compose(
+        self,
+        source_query: str,
+        columns: Sequence[str] | None = None,
+        filters: Sequence[str] = (),
+        limit: int | None = None,
+    ) -> str:
+        """Build the SQL actually sent to the remote DB: projection +
+        pushed filters + pushed limit around the source query.
+
+        Parity: scan.rs rewrites the remote query with filters/limit.
+        """
+        proj = ", ".join(self.quote_ident(c) for c in columns) if columns else "*"
+        sql = f"SELECT {proj} FROM {self.wrap_subquery(source_query)}"
+        if filters:
+            sql += " WHERE " + " AND ".join(f"({f})" for f in filters)
+        if limit is not None:
+            sql += f" {self.limit_clause(limit)}"
+        return sql
+
+    def limit_clause(self, n: int) -> str:
+        return f"LIMIT {n}"
+
+    def count_query(self, source_query: str) -> str:
+        """Parity: count(1) agg pushdown (postgres.rs test count1_agg)."""
+        return f"SELECT COUNT(*) FROM {self.wrap_subquery(source_query)}"
+
+    def limit0_query(self, source_query: str) -> str:
+        """Schema-inference probe: zero rows, full metadata."""
+        return f"SELECT * FROM {self.wrap_subquery(source_query)} {self.limit_clause(0)}"
+
+
+class SqliteDialect(Dialect):
+    name = "sqlite"
+
+    def bool_literal(self, value: bool) -> str:
+        return "1" if value else "0"
+
+    def timestamp_literal(self, value: dt.datetime) -> str:
+        return "'" + value.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+
+    def date_literal(self, value: dt.date) -> str:
+        return f"'{value.isoformat()}'"
+
+    def wrap_subquery(self, query: str, alias: str = "__remote_t") -> str:
+        # sqlite rejects AS on parenthesized FROM subqueries with quotes off
+        return f"({query}) {self.quote_ident(alias)}"
+
+
+class DuckdbDialect(Dialect):
+    name = "duckdb"
+
+
+class PostgresDialect(Dialect):
+    name = "postgres"
+
+    def bytes_literal(self, value: bytes) -> str:
+        return f"'\\x{value.hex()}'::bytea"
+
+
+class MysqlDialect(Dialect):
+    name = "mysql"
+    quote_char = "`"
+
+
+class OracleDialect(Dialect):
+    name = "oracle"
+
+    def limit_clause(self, n: int) -> str:
+        return f"FETCH FIRST {n} ROWS ONLY"
+
+    def wrap_subquery(self, query: str, alias: str = "__remote_t") -> str:
+        return f"({query}) {self.quote_ident(alias)}"
+
+    def timestamp_literal(self, value: dt.datetime) -> str:
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+
+
+DIALECTS: dict[str, Dialect] = {
+    "sqlite": SqliteDialect(),
+    "duckdb": DuckdbDialect(),
+    "postgres": PostgresDialect(),
+    "mysql": MysqlDialect(),
+    "oracle": OracleDialect(),
+}
+
+
+def dialect_for(backend: str) -> Dialect:
+    return DIALECTS[backend]

@@ -1,0 +1,88 @@
+"""Connection options per backend.
+
+Parity: /root/reference/remote-table/src/connection/options.rs — each
+backend's options struct (host/port/user/password/db, pool size,
+stream_chunk_size). Here they are plain serializable dataclasses so a
+scan spec (options + source + pushdown state) can ship driver→executor
+as JSON, the Spark analogue of the reference's proto codec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class ConnectionOptions:
+    """Base options. ``stream_chunk_size`` bounds rows fetched per Arrow
+    batch on the executor (parity: with_stream_chunk_size)."""
+
+    stream_chunk_size: int = 10_000
+
+    backend: str = ""
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["backend"] = self.backend
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "ConnectionOptions":
+        d = dict(d)
+        backend = d.pop("backend")
+        cls = _BACKENDS[backend]
+        return cls(**d)
+
+
+@dataclass
+class SqliteConnectionOptions(ConnectionOptions):
+    path: str = ""
+    backend: str = field(default="sqlite", init=False)
+
+
+@dataclass
+class DuckdbConnectionOptions(ConnectionOptions):
+    """DuckDB file as a remote analytical DB (stands in for the heavier
+    servers in this container; same code path as the networked backends)."""
+
+    path: str = ""
+    backend: str = field(default="duckdb", init=False)
+
+
+@dataclass
+class PostgresConnectionOptions(ConnectionOptions):
+    host: str = "localhost"
+    port: int = 5432
+    username: str = ""
+    password: str = ""
+    database: str = ""
+    backend: str = field(default="postgres", init=False)
+
+
+@dataclass
+class MysqlConnectionOptions(ConnectionOptions):
+    host: str = "localhost"
+    port: int = 3306
+    username: str = ""
+    password: str = ""
+    database: str = ""
+    backend: str = field(default="mysql", init=False)
+
+
+@dataclass
+class OracleConnectionOptions(ConnectionOptions):
+    host: str = "localhost"
+    port: int = 1521
+    username: str = ""
+    password: str = ""
+    service_name: str = ""
+    backend: str = field(default="oracle", init=False)
+
+
+_BACKENDS = {
+    "sqlite": SqliteConnectionOptions,
+    "duckdb": DuckdbConnectionOptions,
+    "postgres": PostgresConnectionOptions,
+    "mysql": MysqlConnectionOptions,
+    "oracle": OracleConnectionOptions,
+}

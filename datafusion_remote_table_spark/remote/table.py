@@ -1,0 +1,150 @@
+"""RemoteTable facade — the user-facing API, mirroring the reference's
+`RemoteTable` (/root/reference/remote-table/src/table.rs):
+
+    table = RemoteTable(SqliteConnectionOptions(path=...), "select ...")
+    df = table.read(spark)            # filters push down via Catalyst
+    table.register(spark, "remote_t") # then spark.sql over it
+    table.insert(df2)                 # write-back (insert.rs parity)
+    n = table.count()                 # remote count(*) pushdown
+
+Constructor parity map:
+- try_new                      → RemoteTable(options, source)
+- try_new_with_schema          → RemoteTable(..., schema=StructType/DDL)
+- try_new_with_remote_schema   → RemoteTable(..., schema=[(name, remote_type), ...])
+- try_new_with_transform       → RemoteTable(..., transform=RemoteTransform(...))
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .datasource import RemoteTableDataSource, infer_remote_schema
+from .options import ConnectionOptions
+from .scan import RemoteScanSpec
+from .transform import RemoteTransform
+
+
+def _register_datasource(spark: SparkSession) -> None:
+    key = "_dfrt_remote_table_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(RemoteTableDataSource)
+        setattr(spark, key, True)
+
+
+class RemoteTable:
+    def __init__(
+        self,
+        options: ConnectionOptions,
+        source,
+        schema=None,
+        transform: RemoteTransform | None = None,
+    ):
+        self.options = options
+        if isinstance(source, str):
+            self.query: str | None = source
+            self.table: list[str] | None = None
+        elif isinstance(source, (list, tuple)):
+            if not source:
+                raise ValueError("Table source is empty")  # table.rs:226-231 parity
+            self.query = None
+            self.table = [str(s) for s in source]
+        else:
+            raise TypeError(f"source must be SQL string or table identifiers, got {type(source)}")
+        if schema is not None and not isinstance(schema, StructType):
+            from .schema import parse_user_schema
+
+            schema = parse_user_schema(schema)
+        self._schema: StructType | None = schema
+        self.transform = transform
+
+    # -- spec / schema ------------------------------------------------------
+    def spec(self, **overrides) -> RemoteScanSpec:
+        spec = RemoteScanSpec(options=self.options, query=self.query, table=self.table)
+        for k, v in overrides.items():
+            setattr(spec, k, v)
+        return spec
+
+    @property
+    def schema(self) -> StructType:
+        if self._schema is None:
+            self._schema = infer_remote_schema(self.spec())
+        return self._schema
+
+    def remote_schema(self) -> list[tuple[str, str]]:
+        return [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+
+    # -- read path ----------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        columns: list[str] | None = None,
+        limit: int | None = None,
+        partition_column: str | None = None,
+        fetch_partitions: int = 1,
+    ) -> DataFrame:
+        """Load as a DataFrame. Catalyst filter pushdown is automatic
+        (reader.pushFilters); projection and limit push down through the
+        explicit arguments (the Python DataSource API has no column/limit
+        pushdown channel yet — scan.rs covers these inside the exec)."""
+        _register_datasource(spark)
+        spec = self.spec(
+            columns=columns,
+            limit=limit,
+            partition_column=partition_column,
+            fetch_partitions=fetch_partitions,
+        )
+        schema = self.schema
+        if columns:
+            by_name = {f.name: f for f in schema.fields}
+            schema = StructType([by_name[c] for c in columns])
+        df = (
+            spark.read.format("remote_table")
+            .schema(schema)
+            .option("spec", spec.to_json())
+            .load()
+        )
+        if limit is not None:
+            df = df.limit(limit)  # remote LIMIT is per-partition; keep Spark semantics exact
+        if self.transform is not None:
+            df = self.transform.apply(df)
+        return df
+
+    def register(self, spark: SparkSession, name: str, **read_kwargs) -> DataFrame:
+        df = self.read(spark, **read_kwargs)
+        df.createOrReplaceTempView(name)
+        return df
+
+    # -- pushdown-only paths ------------------------------------------------
+    def count(self) -> int:
+        """Remote ``SELECT count(*)`` — the count1_agg pushdown parity."""
+        from .connection import connect
+
+        spec = self.spec()
+        conn = connect(self.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(spec.count_sql())
+            return int(cur.fetchone()[0])
+        finally:
+            conn.close()
+
+    # -- write path ---------------------------------------------------------
+    def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
+        """Insert a DataFrame into the remote table (insert.rs parity).
+
+        File-backed remotes (sqlite/duckdb) are single-writer, so the
+        default coalesces to one task; server backends write with full
+        parallelism (one connection per partition)."""
+        if self.table is None:
+            raise ValueError("insert requires a table source, not a query")
+        _register_datasource(df.sparkSession)
+        if coalesce is None:
+            coalesce = self.options.backend in ("sqlite", "duckdb")
+        out = df.coalesce(1) if coalesce else df
+        (
+            out.write.format("remote_table")
+            .option("spec", self.spec().to_json())
+            .mode("overwrite" if mode == "overwrite" else "append")
+            .save()
+        )

@@ -1,0 +1,93 @@
+"""Unparse Spark DataSource pushdown filters to remote-dialect SQL.
+
+Parity: /root/reference/remote-table/src/transform.rs:52-86
+(`DefaultTransform::{support_filter_pushdown, unparse_filter}`): a
+filter is pushed only when it unparses cleanly in the target dialect;
+anything else is reported back to Spark, which re-applies it locally —
+the exact Exact/Unsupported split the reference makes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+from .dialect import Dialect
+
+
+class UnsupportedFilter(Exception):
+    pass
+
+
+def _col(dialect: Dialect, attribute) -> str:
+    if len(attribute) != 1:
+        raise UnsupportedFilter(f"nested column {attribute}")
+    return dialect.quote_ident(attribute[0])
+
+
+def _like_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_").replace("'", "''")
+
+
+def unparse_filter(f: Filter, dialect: Dialect) -> str:
+    """Render one pushdown filter as remote SQL, or raise UnsupportedFilter."""
+    if isinstance(f, EqualTo):
+        return f"{_col(dialect, f.attribute)} = {dialect.literal(f.value)}"
+    if isinstance(f, EqualNullSafe):
+        c, v = _col(dialect, f.attribute), dialect.literal(f.value)
+        return f"({c} = {v} OR ({c} IS NULL AND {v} IS NULL))"
+    if isinstance(f, GreaterThan):
+        return f"{_col(dialect, f.attribute)} > {dialect.literal(f.value)}"
+    if isinstance(f, GreaterThanOrEqual):
+        return f"{_col(dialect, f.attribute)} >= {dialect.literal(f.value)}"
+    if isinstance(f, LessThan):
+        return f"{_col(dialect, f.attribute)} < {dialect.literal(f.value)}"
+    if isinstance(f, LessThanOrEqual):
+        return f"{_col(dialect, f.attribute)} <= {dialect.literal(f.value)}"
+    if isinstance(f, In):
+        if not f.value:
+            return "1 = 0"
+        return f"{_col(dialect, f.attribute)} IN {dialect.literal(list(f.value))}"
+    if isinstance(f, IsNull):
+        return f"{_col(dialect, f.attribute)} IS NULL"
+    if isinstance(f, IsNotNull):
+        return f"{_col(dialect, f.attribute)} IS NOT NULL"
+    if isinstance(f, Not):
+        return f"NOT ({unparse_filter(f.child, dialect)})"
+    if isinstance(f, StringStartsWith):
+        return f"{_col(dialect, f.attribute)} LIKE '{_like_escape(f.value)}%' ESCAPE '\\'"
+    if isinstance(f, StringEndsWith):
+        return f"{_col(dialect, f.attribute)} LIKE '%{_like_escape(f.value)}' ESCAPE '\\'"
+    if isinstance(f, StringContains):
+        return f"{_col(dialect, f.attribute)} LIKE '%{_like_escape(f.value)}%' ESCAPE '\\'"
+    raise UnsupportedFilter(f"filter {type(f).__name__} not unparseable")
+
+
+def split_filters(filters: list[Filter], dialect: Dialect) -> tuple[list[str], list[Filter]]:
+    """Partition filters into (pushed SQL strings, unsupported originals).
+
+    Unsupported ones go back to Spark for local evaluation — pushdown is
+    an optimization, never a correctness dependency.
+    """
+    pushed_sql: list[str] = []
+    unsupported: list[Filter] = []
+    for f in filters:
+        try:
+            pushed_sql.append(unparse_filter(f, dialect))
+        except (UnsupportedFilter, TypeError):
+            unsupported.append(f)
+    return pushed_sql, unsupported

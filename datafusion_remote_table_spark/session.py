@@ -26,6 +26,14 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
     - autoBroadcastJoinThreshold: generous (64m) so dimension tables
       (region/nation/supplier/part at any SF) broadcast instead of shuffle.
     """
+    # Python workers must be able to import this package (DataSource and
+    # UDF classes are pickled by reference). Local mode inherits the
+    # driver env; a real cluster ships the wheel via --py-files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -36,6 +44,8 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource filter pushdown (remote-table scans)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # Spark has no nanosecond timestamp type; read parquet NANOS as long

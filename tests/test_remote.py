@@ -1,0 +1,237 @@
+"""Remote-table engine tests, mirroring the reference's integration test
+matrix (/root/reference/integration-tests/tests/{sqlite,postgres}.rs):
+type roundtrip, streaming chunks, pushdown_limit, pushdown_filters,
+count1 agg, projection, empty-ish projection, insert, transforms, serde.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    In,
+    IsNull,
+    Not,
+    StringStartsWith,
+)
+
+from datafusion_remote_table_spark.remote import (
+    DuckdbConnectionOptions,
+    RemoteScanSpec,
+    RemoteTable,
+    SqliteConnectionOptions,
+)
+from datafusion_remote_table_spark.remote.dialect import dialect_for
+from datafusion_remote_table_spark.remote.schema import remote_type_to_spark
+from datafusion_remote_table_spark.remote.transform import RemoteTransform
+from datafusion_remote_table_spark.remote.unparse import split_filters, unparse_filter
+
+
+@pytest.fixture(scope="module")
+def sqlite_db(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("remote") / "test.db")
+    conn = sqlite3.connect(path)
+    conn.execute(
+        """CREATE TABLE supported_data_types (
+             int_col INTEGER, real_col REAL, text_col TEXT,
+             blob_col BLOB, null_col TEXT)"""
+    )
+    conn.execute(
+        "INSERT INTO supported_data_types VALUES (1, 1.5, 'char', X'01', NULL)"
+    )
+    conn.execute("INSERT INTO supported_data_types VALUES (NULL, NULL, NULL, NULL, NULL)")
+    conn.execute("CREATE TABLE simple_table (id INTEGER, name TEXT)")
+    conn.executemany(
+        "INSERT INTO simple_table VALUES (?, ?)", [(1, "Tom"), (2, "Jerry"), (3, "Spike")]
+    )
+    conn.execute("CREATE TABLE insert_target (id INTEGER, name TEXT)")
+    conn.commit()
+    conn.close()
+    return path
+
+
+# -- supported types (sqlite.rs supported_sqlite_types parity) --------------
+@pytest.mark.parametrize("source", ["SELECT * from supported_data_types", ["supported_data_types"]])
+def test_supported_sqlite_types(spark, sqlite_db, source):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), source)
+    rows = t.read(spark).collect()
+    assert len(rows) == 2
+    full = next(r for r in rows if r.int_col is not None)
+    assert (full.int_col, full.real_col, full.text_col, full.blob_col, full.null_col) == (
+        1,
+        1.5,
+        "char",
+        bytearray(b"\x01"),
+        None,
+    )
+
+
+def test_count1_agg(spark, sqlite_db):
+    # count(*) rewritten to a remote SELECT COUNT(*) (postgres.rs count1_agg)
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), "select count(1) from supported_data_types")
+    assert t.read(spark).collect()[0][0] == 2
+    assert RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["supported_data_types"]).count() == 2
+
+
+# -- streaming chunks (sqlite.rs streaming_execution parity) ----------------
+@pytest.mark.parametrize("source", ["SELECT * from simple_table", ["simple_table"]])
+def test_streaming_execution(spark, sqlite_db, source):
+    opts = SqliteConnectionOptions(path=sqlite_db, stream_chunk_size=1)
+    t = RemoteTable(opts, source)
+    assert t.remote_schema() == [("id", "bigint"), ("name", "string")]
+    rows = sorted(t.read(spark).collect())
+    assert [tuple(r) for r in rows] == [(1, "Tom"), (2, "Jerry"), (3, "Spike")]
+
+
+# -- pushdown (sqlite.rs pushdown_limit / pushdown_filters parity) ----------
+def test_pushdown_limit_sql(sqlite_db):
+    spec = RemoteScanSpec(options=SqliteConnectionOptions(path=sqlite_db), table=["simple_table"], limit=1)
+    assert spec.remote_sql().endswith("LIMIT 1")
+
+
+def test_pushdown_limit_result(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), "SELECT * FROM simple_table ORDER BY id")
+    assert [tuple(r) for r in t.read(spark, limit=1).collect()] == [(1, "Tom")]
+
+
+def test_pushdown_filters_reach_remote_sql(sqlite_db):
+    d = dialect_for("sqlite")
+    pushed, unsupported = split_filters(
+        [EqualTo(("id",), 1), GreaterThan(("id",), 0), In(("name",), ("Tom", "Jerry"))], d
+    )
+    assert pushed == ['"id" = 1', '"id" > 0', "\"name\" IN ('Tom', 'Jerry')"]
+    assert unsupported == []
+    spec = RemoteScanSpec(
+        options=SqliteConnectionOptions(path=sqlite_db), table=["simple_table"], pushed_filters=pushed
+    )
+    sql = spec.remote_sql()
+    assert 'WHERE ("id" = 1)' in sql and '("id" > 0)' in sql
+
+
+def test_pushdown_filters_result(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    df = t.read(spark)
+    assert [tuple(r) for r in df.filter(F.col("id") == 1).collect()] == [(1, "Tom")]
+    assert [tuple(r) for r in df.filter(F.col("name").startswith("Sp")).collect()] == [(3, "Spike")]
+    # unsupported filter (expression on column) still evaluated by Spark
+    assert [tuple(r) for r in df.filter((F.col("id") % 2) == 1).orderBy("id").collect()] == [
+        (1, "Tom"),
+        (3, "Spike"),
+    ]
+
+
+def test_unparse_literals():
+    d = dialect_for("postgres")
+    assert unparse_filter(EqualTo(("a",), "O'Hara"), d) == "\"a\" = 'O''Hara'"
+    assert unparse_filter(EqualTo(("a",), True), d) == '"a" = TRUE'
+    assert unparse_filter(IsNull(("a",)), d) == '"a" IS NULL'
+    assert unparse_filter(Not(EqualTo(("a",), 1)), d) == 'NOT ("a" = 1)'
+    assert (
+        unparse_filter(EqualTo(("a",), dt.datetime(2024, 1, 2, 3, 4, 5)), d)
+        == "TIMESTAMP '2024-01-02 03:04:05.000000'".join(['"a" = ', ""])
+    )
+    assert unparse_filter(StringStartsWith(("a",), "x%"), d) == "\"a\" LIKE 'x\\%%' ESCAPE '\\'"
+    assert dialect_for("mysql").quote_ident("x") == "`x`"
+    assert dialect_for("sqlite").literal(True) == "1"
+    assert dialect_for("oracle").limit_clause(5) == "FETCH FIRST 5 ROWS ONLY"
+
+
+# -- projection (postgres.rs table_projection parity) -----------------------
+def test_projection(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    df = t.read(spark, columns=["name"])
+    assert df.columns == ["name"]
+    spec = t.spec(columns=["name"])
+    assert spec.remote_sql().startswith('SELECT "name" FROM')
+
+
+# -- user schema (try_new_with_schema / with_remote_schema parity) ----------
+def test_user_remote_schema(spark, sqlite_db):
+    t = RemoteTable(
+        SqliteConnectionOptions(path=sqlite_db),
+        ["simple_table"],
+        schema=[("id", "INTEGER"), ("name", "VARCHAR(20)")],
+    )
+    assert t.remote_schema() == [("id", "bigint"), ("name", "string")]
+    assert t.read(spark).count() == 3
+
+
+def test_remote_type_mapping():
+    # schema.rs README matrix spot checks
+    assert remote_type_to_spark("Int2").simpleString() == "smallint"
+    assert remote_type_to_spark("BIGINT UNSIGNED").simpleString() == "decimal(20,0)"
+    assert remote_type_to_spark("NUMERIC(10,2)").simpleString() == "decimal(10,2)"
+    assert remote_type_to_spark("VARCHAR2(30)").simpleString() == "string"
+    assert remote_type_to_spark("BYTEA").simpleString() == "binary"
+    assert remote_type_to_spark("TIMESTAMPTZ").simpleString() == "timestamp"
+    assert remote_type_to_spark("Int4[]").simpleString() == "array<int>"
+    assert remote_type_to_spark("BOOLEAN").simpleString() == "boolean"
+    with pytest.raises(KeyError):
+        remote_type_to_spark("GEOGRAPHIC_BLOB_OF_MYSTERY")
+
+
+# -- insert (postgres.rs insert_* parity) -----------------------------------
+def test_insert_roundtrip(spark, sqlite_db):
+    opts = SqliteConnectionOptions(path=sqlite_db)
+    t = RemoteTable(opts, ["insert_target"])
+    df = spark.createDataFrame([(10, "Ann"), (11, "Bob")], "id long, name string")
+    t.insert(df, mode="overwrite")
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [(10, "Ann"), (11, "Bob")]
+    t.insert(spark.createDataFrame([(12, "Cyd")], "id long, name string"))
+    assert t.count() == 3
+
+
+# -- transform (transform.rs parity) ----------------------------------------
+def test_transform_batches(spark, sqlite_db):
+    tr = RemoteTransform(
+        lambda pdf: pdf.assign(name=pdf["name"].str.upper(), name_len=pdf["name"].str.len()),
+        "id bigint, name string, name_len int",
+    )
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"], transform=tr)
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(1, "TOM", 3), (2, "JERRY", 5), (3, "SPIKE", 5)]
+
+
+# -- serde (codec.rs parity) -------------------------------------------------
+def test_scan_spec_serde(spark, sqlite_db):
+    spec = RemoteScanSpec(
+        options=SqliteConnectionOptions(path=sqlite_db, stream_chunk_size=2),
+        table=["simple_table"],
+        pushed_filters=['"id" > 1'],
+        limit=5,
+        partition_column="id",
+        fetch_partitions=2,
+    )
+    back = RemoteScanSpec.from_json(spec.to_json())
+    assert back.remote_sql() == spec.remote_sql()
+    assert back.options.stream_chunk_size == 2
+    assert back.partition_column == "id"
+
+
+# -- partitioned parallel fetch (scale path) --------------------------------
+def test_partitioned_read_complete_and_disjoint(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    df = t.read(spark, partition_column="id", fetch_partitions=2)
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+# -- duckdb backend (Arrow-native fetch) ------------------------------------
+def test_duckdb_backend(spark, tmp_path):
+    import duckdb
+
+    path = str(tmp_path / "remote.duckdb")
+    c = duckdb.connect(path)
+    c.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 'a', DATE '2024-01-02'), (2, 'b', NULL)) x(k, v, d)")
+    c.close()
+    t = RemoteTable(DuckdbConnectionOptions(path=path), ["t"])
+    schema = dict(t.remote_schema())
+    assert schema["k"] in ("int", "bigint") and schema["v"] == "string" and schema["d"] == "date"
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(1, "a", dt.date(2024, 1, 2)), (2, "b", None)]
