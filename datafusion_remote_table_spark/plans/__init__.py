@@ -39,12 +39,4 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
     from . import relational  # noqa: F401
-
-    try:
-        from . import llm_data  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import remote_queries  # noqa: F401
-    except ImportError:
-        pass
+    from . import remote_queries  # noqa: F401

@@ -299,7 +299,8 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topn_per_group",
     oracle="""
-    SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS INT) AS rn
     FROM (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -440,9 +441,9 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_expr_agg",
     oracle="""
     SELECT p_brand,
-           SUM(CASE WHEN p_size < 15 THEN 1 ELSE 0 END) AS n_small,
-           SUM(CASE WHEN p_size >= 15 AND p_size < 35 THEN 1 ELSE 0 END) AS n_medium,
-           SUM(CASE WHEN p_size >= 35 THEN 1 ELSE 0 END) AS n_large,
+           CAST(SUM(CASE WHEN p_size < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+           CAST(SUM(CASE WHEN p_size >= 15 AND p_size < 35 THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN p_size >= 35 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
            CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
     FROM part
     GROUP BY p_brand
@@ -464,7 +465,7 @@ def case_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: one shuffle on user_id; everything after is per-partition sorted
 # streaming — the batch analogue of a session window.
 _SESSIONIZE_SQL = """
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            {fmt_min} AS session_start,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
     FROM (

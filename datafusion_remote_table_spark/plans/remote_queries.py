@@ -1,0 +1,345 @@
+"""Driver-gated correctness entries for the remote-table engine
+(SURVEY.md §2.A): each builds a real "remote" database (sqlite /
+duckdb file) from the scale-factor parquet, reads it back through the
+federated engine, and is oracled by DuckDB over the same parquet views.
+
+Determinism: remote DBs are rebuilt only when missing (content is a
+pure function of sf_dir); int columns come back as BIGINT from sqlite,
+so oracles CAST key columns to BIGINT to keep schemas aligned.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sqlite3
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..remote import (
+    DuckdbConnectionOptions,
+    RemoteScanSpec,
+    RemoteTable,
+    SqliteConnectionOptions,
+)
+from ..remote.transform import RemoteTransform
+from ..session import load_tables
+from . import register
+
+_SQLITE_TABLES = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+}
+
+
+def _cache_path(sf_dir: str, suffix: str) -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dfrt_remote_{key}{suffix}")
+
+
+def ensure_sqlite_remote(sf_dir: str) -> str:
+    """Mirror the small/dimension tables into a sqlite file — the stand-in
+    remote OLTP database for this environment (driver-side, once)."""
+    import duckdb
+
+    path = _cache_path(sf_dir, ".db")
+    if os.path.exists(path):
+        return path
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    con = sqlite3.connect(tmp)
+    ddb = duckdb.connect()
+    try:
+        for table, cols in _SQLITE_TABLES.items():
+            col_list = ", ".join(cols)
+            rows = ddb.execute(
+                f"SELECT {col_list} FROM read_parquet('{os.path.join(sf_dir, table)}.parquet')"
+            ).fetchall()
+            placeholders = ", ".join(["?"] * len(cols))
+            con.execute(f"CREATE TABLE {table} ({col_list})")
+            con.executemany(f"INSERT INTO {table} VALUES ({placeholders})", rows)
+        con.commit()
+    finally:
+        con.close()
+        ddb.close()
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_duckdb_remote(sf_dir: str) -> str:
+    """A second, different remote backend (analytical) for multi-source
+    federation: nation+region live here."""
+    import duckdb
+
+    path = _cache_path(sf_dir, ".duckdb")
+    if os.path.exists(path):
+        return path
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    con = duckdb.connect(tmp)
+    try:
+        for table in ("nation", "region"):
+            con.execute(
+                f"CREATE TABLE {table} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, table)}.parquet')"
+            )
+    finally:
+        con.close()
+    os.replace(tmp, path)
+    return path
+
+
+def _sqlite_opts(sf_dir: str) -> SqliteConnectionOptions:
+    return SqliteConnectionOptions(path=ensure_sqlite_remote(sf_dir))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "remote_table_scan",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_acctbal > 5000.0
+    """,
+)
+def remote_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoteSource::Table scan + Catalyst filter pushed to remote SQL."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["supplier"])
+    df = t.read(spark)
+    return df.filter(F.col("s_acctbal") > 5000.0).select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+
+
+@register(
+    "remote_query_scan",
+    oracle="""
+    SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def remote_query_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoteSource::Query — the join itself runs on the remote DB."""
+    t = RemoteTable(
+        _sqlite_opts(sf_dir),
+        "SELECT n.n_nationkey, n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+    )
+    return t.read(spark)
+
+
+@register(
+    "remote_filter_pushdown",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0.0
+    """,
+)
+def remote_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both predicates unparse to sqlite SQL and run remotely; Spark's scan
+    sees only matching rows (transform.rs unparse_filter parity)."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["customer"])
+    return (
+        t.read(spark)
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 0.0))
+        .select("c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    )
+
+
+@register(
+    "remote_limit_pushdown",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name
+    FROM customer ORDER BY c_custkey LIMIT 10
+    """,
+)
+def remote_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT composed into the remote SQL (scan.rs limit parity); ORDER BY
+    on the remote side keeps the result deterministic."""
+    t = RemoteTable(_sqlite_opts(sf_dir), "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey")
+    return t.read(spark, limit=10)
+
+
+@register(
+    "remote_projection_pushdown",
+    oracle="SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey FROM nation",
+)
+def remote_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only the two requested columns appear in the remote SELECT list."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["nation"])
+    return t.read(spark, columns=["n_name", "n_nationkey"])
+
+
+@register("remote_count_pushdown", oracle="SELECT COUNT(*) AS n_rows FROM orders")
+def remote_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(*) evaluated wholly on the remote DB (count1_agg parity)."""
+    n = RemoteTable(_sqlite_opts(sf_dir), ["orders"]).count()
+    return spark.createDataFrame([(n,)], "n_rows bigint")
+
+
+@register(
+    "remote_schema_inference",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('s_suppkey', 'bigint'), ('s_name', 'string'),
+      ('s_nationkey', 'bigint'), ('s_acctbal', 'double')
+    ) AS t(col_name, spark_type)
+    """,
+)
+def remote_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inferred remote schema pinned against the schema.rs sqlite mapping
+    (INTEGER→bigint, REAL→double, TEXT→string)."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["supplier"])
+    return spark.createDataFrame(t.remote_schema(), "col_name string, spark_type string")
+
+
+@register(
+    "remote_user_schema",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+)
+def remote_user_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-specified remote schema (try_new_with_remote_schema parity)."""
+    t = RemoteTable(
+        _sqlite_opts(sf_dir),
+        ["nation"],
+        schema=[("n_nationkey", "INTEGER"), ("n_name", "VARCHAR(25)"), ("n_regionkey", "INTEGER")],
+    )
+    return t.read(spark)
+
+
+@register(
+    "remote_transform",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, UPPER(s_name) AS s_name,
+           CASE WHEN s_acctbal >= 0 THEN 'credit' ELSE 'debit' END AS acct_band
+    FROM supplier
+    """,
+)
+def remote_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch transform hook between remote scan and downstream plan
+    (transform.rs parity, via mapInPandas)."""
+
+    def hook(pdf):
+        out = pdf[["s_suppkey"]].copy()
+        out["s_name"] = pdf["s_name"].str.upper()
+        out["acct_band"] = (pdf["s_acctbal"] >= 0).map({True: "credit", False: "debit"})
+        return out
+
+    tr = RemoteTransform(hook, "s_suppkey bigint, s_name string, acct_band string")
+    t = RemoteTable(_sqlite_opts(sf_dir), ["supplier"], transform=tr)
+    return t.read(spark)
+
+
+@register(
+    "remote_insert",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def remote_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a Spark aggregate back into the remote DB (insert.rs parity),
+    then read it back through the remote scan."""
+    opts = _sqlite_opts(sf_dir)
+    conn = sqlite3.connect(opts.path)
+    conn.execute("CREATE TABLE IF NOT EXISTS priority_rollup (o_orderpriority TEXT, n_orders INTEGER)")
+    conn.commit()
+    conn.close()
+    dfs = load_tables(spark, sf_dir, ("orders",))
+    agg = dfs["orders"].groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = RemoteTable(opts, ["priority_rollup"])
+    t.insert(agg, mode="overwrite")
+    return t.read(spark)
+
+
+@register(
+    "remote_join_local",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def remote_join_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation: remote dimension broadcast-joined to local parquet fact —
+    the core use-case of the reference (remote provider inside local SQL)."""
+    nation = RemoteTable(_sqlite_opts(sf_dir), ["nation"]).read(spark)
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "federated_multi_source",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def federated_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two different remote engines (sqlite OLTP + duckdb analytical) joined
+    in one Spark plan — the multi-provider federation story."""
+    supplier = RemoteTable(_sqlite_opts(sf_dir), ["supplier"]).read(spark)
+    ddb = DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+    nr = RemoteTable(
+        ddb,
+        "SELECT n.n_nationkey, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+    ).read(spark)
+    return (
+        supplier.join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+@register(
+    "remote_scan_serde",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+    """,
+)
+def remote_scan_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan spec → JSON → rebuilt → executed (codec.rs serialization
+    parity: the plan survives a driver→executor round trip)."""
+    spec = RemoteScanSpec(options=_sqlite_opts(sf_dir), table=["region"])
+    rebuilt = RemoteScanSpec.from_json(spec.to_json())
+    t = RemoteTable(rebuilt.options, rebuilt.table)
+    return t.read(spark)
+
+
+@register(
+    "remote_partitioned_read",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def remote_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel range-partitioned remote fetch (8 disjoint o_orderkey
+    ranges, one executor task each) — the 100TB scan shape; the aggregate
+    proves the ranges are complete and disjoint."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders"])
+    df = t.read(spark, partition_column="o_orderkey", fetch_partitions=8)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
