@@ -38,5 +38,6 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every plan module so registration side effects run."""
+    from . import llm_data  # noqa: F401
     from . import relational  # noqa: F401
     from . import remote_queries  # noqa: F401

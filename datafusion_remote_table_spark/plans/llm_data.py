@@ -1,0 +1,531 @@
+"""LLM-training-data-pipeline operators (SURVEY.md §2.C).
+
+Design: each operator is ONE deterministic algorithm expressed twice —
+Spark SQL (run through Catalyst; all map-side where possible) and DuckDB
+SQL (the oracle) — generated from a shared template with per-engine
+function spellings. Randomness is replaced by md5-keyed hashing so both
+engines compute bit-identical signatures.
+
+Scale notes:
+- minhash/simhash signatures are per-row nested higher-order functions:
+  zero shuffle until the band-bucket join, which shuffles on uniformly
+  distributed hash keys (no skew by construction).
+- LSH band join produces candidate pairs only within buckets; the exact
+  jaccard verify runs on candidates, not the cross product.
+- brute-force ANN / pairwise jaccard are deliberately bounded (fixed
+  query set / fixed doc block): the quadratic baseline; the LSH variants
+  are the 100TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import load_tables
+from . import ORACLE, QUERIES
+
+
+# -- per-engine SQL spellings ------------------------------------------------
+class _Spark:
+    STR = "STRING"
+    SIZE = "size"
+    TRANSFORM = "transform"
+    FILTER = "filter"
+    AMIN = "array_min"
+    ADISTINCT = "array_distinct"
+    AINTERSECT = "array_intersect"
+
+    @staticmethod
+    def seq(a, b):
+        return f"sequence({a}, {b})"
+
+    @staticmethod
+    def splitws(t):
+        return f"split(trim({t}), '\\\\s+')"
+
+    @staticmethod
+    def slice(arr, i, k):
+        return f"slice({arr}, {i}, {k})"
+
+    @staticmethod
+    def idx(arr, i):
+        return f"element_at({arr}, {i})"
+
+    @staticmethod
+    def xor(a, b):
+        return f"({a} ^ {b})"
+
+    @staticmethod
+    def shr(a, n):
+        return f"shiftright({a}, {n})"
+
+    @staticmethod
+    def shl(a, n):
+        return f"shiftleft({a}, {n})"
+
+    @staticmethod
+    def hex2int(h):
+        return f"CAST(conv({h}, 16, 10) AS BIGINT)"
+
+    @staticmethod
+    def regexp_count(t, p):
+        return f"CAST(regexp_count({t}, '{p}') AS BIGINT)"
+
+    @staticmethod
+    def collapse_ws(t):
+        return f"regexp_replace({t}, '\\\\s+', ' ')"
+
+    @staticmethod
+    def list_sum(arr):
+        return f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+    @staticmethod
+    def list_sum_int(arr):
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+    @staticmethod
+    def dot(a, b):
+        return _Spark.list_sum(f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))")
+
+    @staticmethod
+    def explode(x, alias):
+        return f"explode({x}) AS {alias}"
+
+
+class _Duck:
+    STR = "VARCHAR"
+    SIZE = "len"
+    TRANSFORM = "list_transform"
+    FILTER = "list_filter"
+    AMIN = "list_min"
+    ADISTINCT = "list_distinct"
+    AINTERSECT = "list_intersect"
+
+    @staticmethod
+    def seq(a, b):
+        return f"generate_series({a}, {b})"
+
+    @staticmethod
+    def splitws(t):
+        return f"regexp_split_to_array(trim({t}), '\\s+')"
+
+    @staticmethod
+    def slice(arr, i, k):
+        return f"({arr})[{i}:({i})+{k}-1]"
+
+    @staticmethod
+    def idx(arr, i):
+        return f"({arr})[{i}]"
+
+    @staticmethod
+    def xor(a, b):
+        return f"xor({a}, {b})"
+
+    @staticmethod
+    def shr(a, n):
+        return f"({a} >> {n})"
+
+    @staticmethod
+    def shl(a, n):
+        return f"({a} << {n})"
+
+    @staticmethod
+    def hex2int(h):
+        return f"CAST('0x' || {h} AS BIGINT)"
+
+    @staticmethod
+    def regexp_count(t, p):
+        return f"CAST(len(regexp_extract_all({t}, '{p}')) AS BIGINT)"
+
+    @staticmethod
+    def collapse_ws(t):
+        return f"regexp_replace({t}, '\\s+', ' ', 'g')"
+
+    @staticmethod
+    def list_sum(arr):
+        return f"COALESCE(list_sum({arr}), 0.0)"
+
+    @staticmethod
+    def list_sum_int(arr):
+        return f"CAST(COALESCE(list_sum({arr}), 0) AS BIGINT)"
+
+    @staticmethod
+    def dot(a, b):
+        return _Duck.list_sum(
+            f"list_transform(generate_series(1, len({a})), i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))"
+        )
+
+    @staticmethod
+    def explode(x, alias):
+        return f"unnest({x}) AS {alias}"
+
+
+def _register_pair(name: str, build, tables=("documents",)):
+    """Register a query whose Spark and DuckDB SQL come from one template."""
+
+    def runner(spark: SparkSession, sf_dir: str, _build=build, _tables=tables) -> DataFrame:
+        load_tables(spark, sf_dir, _tables)
+        return spark.sql(_build(_Spark))
+
+    runner.__name__ = name
+    QUERIES[name] = runner
+    ORACLE[name] = build(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# text_token_count — whitespace tokens + BPE-ish regex tokens, per doc.
+def _sql_token_count(E):
+    return f"""
+    SELECT doc_id,
+           CAST({E.SIZE}({E.splitws('text')}) AS BIGINT) AS ws_tokens,
+           {E.regexp_count('text', '[a-z0-9]+|[^a-z0-9 ]')} AS bpe_ish_tokens
+    FROM documents
+    """
+
+
+_register_pair("text_token_count", _sql_token_count)
+
+
+# ---------------------------------------------------------------------------
+# text_quality_score — length / stopword / repetition features + score.
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+def _sql_quality(E):
+    words = E.splitws("text")
+    return f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST({E.SIZE}({words}) AS BIGINT) AS n_tokens,
+             CAST({E.SIZE}({E.FILTER}({words}, w -> w IN {_STOPWORDS})) AS BIGINT) AS n_stop,
+             CAST({E.SIZE}({E.ADISTINCT}({words})) AS BIGINT) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS repetition_ratio,
+           ROUND(0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+                 + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                 + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+    FROM feats
+    """
+
+
+_register_pair("text_quality_score", _sql_quality)
+
+
+# ---------------------------------------------------------------------------
+# text_langid — marker-stopword n-gram heuristic; deterministic argmax
+# (score desc, lang asc). A real pipeline swaps the marker table for a
+# trained model; the Spark shape (per-row score → argmax) is identical.
+_LANG_MARKERS = {
+    "de": "('der', 'und', 'die', 'nicht')",
+    "en": "('the', 'a', 'of', 'and')",
+    "es": "('el', 'los', 'y', 'que')",
+    "fr": "('le', 'la', 'et', 'les')",
+    "zh": "('zh_stub_marker')",
+}
+
+
+def _sql_langid(E):
+    words = E.splitws("text")
+    score_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, '{lang}' AS lang, CAST({E.SIZE}({E.FILTER}({words}, w -> w IN {markers})) AS BIGINT) AS score FROM documents"
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    )
+    return f"""
+    WITH scores AS (
+{score_rows}
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT doc_id, lang AS detected_lang, score AS marker_hits
+    FROM ranked WHERE rn = 1
+    """
+
+
+_register_pair("text_langid", _sql_langid)
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — md5 of normalized text + winnowing-style min-hash of
+# 8-gram shingles (rolling fingerprint). Per-row only: no shuffle at all.
+def _sql_fingerprint(E):
+    words = E.splitws("lower(text)")
+    shingles = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 7, 1)')}, i -> md5(array_join({E.slice(words, 'i', 8)}, ' ')))"
+    if E is _Duck:
+        shingles = shingles.replace("array_join", "array_to_string")
+    return f"""
+    SELECT doc_id,
+           md5({E.collapse_ws('lower(text)')}) AS content_fp,
+           {E.AMIN}({shingles}) AS winnow_fp
+    FROM documents
+    """
+
+
+_register_pair("text_fingerprint", _sql_fingerprint)
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup over the normalized fingerprint.
+def _sql_dedup_exact(E):
+    return f"""
+    WITH fps AS (
+      SELECT doc_id, md5({E.collapse_ws('lower(text)')}) AS fp FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM fps
+    """
+
+
+_register_pair("dedup_exact", _sql_dedup_exact)
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — shingle → 32-perm minhash → 8 bands × 4 rows →
+# band-bucket join → exact-jaccard verify at 0.8.
+# Signature computation is per-row (nested higher-order functions, no
+# shuffle); the only shuffle is the band-key self-join on md5 keys.
+def _sql_minhash(E):
+    words = E.splitws("lower(text)")
+    shingle_arr = f"{E.ADISTINCT}({E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 4, 1)')}, i -> array_join({E.slice(words, 'i', 5)}, ' ')))"
+    if E is _Duck:
+        shingle_arr = shingle_arr.replace("array_join", "array_to_string")
+    sigs = (
+        f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(shingles, "
+        f"s -> md5(CAST(p AS {E.STR}) || '|' || s))))"
+    )
+    band_key = (
+        f"md5(CAST(b AS {E.STR}) || '|' || {E.idx('sigs', '4*b + 1')} || {E.idx('sigs', '4*b + 2')}"
+        f" || {E.idx('sigs', '4*b + 3')} || {E.idx('sigs', '4*b + 4')})"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingle_arr} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, shingles, {sigs} AS sigs FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, {band_key} AS band_key
+      FROM sig, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles)) AS DOUBLE)
+               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles)
+                  - {E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand c
+      JOIN sh sa ON c.doc_a = sa.doc_id
+      JOIN sh sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.8
+    """
+
+
+_register_pair("dedup_minhash_lsh", _sql_minhash)
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-bit simhash (md5-derived token bits), nibble-band
+# blocking (any pair at hamming ≤ 3 shares ≥ 1 of 4 nibbles), exact
+# hamming filter. Signature is per-row; the join shuffles on nibble keys.
+def _sql_simhash(E):
+    words = E.splitws("lower(text)")
+    vals = f"{E.TRANSFORM}({words}, t -> {E.hex2int('substring(md5(t), 1, 4)')})"
+    vote = lambda j: E.list_sum_int(f"{E.TRANSFORM}(vals, v -> ({E.shr('v', 15 - j)} & 1) * 2 - 1)")  # noqa: E731
+    sig_terms = " + ".join(f"(CASE WHEN {vote(j)} >= 0 THEN {E.shl(1, 15 - j)} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH vals AS (
+      SELECT doc_id, {vals} AS vals FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM vals
+    ),
+    bands AS (
+      SELECT doc_id, simhash, b, {E.shr('simhash', '4*b')} & 15 AS nibble
+      FROM sig, (SELECT {E.explode(E.seq(0, 3), 'b')}) AS band_ids
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count({E.xor('sig_a', 'sig_b')}) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count({E.xor('sig_a', 'sig_b')}) <= 3
+    """
+
+
+_register_pair("dedup_simhash", _sql_simhash)
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — exact 3-gram jaccard over a bounded doc block:
+# the quadratic gold-standard verifier (LSH is the scale path; this is
+# the oracle it's validated against).
+def _sql_ngram_jaccard(E):
+    words = E.splitws("lower(text)")
+    shingle_arr = f"{E.ADISTINCT}({E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 2, 1)')}, i -> array_join({E.slice(words, 'i', 3)}, ' ')))"
+    if E is _Duck:
+        shingle_arr = shingle_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingle_arr} AS shingles FROM documents WHERE doc_id < 200
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({E.SIZE}({E.AINTERSECT}(a.shingles, b.shingles)) AS DOUBLE)
+               / ({E.SIZE}(a.shingles) + {E.SIZE}(b.shingles)
+                  - {E.SIZE}({E.AINTERSECT}(a.shingles, b.shingles))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+    """
+
+
+_register_pair("dedup_ngram_jaccard", _sql_ngram_jaccard)
+
+
+# ---------------------------------------------------------------------------
+# ann_cosine_topk — brute-force cosine top-10 for a fixed query set
+# (vec_id < 5). Ranking is on ROUND(cos, 6) with vec_id tie-break so both
+# engines order identically.
+def _sql_ann_brute(E):
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({cos}, 6) AS cosine
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 10
+    """
+
+
+_register_pair("ann_cosine_topk", _sql_ann_brute, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_cosine — 8 random-hyperplane bits (md5-keyed ±1 components),
+# bucket join, exact re-rank inside the query's bucket. The 100TB path:
+# signatures map-side, candidates bounded by bucket size.
+def _sql_ann_lsh(E):
+    sign = lambda p, i: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
+    proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
+    bucket = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 8)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1')} ELSE 0 END)"
+    )
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM sig WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({cos}, 6) AS cosine
+      FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """
+
+
+_register_pair("ann_lsh_cosine", _sql_ann_lsh, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# embedding_similarity_join — all-pairs cosine ≥ threshold over a bounded
+# block (vec_id < 300): the similarity-join primitive; LSH prunes at scale.
+def _sql_sim_join(E):
+    cos = E.dot("a.embedding", "b.embedding")
+    return f"""
+    WITH block AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           ROUND({cos}, 6) AS cosine
+    FROM block a JOIN block b ON a.vec_id < b.vec_id
+    WHERE ROUND({cos}, 6) >= 0.6
+    """
+
+
+_register_pair("embedding_similarity_join", _sql_sim_join, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_stub — binary columns + typed metadata through real
+# mapInPandas plumbing; the decode itself is a deterministic stub (no
+# image/audio libs in this container — see SURVEY §2.C).
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # binary payload + typed metadata: the schema a real image/audio table has
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            F.col("lang").alias("lang"),
+            F.lit("image/fake").alias("mime"),
+        ).alias("meta"),
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            payload = pdf["payload"]
+            # STUB decode: a real pipeline calls PIL/ffmpeg here (not in
+            # container); the Spark-side plumbing (arrow batches of binary,
+            # schema, partitioning) is identical.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "content_hash": payload.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "fake_width": (64 + payload.map(len) % 512).astype("int64"),
+                    "fake_frames": (pdf["doc_id"] % 8 + 1).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch,
+        schema="doc_id long, n_bytes long, content_hash string, fake_width long, fake_frames long",
+    )
+
+
+QUERIES["multimodal_decode_stub"] = multimodal_decode_stub
+ORACLE["multimodal_decode_stub"] = """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(64 + octet_length(CAST(text AS BLOB)) % 512 AS BIGINT) AS fake_width,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS fake_frames
+    FROM documents
+"""
