@@ -41,3 +41,4 @@ def load_all() -> None:
     from . import llm_data  # noqa: F401
     from . import relational  # noqa: F401
     from . import remote_queries  # noqa: F401
+    from . import streaming_plans  # noqa: F401

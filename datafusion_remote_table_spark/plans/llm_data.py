@@ -160,11 +160,24 @@ class _Duck:
         return f"unnest({x}) AS {alias}"
 
 
-def _register_pair(name: str, build, tables=("documents",)):
+def _repartition_views(spark: SparkSession, dfs: dict) -> None:
+    """Small tables arrive as one parquet file → one partition; per-row
+    signature/hash compute is CPU-bound, so spread it across the cluster.
+    (At 100TB the scan itself has thousands of splits and this is a no-op
+    cost-wise; locally it models that parallelism.)"""
+    n = spark.sparkContext.defaultParallelism
+    for name, df in dfs.items():
+        if df.rdd.getNumPartitions() < n:
+            df.repartition(n).createOrReplaceTempView(name)
+
+
+def _register_pair(name: str, build, tables=("documents",), repartition=True):
     """Register a query whose Spark and DuckDB SQL come from one template."""
 
     def runner(spark: SparkSession, sf_dir: str, _build=build, _tables=tables) -> DataFrame:
-        load_tables(spark, sf_dir, _tables)
+        dfs = load_tables(spark, sf_dir, _tables)
+        if repartition:
+            _repartition_views(spark, dfs)
         return spark.sql(_build(_Spark))
 
     runner.__name__ = name
@@ -292,33 +305,35 @@ _register_pair("dedup_exact", _sql_dedup_exact)
 # band-bucket join → exact-jaccard verify at 0.8.
 # Signature computation is per-row (nested higher-order functions, no
 # shuffle); the only shuffle is the band-key self-join on md5 keys.
-def _sql_minhash(E):
+def _minhash_shingles(E, src="documents"):
     words = E.splitws("lower(text)")
     shingle_arr = f"{E.ADISTINCT}({E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 4, 1)')}, i -> array_join({E.slice(words, 'i', 5)}, ' ')))"
     if E is _Duck:
         shingle_arr = shingle_arr.replace("array_join", "array_to_string")
+    return f"SELECT doc_id, {shingle_arr} AS shingles FROM {src}"
+
+
+def _minhash_sigs(E, src):
     sigs = (
         f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(shingles, "
         f"s -> md5(CAST(p AS {E.STR}) || '|' || s))))"
     )
+    return f"SELECT doc_id, {sigs} AS sigs FROM {src}"
+
+
+def _minhash_bands(E, src):
     band_key = (
         f"md5(CAST(b AS {E.STR}) || '|' || {E.idx('sigs', '4*b + 1')} || {E.idx('sigs', '4*b + 2')}"
         f" || {E.idx('sigs', '4*b + 3')} || {E.idx('sigs', '4*b + 4')})"
     )
+    return f"SELECT doc_id, {band_key} AS band_key FROM {src}, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids"
+
+
+def _minhash_verify(E, bands, sh, prelude=""):
     return f"""
-    WITH sh AS (
-      SELECT doc_id, {shingle_arr} AS shingles FROM documents
-    ),
-    sig AS (
-      SELECT doc_id, shingles, {sigs} AS sigs FROM sh
-    ),
-    bands AS (
-      SELECT doc_id, {band_key} AS band_key
-      FROM sig, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids
-    ),
-    cand AS (
+    WITH {prelude}cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM {bands} a JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -326,15 +341,41 @@ def _sql_minhash(E):
                / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles)
                   - {E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))) AS jaccard
       FROM cand c
-      JOIN sh sa ON c.doc_a = sa.doc_id
-      JOIN sh sb ON c.doc_b = sb.doc_id
+      JOIN {sh} sa ON c.doc_a = sa.doc_id
+      JOIN {sh} sb ON c.doc_b = sb.doc_id
     )
     SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
     FROM verified WHERE jaccard >= 0.8
     """
 
 
-_register_pair("dedup_minhash_lsh", _sql_minhash)
+def _sql_minhash_oracle(E):
+    prelude = (
+        f"sh AS ({_minhash_shingles(E)}),\n"
+        f"    sig AS ({_minhash_sigs(E, 'sh')}),\n"
+        f"    bands AS ({_minhash_bands(E, 'sig')}),\n    "
+    )
+    return _minhash_verify(E, "bands", "sh", prelude=prelude)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution with persisted intermediates: Spark re-evaluates
+    CTEs on every reference, and the signature stage is the expensive
+    per-row compute — persist it once, join it many times. The only
+    shuffles are the band-key self-join and the two verify joins."""
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    sh = spark.sql(_minhash_shingles(_Spark)).persist()
+    sh.createOrReplaceTempView("mh_sh")
+    bands = spark.sql(
+        _minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'mh_sh')})")
+    ).persist()
+    bands.createOrReplaceTempView("mh_bands")
+    return spark.sql(_minhash_verify(_Spark, "mh_bands", "mh_sh"))
+
+
+QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
+ORACLE["dedup_minhash_lsh"] = _sql_minhash_oracle(_Duck)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,95 @@
+"""Structured Streaming operators (SURVEY.md §2.D).
+
+The reference streams remote result sets batch-by-batch
+(connection/mod.rs stream_chunk_size); the Spark-native generalization
+is Structured Streaming: unbounded sources, watermarks for late data,
+stateful operators. These run the events table as a bounded stream
+(file source) so results are deterministic and checkable: a correctly
+written streaming query over a bounded input must converge to the batch
+answer, which is exactly what the driver's rows-only check sees.
+
+Scale: both queries shuffle on (window/user) keys with watermark-bounded
+state — state size is O(active windows × keys), not O(stream length).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ns timestamps → µs)."""
+    import hashlib
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file stream source requires a directory; stage a symlink dir
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"dfrt_events_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    # ts is TIMESTAMP(NANOS) in parquet → long via nanosAsLong (session.py)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_bounded(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming query to completion on bounded input and return
+    the full result as a (batch) DataFrame."""
+    out_dir = tempfile.mkdtemp(prefix=f"dfrt_stream_{name}_")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows + 2-hour watermark over the events stream.
+
+    Rows-only check: non-SQL-expressible as a stream, but over bounded
+    input it equals the batch events_tumbling_window aggregate.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_bounded(agg, "stream_events_windowed")
+
+
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication (dropDuplicates on event_id):
+    the streaming twin of exact dedup — state bounded by the watermark."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    return _run_bounded(deduped, "stream_dedup_stateful")
