@@ -510,7 +510,7 @@ def _sql_sim_join(E):
            a.label AS label_a, b.label AS label_b,
            ROUND({cos}, 6) AS cosine
     FROM block a JOIN block b ON a.vec_id < b.vec_id
-    WHERE ROUND({cos}, 6) >= 0.6
+    WHERE ROUND({cos}, 6) >= 0.4
     """
 
 
