@@ -530,3 +530,166 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q4_order_priority — orders with at least one late lineitem, counted per
+# priority (TPC-H Q4 shape: EXISTS → left-semi join on orderkey).
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q14_promo_revenue — lineitem ⋈ part with conditional aggregation
+# (TPC-H Q14 shape); part side shuffles on partkey, broadcastable at dim SF.
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                 ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = price * (F.lit(1) - disc)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q18_large_orders — customers with large-volume orders (TPC-H Q18 shape:
+# agg subquery as a semi-join filter, then re-agg).
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 170
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_rollup — hierarchical totals (ROLLUP region → nation): one pass,
+# grouping-set expansion handled by Catalyst.
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           CASE WHEN r.r_name IS NULL THEN 'ALL' ELSE COALESCE(n.n_name, 'ALL') END AS nation_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    return spark.sql(
+        """
+        SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+               CASE WHEN r.r_name IS NULL THEN 'ALL' ELSE COALESCE(n.n_name, 'ALL') END AS nation_name,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot_orders_by_status — pivot order status to columns per priority
+# (Spark .pivot; oracle via conditional aggregation — same relation).
+@register(
+    "pivot_orders_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
