@@ -1,0 +1,2 @@
+from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures  # noqa: F401
+from .similarity import brute_force_topk, lsh_buckets  # noqa: F401

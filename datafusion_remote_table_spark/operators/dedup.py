@@ -1,0 +1,117 @@
+"""Deduplication operators as a reusable DataFrame API.
+
+The fixed-parameter versions registered in plans/llm_data.py are the
+driver-verified instances of these; this module exposes the same
+algorithms with tunable parameters for pipeline use.
+
+Scale posture (100TB):
+- signature computation is per-row (no shuffle, whole-stage codegen);
+- the only shuffles are band-bucket joins on uniform md5 keys;
+- `max_bucket_size` is the skew valve: pathological buckets (e.g. the
+  empty document) are dropped rather than exploding the pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import content_fingerprint, ngram_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-content hash."""
+    fp = content_fingerprint(F.col(text_col)).alias("__fp")
+    w = df.select(F.col(id_col), fp, F.col(text_col))
+    keepers = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_signature(shingles: Column, n_perms: int = 32) -> Column:
+    """md5-keyed minhash: permutation p's hash of shingle s is
+    md5('p|s'); the signature is the per-permutation lexicographic min.
+    Deterministic, seedless, identical on any engine with md5."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_perms)),
+        lambda p: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(p.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via minhash + LSH banding + exact-jaccard
+    verification. Returns (id_a, id_b, jaccard)."""
+    rows = n_perms // bands
+    sh = df.select(
+        F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).persist()
+    sig = sh.select(id_col, "shingles", minhash_signature(F.col("shingles"), n_perms).alias("sigs"))
+
+    band_ids = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b")
+    banded = sig.select(F.col(id_col), F.col("sigs"), band_ids)
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("b").cast("string"),
+            *[F.element_at("sigs", F.col("b") * rows + i + 1) for i in range(rows)],
+        )
+    )
+    banded = banded.select(F.col(id_col), key.alias("band_key")).persist()
+
+    # skew valve: drop pathological buckets instead of exploding pairs
+    sized = banded.join(
+        banded.groupBy("band_key").count().filter(F.col("count") <= max_bucket_size),
+        "band_key",
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc simhash over md5-derived token bit vectors (16-bit default,
+    matching the verified plans/llm_data.py instance). Per-row only."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    vals = F.transform(
+        words, lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("bigint")
+    )
+    def vote_for(j: int):
+        def merge(acc, v):
+            return acc + (F.shiftright(v, bits - 1 - j).bitwiseAND(1) * 2 - 1)
+
+        return F.aggregate(vals, F.lit(0).cast("bigint"), merge)
+
+    sig = None
+    for j in range(bits):
+        term = F.when(vote_for(j) >= 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

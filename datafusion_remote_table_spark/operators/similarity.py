@@ -1,0 +1,77 @@
+"""Similarity-search operators over embedding columns.
+
+Scale posture: brute force is the per-query-bounded baseline (a
+broadcast of the query set against a partitioned scan of candidates —
+no shuffle of the big side); LSH bucketing prunes candidates so the
+join shuffles only bucket-matched rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set,
+    score candidates map-side, take k via window. Returns
+    (query_id, vec_id, cosine, rn)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cos = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), round_digits)
+    scored = (
+        candidates.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.select("*", F.row_number().over(w).alias("rn")).filter(F.col("rn") <= k)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector. Hyperplane components
+    are md5-keyed ±1 (deterministic, seedless): plane p, dim i is -1 when
+    the first hex digit of md5('p,i') < 8. Adds a `bucket` column."""
+    dim_idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+
+    def proj(p):
+        return F.aggregate(
+            F.zip_with(
+                dim_idx,
+                F.col(vec_col),
+                lambda i, x: F.when(
+                    F.conv(
+                        F.substring(F.md5(F.concat(p.cast("string"), F.lit(","), i.cast("string"))), 1, 1),
+                        16,
+                        10,
+                    ).cast("int")
+                    < 8,
+                    -x.cast("double"),
+                ).otherwise(x.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_planes)),
+            lambda p: F.when(proj(p) >= 0, F.pow(F.lit(2.0), p - 1).cast("int")).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return df.select("*", bucket.cast("bigint").alias("bucket"))

@@ -1,0 +1,73 @@
+"""Library-API operators must agree with the driver-verified SQL-template
+instances in plans/ (same algorithm, two expressions)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_remote_table_spark import plans
+from datafusion_remote_table_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from datafusion_remote_table_spark.operators.similarity import brute_force_topk, lsh_buckets
+
+plans.load_all()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).repartition(4)
+
+
+def test_exact_dedup_keeps_all_when_no_dups(docs):
+    n = docs.count()
+    assert exact_dedup(docs).count() == n  # testdata has no exact dups
+
+
+def test_minhash_pairs_match_plan_instance(spark, sf_dir, docs):
+    api = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    plan = {
+        (r.doc_a, r.doc_b) for r in plans.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    assert api == plan
+
+
+def test_simhash_matches_plan_signature_pairs(spark, sf_dir, docs):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    plan_pairs = plans.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    for r in plan_pairs[:50]:
+        a, b = sigs[r.doc_a], sigs[r.doc_b]
+        assert bin(a ^ b).count("1") == r.hamming
+
+
+def test_brute_force_topk_matches_plan(spark, sf_dir, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    api = {
+        (r.query_id, r.vec_id, r.rn) for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    plan = {
+        (r.query_id, r.vec_id, r.rn)
+        for r in plans.QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    assert api == plan
+
+
+def test_lsh_buckets_deterministic_and_complete(emb):
+    b1 = lsh_buckets(emb).select("vec_id", "bucket").collect()
+    b2 = lsh_buckets(emb).select("vec_id", "bucket").collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    buckets = {r.bucket for r in b1}
+    assert all(0 <= b < 256 for b in buckets)
+    assert len(buckets) > 4  # spreads across the code space
