@@ -693,3 +693,161 @@ def pivot_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+# --------------------------------------------------------------------------
+# json_extract_events — JSON path extraction from the props column
+# (get_json_object stays JVM-side; no Python in the loop).
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile — exact interpolated percentiles per group (Spark
+# percentile == DuckDB quantile_cont on the same sorted data).
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# date_parts_rollup — calendar rollup via date-part extraction; one scan,
+# one shuffle on (year, month).
+@register(
+    "date_parts_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY order_year, order_month
+    """,
+)
+def date_parts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# string_functions — substring / case / concat / trim / replace surface.
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           CAST(LENGTH(p_type) AS INT) AS type_len,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           p_brand || '/' || p_type AS brand_type
+    FROM part WHERE p_size >= 48
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 48).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_type").alias("type_len"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# null_handling — coalesce / nullif / null-aware aggregation semantics.
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(NULLIF(c_acctbal < 0, FALSE)) AS n_negative,
+           CAST(SUM(CAST(COALESCE(NULLIF(c_acctbal, 0.0), 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonzero,
+           CAST(AVG(CASE WHEN c_acctbal >= 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS frac_nonneg
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.nullif(F.col("c_acctbal") < 0, F.lit(False))).alias("n_negative"),
+        F.sum(F.coalesce(F.nullif("c_acctbal", F.lit(0.0)), F.lit(0.0)).cast(DEC))
+        .cast("double")
+        .alias("sum_nonzero"),
+        F.avg(F.when(F.col("c_acctbal") >= 0, 1.0).otherwise(0.0)).cast("double").alias("frac_nonneg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window_lead_lag — lead/lag navigation over event time per user.
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           CAST(date_diff('second',
+                lag(ts) OVER w, ts) AS BIGINT) AS secs_since_prev
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.filter(F.col("user_id") < 20).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("secs_since_prev"),
+    )
