@@ -167,8 +167,7 @@ def _repartition_views(spark: SparkSession, dfs: dict) -> None:
     cost-wise; locally it models that parallelism.)"""
     n = spark.sparkContext.defaultParallelism
     for name, df in dfs.items():
-        if df.rdd.getNumPartitions() < n:
-            df.repartition(n).createOrReplaceTempView(name)
+        df.repartition(n).createOrReplaceTempView(name)
 
 
 def _register_pair(name: str, build, tables=("documents",), repartition=True):
@@ -297,7 +296,7 @@ def _sql_dedup_exact(E):
     """
 
 
-_register_pair("dedup_exact", _sql_dedup_exact)
+_register_pair("dedup_exact", _sql_dedup_exact, repartition=False)
 
 
 # ---------------------------------------------------------------------------

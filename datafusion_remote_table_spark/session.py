@@ -46,7 +46,12 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
         .config("spark.sql.parquet.filterPushdown", "true")
         # Python DataSource filter pushdown (remote-table scans)
         .config("spark.sql.python.filterPushdown.enabled", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # 128MB splits are right at cluster scale; small-SF local runs can
+        # shrink this (env) so a few-MB parquet still fans out over cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(128 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Spark has no nanosecond timestamp type; read parquet NANOS as long
         # and convert to microsecond timestamps at load (matches DuckDB's
@@ -85,15 +90,20 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     import pyarrow.types as pat
     from pyspark.sql import functions as F
 
+    parallelism = spark.sparkContext.defaultParallelism
     dfs = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            # Note: these driver-generated files are single-row-group, so a
+            # scan is one task; an explicit repartition-at-load was measured
+            # and lost (shuffle cost > parallel-agg savings at this SF) —
+            # per-row-heavy operators repartition selectively instead.
+            meta = pq.ParquetFile(path)
             # Nanosecond timestamps arrive as long (see nanosAsLong config);
             # truncate to µs — exactly what DuckDB does reading the same file.
-            arrow_schema = pq.read_schema(path)
-            for field in arrow_schema:
+            for field in meta.schema_arrow:
                 if pat.is_timestamp(field.type) and field.type.unit == "ns":
                     df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
             df.createOrReplaceTempView(name)
