@@ -145,12 +145,27 @@ class OracleDialect(Dialect):
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
 
 
+class GaussdbDialect(PostgresDialect):
+    """GaussDB/OpenGauss speaks the Postgres dialect (gaussdb.rs reuses the
+    Postgres wire protocol and types in the reference)."""
+
+    name = "gaussdb"
+
+
+class DmDialect(OracleDialect):
+    """DM (达梦) is Oracle-compatible at the SQL level (dm/ in reference)."""
+
+    name = "dm"
+
+
 DIALECTS: dict[str, Dialect] = {
     "sqlite": SqliteDialect(),
     "duckdb": DuckdbDialect(),
     "postgres": PostgresDialect(),
     "mysql": MysqlDialect(),
     "oracle": OracleDialect(),
+    "gaussdb": GaussdbDialect(),
+    "dm": DmDialect(),
 }
 
 

@@ -129,6 +129,32 @@ class RemoteTable:
         finally:
             conn.close()
 
+    # -- commands (SourceCommand parity, table.rs:55-58) --------------------
+    @staticmethod
+    def list_tables(options: ConnectionOptions) -> list[str]:
+        """List user tables in the remote DB (the reference's
+        `SourceCommand::ListMdbTables`, generalized per backend)."""
+        from .connection import connect
+
+        sql = {
+            "sqlite": "SELECT name FROM sqlite_master WHERE type IN ('table','view') ORDER BY name",
+            "duckdb": "SELECT table_name FROM information_schema.tables ORDER BY table_name",
+            "postgres": (
+                "SELECT tablename FROM pg_catalog.pg_tables "
+                "WHERE schemaname NOT IN ('pg_catalog','information_schema') ORDER BY tablename"
+            ),
+            "mysql": "SHOW TABLES",
+        }.get(options.backend)
+        if sql is None:
+            raise NotImplementedError(f"list_tables not implemented for {options.backend}")
+        conn = connect(options)
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            return [r[0] for r in cur.fetchall()]
+        finally:
+            conn.close()
+
     # -- write path ---------------------------------------------------------
     def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
         """Insert a DataFrame into the remote table (insert.rs parity).

@@ -71,3 +71,23 @@ def test_lsh_buckets_deterministic_and_complete(emb):
     buckets = {r.bucket for r in b1}
     assert all(0 <= b < 256 for b in buckets)
     assert len(buckets) > 4  # spreads across the code space
+
+
+def test_sessionize_matches_plan(spark, sf_dir):
+    import os as _os
+    from datafusion_remote_table_spark.operators.windows import sessionize
+
+    events = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    api = (
+        sessionize(events)
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    plan = plans.QUERIES["events_sessionize"](spark, sf_dir).select(
+        "user_id", "session_id", "n_events"
+    )
+    got = sorted(tuple(r) for r in api.collect())
+    want = sorted(tuple(r) for r in plan.collect())
+    assert got == want

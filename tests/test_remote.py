@@ -235,3 +235,14 @@ def test_duckdb_backend(spark, tmp_path):
     assert schema["k"] in ("int", "bigint") and schema["v"] == "string" and schema["d"] == "date"
     rows = sorted(tuple(r) for r in t.read(spark).collect())
     assert rows == [(1, "a", dt.date(2024, 1, 2)), (2, "b", None)]
+
+
+# -- list tables (SourceCommand::ListMdbTables parity) ----------------------
+def test_list_tables(sqlite_db):
+    names = RemoteTable.list_tables(SqliteConnectionOptions(path=sqlite_db))
+    assert {"simple_table", "supported_data_types", "insert_target"} <= set(names)
+
+
+def test_gaussdb_dm_dialects():
+    assert dialect_for("gaussdb").quote_ident("x") == '"x"'
+    assert dialect_for("dm").limit_clause(3) == "FETCH FIRST 3 ROWS ONLY"
