@@ -38,7 +38,10 @@ _SQLITE_TABLES = {
 
 
 def _cache_path(sf_dir: str, suffix: str) -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # key includes the mirrored-schema spec so a stale cache from an older
+    # code revision can never be read back
+    spec = repr(sorted(_SQLITE_TABLES.items()))
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{spec}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"dfrt_remote_{key}{suffix}")
 
 

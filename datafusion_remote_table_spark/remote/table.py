@@ -129,6 +129,54 @@ class RemoteTable:
         finally:
             conn.close()
 
+    # -- JDBC path (cluster-scale alternative) ------------------------------
+    def read_jdbc(
+        self,
+        spark: SparkSession,
+        partition_column: str | None = None,
+        num_partitions: int = 1,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+    ) -> DataFrame:
+        """Read through Spark's built-in JDBC source — the path a real
+        cluster uses when the vendor JDBC driver jar is on the classpath
+        (this container has none, so this raises at connect time; the
+        DB-API DataSource above is the self-contained path). Predicate
+        pushdown, column pruning, and partitioned reads are handled by
+        the JVM JDBC source itself."""
+        urls = {
+            "postgres": f"jdbc:postgresql://{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'database', '')}",
+            "mysql": f"jdbc:mysql://{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'database', '')}",
+            "oracle": f"jdbc:oracle:thin:@//{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'service_name', '')}",
+            "sqlite": f"jdbc:sqlite:{getattr(self.options, 'path', '')}",
+        }
+        url = urls.get(self.options.backend)
+        if url is None:
+            raise NotImplementedError(f"no JDBC url mapping for backend {self.options.backend}")
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                self.dialect_ref() if self.table else f"({self.query}) AS __remote_t",
+            )
+            .option("user", getattr(self.options, "username", ""))
+            .option("password", getattr(self.options, "password", ""))
+        )
+        if partition_column:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", num_partitions)
+                .option("lowerBound", lower_bound)
+                .option("upperBound", upper_bound)
+            )
+        return reader.load()
+
+    def dialect_ref(self) -> str:
+        from .dialect import dialect_for
+
+        return dialect_for(self.options.backend).table_ref(self.table or [])
+
     # -- commands (SourceCommand parity, table.rs:55-58) --------------------
     @staticmethod
     def list_tables(options: ConnectionOptions) -> list[str]:

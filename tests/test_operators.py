@@ -91,3 +91,16 @@ def test_sessionize_matches_plan(spark, sf_dir):
     got = sorted(tuple(r) for r in api.collect())
     want = sorted(tuple(r) for r in plan.collect())
     assert got == want
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    import os as _os
+    from datafusion_remote_table_spark.operators.skew import salted_join
+
+    orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+    customer = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet")).withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, customer, "o_custkey").groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
