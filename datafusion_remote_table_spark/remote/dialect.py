@@ -34,6 +34,10 @@ class Dialect:
         if isinstance(value, (int, float)):
             return repr(value)
         if isinstance(value, str):
+            if "\x00" in value:
+                # NUL can't travel in SQL text; raising makes the filter
+                # "unsupported" so Spark evaluates it locally instead
+                raise TypeError("cannot literalize string containing NUL")
             return "'" + value.replace("'", "''") + "'"
         if isinstance(value, bytes):
             return self.bytes_literal(value)
@@ -119,6 +123,11 @@ class SqliteDialect(Dialect):
 class DuckdbDialect(Dialect):
     name = "duckdb"
 
+    def bytes_literal(self, value: bytes) -> str:
+        # duckdb has no X'' literal (it parses as a string!); from_hex is
+        # the blob constructor
+        return f"from_hex('{value.hex()}')"
+
 
 class PostgresDialect(Dialect):
     name = "postgres"
@@ -134,6 +143,9 @@ class MysqlDialect(Dialect):
 
 class OracleDialect(Dialect):
     name = "oracle"
+
+    def bytes_literal(self, value: bytes) -> str:
+        return f"HEXTORAW('{value.hex()}')"
 
     def limit_clause(self, n: int) -> str:
         return f"FETCH FIRST {n} ROWS ONLY"
