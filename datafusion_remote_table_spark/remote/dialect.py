@@ -31,8 +31,13 @@ class Dialect:
             return "NULL"
         if isinstance(value, bool):
             return self.bool_literal(value)
-        if isinstance(value, (int, float)):
+        if isinstance(value, int):
             return repr(value)
+        if isinstance(value, float):
+            # exponent form forces DOUBLE (a bare '0.1' parses as DECIMAL
+            # in duckdb/postgres, silently changing comparison semantics)
+            s = repr(value)
+            return s if ("e" in s or "E" in s) else s + "e0"
         if isinstance(value, str):
             if "\x00" in value:
                 # NUL can't travel in SQL text; raising makes the filter
