@@ -26,6 +26,9 @@ from .transform import RemoteTransform
 
 
 def _register_datasource(spark: SparkSession) -> None:
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # driver-supplied sessions lack our configs
     key = "_dfrt_remote_table_registered"
     if not getattr(spark, key, False):
         spark.dataSource.register(RemoteTableDataSource)

@@ -66,6 +66,26 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
     return builder.getOrCreate()
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Set the dynamic SQL confs every query path depends on.
+
+    The correctness driver calls ``queries()`` with a SparkSession it
+    built itself, so nothing from ``get_spark`` can be assumed; these are
+    all runtime-settable and idempotent.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),  # timestamp formatting parity
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),  # events.parquet ns
+        ("spark.sql.python.filterPushdown.enabled", "true"),  # remote scans
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on this build — get_spark sessions set it at build time
+
+
 TABLES = (
     "region",
     "nation",
@@ -90,6 +110,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     import pyarrow.types as pat
     from pyspark.sql import functions as F
 
+    ensure_runtime_confs(spark)
     parallelism = spark.sparkContext.defaultParallelism
     dfs = {}
     for name in names:
