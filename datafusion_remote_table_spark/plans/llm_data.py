@@ -569,3 +569,30 @@ ORACLE["multimodal_decode_stub"] = """
            CAST(doc_id % 8 + 1 AS BIGINT) AS fake_frames
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — embedding-space near-dup detection: LSH buckets
+# (8 md5-keyed hyperplanes) prune candidates, exact cosine confirms, the
+# lower vec_id is kept. No quadratic pair generation — the 100TB path.
+def _sql_dedup_embedding(E):
+    sign = lambda p, i: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
+    proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
+    bucket = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 8)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1')} ELSE 0 END)"
+    )
+    cos = E.dot("a.embedding", "b.embedding")
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, ROUND({cos}, 6) AS cosine
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND({cos}, 6) >= 0.45
+    )
+    SELECT keep_id, dup_id, cosine FROM pairs
+    """
+
+
+_register_pair("dedup_embedding_cosine", _sql_dedup_embedding, tables=("embeddings",))

@@ -58,6 +58,7 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
         # ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)
