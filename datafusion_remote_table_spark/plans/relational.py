@@ -851,3 +851,58 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("secs_since_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# asof_join_events_orders — as-of enrichment: each event picks the latest
+# order (by o_orderdate) of the same key at-or-before its timestamp.
+# Spark lacks ASOF JOIN; operators/asof.py expresses it as union+window
+# (one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
+# oracle. Orders are pre-deduped to one row per (key, date) so the match
+# is well-defined in both engines.
+@register(
+    "asof_join_events_orders",
+    oracle="""
+    WITH o2 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    o3 AS (
+      SELECT o2.o_custkey, o2.o_orderdate, o2.o_orderkey,
+             CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+      FROM o2 JOIN orders o ON o.o_orderkey = o2.o_orderkey
+    )
+    SELECT e.event_id, e.user_id, o3.o_orderkey AS last_orderkey,
+           o3.o_totalprice AS last_totalprice
+    FROM events e
+    ASOF LEFT JOIN o3 ON e.user_id = o3.o_custkey AND o3.o_orderdate <= e.ts
+    WHERE e.user_id < 200
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    dfs = load_tables(spark, sf_dir, ("events", "orders"))
+    events = dfs["events"].filter(F.col("user_id") < 200).select("event_id", "user_id", "ts")
+    orders = dfs["orders"]
+    o2 = orders.groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
+    o3 = o2.join(
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        "o_orderkey",
+    )
+    # both sides need the join key under one name
+    joined = asof_join(
+        events.withColumn("asof_key", F.col("user_id")),
+        o3.withColumnRenamed("o_custkey", "asof_key"),
+        on="asof_key",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )

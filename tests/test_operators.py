@@ -104,3 +104,19 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = orders.join(customer, "o_custkey").groupBy("c_mktsegment").count()
     salted = salted_join(orders, customer, "o_custkey").groupBy("c_mktsegment").count()
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_basic(spark):
+    from datafusion_remote_table_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], "k long, ts long, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)], "k long, ts long, px double"
+    )
+    out = {
+        (r.k, r.ts, r.ev): r.px
+        for r in asof_join(left, right, "k", "ts", "ts", ["px"], tie_break="px").collect()
+    }
+    assert out == {(1, 10, "e1"): 100.0, (1, 20, "e2"): 150.0, (2, 5, "e3"): None}
