@@ -906,3 +906,48 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_totalprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# range_join_price_bands — interval (range) join: each lineitem lands in
+# the price band whose [lo, hi) contains it. The bands side is tiny and
+# broadcast, so the inequality join is a broadcast nested loop over 5
+# rows — the correct plan at any scale (never a shuffled cartesian).
+@register(
+    "range_join_price_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('p00_10k', 0.0, 10000.0), ('p10_25k', 10000.0, 25000.0),
+             ('p25_50k', 25000.0, 50000.0), ('p50_75k', 50000.0, 75000.0),
+             ('p75k_up', 75000.0, 1e18)
+    )
+    SELECT b.band, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS band_revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("p00_10k", 0.0, 10000.0),
+            ("p10_25k", 10000.0, 25000.0),
+            ("p25_50k", 25000.0, 50000.0),
+            ("p50_75k", 50000.0, 75000.0),
+            ("p75k_up", 75000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("band_revenue"),
+        )
+    )
