@@ -96,9 +96,9 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """Per-doc simhash over md5-derived token bit vectors (16-bit default,
+    """Per-doc simhash over md5-derived token bit vectors (32-bit default,
     matching the verified plans/llm_data.py instance). Per-row only."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     vals = F.transform(
