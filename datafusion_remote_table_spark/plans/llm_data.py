@@ -599,3 +599,63 @@ def _sql_dedup_embedding(E):
 
 
 _register_pair("dedup_embedding_cosine", _sql_dedup_embedding, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_cosine — IVF-style ANN: a deterministic coarse quantizer (the
+# first 16 vectors act as centroids), map-side assignment of every vector
+# to its nearest centroid (the inverted lists), then probe the query's
+# 2 nearest lists and exact-rank inside them. The cluster shape of a real
+# IVF index: train() is replaced by a fixed seed set, but the partition /
+# probe / re-rank dataflow — and its single shuffle on list id — is the
+# 100TB layout (lists ≈ partitions, probes prune the scan).
+def _sql_ann_ivf(E):
+    cents = "SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16"
+    dot_vc = E.dot("v.embedding", "c.cent")
+    dot_qc = E.dot("q.embedding", "c.cent")
+    cos = E.dot("q.embedding", "v.embedding")
+    return f"""
+    WITH cents AS ({cents}),
+    assign AS (
+      SELECT v.vec_id, v.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY ROUND({dot_vc}, 6) DESC, c.cent_id) AS crn
+      FROM embeddings v, cents c
+    ),
+    lists AS (
+      SELECT vec_id, embedding, cent_id FROM assign WHERE crn = 1
+    ),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, q.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({dot_qc}, 6) DESC, c.cent_id) AS prn
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q, cents c
+    ),
+    probes AS (
+      SELECT query_id, embedding, cent_id FROM qprobe WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id, ROUND({cos}, 6) AS cosine
+      FROM probes q JOIN lists v ON v.cent_id = q.cent_id AND v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged to persist the centroid-assignment (Spark re-evaluates CTEs;
+    the inverted lists are built once, probed many times)."""
+    dfs = load_tables(spark, sf_dir, ("embeddings",))
+    _repartition_views(spark, dfs)
+    sql = _sql_ann_ivf(_Spark)
+    return spark.sql(sql)
+
+
+QUERIES["ann_ivf_cosine"] = ann_ivf_cosine
+ORACLE["ann_ivf_cosine"] = _sql_ann_ivf(_Duck)
