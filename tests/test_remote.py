@@ -246,3 +246,29 @@ def test_list_tables(sqlite_db):
 def test_gaussdb_dm_dialects():
     assert dialect_for("gaussdb").quote_ident("x") == '"x"'
     assert dialect_for("dm").limit_clause(3) == "FETCH FIRST 3 ROWS ONLY"
+
+
+# -- empty projection (postgres.rs empty_projection parity) ------------------
+def test_empty_projection_count(spark, sqlite_db):
+    df = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"]).read(spark)
+    assert df.count() == 3
+    assert df.groupBy().count().collect()[0][0] == 3
+
+
+# -- various remote SQL shapes (postgres.rs various_sqls parity) -------------
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("SELECT 1 AS one", [(1,)]),
+        ("SELECT id * 2 AS double_id FROM simple_table ORDER BY id", [(2,), (4,), (6,)]),
+        ("SELECT COUNT(*) AS n, MIN(id) AS lo FROM simple_table", [(3, 1)]),
+        ("SELECT name FROM simple_table WHERE id <> 2 ORDER BY name", [("Spike",), ("Tom",)]),
+        (
+            "SELECT upper(name) AS u, length(name) AS l FROM simple_table ORDER BY id LIMIT 2",
+            [("TOM", 3), ("JERRY", 5)],
+        ),
+    ],
+)
+def test_various_remote_sqls(spark, sqlite_db, sql, expected):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), sql)
+    assert [tuple(r) for r in t.read(spark).collect()] == expected
