@@ -241,22 +241,26 @@ _LANG_MARKERS = {
 
 
 def _sql_langid(E):
+    # single pass: one tokenize, 5 marker counts per row, argmax via an
+    # order-encoded key (inverted zero-padded score ‖ lang) and LEAST —
+    # no union of 5 scans, no window shuffle; identical argmax semantics
+    # (score desc, lang asc).
     words = E.splitws("text")
-    score_rows = "\n      UNION ALL\n".join(
-        f"      SELECT doc_id, '{lang}' AS lang, CAST({E.SIZE}({E.FILTER}({words}, w -> w IN {markers})) AS BIGINT) AS score FROM documents"
+    keys = ", ".join(
+        f"lpad(CAST(999999 - CAST({E.SIZE}({E.FILTER}(words, w -> w IN {markers})) AS BIGINT)"
+        f" AS {E.STR}), 6, '0') || '{lang}'"
         for lang, markers in sorted(_LANG_MARKERS.items())
     )
     return f"""
-    WITH scores AS (
-{score_rows}
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
     ),
-    ranked AS (
-      SELECT doc_id, lang, score,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-      FROM scores
+    best AS (
+      SELECT doc_id, LEAST({keys}) AS k FROM toks
     )
-    SELECT doc_id, lang AS detected_lang, score AS marker_hits
-    FROM ranked WHERE rn = 1
+    SELECT doc_id, substring(k, 7, 2) AS detected_lang,
+           999999 - CAST(substring(k, 1, 6) AS BIGINT) AS marker_hits
+    FROM best
     """
 
 
