@@ -951,3 +951,141 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("band_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q7_volume_shipping — revenue between two nation pairs by year (TPC-H Q7
+# shape: the fact row joins BOTH a supplier nation and a customer nation).
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, ship_year
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q9_product_profit — profit by nation and year for a part family (TPC-H
+# Q9 shape without partsupp). Dims broadcast; one fact-side shuffle chain.
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY nation, order_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "orders"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%green%'
+        GROUP BY nation, order_year
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q17_small_quantity — correlated scalar subquery (TPC-H Q17 shape):
+# revenue from orders below 40% of the part's average quantity. Catalyst
+# decorrelates into an aggregate + join — no per-row subquery execution.
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.4 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.4 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# q22_sales_opportunity — scalar subquery threshold + anti join (TPC-H
+# Q22 shape): wealthy customers with no orders, grouped by "country code"
+# (custkey mod 10 stands in for the phone prefix).
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT CAST(c_custkey % 10 AS INT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY cntrycode
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT CAST(c_custkey % 10 AS INT) AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY cntrycode
+        """
+    )
