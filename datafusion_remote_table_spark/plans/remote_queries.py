@@ -346,3 +346,47 @@ def remote_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "remote_stream_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def remote_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming remote source (remote/stream_datasource.py): tail the
+    remote orders table by o_orderkey with availableNow, aggregate the
+    stream; on bounded input this converges to the batch answer — the
+    streaming twin of the reference's chunked remote result streams."""
+    import tempfile
+
+    from ..remote.stream_datasource import RemoteTableStreamDataSource
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    spark.dataSource.register(RemoteTableStreamDataSource)
+    opts = _sqlite_opts(sf_dir)
+    spec = RemoteScanSpec(options=opts, table=["orders"])
+    stream = (
+        spark.readStream.format("remote_table_stream")
+        .schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderpriority string"
+        )
+        .option("spec", spec.to_json())
+        .option("key_column", "o_orderkey")
+        .load()
+    )
+    agg = stream.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+    ckpt = tempfile.mkdtemp(prefix="dfrt_rstream_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("remote_stream_scan_result")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("remote_stream_scan_result")
