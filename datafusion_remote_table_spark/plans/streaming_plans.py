@@ -25,3 +25,35 @@ ORACLE["stream_dedup_stateful"] = """
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique_events
     FROM events GROUP BY event_type
 """
+
+from ..streaming.stateful import stream_sessionize_stateful  # noqa: E402
+
+QUERIES["stream_sessionize_stateful"] = stream_sessionize_stateful
+# Sessions still open at stream end stay in state, so the stream output is
+# batch sessionization minus each user's final session.
+ORACLE["stream_sessionize_stateful"] = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    rolled AS (
+      SELECT user_id, session_id,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS session_value
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, session_value
+    FROM rolled r
+    WHERE session_id < (SELECT MAX(session_id) FROM rolled r2 WHERE r2.user_id = r.user_id)
+"""
