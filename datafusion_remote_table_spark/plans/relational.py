@@ -1089,3 +1089,29 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cntrycode
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q2_min_supplier — correlated MIN-equality subquery (TPC-H Q2 shape
+# without partsupp): each nation's cheapest-balance supplier(s).
+@register(
+    "q2_min_supplier",
+    oracle="""
+    SELECT n.n_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+)
+def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name, CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+               CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        """
+    )
