@@ -1115,3 +1115,29 @@ def q2_min_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              WHERE s2.s_nationkey = s.s_nationkey)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# skyline_parts — Pareto front of parts minimizing (p_retailprice, p_size):
+# two-phase distributed skyline (operators/skyline.py); quadratic
+# NOT-EXISTS dominance as the DuckDB oracle.
+@register(
+    "skyline_parts",
+    oracle="""
+    SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline
+
+    (part,) = _t(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey", F.col("p_retailprice").cast("double").alias("p_retailprice"), "p_size"
+    ).repartition(8)
+    return skyline(pts, ["p_retailprice", "p_size"])

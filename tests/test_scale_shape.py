@@ -63,3 +63,28 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 def test_remote_scan_partitions_scale(spark, sf_dir):
     df = plans.QUERIES["remote_partitioned_read"](spark, sf_dir)
     assert df.count() > 0  # 8 disjoint range partitions union to the full table
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key lets the sort-merge join read
+    co-located buckets with NO Exchange — the cluster recipe for repeated
+    large-fact joins (brief: 'bucketing for co-located joins')."""
+    import os as _os
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        lineitem = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+        (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("orders_b"))
+        (lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("lineitem_b"))
+        joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
