@@ -147,15 +147,7 @@ class RemoteTable:
         DB-API DataSource above is the self-contained path). Predicate
         pushdown, column pruning, and partitioned reads are handled by
         the JVM JDBC source itself."""
-        urls = {
-            "postgres": f"jdbc:postgresql://{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'database', '')}",
-            "mysql": f"jdbc:mysql://{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'database', '')}",
-            "oracle": f"jdbc:oracle:thin:@//{getattr(self.options, 'host', '')}:{getattr(self.options, 'port', 0)}/{getattr(self.options, 'service_name', '')}",
-            "sqlite": f"jdbc:sqlite:{getattr(self.options, 'path', '')}",
-        }
-        url = urls.get(self.options.backend)
-        if url is None:
-            raise NotImplementedError(f"no JDBC url mapping for backend {self.options.backend}")
+        url = self.jdbc_url()
         reader = (
             spark.read.format("jdbc")
             .option("url", url)
@@ -174,6 +166,20 @@ class RemoteTable:
                 .option("upperBound", upper_bound)
             )
         return reader.load()
+
+    def jdbc_url(self) -> str:
+        o = self.options
+        urls = {
+            "postgres": f"jdbc:postgresql://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'database', '')}",
+            "gaussdb": f"jdbc:postgresql://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'database', '')}",
+            "mysql": f"jdbc:mysql://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'database', '')}",
+            "oracle": f"jdbc:oracle:thin:@//{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'service_name', '')}",
+            "sqlite": f"jdbc:sqlite:{getattr(o, 'path', '')}",
+        }
+        url = urls.get(o.backend)
+        if url is None:
+            raise NotImplementedError(f"no JDBC url mapping for backend {o.backend}")
+        return url
 
     def dialect_ref(self) -> str:
         from .dialect import dialect_for

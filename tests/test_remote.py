@@ -272,3 +272,25 @@ def test_empty_projection_count(spark, sqlite_db):
 def test_various_remote_sqls(spark, sqlite_db, sql, expected):
     t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), sql)
     assert [tuple(r) for r in t.read(spark).collect()] == expected
+
+
+def test_jdbc_url_mapping(sqlite_db):
+    from datafusion_remote_table_spark.remote.options import (
+        MysqlConnectionOptions,
+        OracleConnectionOptions,
+        PostgresConnectionOptions,
+    )
+
+    assert RemoteTable(
+        PostgresConnectionOptions(host="h", port=5432, database="d"), ["t"]
+    ).jdbc_url() == "jdbc:postgresql://h:5432/d"
+    assert RemoteTable(
+        MysqlConnectionOptions(host="h", port=3306, database="d"), ["t"]
+    ).jdbc_url() == "jdbc:mysql://h:3306/d"
+    assert RemoteTable(
+        OracleConnectionOptions(host="h", port=1521, service_name="s"), ["t"]
+    ).jdbc_url() == "jdbc:oracle:thin:@//h:1521/s"
+    assert RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["t"]).jdbc_url().startswith("jdbc:sqlite:")
+    with pytest.raises(NotImplementedError):
+        from datafusion_remote_table_spark.remote.options import DuckdbConnectionOptions
+        RemoteTable(DuckdbConnectionOptions(path="x"), ["t"]).jdbc_url()
