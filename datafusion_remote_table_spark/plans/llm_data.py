@@ -663,3 +663,28 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_ivf_cosine"] = ann_ivf_cosine
 ORACLE["ann_ivf_cosine"] = _sql_ann_ivf(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# text_top_ngrams — corpus-level bigram frequencies (explode → count →
+# top-k): the classic corpus-stats shape; shuffle keys are the ngrams
+# themselves (zipf-skewed — exactly what AQE skew handling is for).
+def _sql_top_ngrams(E):
+    words = E.splitws("lower(text)")
+    bigrams = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 1, 1)')}, i -> array_join({E.slice(words, 'i', 2)}, ' '))"
+    if E is _Duck:
+        bigrams = bigrams.replace("array_join", "array_to_string")
+    return f"""
+    WITH grams AS (
+      SELECT {E.explode(bigrams, 'gram')} FROM documents
+    ),
+    counted AS (
+      SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+    )
+    SELECT gram, n FROM counted
+    ORDER BY n DESC, gram
+    LIMIT 20
+    """
+
+
+_register_pair("text_top_ngrams", _sql_top_ngrams)
