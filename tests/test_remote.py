@@ -294,3 +294,18 @@ def test_jdbc_url_mapping(sqlite_db):
     with pytest.raises(NotImplementedError):
         from datafusion_remote_table_spark.remote.options import DuckdbConnectionOptions
         RemoteTable(DuckdbConnectionOptions(path="x"), ["t"]).jdbc_url()
+
+
+def test_filter_on_transformed_column_not_pushed(spark, sqlite_db):
+    """The remote DB holds 'Tom'; the transform upper-cases it. A filter on
+    the transformed value must run AFTER the hook (mapInPandas is a
+    pushdown barrier), matching the reference's rule that non-default
+    transforms disable pushdown of affected filters (transform.rs)."""
+    tr = RemoteTransform(
+        lambda pdf: pdf.assign(name=pdf["name"].str.upper()),
+        "id bigint, name string",
+    )
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), "SELECT id, name FROM simple_table", transform=tr)
+    rows = t.read(spark).filter(F.col("name") == "TOM").collect()
+    assert [tuple(r) for r in rows] == [(1, "TOM")]
+    assert t.read(spark).filter(F.col("name") == "Tom").collect() == []
