@@ -1,1 +1,6 @@
-from .decode import attach_media_metadata, decode_media, sample_frames  # noqa: F401
+from .decode import (  # noqa: F401
+    attach_media_metadata,
+    decode_media,
+    resize_media,
+    sample_frames,
+)

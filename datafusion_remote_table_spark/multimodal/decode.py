@@ -97,3 +97,39 @@ def sample_frames(
             yield pd.DataFrame({id_col: out_ids, "frame_idx": out_idx, "frame_payload": out_chunks})
 
     return df.mapInPandas(batches, schema=f"{id_col} long, frame_idx int, frame_payload binary")
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (64, 64),
+) -> DataFrame:
+    """Resize plumbing: emits a fixed-size payload per row (a real kernel
+    calls PIL.Image.resize; the stub deterministically resamples bytes so
+    output size is exactly target area). Schema carries the new dims."""
+    w, h = target
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                n = w * h
+                if len(raw) == 0:
+                    out.append(b"\x00" * n)
+                else:
+                    # nearest-neighbor byte resample — deterministic stand-in
+                    out.append(bytes(raw[(i * len(raw)) // n] for i in range(n)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized_payload": out,
+                    "width": [w] * len(pdf),
+                    "height": [h] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema=f"{id_col} long, resized_payload binary, width int, height int"
+    )

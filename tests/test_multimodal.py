@@ -44,3 +44,15 @@ def test_sample_frames_shape(media):
     assert frames.columns == ["doc_id", "frame_idx", "frame_payload"]
     assert frames.count() >= media.count()  # ≥1 frame per doc
     assert frames.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_resize_media_fixed_output(media):
+    from datafusion_remote_table_spark.multimodal import resize_media
+
+    out = resize_media(media, target=(8, 8)).collect()
+    assert all(len(r.resized_payload) == 64 for r in out)
+    assert all((r.width, r.height) == (8, 8) for r in out)
+    again = resize_media(media, target=(8, 8)).collect()
+    assert sorted((r.doc_id, bytes(r.resized_payload)) for r in out) == sorted(
+        (r.doc_id, bytes(r.resized_payload)) for r in again
+    )
