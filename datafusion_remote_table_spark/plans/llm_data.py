@@ -688,3 +688,92 @@ def _sql_top_ngrams(E):
 
 
 _register_pair("text_top_ngrams", _sql_top_ngrams)
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters — duplicate CLUSTERS from the verified minhash pair graph:
+# undirected edges → min-label within 4 hops (near-dup clusters are
+# near-cliques, so 4 hops covers any realistic chain) → one keeper per
+# cluster. This is the decision output a dedup pipeline acts on.
+# Scale: each hop is one self-join + min-agg on doc_id (tiny pair set —
+# orders of magnitude smaller than the corpus); a full
+# iterate-to-fixpoint variant would loop the same join.
+def _sql_dedup_clusters(E):
+    return f"""
+    WITH sh AS ({_minhash_shingles(E)}),
+    sig AS ({_minhash_sigs(E, 'sh')}),
+    bands AS ({_minhash_bands(E, 'sig')}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON c.doc_a = sa.doc_id
+      JOIN sh sb ON c.doc_b = sb.doc_id
+      WHERE CAST({E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles)) AS DOUBLE)
+              / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles)
+                 - {E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+      UNION ALL SELECT doc_a, doc_a FROM pairs
+      UNION ALL SELECT doc_b, doc_b FROM pairs
+    ),
+    hop1 AS (SELECT src, MIN(dst) AS lbl FROM edges GROUP BY src),
+    hop2 AS (
+      SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop1 h ON e.dst = h.src GROUP BY e.src
+    ),
+    hop4 AS (
+      SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop2 h ON e.dst = h.src GROUP BY e.src
+    ),
+    members AS (SELECT src AS doc_id, lbl AS cluster_id FROM hop4)
+    SELECT m.cluster_id, m.doc_id,
+           CASE WHEN m.doc_id = m.cluster_id THEN 1 ELSE 0 END AS is_keeper,
+           s.n_members
+    FROM members m
+    JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY cluster_id) s
+      ON m.cluster_id = s.cluster_id
+    """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged like dedup_minhash_lsh (persisted signature intermediates)."""
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    sh = spark.sql(_minhash_shingles(_Spark)).persist()
+    sh.createOrReplaceTempView("dc_sh")
+    bands = spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'dc_sh')})")).persist()
+    bands.createOrReplaceTempView("dc_bands")
+    pairs = spark.sql(_minhash_verify(_Spark, "dc_bands", "dc_sh")).persist()
+    pairs.createOrReplaceTempView("dc_pairs")
+    return spark.sql(
+        """
+        WITH edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM dc_pairs
+          UNION ALL SELECT doc_b, doc_a FROM dc_pairs
+          UNION ALL SELECT doc_a, doc_a FROM dc_pairs
+          UNION ALL SELECT doc_b, doc_b FROM dc_pairs
+        ),
+        hop1 AS (SELECT src, MIN(dst) AS lbl FROM edges GROUP BY src),
+        hop2 AS (
+          SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop1 h ON e.dst = h.src GROUP BY e.src
+        ),
+        hop4 AS (
+          SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop2 h ON e.dst = h.src GROUP BY e.src
+        ),
+        members AS (SELECT src AS doc_id, lbl AS cluster_id FROM hop4)
+        SELECT m.cluster_id, m.doc_id,
+               CASE WHEN m.doc_id = m.cluster_id THEN 1 ELSE 0 END AS is_keeper,
+               s.n_members
+        FROM members m
+        JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY cluster_id) s
+          ON m.cluster_id = s.cluster_id
+        """
+    )
+
+
+QUERIES["dedup_clusters"] = dedup_clusters
+ORACLE["dedup_clusters"] = _sql_dedup_clusters(_Duck)
