@@ -37,8 +37,14 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every plan module so registration side effects run."""
-    from . import llm_data  # noqa: F401
-    from . import relational  # noqa: F401
+    """Import every plan module so registration side effects run.
+
+    Order matters: the driver verifies queries in registration order under a
+    budget, so the federated remote engine (the reference's core, §2.A) and
+    streaming (§2.D) register first, then the relational surface and the
+    LLM-data operators.
+    """
     from . import remote_queries  # noqa: F401
     from . import streaming_plans  # noqa: F401
+    from . import relational  # noqa: F401
+    from . import llm_data  # noqa: F401
