@@ -579,26 +579,44 @@ ORACLE["multimodal_decode_stub"] = """
 
 
 # ---------------------------------------------------------------------------
-# dedup_embedding_cosine — embedding-space near-dup detection: LSH buckets
-# (8 md5-keyed hyperplanes) prune candidates, exact cosine confirms, the
-# lower vec_id is kept. No quadratic pair generation — the 100TB path.
+# dedup_embedding_cosine — embedding-space near-dup detection via BANDED
+# hyperplane LSH: 4 bands x 4 md5-keyed hyperplanes; vectors colliding in
+# ANY band become candidates (recall ~1-(1-p^4)^4 vs p^16 for a single
+# 16-bit signature), candidates are DISTINCT-ed before the exact-cosine
+# verify (>= 0.30), lower vec_id kept. Band signatures are map-side only;
+# the only shuffles are the (band, bucket) self-join and the candidate
+# dedup — never an all-pairs product. At 100TB raise planes-per-band so
+# 2^r buckets keeps |bucket| bounded (r=4 here matches the tiny test SFs).
 def _sql_dedup_embedding(E):
     sign = lambda p, i: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
     proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
-    bucket = E.list_sum_int(
-        f"{E.TRANSFORM}({E.seq(1, 8)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1')} ELSE 0 END)"
+
+    def band_bucket(b: int) -> str:
+        # planes b*4+1 .. b*4+4 -> 4-bit bucket id for band b
+        return E.list_sum_int(
+            f"{E.TRANSFORM}({E.seq(b * 4 + 1, b * 4 + 4)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1 - {b * 4}')} ELSE 0 END)"
+        )
+
+    bands = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {b} AS band, {band_bucket(b)} AS bucket FROM embeddings" for b in range(4)
     )
-    cos = E.dot("a.embedding", "b.embedding")
+    cos = E.dot("ea.embedding", "eb.embedding")
     return f"""
-    WITH sig AS (
-      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    WITH buckets AS (
+      {bands}
     ),
-    pairs AS (
-      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, ROUND({cos}, 6) AS cosine
-      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      WHERE ROUND({cos}, 6) >= 0.45
+    cand AS (
+      SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT c.keep_id, c.dup_id, ROUND({cos}, 6) AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.keep_id
+      JOIN embeddings eb ON eb.vec_id = c.dup_id
     )
-    SELECT keep_id, dup_id, cosine FROM pairs
+    SELECT keep_id, dup_id, cosine FROM verified WHERE cosine >= 0.3e0
     """
 
 

@@ -1006,7 +1006,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
-    WHERE p.p_name LIKE '%green%'
+    WHERE p.p_name LIKE '%blue%'
     GROUP BY nation, order_year
     """,
 )
@@ -1021,7 +1021,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN orders o ON l.l_orderkey = o.o_orderkey
-        WHERE p.p_name LIKE '%green%'
+        WHERE p.p_name LIKE '%blue%'
         GROUP BY nation, order_year
         """
     )
@@ -1062,7 +1062,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q22_sales_opportunity — scalar subquery threshold + anti join (TPC-H
-# Q22 shape): wealthy customers with no orders, grouped by "country code"
+# Q22 shape): wealthy customers with no recent orders, grouped by "country
+# code"
 # (custkey mod 10 stands in for the phone prefix).
 @register(
     "q22_sales_opportunity",
@@ -1072,7 +1073,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-06-01')
     GROUP BY cntrycode
     """,
 )
@@ -1085,7 +1087,8 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-06-01')
         GROUP BY cntrycode
         """
     )
