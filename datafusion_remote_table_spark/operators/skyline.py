@@ -44,9 +44,11 @@ def skyline(df: DataFrame, dims: list[str]) -> DataFrame:
             yield _local_skyline(pdf, dims)
 
     candidates = df.mapInPandas(local, schema=df.schema)
+
     # global pass: candidates are few; single-partition exact reduce
-    final = candidates.coalesce(1).mapInPandas(
-        lambda batches: [_local_skyline(pd.concat(list(batches), ignore_index=True), dims)],
-        schema=df.schema,
-    )
-    return final
+    def global_reduce(batches):
+        frames = [b for b in batches if len(b)]
+        if frames:  # empty input -> empty result, not a concat error
+            yield _local_skyline(pd.concat(frames, ignore_index=True), dims)
+
+    return candidates.coalesce(1).mapInPandas(global_reduce, schema=df.schema)

@@ -108,17 +108,74 @@ class RemoteTableWriter(DataSourceArrowWriter):
     """Insert path (insert.rs parity): each task streams its Arrow batches
     into the remote table with chunked executemany. File-backed remotes
     (sqlite/duckdb) are single-writer: insert through coalesce(1), as
-    RemoteTable.insert() does; server backends take parallel writers."""
+    RemoteTable.insert() does; server backends take parallel writers.
 
-    def __init__(self, spec: RemoteScanSpec, schema: StructType):
+    Overwrite goes through a staging table: tasks write into the staging
+    copy, and only `commit()` (after every task succeeded) truncates the
+    target and swaps the rows in, in one transaction on one connection —
+    a failed or aborted job leaves the target untouched (the reference's
+    insert path never destroys data before a successful write either)."""
+
+    def __init__(self, spec: RemoteScanSpec, schema: StructType, overwrite: bool = False):
         if not spec.table:
             raise ValueError("insert requires a table source, not a query")
         self.spec = spec
         self.columns = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        if overwrite:
+            import uuid
+
+            d = spec.dialect
+            self.staging = f"__{spec.table[-1]}_staging_{uuid.uuid4().hex[:8]}"
+            conn = connect_writable(spec.options)
+            try:
+                cur = conn.cursor()
+                cur.execute(
+                    f"CREATE TABLE {d.quote_ident(self.staging)} AS "
+                    f"SELECT * FROM {d.table_ref(spec.table)} WHERE 1 = 0"
+                )
+                conn.commit()
+            finally:
+                conn.close()
+        else:
+            self.staging = None
+
+    def _target_ref(self) -> str:
+        d = self.spec.dialect
+        return d.quote_ident(self.staging) if self.staging else d.table_ref(self.spec.table)
+
+    def commit(self, messages) -> None:
+        if not self.overwrite:
+            return
+        d = self.spec.dialect
+        conn = connect_writable(self.spec.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DELETE FROM {d.table_ref(self.spec.table)}")
+            cur.execute(
+                f"INSERT INTO {d.table_ref(self.spec.table)} "
+                f"SELECT * FROM {d.quote_ident(self.staging)}"
+            )
+            cur.execute(f"DROP TABLE {d.quote_ident(self.staging)}")
+            conn.commit()
+        finally:
+            conn.close()
+
+    def abort(self, messages) -> None:
+        if not self.overwrite:
+            return
+        conn = connect_writable(self.spec.options)
+        try:
+            conn.cursor().execute(f"DROP TABLE {self.spec.dialect.quote_ident(self.staging)}")
+            conn.commit()
+        except Exception:
+            pass  # best-effort cleanup; the target was never touched
+        finally:
+            conn.close()
 
     def write(self, iterator) -> RemoteCommit:
         d = self.spec.dialect
-        table_ref = d.table_ref(self.spec.table)
+        table_ref = self._target_ref()
         cols = ", ".join(d.quote_ident(c) for c in self.columns)
         style = "%s" if self.spec.options.backend in ("postgres", "mysql") else "?"
         placeholders = ", ".join([style] * len(self.columns))
@@ -151,12 +208,4 @@ class RemoteTableDataSource(DataSource):
         return RemoteTableReader(self._spec(), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> RemoteTableWriter:
-        spec = self._spec()
-        if overwrite:
-            conn = connect_writable(spec.options)
-            try:
-                conn.cursor().execute(f"DELETE FROM {spec.dialect.table_ref(spec.table)}")
-                conn.commit()
-            finally:
-                conn.close()
-        return RemoteTableWriter(spec, schema)
+        return RemoteTableWriter(self._spec(), schema, overwrite=overwrite)

@@ -43,7 +43,7 @@ class Dialect:
                 # NUL can't travel in SQL text; raising makes the filter
                 # "unsupported" so Spark evaluates it locally instead
                 raise TypeError("cannot literalize string containing NUL")
-            return "'" + value.replace("'", "''") + "'"
+            return "'" + self.escape_string(value) + "'"
         if isinstance(value, bytes):
             return self.bytes_literal(value)
         if isinstance(value, dt.datetime):
@@ -55,6 +55,25 @@ class Dialect:
         if isinstance(value, (list, tuple)):
             return "(" + ", ".join(self.literal(v) for v in value) + ")"
         raise TypeError(f"cannot literalize {type(value).__name__}: {value!r}")
+
+    def escape_string(self, value: str) -> str:
+        """How a string travels inside a single-quoted literal."""
+        return value.replace("'", "''")
+
+    def string_match(self, column: str, value: str, mode: str) -> str:
+        """Render a StringStartsWith/EndsWith/Contains pushdown as LIKE.
+
+        LIKE-level wildcards in the value are escaped with the dialect's
+        escape char, then the whole pattern goes through the dialect's
+        string-literal escaping (so backends whose string parser itself
+        eats backslashes — MySQL — stay correct, see MysqlDialect).
+        """
+        esc = self.like_escape_char
+        body = value.replace(esc, esc + esc).replace("%", esc + "%").replace("_", esc + "_")
+        pat = {"starts": body + "%", "ends": "%" + body, "contains": "%" + body + "%"}[mode]
+        return f"{column} LIKE '{self.escape_string(pat)}' ESCAPE '{self.escape_string(esc)}'"
+
+    like_escape_char = "\\"
 
     def bool_literal(self, value: bool) -> str:
         return "TRUE" if value else "FALSE"
@@ -144,6 +163,14 @@ class PostgresDialect(Dialect):
 class MysqlDialect(Dialect):
     name = "mysql"
     quote_char = "`"
+
+    def escape_string(self, value: str) -> str:
+        # MySQL's default string parser treats backslash as an escape
+        # inside quoted literals (unlike ANSI), so a raw backslash must be
+        # doubled or it mangles the literal — e.g. the ANSI LIKE rendering
+        # "... ESCAPE '\'" would escape the closing quote and break the
+        # whole statement.
+        return value.replace("\\", "\\\\").replace("'", "''")
 
 
 class OracleDialect(Dialect):

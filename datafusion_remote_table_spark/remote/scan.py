@@ -88,8 +88,13 @@ class RemoteScanSpec:
     def partition_predicates(self) -> list[tuple[str, ...]]:
         """Compute per-task WHERE fragments. With a numeric partition
         column: probe min/max once, emit disjoint half-open ranges (first
-        range also takes NULLs). Without one: a single partition."""
-        if not self.partition_column or self.fetch_partitions <= 1:
+        range also takes NULLs). Without one: a single partition.
+
+        A pushed limit also forces a single partition: the LIMIT composes
+        into each partition's remote SQL, so N ranges would return up to
+        N*limit rows; a limited scan is bounded anyway, so parallel fetch
+        buys nothing and single-partition keeps the row count exact."""
+        if not self.partition_column or self.fetch_partitions <= 1 or self.limit is not None:
             return [()]
         d = self.dialect
         col = d.quote_ident(self.partition_column)

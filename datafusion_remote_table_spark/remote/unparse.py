@@ -39,10 +39,6 @@ def _col(dialect: Dialect, attribute) -> str:
     return dialect.quote_ident(attribute[0])
 
 
-def _like_escape(s: str) -> str:
-    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_").replace("'", "''")
-
-
 def unparse_filter(f: Filter, dialect: Dialect) -> str:
     """Render one pushdown filter as remote SQL, or raise UnsupportedFilter."""
     if isinstance(f, EqualTo):
@@ -69,11 +65,11 @@ def unparse_filter(f: Filter, dialect: Dialect) -> str:
     if isinstance(f, Not):
         return f"NOT ({unparse_filter(f.child, dialect)})"
     if isinstance(f, StringStartsWith):
-        return f"{_col(dialect, f.attribute)} LIKE '{_like_escape(f.value)}%' ESCAPE '\\'"
+        return dialect.string_match(_col(dialect, f.attribute), f.value, "starts")
     if isinstance(f, StringEndsWith):
-        return f"{_col(dialect, f.attribute)} LIKE '%{_like_escape(f.value)}' ESCAPE '\\'"
+        return dialect.string_match(_col(dialect, f.attribute), f.value, "ends")
     if isinstance(f, StringContains):
-        return f"{_col(dialect, f.attribute)} LIKE '%{_like_escape(f.value)}%' ESCAPE '\\'"
+        return dialect.string_match(_col(dialect, f.attribute), f.value, "contains")
     raise UnsupportedFilter(f"filter {type(f).__name__} not unparseable")
 
 

@@ -120,3 +120,20 @@ def test_asof_join_basic(spark):
         for r in asof_join(left, right, "k", "ts", "ts", ["px"], tie_break="px").collect()
     }
     assert out == {(1, 10, "e1"): 100.0, (1, 20, "e2"): 150.0, (2, 5, "e3"): None}
+
+
+def test_skyline_empty_input_returns_empty(spark):
+    from datafusion_remote_table_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame([], "x double, y double")
+    assert skyline(df, ["x", "y"]).collect() == []
+
+
+def test_skyline_basic(spark):
+    from datafusion_remote_table_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 2.0), (5.0, 1.0), (3.0, 3.0), (6.0, 6.0)], "x double, y double"
+    )
+    got = sorted(tuple(r) for r in skyline(df, ["x", "y"]).collect())
+    assert got == [(1.0, 5.0), (2.0, 2.0), (5.0, 1.0)]

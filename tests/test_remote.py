@@ -142,6 +142,23 @@ def test_unparse_literals():
     assert dialect_for("oracle").limit_clause(5) == "FETCH FIRST 5 ROWS ONLY"
 
 
+def test_mysql_backslash_escaping():
+    """MySQL's string parser eats backslashes (unlike ANSI): LIKE patterns
+    and plain string literals must double them or the statement is
+    malformed (e.g. ESCAPE '\\' would swallow the closing quote)."""
+    m = dialect_for("mysql")
+    # plain literal: one backslash in the value -> two in the SQL text
+    assert m.literal("C:\\temp") == "'C:\\\\temp'"
+    # LIKE: pattern-level escape (\% for literal %) then string-level
+    # doubling; the ESCAPE clause itself is '\\' in SQL text
+    got = unparse_filter(StringStartsWith(("a",), "x%"), m)
+    assert got == "`a` LIKE 'x\\\\%%' ESCAPE '\\\\'"
+    # ANSI dialects keep single backslashes
+    assert unparse_filter(StringStartsWith(("a",), "x%"), dialect_for("postgres")).endswith(
+        "ESCAPE '\\'"
+    )
+
+
 # -- projection (postgres.rs table_projection parity) -----------------------
 def test_projection(spark, sqlite_db):
     t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
@@ -220,6 +237,61 @@ def test_partitioned_read_complete_and_disjoint(spark, sqlite_db):
     df = t.read(spark, partition_column="id", fetch_partitions=2)
     assert df.rdd.getNumPartitions() == 2
     assert sorted(r.id for r in df.collect()) == [1, 2, 3]
+
+
+def test_limit_with_partitions_stays_exact(spark, sqlite_db):
+    """A pushed LIMIT forces a single partition: the LIMIT lands in each
+    partition's remote SQL, so N ranges would return up to N*limit rows
+    even through the raw DataSource path (no facade df.limit guard)."""
+    spec = RemoteScanSpec(
+        options=SqliteConnectionOptions(path=sqlite_db),
+        table=["simple_table"],
+        limit=2,
+        partition_column="id",
+        fetch_partitions=3,
+    )
+    assert spec.partition_predicates() == [()]
+    from datafusion_remote_table_spark.remote.table import _register_datasource
+
+    _register_datasource(spark)
+    df = (
+        spark.read.format("remote_table")
+        .schema("id bigint, name string")
+        .option("spec", spec.to_json())
+        .load()
+    )
+    assert df.count() == 2
+
+
+# -- overwrite staging (insert.rs never destroys data pre-commit) -----------
+def test_overwrite_stages_and_aborts_cleanly(spark, sqlite_db):
+    from datafusion_remote_table_spark.remote.datasource import RemoteTableWriter
+    from pyspark.sql.types import StructType
+
+    opts = SqliteConnectionOptions(path=sqlite_db)
+    t = RemoteTable(opts, ["insert_target"])
+    t.insert(spark.createDataFrame([(1, "seed")], "id long, name string"), mode="overwrite")
+    before = t.count()
+    assert before == 1
+
+    schema = StructType.fromDDL("id bigint, name string")
+    w = RemoteTableWriter(t.spec(), schema, overwrite=True)
+    # writer construction must NOT touch the target (old code DELETEd here)
+    assert t.count() == before
+    # staging table exists and is empty
+    con = sqlite3.connect(sqlite_db)
+    assert con.execute(f"SELECT COUNT(*) FROM [{w.staging}]").fetchone()[0] == 0
+    con.close()
+    # abort drops staging, target still intact
+    w.abort([])
+    con = sqlite3.connect(sqlite_db)
+    names = [r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")]
+    con.close()
+    assert w.staging not in names
+    assert t.count() == before
+    # a real overwrite still swaps in the new rows
+    t.insert(spark.createDataFrame([(7, "new"), (8, "er")], "id long, name string"), mode="overwrite")
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [(7, "new"), (8, "er")]
 
 
 # -- duckdb backend (Arrow-native fetch) ------------------------------------
