@@ -95,6 +95,53 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Exact connected components of an undirected pair graph, to fixpoint.
+
+    Returns (node, component) where component is the min node id in the
+    component. Pregel-style min-label propagation with pointer jumping
+    (label-of-label) each round, so convergence is O(log n) rounds even on
+    a long chain — the shape GraphFrames/GraphX CC uses. Each round is one
+    join+agg plus one self-join on a graph that is orders of magnitude
+    smaller than the corpus it came from.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .union(pairs.select(F.col(a_col).alias("src"), F.col(a_col).alias("dst")))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(b_col).alias("dst")))
+        .persist()
+    )
+    labels = edges.groupBy("src").agg(F.min("dst").alias("lbl")).persist()
+    for _ in range(64):
+        step = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        s2 = step.select(F.col("src").alias("j_src"), F.col("lbl").alias("j_lbl"))
+        new_labels = (
+            step.join(s2, step.lbl == s2.j_src)
+            .select("src", F.least("lbl", "j_lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter("n.lbl < o.lbl")
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - needs a component of diameter > 2^64
+        raise RuntimeError("connected_components did not converge")
+    edges.unpersist()
+    return labels.select(F.col("src").alias("node"), F.col("lbl").alias("component"))
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:

@@ -710,15 +710,18 @@ _register_pair("text_top_ngrams", _sql_top_ngrams)
 
 # ---------------------------------------------------------------------------
 # dedup_clusters — duplicate CLUSTERS from the verified minhash pair graph:
-# undirected edges → min-label within 4 hops (near-dup clusters are
-# near-cliques, so 4 hops covers any realistic chain) → one keeper per
-# cluster. This is the decision output a dedup pipeline acts on.
-# Scale: each hop is one self-join + min-agg on doc_id (tiny pair set —
-# orders of magnitude smaller than the corpus); a full
-# iterate-to-fixpoint variant would loop the same join.
-def _sql_dedup_clusters(E):
+# undirected edges → connected components to FIXPOINT → cluster_id = min
+# doc_id in the component, which is also the keeper (so every cluster has
+# exactly one). This is the decision output a dedup pipeline acts on.
+# Mechanism differs per engine, result is identical (both are exact CC):
+# - Spark: Pregel-style min-label propagation — labels only decrease, one
+#   self-join + min-agg per hop, loop until no label changes. O(diameter)
+#   rounds on a pair graph that is orders of magnitude smaller than the
+#   corpus (the 100TB shape; GraphFrames CC is this same loop).
+# - DuckDB oracle: WITH RECURSIVE reachable-label closure.
+def _sql_dedup_pairs(E):
     return f"""
-    WITH sh AS ({_minhash_shingles(E)}),
+    sh AS ({_minhash_shingles(E)}),
     sig AS ({_minhash_sigs(E, 'sh')}),
     bands AS ({_minhash_bands(E, 'sig')}),
     cand AS (
@@ -733,32 +736,45 @@ def _sql_dedup_clusters(E):
       WHERE CAST({E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles)) AS DOUBLE)
               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles)
                  - {E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))) >= 0.8
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-      UNION ALL SELECT doc_a, doc_a FROM pairs
-      UNION ALL SELECT doc_b, doc_b FROM pairs
-    ),
-    hop1 AS (SELECT src, MIN(dst) AS lbl FROM edges GROUP BY src),
-    hop2 AS (
-      SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop1 h ON e.dst = h.src GROUP BY e.src
-    ),
-    hop4 AS (
-      SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop2 h ON e.dst = h.src GROUP BY e.src
-    ),
-    members AS (SELECT src AS doc_id, lbl AS cluster_id FROM hop4)
+    )"""
+
+
+_EDGES_SQL = """
+      SELECT doc_a AS src, doc_b AS dst FROM {pairs}
+      UNION ALL SELECT doc_b, doc_a FROM {pairs}
+      UNION ALL SELECT doc_a, doc_a FROM {pairs}
+      UNION ALL SELECT doc_b, doc_b FROM {pairs}
+"""
+
+_MEMBERS_OUT_SQL = """
     SELECT m.cluster_id, m.doc_id,
            CASE WHEN m.doc_id = m.cluster_id THEN 1 ELSE 0 END AS is_keeper,
            s.n_members
     FROM members m
     JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY cluster_id) s
       ON m.cluster_id = s.cluster_id
+"""
+
+
+def _sql_dedup_clusters_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src)
+    {_MEMBERS_OUT_SQL}
     """
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged like dedup_minhash_lsh (persisted signature intermediates)."""
+    """Staged like dedup_minhash_lsh (persisted signature intermediates),
+    then min-label propagation to fixpoint over the pair graph."""
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
     sh = spark.sql(_minhash_shingles(_Spark)).persist()
@@ -766,32 +782,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'dc_sh')})")).persist()
     bands.createOrReplaceTempView("dc_bands")
     pairs = spark.sql(_minhash_verify(_Spark, "dc_bands", "dc_sh")).persist()
-    pairs.createOrReplaceTempView("dc_pairs")
+
+    from ..operators.dedup import connected_components
+
+    cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    cc.createOrReplaceTempView("dc_members_src")
     return spark.sql(
-        """
-        WITH edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM dc_pairs
-          UNION ALL SELECT doc_b, doc_a FROM dc_pairs
-          UNION ALL SELECT doc_a, doc_a FROM dc_pairs
-          UNION ALL SELECT doc_b, doc_b FROM dc_pairs
-        ),
-        hop1 AS (SELECT src, MIN(dst) AS lbl FROM edges GROUP BY src),
-        hop2 AS (
-          SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop1 h ON e.dst = h.src GROUP BY e.src
-        ),
-        hop4 AS (
-          SELECT e.src, MIN(h.lbl) AS lbl FROM edges e JOIN hop2 h ON e.dst = h.src GROUP BY e.src
-        ),
-        members AS (SELECT src AS doc_id, lbl AS cluster_id FROM hop4)
-        SELECT m.cluster_id, m.doc_id,
-               CASE WHEN m.doc_id = m.cluster_id THEN 1 ELSE 0 END AS is_keeper,
-               s.n_members
-        FROM members m
-        JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members GROUP BY cluster_id) s
-          ON m.cluster_id = s.cluster_id
-        """
+        "WITH members AS (SELECT node AS doc_id, component AS cluster_id FROM dc_members_src)"
+        + _MEMBERS_OUT_SQL
     )
 
 
 QUERIES["dedup_clusters"] = dedup_clusters
-ORACLE["dedup_clusters"] = _sql_dedup_clusters(_Duck)
+ORACLE["dedup_clusters"] = _sql_dedup_clusters_duck()

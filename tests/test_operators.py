@@ -137,3 +137,50 @@ def test_skyline_basic(spark):
     )
     got = sorted(tuple(r) for r in skyline(df, ["x", "y"]).collect())
     assert got == [(1.0, 5.0), (2.0, 2.0), (5.0, 1.0)]
+
+
+def test_connected_components_long_chain(spark):
+    """A 10-link near-dup chain must collapse to ONE cluster — the case a
+    bounded-hop propagation (round-1 implementation) got wrong."""
+    from datafusion_remote_table_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10)]  # 0-1-2-...-10
+    other = [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(chain + other, "id_a long, id_b long")
+    got = {(r.node, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(11)} | {(i, 100) for i in (100, 101, 102)}
+
+
+def test_connected_components_matches_duckdb_recursive(spark):
+    """Random-ish sparse graph: Spark label propagation == DuckDB
+    WITH RECURSIVE closure (the two mechanisms behind dedup_clusters)."""
+    import duckdb
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(0, 40, 3)] + [(50, 51)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    from datafusion_remote_table_spark.operators.dedup import connected_components
+
+    got = sorted((r.node, r.component) for r in connected_components(pairs).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH RECURSIVE edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p
+          UNION ALL SELECT id_a, id_a FROM p
+          UNION ALL SELECT id_b, id_b FROM p
+        ),
+        walk(src, lbl) AS (
+          SELECT src, MIN(dst) FROM edges GROUP BY src
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+        )
+        SELECT src, MIN(lbl) FROM walk GROUP BY src
+        """
+        ).fetchall()
+    )
+    assert got == want
