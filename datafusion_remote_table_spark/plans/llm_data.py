@@ -332,11 +332,19 @@ def _minhash_bands(E, src):
     return f"SELECT doc_id, {band_key} AS band_key FROM {src}, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids"
 
 
-def _minhash_verify(E, bands, sh, prelude=""):
+def _minhash_verify(E, bands, sh, prelude="", max_bucket_size=1000):
+    # skew valve: a degenerate bucket (e.g. thousands of identical or
+    # empty docs sharing a band key) would emit |bucket|^2 candidate
+    # pairs; drop such buckets instead — exact dedup owns identical docs.
     return f"""
-    WITH {prelude}cand AS (
+    WITH {prelude}ok_buckets AS (
+      SELECT band_key FROM {bands} GROUP BY band_key HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM {bands} a JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM {bands} a
+      JOIN ok_buckets k ON a.band_key = k.band_key
+      JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     verified AS (
       SELECT c.doc_a, c.doc_b,
@@ -724,9 +732,14 @@ def _sql_dedup_pairs(E):
     sh AS ({_minhash_shingles(E)}),
     sig AS ({_minhash_sigs(E, 'sh')}),
     bands AS ({_minhash_bands(E, 'sig')}),
+    ok_buckets AS (
+      SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= 1000
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM bands a
+      JOIN ok_buckets k ON a.band_key = k.band_key
+      JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     pairs AS (
       SELECT c.doc_a, c.doc_b

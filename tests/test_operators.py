@@ -184,3 +184,40 @@ def test_connected_components_matches_duckdb_recursive(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_minhash_skew_valve_in_registered_template(spark):
+    """1200 identical docs share every band key; the registered template's
+    bucket-size valve must drop those buckets (emitting zero pairs there)
+    instead of generating |bucket|^2 candidates. Both engines agree."""
+    import duckdb
+    from datafusion_remote_table_spark.plans.llm_data import (
+        _Duck,
+        _Spark,
+        _minhash_bands,
+        _minhash_shingles,
+        _minhash_sigs,
+        _minhash_verify,
+        _sql_minhash_oracle,
+    )
+
+    docs = [(i, "the same exact text repeated many times over and over again") for i in range(1200)]
+    base = " ".join(f"token{k}" for k in range(60))  # long enough that one
+    docs += [(2000, base + " spark"), (2001, base + " sparks")]  # edit keeps jaccard >= 0.8
+    spark.createDataFrame(docs, "doc_id long, text string").createOrReplaceTempView("documents")
+    sh = spark.sql(_minhash_shingles(_Spark))
+    sh.createOrReplaceTempView("skew_sh")
+    spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'skew_sh')})")).createOrReplaceTempView(
+        "skew_bands"
+    )
+    got = sorted(
+        tuple(r) for r in spark.sql(_minhash_verify(_Spark, "skew_bands", "skew_sh")).collect()
+    )
+    # the identical-doc flood is suppressed; the near-dup pair survives
+    assert [(a, b) for a, b, _ in got] == [(2000, 2001)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = sorted(tuple(r) for r in con.execute(_sql_minhash_oracle(_Duck)).fetchall())
+    assert got == want
