@@ -37,10 +37,11 @@ _SQLITE_TABLES = {
 }
 
 
-def _cache_path(sf_dir: str, suffix: str) -> str:
+def _cache_path(sf_dir: str, suffix: str, spec: str | None = None) -> str:
     # key includes the mirrored-schema spec so a stale cache from an older
     # code revision can never be read back
-    spec = repr(sorted(_SQLITE_TABLES.items()))
+    if spec is None:
+        spec = repr(sorted(_SQLITE_TABLES.items()))
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{spec}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"dfrt_remote_{key}{suffix}")
 
@@ -75,12 +76,23 @@ def ensure_sqlite_remote(sf_dir: str) -> str:
     return path
 
 
+# array columns exercised through the remote fetch (reference README
+# supported-type matrix: Int4[]/Float8[]/Text[]; schema.rs *Array types)
+_ARRAY_TYPES_SQL = """
+    SELECT n_nationkey,
+           [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS int_arr,
+           [CAST(n_nationkey AS DOUBLE) / 2, CAST(n_regionkey AS DOUBLE)] AS dbl_arr,
+           [n_name, 'tail'] AS str_arr
+    FROM {nation}
+"""
+
+
 def ensure_duckdb_remote(sf_dir: str) -> str:
     """A second, different remote backend (analytical) for multi-source
-    federation: nation+region live here."""
+    federation: nation+region live here, plus an array-typed table."""
     import duckdb
 
-    path = _cache_path(sf_dir, ".duckdb")
+    path = _cache_path(sf_dir, ".duckdb", spec=f"duckdb-v2|{_ARRAY_TYPES_SQL}")
     if os.path.exists(path):
         return path
     tmp = path + ".tmp"
@@ -92,6 +104,10 @@ def ensure_duckdb_remote(sf_dir: str) -> str:
             con.execute(
                 f"CREATE TABLE {table} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, table)}.parquet')"
             )
+        con.execute(
+            "CREATE TABLE array_types AS "
+            + _ARRAY_TYPES_SQL.format(nation=f"read_parquet('{os.path.join(sf_dir, 'nation')}.parquet')")
+        )
     finally:
         con.close()
     os.replace(tmp, path)
@@ -345,6 +361,42 @@ def remote_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "remote_array_types",
+    oracle="""
+    WITH a AS (
+      SELECT n_nationkey,
+             [n_nationkey, n_regionkey, n_nationkey + n_regionkey] AS int_arr,
+             [CAST(n_nationkey AS DOUBLE) / 2, CAST(n_regionkey AS DOUBLE)] AS dbl_arr,
+             [n_name, 'tail'] AS str_arr
+      FROM nation
+    )
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           CAST(len(int_arr) AS INT) AS n_ints,
+           CAST(int_arr[3] AS BIGINT) AS int_last,
+           ROUND(COALESCE(list_sum(dbl_arr), 0.0), 6) AS dbl_sum,
+           array_to_string(str_arr, ',') AS str_joined
+    FROM a
+    """,
+)
+def remote_array_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed columns (INT[]/DOUBLE[]/VARCHAR[]) fetched through the
+    remote DataSource as Arrow list arrays, then operated on Spark-side —
+    proves the array fetch path end-to-end (reference README type matrix:
+    Int4[]/Float8[]/Text[]; schema.rs *Array mappings)."""
+    ddb = DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+    df = RemoteTable(ddb, ["array_types"]).read(spark)
+    return df.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.size("int_arr").alias("n_ints"),
+        F.element_at("int_arr", 3).cast("bigint").alias("int_last"),
+        F.round(
+            F.aggregate("dbl_arr", F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("dbl_sum"),
+        F.array_join("str_arr", ",").alias("str_joined"),
     )
 
 

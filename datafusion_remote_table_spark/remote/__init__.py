@@ -14,8 +14,11 @@ Capability map to /root/reference/remote-table/src:
 
 from .options import (  # noqa: F401
     ConnectionOptions,
+    DmConnectionOptions,
     DuckdbConnectionOptions,
+    GaussdbConnectionOptions,
     MysqlConnectionOptions,
+    OracleConnectionOptions,
     PostgresConnectionOptions,
     SqliteConnectionOptions,
 )

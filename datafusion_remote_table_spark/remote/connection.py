@@ -65,6 +65,33 @@ def connect(options: ConnectionOptions):
             password=options.password,
             service_name=options.service_name,
         )
+    if backend == "gaussdb":
+        # GaussDB speaks the Postgres wire protocol (reference gaussdb.rs
+        # uses a tokio-postgres fork); any Postgres DB-API driver works
+        try:
+            import psycopg2  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "gaussdb backend requires a Postgres driver (psycopg2; not bundled in this environment)"
+            ) from e
+        return psycopg2.connect(
+            host=options.host,
+            port=options.port,
+            user=options.username,
+            password=options.password,
+            dbname=options.database,
+        )
+    if backend == "dm":
+        try:
+            import dmPython  # type: ignore
+        except ImportError as e:
+            raise ImportError("dm backend requires dmPython (not bundled in this environment)") from e
+        return dmPython.connect(
+            host=options.host,
+            port=options.port,
+            user=options.username,
+            password=options.password,
+        )
     raise ValueError(f"unknown backend: {backend}")
 
 

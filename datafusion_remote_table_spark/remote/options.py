@@ -79,10 +79,40 @@ class OracleConnectionOptions(ConnectionOptions):
     backend: str = field(default="oracle", init=False)
 
 
+@dataclass
+class GaussdbConnectionOptions(ConnectionOptions):
+    """GaussDB/OpenGauss (connection/gaussdb.rs parity): speaks the
+    Postgres wire protocol, so the factory uses a Postgres driver and the
+    dialect inherits PostgresDialect."""
+
+    host: str = "localhost"
+    port: int = 5432
+    username: str = ""
+    password: str = ""
+    database: str = ""
+    backend: str = field(default="gaussdb", init=False)
+
+
+@dataclass
+class DmConnectionOptions(ConnectionOptions):
+    """DM / 达梦 (connection/dm/ parity): Oracle-compatible SQL surface;
+    the reference connects via ODBC, here the dmPython DB-API driver
+    (import-gated — not bundled in this environment)."""
+
+    host: str = "localhost"
+    port: int = 5236
+    username: str = ""
+    password: str = ""
+    schema: str = ""
+    backend: str = field(default="dm", init=False)
+
+
 _BACKENDS = {
     "sqlite": SqliteConnectionOptions,
     "duckdb": DuckdbConnectionOptions,
     "postgres": PostgresConnectionOptions,
     "mysql": MysqlConnectionOptions,
     "oracle": OracleConnectionOptions,
+    "gaussdb": GaussdbConnectionOptions,
+    "dm": DmConnectionOptions,
 }

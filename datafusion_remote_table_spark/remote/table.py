@@ -174,6 +174,7 @@ class RemoteTable:
             "gaussdb": f"jdbc:postgresql://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'database', '')}",
             "mysql": f"jdbc:mysql://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'database', '')}",
             "oracle": f"jdbc:oracle:thin:@//{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'service_name', '')}",
+            "dm": f"jdbc:dm://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}",
             "sqlite": f"jdbc:sqlite:{getattr(o, 'path', '')}",
         }
         url = urls.get(o.backend)

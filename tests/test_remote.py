@@ -320,6 +320,41 @@ def test_gaussdb_dm_dialects():
     assert dialect_for("dm").limit_clause(3) == "FETCH FIRST 3 ROWS ONLY"
 
 
+def test_gaussdb_dm_backends_fully_wired():
+    """Options serde round trip, dialect SQL composition, JDBC URL, and a
+    clean import-gated connect error for the DM/GaussDB backends
+    (reference connection/gaussdb.rs, connection/dm/) — no live server
+    needed, same as the reference's dialect-level tests."""
+    from datafusion_remote_table_spark.remote import (
+        DmConnectionOptions,
+        GaussdbConnectionOptions,
+    )
+    from datafusion_remote_table_spark.remote.connection import connect
+    from datafusion_remote_table_spark.remote.options import ConnectionOptions
+
+    for opts in (
+        GaussdbConnectionOptions(host="h", port=5433, username="u", password="p", database="d"),
+        DmConnectionOptions(host="h", port=5236, username="u", password="p", schema="s"),
+    ):
+        back = ConnectionOptions.from_dict(opts.to_dict())
+        assert back == opts
+        spec = RemoteScanSpec(options=back, table=["t"], pushed_filters=['"id" > 1'], limit=5)
+        rebuilt = RemoteScanSpec.from_json(spec.to_json())
+        assert rebuilt.remote_sql() == spec.remote_sql()
+        # a connect attempt fails with a clear driver message, not a KeyError
+        with pytest.raises(ImportError, match="driver|dmPython|psycopg2"):
+            connect(back)
+
+    g = RemoteScanSpec(options=GaussdbConnectionOptions(), table=["t"])
+    assert g.remote_sql(('"id" = 1',)) == 'SELECT * FROM (SELECT * FROM "t") AS "__remote_t" WHERE ("id" = 1)'
+    d = RemoteScanSpec(options=DmConnectionOptions(), table=["t"], limit=2)
+    assert d.remote_sql().endswith("FETCH FIRST 2 ROWS ONLY")  # Oracle-style
+    from datafusion_remote_table_spark.remote import RemoteTable
+
+    assert RemoteTable(DmConnectionOptions(host="h", port=5236), ["t"]).jdbc_url() == "jdbc:dm://h:5236"
+    assert "jdbc:postgresql://" in RemoteTable(GaussdbConnectionOptions(host="h"), ["t"]).jdbc_url()
+
+
 # -- empty projection (postgres.rs empty_projection parity) ------------------
 def test_empty_projection_count(spark, sqlite_db):
     df = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"]).read(spark)
