@@ -61,3 +61,60 @@ def test_incremental_tailing(spark, log_db, tmp_path):
     # exactly the two new rows were appended — not a re-read of all 7
     assert second == [(i, f"v{i}") for i in range(7)]
     assert len(second) == 7
+
+
+def test_stream_reader_partitions_are_disjoint_and_executor_side(log_db):
+    """The default stream reader plans key-range partitions (the backfill
+    parallelism path); read(partition) is the executor-side Arrow fetch,
+    not a driver fetchall."""
+    from pyspark.sql.types import StructType
+    from datafusion_remote_table_spark.remote.stream_datasource import (
+        RemoteKeyRangePartition,
+        RemoteTableStreamReader,
+    )
+
+    spec = RemoteScanSpec(
+        options=SqliteConnectionOptions(path=log_db), table=["log"], fetch_partitions=3
+    )
+    r = RemoteTableStreamReader(spec, "id", StructType.fromDDL("id bigint, v string"))
+    assert r.initialOffset() == {"last_key": None}
+    end = r.latestOffset()
+    assert end == {"last_key": 4}
+    parts = r.partitions(r.initialOffset(), end)
+    assert len(parts) == 3
+    assert all(isinstance(p, RemoteKeyRangePartition) for p in parts)
+    # ranges chain (lo, hi] with no gaps and cover all keys
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo
+    rows = []
+    for p in parts:
+        for batch in r.read(p):  # pyarrow RecordBatches (executor path)
+            rows.extend(batch.to_pylist())
+    assert sorted(x["id"] for x in rows) == [0, 1, 2, 3, 4]
+    # caught-up stream: empty microbatch partition yields nothing
+    empty = r.partitions(end, end)
+    assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_stream_reader_simple_fallback(spark, log_db, tmp_path):
+    """.option('reader', 'simple') still selects the driver-side
+    SimpleDataSourceStreamReader."""
+    spark.dataSource.register(RemoteTableStreamDataSource)
+    spec = RemoteScanSpec(options=SqliteConnectionOptions(path=log_db), table=["log"])
+    stream = (
+        spark.readStream.format("remote_table_stream")
+        .schema("id long, v string")
+        .option("spec", spec.to_json())
+        .option("key_column", "id")
+        .option("reader", "simple")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("simple_reader_result")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("simple_reader_result").count() == 5
