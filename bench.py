@@ -33,6 +33,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality_score",
     "text_langid",
+    # round-2 additions: remote engine, join-heavy, and corpus-stats paths
+    "remote_table_scan",
+    "asof_join_events_orders",
+    "dedup_simhash",
+    "text_top_ngrams",
 ]
 
 
@@ -57,6 +62,15 @@ def main() -> None:
                 plans.QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
+    # the stand-in remote DB is built from parquet once per sf_dir; a real
+    # deployment's remote database already exists, so build it outside the
+    # timed region
+    try:
+        from datafusion_remote_table_spark.plans.remote_queries import ensure_sqlite_remote
+
+        ensure_sqlite_remote(sf_dir)
+    except Exception:
+        pass
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
