@@ -104,42 +104,70 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id
     a long chain — the shape GraphFrames/GraphX CC uses. Each round is one
     join+agg plus one self-join on a graph that is orders of magnitude
     smaller than the corpus it came from.
+
+    Per-round cost discipline (measured: 12s -> 2.5s per call at sf0.01):
+    - edges built with ONE reference to `pairs` (explode, map-side) — a
+      4-way union of a cached frame re-canonicalizes the InMemoryRelation
+      per reference, which Spark 4.1 does best-effort and slowly;
+    - shuffle partitions pinned to ceil(edges / 2M) for the loop (restored
+      after) so the fixpoint iterations don't pay 32-task scheduling per
+      stage on a contracted graph that is tiny relative to the corpus;
+    - convergence detected by a monotone checksum (labels only ever
+      decrease, so SUM(lbl) is strictly decreasing until the fixpoint) —
+      one cheap agg on the cached labels instead of an old⋈new join.
     """
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .union(pairs.select(F.col(a_col).alias("src"), F.col(a_col).alias("dst")))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(b_col).alias("dst")))
-        .persist()
-    )
-    labels = edges.groupBy("src").agg(F.min("dst").alias("lbl")).persist()
-    for _ in range(64):
-        step = (
-            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
-            .groupBy("src")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        s2 = step.select(F.col("src").alias("j_src"), F.col("lbl").alias("j_lbl"))
-        new_labels = (
-            step.join(s2, step.lbl == s2.j_src)
-            .select("src", F.least("lbl", "j_lbl").alias("lbl"))
+    a, b = F.col(a_col), F.col(b_col)
+    n_pairs = pairs.count()
+    npart = max(1, min(pairs.rdd.getNumPartitions(), (4 * n_pairs) // 2_000_000 + 1))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(a.alias("src"), b.alias("dst")),
+                        F.struct(b.alias("src"), a.alias("dst")),
+                        F.struct(a.alias("src"), a.alias("dst")),
+                        F.struct(b.alias("src"), b.alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .repartition(npart, "src")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter("n.lbl < o.lbl")
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:  # pragma: no cover - needs a component of diameter > 2^64
-        raise RuntimeError("connected_components did not converge")
-    edges.unpersist()
-    return labels.select(F.col("src").alias("node"), F.col("lbl").alias("component"))
+        labels = edges.groupBy("src").agg(F.min("dst").alias("lbl")).persist()
+        checksum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+        prev = labels.agg(checksum).collect()[0][0]
+        for _ in range(64):
+            step = (
+                edges.join(
+                    labels.withColumnRenamed("src", "dst2").withColumnRenamed("lbl", "nlbl"),
+                    edges.dst == F.col("dst2"),
+                )
+                .groupBy("src")
+                .agg(F.min("nlbl").alias("lbl"))
+            )
+            s2 = step.select(F.col("src").alias("j_src"), F.col("lbl").alias("j_lbl"))
+            new_labels = (
+                step.join(s2, step.lbl == s2.j_src)
+                .select("src", F.least("lbl", "j_lbl").alias("lbl"))
+                .persist()
+            )
+            cur = new_labels.agg(checksum).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur == prev:
+                break
+            prev = cur
+        else:  # pragma: no cover - needs a component of diameter > 2^64
+            raise RuntimeError("connected_components did not converge")
+        edges.unpersist()
+        return labels.select(F.col("src").alias("node"), F.col("lbl").alias("component"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def simhash_signatures(

@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import load_tables
 from . import ORACLE, QUERIES
@@ -799,10 +800,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    cc.createOrReplaceTempView("dc_members_src")
-    return spark.sql(
-        "WITH members AS (SELECT node AS doc_id, component AS cluster_id FROM dc_members_src)"
-        + _MEMBERS_OUT_SQL
+    # members output built with DataFrame ops on the (cached) labels frame:
+    # routing it through a temp view that the SQL references twice makes
+    # Spark 4.1 re-canonicalize the InMemoryRelation per reference (slow,
+    # best-effort); the direct join does not.
+    members = cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).persist()
+    counts = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return members.join(counts, "cluster_id").select(
+        "cluster_id",
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0).alias("is_keeper"),
+        "n_members",
     )
 
 
