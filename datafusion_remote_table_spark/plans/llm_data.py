@@ -92,6 +92,14 @@ class _Spark:
     def explode(x, alias):
         return f"explode({x}) AS {alias}"
 
+    @staticmethod
+    def regexp_replace_all(t, p, r):
+        return f"regexp_replace({t}, '{p}', '{r}')"
+
+    @staticmethod
+    def intdiv(a, b):
+        return f"(({a}) DIV ({b}))"
+
 
 class _Duck:
     STR = "VARCHAR"
@@ -159,6 +167,14 @@ class _Duck:
     @staticmethod
     def explode(x, alias):
         return f"unnest({x}) AS {alias}"
+
+    @staticmethod
+    def regexp_replace_all(t, p, r):
+        return f"regexp_replace({t}, '{p}', '{r}', 'g')"
+
+    @staticmethod
+    def intdiv(a, b):
+        return f"(({a}) // ({b}))"
 
 
 def _repartition_views(spark: SparkSession, dfs: dict) -> None:
@@ -816,3 +832,229 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_clusters"] = dedup_clusters
 ORACLE["dedup_clusters"] = _sql_dedup_clusters_duck()
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified — deterministic per-stratum (lang) fraction sampling:
+# keep a row iff the first 4 hex chars of md5(doc_id) fall under the
+# stratum's threshold out of 65536. Pure map-side filter — zero shuffle at
+# any scale, reproducible across engines and runs (the property a training
+# pipeline needs for resumable corpus sampling). Fractions: en 50%,
+# de 20%, everything else 10%.
+def _sql_sample_stratified(E):
+    u = E.hex2int(f"substring(md5(CAST(doc_id AS {E.STR})), 1, 4)")
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {u} < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 13107 ELSE 6554 END
+    """
+
+
+_register_pair("sample_stratified", _sql_sample_stratified, repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# train_test_split_group — group-aware train/valid/test split: the SPLIT is
+# decided by md5(source) (8/1/1 buckets of 10), so every doc of a source
+# lands in the same split — no leakage of near-identical docs across the
+# train/eval boundary (the reason training pipelines split by group/domain,
+# not by row). Map-side tag + one small agg; output is per (split, lang)
+# doc counts + distinct-source counts.
+def _sql_train_test_split(E):
+    bucket = f"{E.hex2int(f'substring(md5(source), 1, 4)')} % 10"
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN {bucket} < 8 THEN 'train'
+                  WHEN {bucket} = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources
+    FROM tagged
+    GROUP BY split, lang
+    """
+
+
+_register_pair("train_test_split_group", _sql_train_test_split, repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk_tokens — split each document into 64-token training chunks with
+# 8-token overlap (stride 56): chunk i covers tokens [1+56*(i-1), ...+63].
+# Map-side sequence + slice + explode — the chunker never shuffles; at
+# 100 TB the output is written straight back to partitioned parquet. Chunk
+# identity is md5(chunk text) so downstream exact-dedup can run on chunks.
+def _sql_doc_chunks(E):
+    words = E.splitws("lower(text)")
+    n_chunks = f"greatest({E.intdiv(f'{E.SIZE}(words) - 9', 56)} + 1, 1)"
+    chunk_txt = f"array_join({E.slice('words', '1 + 56*(c - 1)', 64)}, ' ')"
+    if E is _Duck:
+        chunk_txt = chunk_txt.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id, words, {E.explode(E.seq(1, n_chunks), 'c')} FROM toks
+    )
+    SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+           CAST({E.SIZE}({E.slice('words', '1 + 56*(c - 1)', 64)}) AS BIGINT) AS n_tokens,
+           md5({chunk_txt}) AS chunk_fp
+    FROM chunked
+    """
+
+
+_register_pair("doc_chunk_tokens", _sql_doc_chunks)
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_gopher — Gopher-style compositional quality rules (word
+# count bounds, mean word length band, stopword floor, repetition ceiling),
+# each exposed as its own flag plus the conjunctive keep decision. Per-row
+# built-ins only — the 100 TB plan is scan → filter, nothing else.
+def _sql_quality_filter(E):
+    words = E.splitws("text")
+    return f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST({E.SIZE}({words}) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '\\s', '')) AS BIGINT) AS n_nonspace_chars,
+             CAST({E.SIZE}({E.FILTER}({words}, w -> w IN {_STOPWORDS})) AS BIGINT) AS n_stop,
+             CAST({E.SIZE}({E.ADISTINCT}({words})) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id, lang, n_tokens,
+             CASE WHEN n_tokens BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS ok_length,
+             CASE WHEN CAST(n_nonspace_chars AS DOUBLE) / n_tokens BETWEEN 2.0 AND 10.0
+                  THEN 1 ELSE 0 END AS ok_word_len,
+             CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 THEN 1 ELSE 0 END AS ok_stopwords,
+             CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens <= 0.7 THEN 1 ELSE 0 END AS ok_repetition
+      FROM feats
+    )
+    SELECT doc_id, lang, n_tokens, ok_length, ok_word_len, ok_stopwords, ok_repetition,
+           ok_length * ok_word_len * ok_stopwords * ok_repetition AS keep
+    FROM flags
+    """
+
+
+_register_pair("quality_filter_gopher", _sql_quality_filter)
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle_shards — the training-data global shuffle: each doc gets a
+# deterministic pseudo-random shard (md5-bucket, uniform by construction)
+# and a position WITHIN its shard (window partitioned by shard, ordered by
+# the md5 key). This is the 100 TB shape: one hash-partitioned exchange on
+# shard, then per-partition sorts — never a single-partition global window
+# (ROW_NUMBER over an unpartitioned ORDER BY funnels all rows through one
+# task; measured: Spark's WindowExec warns exactly that). Shard count is 8
+# here; at scale it's O(output files) and each window partition is data/N.
+def _sql_global_shuffle(E):
+    key = f"md5(CAST(doc_id AS {E.STR}))"
+    shard = f"{E.hex2int(f'substring({key}, 1, 4)')} % 8"
+    return f"""
+    WITH sharded AS (
+      SELECT doc_id, {key} AS shuffle_key,
+             CAST({shard} AS BIGINT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM sharded
+    """
+
+
+_register_pair("global_shuffle_shards", _sql_global_shuffle, repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# text_pii_redact — PII scrubbing: emails / phone numbers / IPv4s are
+# counted then replaced with typed placeholder tokens. The synthetic corpus
+# carries no PII, so a deterministic per-doc contact line (derived from
+# doc_id) is appended FIRST — the op then provably finds and removes it
+# (non-vacuous counts), plus any organic matches. Per-row regex only; the
+# 100 TB plan is a pure map — this is the shape of every scrubbing pass.
+def _sql_pii_redact(E):
+    synth = (
+        f"text || ' contact user{{}}@example.com or +1-555-' || "
+        f"lpad(CAST(doc_id % 10000 AS {E.STR}), 4, '0') || ' from 10.0.' || "
+        f"CAST(doc_id % 256 AS {E.STR}) || '.' || CAST((doc_id * 7) % 256 AS {E.STR})"
+    ).replace("{}", "' || CAST(doc_id AS " + E.STR + ") || '")
+    # Spark SQL string literals consume one level of backslashes, DuckDB's
+    # don't — escape the regex per engine (same reason splitws differs).
+    esc = (lambda p: p.replace("\\", "\\\\")) if E is _Spark else (lambda p: p)
+    email_re = esc("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")
+    phone_re = esc("\\+?[0-9][0-9-]{7,}")
+    ip_re = esc("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+    redacted = E.regexp_replace_all(
+        E.regexp_replace_all(E.regexp_replace_all("raw", email_re, "<EMAIL>"), phone_re, "<PHONE>"),
+        ip_re,
+        "<IP>",
+    )
+    return f"""
+    WITH withpii AS (
+      SELECT doc_id, {synth} AS raw FROM documents
+    )
+    SELECT doc_id,
+           {E.regexp_count('raw', email_re)} AS n_emails,
+           {E.regexp_count('raw', phone_re)} AS n_phones,
+           {E.regexp_count('raw', ip_re)} AS n_ips,
+           md5({redacted}) AS redacted_fp
+    FROM withpii
+    """
+
+
+_register_pair("text_pii_redact", _sql_pii_redact)
+
+
+# ---------------------------------------------------------------------------
+# embedding_normalize — L2 normalization of the embedding column: per-row
+# higher-order functions only (no UDF, no shuffle). Output checks both the
+# original norm and a checksum of the normalized vector so the oracle
+# verifies actual values, not just shapes.
+def _sql_embedding_normalize(E):
+    norm = f"sqrt({E.dot('embedding', 'embedding')})"
+    normalized_sum = E.list_sum(f"{E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE) / nrm)")
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS l2_norm,
+           ROUND({normalized_sum}, 6) AS normalized_sum
+    FROM norms
+    """
+
+
+_register_pair("embedding_normalize", _sql_embedding_normalize, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — per-vector min/max scalar quantization to 8-bit
+# codes (floor((v - min) * 255 / (max - min))), the storage shape ANN
+# serving uses. floor() (not round()) keeps the two engines' tie-breaking
+# identical. Map-side only; checksum = sum of codes.
+def _sql_embedding_quantize(E):
+    mn = f"{E.AMIN}({E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE)))"
+    mx = f"(0.0 - {E.AMIN}({E.TRANSFORM}(embedding, v -> 0.0 - CAST(v AS DOUBLE))))"
+    codes_sum = E.list_sum_int(
+        f"{E.TRANSFORM}(embedding, v -> CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT))"
+    )
+    return f"""
+    WITH ranges AS (
+      SELECT vec_id, embedding, {mn} AS mn, {mx} AS mx FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(mn, 6) AS v_min,
+           ROUND(mx, 6) AS v_max,
+           {codes_sum} AS codes_checksum
+    FROM ranges
+    """
+
+
+_register_pair("embedding_quantize_int8", _sql_embedding_quantize, tables=("embeddings",))
