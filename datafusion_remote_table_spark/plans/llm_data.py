@@ -1058,3 +1058,105 @@ def _sql_embedding_quantize(E):
 
 
 _register_pair("embedding_quantize_int8", _sql_embedding_quantize, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware keeper selection: same near-dup clusters
+# as dedup_clusters (minhash-LSH pairs → exact connected components), but
+# the survivor is the highest-quality member (max n_chars, tie-break min
+# doc_id) instead of the min-id one. This is the policy real corpus dedup
+# ships: keep the longest/cleanest copy, drop the rest. One extra
+# broadcast-size join + per-cluster argmax over the (tiny) member graph.
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    sh = spark.sql(_minhash_shingles(_Spark)).persist()
+    sh.createOrReplaceTempView("kb_sh")
+    bands = spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'kb_sh')})")).persist()
+    bands.createOrReplaceTempView("kb_bands")
+    pairs = spark.sql(_minhash_verify(_Spark, "kb_bands", "kb_sh")).persist()
+    cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    members = cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    scored = members.join(dfs["documents"].select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    counts = scored.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return best.join(counts, "cluster_id").select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_chars").alias("keeper_n_chars"),
+        "n_members",
+    )
+
+
+def _sql_keep_best_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src),
+    scored AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars
+      FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    ),
+    counts AS (SELECT cluster_id, COUNT(*) AS n_members FROM scored GROUP BY cluster_id)
+    SELECT r.cluster_id, r.doc_id AS keeper_doc_id, r.n_chars AS keeper_n_chars,
+           c.n_members
+    FROM ranked r JOIN counts c ON r.cluster_id = c.cluster_id
+    WHERE r.rn = 1
+    """
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLE["dedup_keep_best"] = _sql_keep_best_duck()
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — the evaluation harness every ANN deployment needs:
+# recall@5 of the LSH index against the brute-force ground truth, per
+# query. Composes the two existing templates as subqueries; the output is
+# one row per query vector, so the eval itself is free at any scale (the
+# cost is the two retrieval paths, both already bounded/bucketed).
+def _sql_ann_recall(E):
+    return f"""
+    WITH truth AS (
+      SELECT query_id, vec_id FROM ({_sql_ann_brute(E)}) WHERE rn <= 5
+    ),
+    retrieved AS (
+      SELECT query_id, vec_id FROM ({_sql_ann_lsh(E)})
+    ),
+    hits AS (
+      SELECT t.query_id,
+             COUNT(*) AS n_truth,
+             COUNT(r.vec_id) AS n_hits
+      FROM truth t
+      LEFT JOIN retrieved r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+      GROUP BY t.query_id
+    ),
+    retr AS (SELECT query_id, COUNT(*) AS n_retrieved FROM retrieved GROUP BY query_id)
+    SELECT h.query_id,
+           CAST(h.n_truth AS BIGINT) AS n_truth,
+           CAST(COALESCE(r.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(h.n_hits AS DOUBLE) / h.n_truth, 6) AS recall_at_5
+    FROM hits h LEFT JOIN retr r ON r.query_id = h.query_id
+    """
+
+
+_register_pair("ann_recall_eval", _sql_ann_recall, tables=("embeddings",))

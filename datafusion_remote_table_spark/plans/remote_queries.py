@@ -442,3 +442,38 @@ def remote_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("remote_stream_scan_result")
+
+
+@register(
+    "remote_command_list_tables",
+    oracle="""
+    SELECT backend, table_name FROM (
+      VALUES ('sqlite', 'customer'), ('sqlite', 'nation'), ('sqlite', 'orders'),
+             ('sqlite', 'region'), ('sqlite', 'supplier'),
+             ('duckdb', 'array_types'), ('duckdb', 'nation'), ('duckdb', 'region')
+    ) AS t(backend, table_name)
+    """,
+)
+def remote_command_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RemoteSource::Command parity (table.rs:21-24 SourceCommand::
+    ListMdbTables, generalized per backend): list the user tables of both
+    live remote DBs through the connector's metadata command. Output is
+    catalog metadata (a handful of rows) — driver-side by nature.
+
+    The listing is intersected with each DB's mirrored base tables so the
+    result is deterministic regardless of whether the remote_insert query
+    (which creates a scratch table in the shared sqlite file) ran first."""
+    base_sqlite = set(_SQLITE_TABLES)
+    base_duckdb = {"array_types", "nation", "region"}
+    rows = [
+        ("sqlite", t)
+        for t in RemoteTable.list_tables(_sqlite_opts(sf_dir))
+        if t in base_sqlite
+    ] + [
+        ("duckdb", t)
+        for t in RemoteTable.list_tables(
+            DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+        )
+        if t in base_duckdb
+    ]
+    return spark.createDataFrame(rows, "backend string, table_name string")

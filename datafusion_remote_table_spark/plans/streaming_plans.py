@@ -7,7 +7,7 @@ property, so they get full DuckDB oracles, not just rows-only checks.
 
 from __future__ import annotations
 
-from ..streaming import stream_dedup_stateful, stream_events_windowed
+from ..streaming import stream_dedup_stateful, stream_events_windowed, stream_remote_sink
 from . import ORACLE, QUERIES
 
 QUERIES["stream_events_windowed"] = stream_events_windowed
@@ -18,6 +18,15 @@ ORACLE["stream_events_windowed"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
+"""
+
+QUERIES["stream_remote_sink"] = stream_remote_sink
+# Bounded stream inserted into a remote table then read back: converges to
+# the batch aggregate over events.
+ORACLE["stream_remote_sink"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
 """
 
 QUERIES["stream_dedup_stateful"] = stream_dedup_stateful

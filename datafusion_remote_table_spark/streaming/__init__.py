@@ -1,1 +1,1 @@
-from .events import stream_dedup_stateful, stream_events_windowed  # noqa: F401
+from .events import stream_dedup_stateful, stream_events_windowed, stream_remote_sink  # noqa: F401

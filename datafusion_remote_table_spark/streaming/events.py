@@ -93,3 +93,45 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
     return _run_bounded(deduped, "stream_dedup_stateful")
+
+
+def stream_remote_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming remote SINK: each microbatch of the events stream is
+    inserted into a remote sqlite table through the federated write path
+    (foreachBatch → RemoteTable.insert, the streaming twin of insert.rs),
+    then the table is read back through the remote scan and aggregated.
+    On bounded input this converges to the batch aggregate over events —
+    which is the oracle. Exactly-once here comes from availableNow +
+    checkpoint (each batch id commits once) plus the append-only insert.
+
+    Scale: foreachBatch runs the insert as a normal Spark write job —
+    server-backed remotes take one connection per partition in parallel;
+    the sqlite stand-in is single-writer (coalesce inside insert())."""
+    import sqlite3
+
+    from ..remote import RemoteTable, SqliteConnectionOptions
+
+    work = tempfile.mkdtemp(prefix="dfrt_rsink_")
+    db = os.path.join(work, "sink.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE events_sink (event_id BIGINT, event_type TEXT, value DOUBLE)")
+    con.commit()
+    con.close()
+    sink = RemoteTable(SqliteConnectionOptions(path=db), ["events_sink"])
+
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.foreachBatch(lambda batch_df, batch_id: sink.insert(batch_df))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        sink.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
