@@ -182,11 +182,15 @@ class _Duck:
 def _repartition_views(spark: SparkSession, dfs: dict) -> None:
     """Small tables arrive as one parquet file → one partition; per-row
     signature/hash compute is CPU-bound, so spread it across the cluster.
-    (At 100TB the scan itself has thousands of splits and this is a no-op
-    cost-wise; locally it models that parallelism.)"""
+    Gated on the scan's split count: at 100TB the scan already has
+    thousands of splits and the shuffle would be pure waste, so inputs
+    with at least defaultParallelism files are registered as-is."""
     n = spark.sparkContext.defaultParallelism
     for name, df in dfs.items():
-        df.repartition(n).createOrReplaceTempView(name)
+        if len(df.inputFiles()) >= n:
+            df.createOrReplaceTempView(name)
+        else:
+            df.repartition(n).createOrReplaceTempView(name)
 
 
 def _register_pair(name: str, build, tables=("documents",), repartition=True):
@@ -686,22 +690,28 @@ _register_pair("dedup_embedding_cosine", _sql_dedup_embedding, tables=("embeddin
 # IVF index: train() is replaced by a fixed seed set, but the partition /
 # probe / re-rank dataflow — and its single shuffle on list id — is the
 # 100TB layout (lists ≈ partitions, probes prune the scan).
-def _sql_ann_ivf(E):
-    cents = "SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16"
+_IVF_CENTS = "SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 16"
+
+
+def _sql_ivf_lists(E):
     dot_vc = E.dot("v.embedding", "c.cent")
-    dot_qc = E.dot("q.embedding", "c.cent")
-    cos = E.dot("q.embedding", "v.embedding")
     return f"""
-    WITH cents AS ({cents}),
+    WITH cents AS ({_IVF_CENTS}),
     assign AS (
       SELECT v.vec_id, v.embedding, c.cent_id,
              ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                 ORDER BY ROUND({dot_vc}, 6) DESC, c.cent_id) AS crn
       FROM embeddings v, cents c
-    ),
-    lists AS (
-      SELECT vec_id, embedding, cent_id FROM assign WHERE crn = 1
-    ),
+    )
+    SELECT vec_id, embedding, cent_id FROM assign WHERE crn = 1
+    """
+
+
+def _sql_ivf_probe(E, lists):
+    dot_qc = E.dot("q.embedding", "c.cent")
+    cos = E.dot("q.embedding", "v.embedding")
+    return f"""
+    WITH cents AS ({_IVF_CENTS}),
     qprobe AS (
       SELECT q.vec_id AS query_id, q.embedding, c.cent_id,
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -713,7 +723,7 @@ def _sql_ann_ivf(E):
     ),
     scored AS (
       SELECT q.query_id, v.vec_id, ROUND({cos}, 6) AS cosine
-      FROM probes q JOIN lists v ON v.cent_id = q.cent_id AND v.vec_id <> q.query_id
+      FROM probes q JOIN {lists} v ON v.cent_id = q.cent_id AND v.vec_id <> q.query_id
     ),
     ranked AS (
       SELECT query_id, vec_id, cosine,
@@ -725,13 +735,19 @@ def _sql_ann_ivf(E):
     """
 
 
+def _sql_ann_ivf(E):
+    return _sql_ivf_probe(E, f"({_sql_ivf_lists(E)})")
+
+
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged to persist the centroid-assignment (Spark re-evaluates CTEs;
-    the inverted lists are built once, probed many times)."""
+    """Staged: the inverted lists (centroid assignment of every vector)
+    are materialized once via persist, then probed — the build-once /
+    probe-many layout of a real IVF index."""
     dfs = load_tables(spark, sf_dir, ("embeddings",))
     _repartition_views(spark, dfs)
-    sql = _sql_ann_ivf(_Spark)
-    return spark.sql(sql)
+    lists = spark.sql(_sql_ivf_lists(_Spark)).persist()
+    lists.createOrReplaceTempView("ivf_lists")
+    return spark.sql(_sql_ivf_probe(_Spark, "ivf_lists"))
 
 
 QUERIES["ann_ivf_cosine"] = ann_ivf_cosine

@@ -1144,3 +1144,331 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_retailprice").cast("double").alias("p_retailprice"), "p_size"
     ).repartition(8)
     return skyline(pts, ["p_retailprice", "p_size"])
+
+
+# --------------------------------------------------------------------------
+# q8_market_share — TPC-H Q8 shape: NATION_5's share of ECONOMY-part
+# revenue sold into ASIA, by order year. Scale: part/customer-side dims
+# broadcast; the fact joins shuffle on orderkey/partkey; the share is one
+# tiny final agg on (year).
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem, orders, customer, nation, region, supplier = _t(
+        spark, sf_dir, "part", "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    volume = (F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))).alias("volume")
+    sales = (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey"))),
+              F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA").select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), volume, "supp_nation")
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0).cast(DEC))).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12_late_shipping — TPC-H Q12 shape re-keyed to this schema (no
+# l_shipmode/commitdate): lineitems shipped more than 90 days after the
+# order date, counted into high/low priority classes. Scale: one fact⋈fact
+# join on orderkey, map-side CASE, 2-row output.
+@register(
+    "q12_late_shipping",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           COUNT(*) AS n_late
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY priority_class
+    """,
+)
+def q12_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = _t(spark, sf_dir, "orders", "lineitem")
+    joined = orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    cls = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high").otherwise("low")
+    return joined.groupBy(cls.alias("priority_class")).agg(F.count(F.lit(1)).alias("n_late"))
+
+
+# --------------------------------------------------------------------------
+# q13_customer_distribution — TPC-H Q13: orders-per-customer histogram via
+# LEFT join (customers with zero orders included). Scale: one shuffle on
+# custkey, then a tiny re-agg on the count.
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q15_top_supplier — TPC-H Q15: quarterly revenue per supplier, return the
+# max-revenue supplier(s). Scale: one agg on suppkey; the MAX is a scalar
+# broadcast back over the (small) per-supplier totals.
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16_supplier_count — TPC-H Q16 shape with lineitem as the part-supplier
+# bridge (no partsupp table in this schema): distinct supplier count per
+# (brand, type, size) for selected sizes. Scale: the distinct is a
+# two-level agg on (brand,type,size,suppkey) — partials map-side.
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    dims = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19_disjunctive_revenue — TPC-H Q19: OR'd brand/size/quantity predicate
+# bundles. The point at scale: Catalyst extracts the common l_partkey join
+# and pushes the disjunction to the scans; output is one row.
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    j = lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(pred).agg(
+        F.sum(F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC)))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20_promo_suppliers — TPC-H Q20 shape via lineitem (no partsupp):
+# suppliers who shipped over 380 units of PROMO parts during 1996. Scale:
+# the HAVING agg runs on (suppkey) — tiny; the semi-join broadcasts it.
+@register(
+    "q20_promo_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 380
+    )
+    """,
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, part = _t(spark, sf_dir, "supplier", "lineitem", "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > 380)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# q21_waiting_suppliers — TPC-H Q21 shape on this schema (returnflag in
+# place of receipt/commit dates): suppliers with a returned lineitem on a
+# multi-supplier finished order where no OTHER supplier had a return —
+# the double correlated EXISTS / NOT EXISTS, executed as semi + anti
+# joins on orderkey. Scale: both probe sides are (orderkey, suppkey)
+# projections; joins shuffle on orderkey, no row explosion.
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    l1 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    with_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_orderkey")) & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    sole_return = with_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_orderkey")) & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_return.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
