@@ -1201,3 +1201,141 @@ def _sql_ann_recall(E):
 
 
 _register_pair("ann_recall_eval", _sql_ann_recall, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# line_dedup_boilerplate — C4-style repeated-line removal. The synthetic
+# docs have no newlines, so "lines" are fixed 5-word segments (same
+# dataflow; a newline corpus swaps the segmenter). A segment that appears
+# in >= 3 distinct docs is boilerplate (headers, footers, license
+# blurbs); the output is the per-doc removal decision a C4-style cleaner
+# acts on. Scale: segment fingerprints are per-row map work; the
+# boilerplate census shuffles on uniform md5 keys; the census result is
+# orders of magnitude smaller than the corpus (only repeated segments
+# survive the HAVING), so the back-join broadcasts.
+_BP_W = 5
+_BP_MIN_DOCS = 3
+
+
+def _sql_line_dedup(E):
+    words = E.splitws("lower(text)")
+    nseg = f"greatest({E.intdiv(f'{E.SIZE}(words) + {_BP_W - 1}', str(_BP_W))}, 1)"
+    seg_fp = f"md5(array_join({E.slice('words', f'(i-1)*{_BP_W}+1', _BP_W)}, ' '))"
+    seg_arr = f"{E.TRANSFORM}({E.seq(1, nseg)}, i -> {seg_fp})"
+    if E is _Duck:
+        seg_arr = seg_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, {E.explode(seg_arr, 'seg_fp')} FROM toks
+    ),
+    boiler AS (
+      SELECT seg_fp FROM segs GROUP BY seg_fp
+      HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+    ),
+    perdoc AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(CASE WHEN b.seg_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate
+      FROM segs s LEFT JOIN boiler b ON s.seg_fp = b.seg_fp
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_segments, n_boilerplate,
+           ROUND(1.0 - CAST(n_boilerplate AS DOUBLE) / n_segments, 6) AS retained_ratio
+    FROM perdoc
+    """
+
+
+_register_pair("line_dedup_boilerplate", _sql_line_dedup)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_ngram_overlap — benchmark-contamination check: 5-gram
+# fingerprint overlap between training docs and a held-out benchmark set
+# (here: source = 'src0'). One row per training doc with its distinct
+# overlapping-shingle count and a 0/1 contaminated flag. Scale: both
+# sides are map-side shingle explodes; the benchmark's DISTINCT set is
+# eval-suite-sized (tiny vs the corpus) so the probe join broadcasts —
+# the corpus side never shuffles.
+_DECON_N = 5
+
+
+def _sql_decontaminate(E):
+    words = E.splitws("lower(text)")
+    fp = f"md5(array_join({E.slice('words', 'i', _DECON_N)}, ' '))"
+    sh_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - {_DECON_N - 1}, 1)')}, i -> {fp})"
+    if E is _Duck:
+        sh_arr = sh_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {words} AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, {E.explode(sh_arr, 'fp')} FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT fp FROM sh WHERE source = 'src0'
+    ),
+    train AS (
+      SELECT doc_id, fp FROM sh WHERE source <> 'src0'
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT CASE WHEN b.fp IS NOT NULL THEN t.fp END) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COUNT(b.fp) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM train t LEFT JOIN bench b ON t.fp = b.fp
+    GROUP BY t.doc_id
+    """
+
+
+_register_pair("decontaminate_ngram_overlap", _sql_decontaminate)
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_score — corpus-LM fluency scoring: a Laplace-smoothed
+# bigram model trained on the corpus itself scores each doc by its mean
+# conditional probability (c(w1 w2) + 1) / (c(w1) + V). The classic
+# KenLM-filter shape with the model table built in-engine. Kept rational
+# (no ln) and summed as rounded DECIMALs so the mean is order-independent
+# and bit-identical across engines. Scale: unigram/vocab tables are
+# vocabulary-sized → broadcast; the only corpus-scale shuffles are the
+# bigram census and the per-doc agg, both on uniform-ish keys with AQE
+# handling the zipf head.
+def _sql_bigram_score(E):
+    words = E.splitws("lower(text)")
+    gram = f"array_join({E.slice('words', 'i', 2)}, ' ')"
+    gram_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, i -> {gram})"
+    if E is _Duck:
+        gram_arr = gram_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    uni AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT {E.explode('words', 'w1')} FROM toks) u GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    doc_grams AS (
+      SELECT doc_id, {E.explode(gram_arr, 'gram')} FROM toks
+    ),
+    gram_counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM doc_grams GROUP BY gram
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(ROUND(CAST(g.c12 + 1 AS DOUBLE) / (u.c1 + vocab.v), 9) AS DECIMAL(12, 9)) AS p
+      FROM doc_grams d
+      JOIN gram_counts g ON d.gram = g.gram
+      JOIN uni u ON split_part(d.gram, ' ', 1) = u.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS avg_cond_prob
+    FROM scored GROUP BY doc_id
+    """
+
+
+_register_pair("text_bigram_score", _sql_bigram_score)
