@@ -17,6 +17,7 @@ from .options import (  # noqa: F401
     DmConnectionOptions,
     DuckdbConnectionOptions,
     GaussdbConnectionOptions,
+    MdbConnectionOptions,
     MysqlConnectionOptions,
     OracleConnectionOptions,
     PostgresConnectionOptions,

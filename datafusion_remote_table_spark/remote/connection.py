@@ -92,6 +92,23 @@ def connect(options: ConnectionOptions):
             user=options.username,
             password=options.password,
         )
+    if backend == "mdb":
+        try:
+            import pyodbc  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "mdb backend requires pyodbc + an Access ODBC driver "
+                "(MDBTools; not bundled in this environment)"
+            ) from e
+        parts = [f"DRIVER={{{options.driver}}}", f"DBQ={options.path}"]
+        if options.uid:
+            parts.append(f"UID={options.uid}")
+        if options.pwd:
+            parts.append(f"PWD={options.pwd}")
+        # sorted so semantically identical param sets produce the same
+        # connection string (mdb/mod.rs cache-key normalization)
+        parts += [f"{k}={v}" for k, v in sorted(options.extra_params.items())]
+        return pyodbc.connect(";".join(parts))
     raise ValueError(f"unknown backend: {backend}")
 
 
@@ -101,4 +118,7 @@ def connect_writable(options: ConnectionOptions):
         import duckdb
 
         return duckdb.connect(options.path, read_only=False)
+    if options.backend == "mdb":
+        # parity: reference mdb/mod.rs insert() is an explicit error
+        raise NotImplementedError("insert is not supported for the mdb backend")
     return connect(options)

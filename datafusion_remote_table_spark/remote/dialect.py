@@ -202,6 +202,54 @@ class DmDialect(OracleDialect):
     name = "dm"
 
 
+class MdbDialect(Dialect):
+    """Access/Jet SQL via the mdbtools ODBC driver (connection/mdb/ in
+    the reference). Three Jet quirks drive every override:
+
+    - no subquery-in-FROM: composition is FLAT — projection rewrites the
+      leading ``SELECT *``, WHERE/LIMIT append to the select-all source,
+      and filter fragments are NOT parenthesized ("mdb sql not support
+      WHERE (..)" — reference connection/mod.rs:296-305). The reference
+      accordingly gates pushdown to Table sources (mod.rs:241); query
+      sources compose without pushdown here too.
+    - identifiers are bracket-quoted (mod.rs:399).
+    - COUNT(*) through mdbtools always returns 0 (mdb/mod.rs
+      fetch_table_row_count), so ``count_query`` raises and the caller
+      falls back to fetch-and-count.
+    """
+
+    name = "mdb"
+
+    def quote_ident(self, ident: str) -> str:
+        return "[" + ident.replace("]", "]]") + "]"
+
+    def compose(
+        self,
+        source_query: str,
+        columns: Sequence[str] | None = None,
+        filters: Sequence[str] = (),
+        limit: int | None = None,
+    ) -> str:
+        sql = source_query.strip()
+        prefix = "SELECT * FROM "
+        if columns and sql.upper().startswith(prefix):
+            proj = ", ".join(self.quote_ident(c) for c in columns)
+            sql = f"SELECT {proj} FROM " + sql[len(prefix):]
+        if filters:
+            sql += " WHERE " + " AND ".join(filters)
+        if limit is not None:
+            sql += f" {self.limit_clause(limit)}"
+        return sql
+
+    def count_query(self, source_query: str) -> str:
+        raise NotImplementedError(
+            "mdb count pushdown unsupported (mdbtools COUNT(*) returns 0); fetch and count instead"
+        )
+
+    def limit0_query(self, source_query: str) -> str:
+        return f"{source_query.strip()} {self.limit_clause(0)}"
+
+
 DIALECTS: dict[str, Dialect] = {
     "sqlite": SqliteDialect(),
     "duckdb": DuckdbDialect(),
@@ -210,6 +258,7 @@ DIALECTS: dict[str, Dialect] = {
     "oracle": OracleDialect(),
     "gaussdb": GaussdbDialect(),
     "dm": DmDialect(),
+    "mdb": MdbDialect(),
 }
 
 

@@ -10,6 +10,7 @@ as JSON, the Spark analogue of the reference's proto codec.
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
+from typing import Dict
 
 
 @dataclass
@@ -107,6 +108,22 @@ class DmConnectionOptions(ConnectionOptions):
     backend: str = field(default="dm", init=False)
 
 
+@dataclass
+class MdbConnectionOptions(ConnectionOptions):
+    """Microsoft Access .mdb via an ODBC driver (connection/mdb/mod.rs
+    parity: path + driver name + optional UID/PWD + verbatim extra
+    key=value params, e.g. Exclusive=1 / IMEX=1). The Python side uses
+    pyodbc (import-gated — not bundled in this environment); the
+    reference uses odbc-api over the MDBTools driver."""
+
+    path: str = ""
+    driver: str = "MDBTools"
+    uid: str = ""
+    pwd: str = ""
+    extra_params: Dict[str, str] = field(default_factory=dict)
+    backend: str = field(default="mdb", init=False)
+
+
 _BACKENDS = {
     "sqlite": SqliteConnectionOptions,
     "duckdb": DuckdbConnectionOptions,
@@ -115,4 +132,5 @@ _BACKENDS = {
     "oracle": OracleConnectionOptions,
     "gaussdb": GaussdbConnectionOptions,
     "dm": DmConnectionOptions,
+    "mdb": MdbConnectionOptions,
 }

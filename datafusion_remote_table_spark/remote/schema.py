@@ -3,7 +3,7 @@
 Parity: /root/reference/remote-table/src/schema.rs — `RemoteType` maps
 each backend's native types to Arrow; here they map to Spark SQL types.
 The mapping tables cover the README's supported-type matrix (Postgres /
-MySQL / Oracle / SQLite / DM / GaussDB) so a user-specified remote
+MySQL / Oracle / SQLite / DM / GaussDB / MDB) so a user-specified remote
 schema round-trips; live inference uses a LIMIT-0 probe plus a one-row
 type sample where the driver reports no metadata (sqlite query sources).
 """
@@ -96,6 +96,14 @@ _BASE = {
     "UINTEGER": T.LongType(),
     "USMALLINT": T.IntegerType(),
     "UTINYINT": T.ShortType(),
+    # MDB / Access display names (schema.rs MdbType::to_string)
+    "BYTE": T.ByteType(),
+    "SMALL INTEGER": T.ShortType(),
+    "LONG INTEGER": T.IntegerType(),
+    "CURRENCY": T.DecimalType(19, 4),
+    "MEMO": T.StringType(),
+    "OLE OBJECT": T.BinaryType(),
+    "GUID": T.BinaryType(),  # Spark has no fixed-size binary; plain binary
 }
 
 _DECIMAL_RE = re.compile(r"^(?:DECIMAL|NUMERIC|NUMBER|DEC)\s*(?:\((\d+)\s*(?:,\s*(-?\d+))?\))?$")

@@ -120,15 +120,31 @@ class RemoteTable:
 
     # -- pushdown-only paths ------------------------------------------------
     def count(self) -> int:
-        """Remote ``SELECT count(*)`` — the count1_agg pushdown parity."""
+        """Remote ``SELECT count(*)`` — the count1_agg pushdown parity.
+
+        Backends whose dialect can't push the count (mdb: mdbtools
+        returns 0 for COUNT(*) — reference mdb/mod.rs
+        fetch_table_row_count) stream the select-all and count rows."""
         from .connection import connect
 
         spec = self.spec()
+        try:
+            count_sql = spec.count_sql()
+        except NotImplementedError:
+            count_sql = None
         conn = connect(self.options)
         try:
             cur = conn.cursor()
-            cur.execute(spec.count_sql())
-            return int(cur.fetchone()[0])
+            if count_sql is not None:
+                cur.execute(count_sql)
+                return int(cur.fetchone()[0])
+            cur.execute(spec.dialect.compose(spec.source_query()))
+            n = 0
+            while True:
+                rows = cur.fetchmany(self.options.stream_chunk_size)
+                if not rows:
+                    return n
+                n += len(rows)
         finally:
             conn.close()
 
@@ -176,6 +192,7 @@ class RemoteTable:
             "oracle": f"jdbc:oracle:thin:@//{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}/{getattr(o, 'service_name', '')}",
             "dm": f"jdbc:dm://{getattr(o, 'host', '')}:{getattr(o, 'port', 0)}",
             "sqlite": f"jdbc:sqlite:{getattr(o, 'path', '')}",
+            "mdb": f"jdbc:ucanaccess://{getattr(o, 'path', '')}",
         }
         url = urls.get(o.backend)
         if url is None:
@@ -194,6 +211,15 @@ class RemoteTable:
         `SourceCommand::ListMdbTables`, generalized per backend)."""
         from .connection import connect
 
+        if options.backend == "mdb":
+            # Jet has no queryable catalog table; the ODBC metadata call is
+            # the route (reference mdb/mod.rs list_tables via mdbtools)
+            conn = connect(options)
+            try:
+                cur = conn.cursor()
+                return sorted(r.table_name for r in cur.tables(tableType="TABLE"))
+            finally:
+                conn.close()
         sql = {
             "sqlite": "SELECT name FROM sqlite_master WHERE type IN ('table','view') ORDER BY name",
             "duckdb": "SELECT table_name FROM information_schema.tables ORDER BY table_name",

@@ -416,3 +416,60 @@ def test_filter_on_transformed_column_not_pushed(spark, sqlite_db):
     rows = t.read(spark).filter(F.col("name") == "TOM").collect()
     assert [tuple(r) for r in rows] == [(1, "TOM")]
     assert t.read(spark).filter(F.col("name") == "Tom").collect() == []
+
+
+# -- MDB (Access) backend wiring (reference connection/mdb/) -----------------
+def test_mdb_backend_fully_wired():
+    """Options serde round trip, bracket-quoted flat SQL composition
+    (Jet has no subquery-in-FROM and rejects parenthesized WHERE — 
+    reference connection/mod.rs:241,296-305,399), count-pushdown refusal
+    (mdbtools COUNT(*) returns 0 — mdb/mod.rs), insert refusal, type
+    matrix, and a clean import-gated connect error."""
+    from datafusion_remote_table_spark.remote import MdbConnectionOptions
+    from datafusion_remote_table_spark.remote.connection import connect, connect_writable
+    from datafusion_remote_table_spark.remote.options import ConnectionOptions
+    from datafusion_remote_table_spark.remote.schema import remote_type_to_spark
+    from pyspark.sql import types as T
+
+    opts = MdbConnectionOptions(path="/data/x.mdb", uid="u", pwd="p", extra_params={"Exclusive": "1"})
+    back = ConnectionOptions.from_dict(opts.to_dict())
+    assert back == opts
+
+    spec = RemoteScanSpec(options=back, table=["my table"], pushed_filters=["[id] > 1"], limit=5)
+    rebuilt = RemoteScanSpec.from_json(spec.to_json())
+    assert rebuilt.remote_sql() == spec.remote_sql()
+    # flat composition: no subquery wrap, unparenthesized WHERE, brackets
+    assert spec.remote_sql() == "SELECT * FROM [my table] WHERE [id] > 1 LIMIT 5"
+    proj = RemoteScanSpec(options=back, table=["t"], columns=["a", "b"])
+    assert proj.remote_sql() == "SELECT [a], [b] FROM [t]"
+
+    with pytest.raises(NotImplementedError, match="count"):
+        spec.count_sql()
+    with pytest.raises(NotImplementedError, match="insert"):
+        connect_writable(back)
+    with pytest.raises(ImportError, match="pyodbc"):
+        connect(back)
+
+    assert remote_type_to_spark("Long Integer") == T.IntegerType()
+    assert remote_type_to_spark("Currency") == T.DecimalType(19, 4)
+    assert remote_type_to_spark("Memo") == T.StringType()
+    assert remote_type_to_spark("OLE Object") == T.BinaryType()
+
+    from datafusion_remote_table_spark.remote import RemoteTable
+
+    assert RemoteTable(back, ["t"]).jdbc_url() == "jdbc:ucanaccess:///data/x.mdb"
+
+
+def test_count_falls_back_to_fetch_when_dialect_cannot_push(sqlite_db, monkeypatch):
+    """RemoteTable.count streams-and-counts when the dialect raises on
+    count_query (the mdb path, exercised against sqlite)."""
+    from datafusion_remote_table_spark.remote.dialect import SqliteDialect
+
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    expected = t.count()
+
+    def no_push(self, source_query):
+        raise NotImplementedError("count pushdown unsupported")
+
+    monkeypatch.setattr(SqliteDialect, "count_query", no_push)
+    assert t.count() == expected
