@@ -7,7 +7,13 @@ property, so they get full DuckDB oracles, not just rows-only checks.
 
 from __future__ import annotations
 
-from ..streaming import stream_dedup_stateful, stream_events_windowed, stream_remote_sink
+from ..streaming import (
+    stream_dedup_stateful,
+    stream_events_windowed,
+    stream_join_enrich,
+    stream_remote_sink,
+    stream_sliding_window,
+)
 from . import ORACLE, QUERIES
 
 QUERIES["stream_events_windowed"] = stream_events_windowed
@@ -27,6 +33,34 @@ ORACLE["stream_remote_sink"] = """
     SELECT event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
+"""
+
+QUERIES["stream_join_enrich"] = stream_join_enrich
+# Stream-static join is stateless; bounded input converges to the batch join.
+ORACLE["stream_join_enrich"] = """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+QUERIES["stream_sliding_window"] = stream_sliding_window
+# Every event falls in exactly two 2h/1h-slide windows: the hour-truncated
+# start and the one before it.
+ORACLE["stream_sliding_window"] = """
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY ws, event_type
 """
 
 QUERIES["stream_dedup_stateful"] = stream_dedup_stateful

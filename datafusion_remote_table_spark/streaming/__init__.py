@@ -1,1 +1,7 @@
-from .events import stream_dedup_stateful, stream_events_windowed, stream_remote_sink  # noqa: F401
+from .events import (  # noqa: F401
+    stream_dedup_stateful,
+    stream_events_windowed,
+    stream_join_enrich,
+    stream_remote_sink,
+    stream_sliding_window,
+)

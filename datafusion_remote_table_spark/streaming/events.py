@@ -135,3 +135,53 @@ def stream_remote_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+def stream_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    customer→nation dimension (static side), aggregated per nation.
+
+    The static side is broadcast — a stream-static equi-join is
+    STATELESS in Structured Streaming (each microbatch joins against the
+    static relation; no state store), which is exactly the 100 TB shape:
+    the dimension ships once per executor, the stream never shuffles
+    before the final keyed agg. Converges to the batch join on bounded
+    input, which is the oracle."""
+    from ..session import load_tables
+
+    dims = load_tables(spark, sf_dir, ("customer", "nation"))
+    dim = (
+        dims["customer"]
+        .join(dims["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("nation"))
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return _run_bounded(agg, "stream_join_enrich")
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (2-hour window, 1-hour slide) per event
+    type: each event lands in exactly two overlapping windows. Watermark
+    bounds state to the active window set; the only shuffle is on
+    (window, event_type)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_bounded(agg, "stream_sliding_window")
