@@ -1339,3 +1339,81 @@ def _sql_bigram_score(E):
 
 
 _register_pair("text_bigram_score", _sql_bigram_score)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy training-sequence packing: the 64-token chunks
+# (doc_chunk_tokens shape) are hash-sharded, ordered by shuffle key, and
+# packed contiguously into 128-token sequences per shard (seq_id = running
+# token offset DIV capacity). This is the tokenize→shuffle→pack tail of a
+# pretraining data pipeline. Scale: packing is a per-shard window over a
+# running SUM — shards are independent, so parallelism = shard count and
+# state per task is one counter; the only shuffle is the shard partition.
+_PACK_CAP = 128
+
+
+def _sql_pack_sequences(E):
+    words = E.splitws("lower(text)")
+    n_chunks = f"greatest({E.intdiv(f'{E.SIZE}(words) - 9', 56)} + 1, 1)"
+    key = f"md5(CAST(doc_id AS {E.STR}))"
+    shard = f"{E.hex2int(f'substring({key}, 1, 4)')} % 8"
+    offset = f"cum - n_tokens"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id, words, {E.explode(E.seq(1, n_chunks), 'c')} FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+             CAST({E.SIZE}({E.slice('words', '1 + 56*(c - 1)', 64)}) AS BIGINT) AS n_tokens,
+             {key} AS shuffle_key,
+             CAST({shard} AS BIGINT) AS shard
+      FROM chunked
+    ),
+    packed AS (
+      SELECT doc_id, chunk_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard
+                                 ORDER BY shuffle_key, doc_id, chunk_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks
+    )
+    SELECT doc_id, chunk_id, n_tokens, shard,
+           CAST({E.intdiv(offset, str(_PACK_CAP))} AS BIGINT) AS seq_id,
+           CAST(({offset}) - {_PACK_CAP} * ({E.intdiv(offset, str(_PACK_CAP))}) AS BIGINT) AS offset_in_seq
+    FROM packed
+    """
+
+
+_register_pair("pack_sequences", _sql_pack_sequences)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mix_report — domain-mixing report: per (lang, source) doc/token
+# counts, corpus fraction, and the deterministic resampling weight that
+# would flatten the mix to uniform across observed groups. The planning
+# input every weighted-sampling stage consumes. Scale: one small agg on
+# (lang, source) + a broadcast scalar total; nothing else moves.
+def _sql_corpus_mix(E):
+    words = E.splitws("text")
+    return f"""
+    WITH per_group AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({E.SIZE}({words})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM per_group
+    )
+    SELECT g.lang, g.source, g.n_docs, g.n_tokens,
+           ROUND(CAST(g.n_tokens AS DOUBLE) / t.all_tokens, 6) AS token_frac,
+           ROUND((CAST(t.all_tokens AS DOUBLE) / t.n_groups) / g.n_tokens, 6) AS uniform_weight
+    FROM per_group g CROSS JOIN tot t
+    """
+
+
+_register_pair("corpus_mix_report", _sql_corpus_mix)
