@@ -1417,3 +1417,48 @@ def _sql_corpus_mix(E):
 
 
 _register_pair("corpus_mix_report", _sql_corpus_mix)
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean_pipeline — the composed end-to-end cleaning decision: every
+# doc gets one verdict with the FIRST failing rule, in the order a real
+# pipeline applies them — exact-dup keeper (min doc_id per normalized
+# fingerprint), Gopher quality gate, boilerplate ratio, benchmark
+# contamination. This is the table a corpus build materializes and acts
+# on. Scale: composes the per-rule subqueries (each already shuffle-
+# minimal); the final assembly is LEFT joins on doc_id — co-partitioned
+# by the same uniform key, no new skew.
+def _sql_corpus_clean(E):
+    return f"""
+    WITH fps AS (
+      SELECT doc_id, md5({E.collapse_ws('lower(text)')}) AS fp FROM documents
+    ),
+    keepers AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM fps GROUP BY fp
+    ),
+    gopher AS ({_sql_quality_filter(E)}),
+    boiler AS ({_sql_line_dedup(E)}),
+    decon AS ({_sql_decontaminate(E)}),
+    near_pairs AS ({_sql_minhash_oracle(E)}),
+    near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM near_pairs
+    )
+    SELECT f.doc_id,
+           CASE
+             WHEN f.doc_id <> k.keeper THEN 'exact_dup'
+             WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+             WHEN g.keep = 0 THEN 'quality'
+             WHEN b.retained_ratio < 0.8e0 THEN 'boilerplate'
+             WHEN COALESCE(dc.contaminated, 0) = 1 THEN 'contaminated'
+             ELSE 'kept'
+           END AS decision
+    FROM fps f
+    JOIN keepers k ON f.fp = k.fp
+    LEFT JOIN near_dups nd ON f.doc_id = nd.doc_id
+    LEFT JOIN gopher g ON f.doc_id = g.doc_id
+    LEFT JOIN boiler b ON f.doc_id = b.doc_id
+    LEFT JOIN decon dc ON f.doc_id = dc.doc_id
+    """
+
+
+_register_pair("corpus_clean_pipeline", _sql_corpus_clean)
