@@ -38,6 +38,11 @@ HEADLINE = [
     "asof_join_events_orders",
     "dedup_simhash",
     "text_top_ngrams",
+    # round-2 additions: training-data pipeline tail (chunk→pack, corpus
+    # LM scoring, and the composed cleaning pipeline)
+    "pack_sequences",
+    "text_bigram_score",
+    "corpus_clean_pipeline",
 ]
 
 

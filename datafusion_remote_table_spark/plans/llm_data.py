@@ -396,24 +396,43 @@ _MINHASH_STAGE_CACHE: dict = {}
 
 
 def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Persisted shingle + band staging, shared across the three minhash
-    consumers (dedup_minhash_lsh / dedup_clusters / dedup_keep_best): the
-    per-row signature compute is the expensive stage, and it is identical
-    in all three, so one materialization serves them all. Returns the
-    (shingles, bands) temp-view names. Keyed by session+sf_dir so the
-    driver's one-session-many-queries run pays the stage once."""
+    """Persisted shingle + band staging, shared across the minhash
+    consumers (dedup_minhash_lsh / dedup_clusters / dedup_keep_best /
+    corpus_clean_pipeline): the per-row signature compute is the
+    expensive stage, and it is identical in all of them, so one
+    materialization serves them all. Returns the (shingles, bands)
+    temp-view names. Keyed by session+sf_dir so the driver's
+    one-session-many-queries run pays the stage once.
+
+    The staging views are PRIVATE, per-sf_dir names built from the
+    loaded DataFrame, never from the shared ``documents`` temp view:
+    ``createOrReplaceTempView("documents")`` by any later query UNCACHES
+    every cached plan that referenced the replaced view (Spark recaches
+    by name), which silently dropped this staging and made downstream
+    consumers recompute the signature stage per CTE reference (measured
+    18 s vs 2.3 s for corpus_clean_pipeline at sf0.1 mid-bench)."""
     key = (id(spark), os.path.abspath(sf_dir))
     if key in _MINHASH_STAGE_CACHE:
         return _MINHASH_STAGE_CACHE[key]
+    import hashlib
+
+    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     dfs = load_tables(spark, sf_dir, ("documents",))
-    _repartition_views(spark, dfs)
-    sh = spark.sql(_minhash_shingles(_Spark)).persist()
-    sh.createOrReplaceTempView("mh_sh")
+    docs = dfs["documents"]
+    n = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < n:
+        docs = docs.repartition(n)
+    doc_view = f"mh_docs_{suff}"
+    docs.createOrReplaceTempView(doc_view)
+    sh = spark.sql(_minhash_shingles(_Spark, src=doc_view)).persist()
+    sh_view = f"mh_sh_{suff}"
+    sh.createOrReplaceTempView(sh_view)
     bands = spark.sql(
-        _minhash_bands(_Spark, f"({_minhash_sigs(_Spark, 'mh_sh')})")
+        _minhash_bands(_Spark, f"({_minhash_sigs(_Spark, sh_view)})")
     ).persist()
-    bands.createOrReplaceTempView("mh_bands")
-    _MINHASH_STAGE_CACHE[key] = ("mh_sh", "mh_bands")
+    bands_view = f"mh_bands_{suff}"
+    bands.createOrReplaceTempView(bands_view)
+    _MINHASH_STAGE_CACHE[key] = (sh_view, bands_view)
     return _MINHASH_STAGE_CACHE[key]
 
 
@@ -1427,8 +1446,13 @@ _register_pair("corpus_mix_report", _sql_corpus_mix)
 # contamination. This is the table a corpus build materializes and acts
 # on. Scale: composes the per-rule subqueries (each already shuffle-
 # minimal); the final assembly is LEFT joins on doc_id — co-partitioned
-# by the same uniform key, no new skew.
-def _sql_corpus_clean(E):
+# by the same uniform key, no new skew. The Spark runner feeds the
+# near-dup rule from the PERSISTED shared minhash pair staging
+# (_minhash_pairs) — inlining the pair CTE re-evaluates the signature
+# stage once per reference (Spark re-evaluates CTEs; measured 18.5 s vs
+# ~3 s at sf0.1); the DuckDB oracle inlines it (DuckDB materializes CTEs).
+def _sql_corpus_clean(E, near_pairs_src=None):
+    near_pairs = near_pairs_src or f"({_sql_minhash_oracle(E)})"
     return f"""
     WITH fps AS (
       SELECT doc_id, md5({E.collapse_ws('lower(text)')}) AS fp FROM documents
@@ -1439,9 +1463,8 @@ def _sql_corpus_clean(E):
     gopher AS ({_sql_quality_filter(E)}),
     boiler AS ({_sql_line_dedup(E)}),
     decon AS ({_sql_decontaminate(E)}),
-    near_pairs AS ({_sql_minhash_oracle(E)}),
     near_dups AS (
-      SELECT DISTINCT doc_b AS doc_id FROM near_pairs
+      SELECT DISTINCT doc_b AS doc_id FROM {near_pairs} np
     )
     SELECT f.doc_id,
            CASE
@@ -1461,4 +1484,16 @@ def _sql_corpus_clean(E):
     """
 
 
-_register_pair("corpus_clean_pipeline", _sql_corpus_clean)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"cc_near_pairs_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    pairs.createOrReplaceTempView(view)
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_corpus_clean(_Spark, near_pairs_src=view))
+
+
+QUERIES["corpus_clean_pipeline"] = corpus_clean_pipeline
+ORACLE["corpus_clean_pipeline"] = _sql_corpus_clean(_Duck)
