@@ -761,12 +761,31 @@ def _sql_ann_ivf(E):
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged: the inverted lists (centroid assignment of every vector)
     are materialized once via persist, then probed — the build-once /
-    probe-many layout of a real IVF index."""
-    dfs = load_tables(spark, sf_dir, ("embeddings",))
-    _repartition_views(spark, dfs)
-    lists = spark.sql(_sql_ivf_lists(_Spark)).persist()
-    lists.createOrReplaceTempView("ivf_lists")
-    return spark.sql(_sql_ivf_probe(_Spark, "ivf_lists"))
+    probe-many layout of a real IVF index. The list build reads the
+    loaded DataFrame through a PRIVATE per-dataset view (not the shared
+    ``embeddings`` view) so later view re-registrations can't uncache it
+    (same trap as the minhash staging), and is cached per session+sf_dir
+    so repeat probes don't rebuild or re-persist the index."""
+    import hashlib
+
+    key = ("ivf", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        dfs = load_tables(spark, sf_dir, ("embeddings",))
+        emb = dfs["embeddings"]
+        n = spark.sparkContext.defaultParallelism
+        if len(emb.inputFiles()) < n:
+            emb = emb.repartition(n)
+        emb_view = f"ivf_emb_{suff}"
+        emb.createOrReplaceTempView(emb_view)
+        lists = spark.sql(
+            _sql_ivf_lists(_Spark).replace("embeddings", emb_view)
+        ).persist()
+        lists_view = f"ivf_lists_{suff}"
+        lists.createOrReplaceTempView(lists_view)
+        _MINHASH_STAGE_CACHE[key] = (emb_view, lists_view)
+    emb_view, lists_view = _MINHASH_STAGE_CACHE[key]
+    return spark.sql(_sql_ivf_probe(_Spark, lists_view).replace("embeddings", emb_view))
 
 
 QUERIES["ann_ivf_cosine"] = ann_ivf_cosine
