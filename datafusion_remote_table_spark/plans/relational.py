@@ -1472,3 +1472,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q11_important_stock — TPC-H Q11 shape re-keyed to this schema (no
+# partsupp table): per-part inventory value from NATION_3's suppliers,
+# keeping parts whose value exceeds 0.1% of the nation total. Completes
+# the 22 TPC-H query shapes. Scale: supplier/nation dims broadcast, one
+# shuffle on l_partkey for the agg; the total is a broadcast scalar.
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l.l_quantity AS DECIMAL(18,2))) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total FROM val)
+    SELECT v.l_partkey AS p_partkey, CAST(v.value AS DOUBLE) AS part_value
+    FROM val v CROSS JOIN tot t
+    WHERE CAST(v.value AS DOUBLE) > CAST(t.total AS DOUBLE) * 0.001e0
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    val = (
+        lineitem.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation.filter(F.col("n_name") == "NATION_3").select("n_nationkey")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.001))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
