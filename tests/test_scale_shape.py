@@ -88,3 +88,18 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_minhash_staging_survives_view_replacement(spark, sf_dir):
+    """Regression: `createOrReplaceTempView` on a shared name uncaches
+    every persisted plan that referenced the replaced view. The minhash
+    staging must keep serving from cache after other queries re-register
+    the `documents` view (it cost 10x on corpus_clean_pipeline when it
+    didn't — see docs/SCALE.md)."""
+    from datafusion_remote_table_spark.plans.llm_data import _minhash_pairs
+
+    _minhash_pairs(spark, sf_dir).count()  # build + persist the staging
+    # simulate an unrelated query re-registering the shared view
+    plans.QUERIES["text_quality_score"](spark, sf_dir).count()
+    plan = _plan(plans.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "minhash staging lost its cache"
