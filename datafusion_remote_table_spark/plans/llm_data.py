@@ -1516,3 +1516,99 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["corpus_clean_pipeline"] = corpus_clean_pipeline
 ORACLE["corpus_clean_pipeline"] = _sql_corpus_clean(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_embedding — SemDeDup (Abbas et al. 2023) shape: coarse-cluster
+# the embedding space (the IVF centroid assignment), then prune vectors
+# whose cosine to a LOWER-ID member of the same cluster exceeds the
+# threshold — pairwise comparison happens only WITHIN clusters, which is
+# the published algorithm's trick for corpus-scale semantic dedup. One
+# verdict row per vector. Scale: the only shuffle is the cluster id; the
+# intra-cluster quadratic is bounded by cluster size (lists ≈ partitions;
+# a max-cluster valve caps degenerate clusters the same way the minhash
+# bucket valve does).
+_SEMDEDUP_T = 0.35
+
+
+def _sql_semdedup(E, lists_src=None):
+    lists = lists_src or f"({_sql_ivf_lists(E)})"
+    cos = (
+        f"{E.dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({E.dot('a.embedding', 'a.embedding')}) * sqrt({E.dot('b.embedding', 'b.embedding')}))"
+    )
+    return f"""
+    WITH pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM {lists} a JOIN {lists} b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {cos} >= {_SEMDEDUP_T}e0
+    )
+    SELECT l.vec_id, l.cent_id,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM {lists} l LEFT JOIN pruned p ON l.vec_id = p.vec_id
+    """
+
+
+def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reuse the persisted IVF assignment staging (built behind private
+    # per-dataset views so later view registrations can't uncache it)
+    ann_ivf_cosine(spark, sf_dir)  # ensures the staging exists
+    import hashlib
+
+    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return spark.sql(_sql_semdedup(_Spark, lists_src=f"ivf_lists_{suff}"))
+
+
+QUERIES["semdedup_embedding"] = semdedup_embedding
+ORACLE["semdedup_embedding"] = _sql_semdedup(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# minhash_accuracy_eval — the minhash analogue of ann_recall_eval: for
+# every LSH-verified near-dup pair, compare the signature-estimated
+# jaccard (matching permutations / 32) against the exact shingle jaccard
+# and report the absolute error. The eval harness a pipeline runs when
+# tuning bands/rows. Scale: pairs are few (LSH output); the only joins
+# are pair→signature lookups on doc_id.
+def _sql_minhash_accuracy(E):
+    sh = f"({_minhash_shingles(E)})"
+    sig = f"({_minhash_sigs(E, sh)})"
+    pairs = f"({_sql_minhash_oracle(E)})"
+    matches = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 32)}, p -> CASE WHEN {E.idx('sa.sigs', 'p')} = {E.idx('sb.sigs', 'p')} THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT v.doc_a, v.doc_b, v.jaccard AS exact_jaccard,
+           ROUND(CAST({matches} AS DOUBLE) / 32, 6) AS est_jaccard,
+           ROUND(abs(CAST({matches} AS DOUBLE) / 32 - v.jaccard), 6) AS abs_err
+    FROM {pairs} v
+    JOIN {sig} sa ON v.doc_a = sa.doc_id
+    JOIN {sig} sb ON v.doc_b = sb.doc_id
+    """
+
+
+def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    import hashlib
+
+    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    view = f"mh_acc_pairs_{suff}"
+    pairs.createOrReplaceTempView(view)
+    sh_view, _ = _minhash_stage(spark, sf_dir)
+    sig = f"({_minhash_sigs(_Spark, sh_view)})"
+    matches = _Spark.list_sum_int(
+        f"{_Spark.TRANSFORM}({_Spark.seq(1, 32)}, p -> CASE WHEN {_Spark.idx('sa.sigs', 'p')} = {_Spark.idx('sb.sigs', 'p')} THEN 1 ELSE 0 END)"
+    )
+    return spark.sql(f"""
+    SELECT v.doc_a, v.doc_b, v.jaccard AS exact_jaccard,
+           ROUND(CAST({matches} AS DOUBLE) / 32, 6) AS est_jaccard,
+           ROUND(abs(CAST({matches} AS DOUBLE) / 32 - v.jaccard), 6) AS abs_err
+    FROM {view} v
+    JOIN {sig} sa ON v.doc_a = sa.doc_id
+    JOIN {sig} sb ON v.doc_b = sb.doc_id
+    """)
+
+
+QUERIES["minhash_accuracy_eval"] = minhash_accuracy_eval
+ORACLE["minhash_accuracy_eval"] = _sql_minhash_accuracy(_Duck)
