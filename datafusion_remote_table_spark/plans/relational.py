@@ -1525,3 +1525,95 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# events_funnel — ordered view→click→purchase funnel: each step's
+# timestamp must follow the previous step's (MIN-after-predecessor, the
+# classic funnel semantics). Scale: three keyed aggs + two joins, all
+# shuffling on user_id — co-partitioned, no skew (uniform users); the
+# final count is three broadcast scalars.
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — daily signup cohorts × activity-day offsets: the
+# standard retention triangle. Scale: one agg for first-seen, one
+# distinct on (user, offset), one count — all shuffled on user_id/cohort
+# keys; the output is cohort-days × offsets (tiny at any input scale).
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.d0,
+             CAST(date_diff('day', f.d0, CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(d0, '%Y-%m-%d') AS cohort_day, day_offset,
+           COUNT(*) AS n_users
+    FROM act GROUP BY d0, day_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("t0")).select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("t0"))).alias("d0")
+    )
+    act = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("d0")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("d0", "day_offset").agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"), "day_offset", "n_users"
+    )
