@@ -1617,3 +1617,77 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("d0", "day_offset").agg(F.count(F.lit(1)).alias("n_users")).select(
         F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"), "day_offset", "n_users"
     )
+
+
+# --------------------------------------------------------------------------
+# window_analytics — the ranking-window family in one pass: ntile
+# quartiles, percent_rank, cume_dist, first/last value over per-customer
+# spend. One shuffle on the (empty) partition key — a global window here,
+# partitioned by market segment so the sort is per-segment, not global.
+@register(
+    "window_analytics",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey
+    )
+    SELECT c_mktsegment, o_custkey, total_spend,
+           CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_custkey) OVER w AS top_spender
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend DESC, o_custkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    spend = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("total_spend").desc(), "o_custkey")
+    return spend.select(
+        "c_mktsegment", "o_custkey", "total_spend",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_custkey").over(w).alias("top_spender"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_cube — full CUBE over (order status, order year): all four grouping
+# combinations in one shuffle (Catalyst expands the grouping sets
+# map-side; partial aggregation still applies).
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderstatus",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "o_totalprice",
+        )
+        .cube("o_orderstatus", "o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+    )
