@@ -1,0 +1,117 @@
+"""Corpus-cleaning operators as a reusable DataFrame API.
+
+The fixed-parameter versions registered in plans/llm_data.py are the
+driver-verified instances of these; this module exposes the same
+algorithms with tunable parameters for pipeline use (same contract as
+operators/dedup.py).
+
+Scale posture (100TB):
+- segment/shingle fingerprints are per-row map work (no Python, no
+  shuffle until the census);
+- censuses shuffle on uniform md5 keys; their outputs (repeated
+  segments, benchmark shingle sets) are tiny relative to the corpus, so
+  back-joins broadcast;
+- sequence packing is a per-shard running-sum window: shards are
+  independent, parallelism = shard count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ngram_shingles, tokens
+
+
+def segment_fingerprints(text: Column, seg_words: int = 5) -> Column:
+    """Fixed-width word-segment md5 fingerprints (the 'lines' of a
+    newline-free corpus; swap for split('\\n') on a newline corpus)."""
+    words = tokens(F.lower(text))
+    n_segs = F.greatest(
+        (F.size(words) + F.lit(seg_words - 1)).cast("long") / F.lit(seg_words), F.lit(1)
+    ).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), n_segs),
+        lambda i: F.md5(F.array_join(F.slice(words, (i - F.lit(1)) * seg_words + F.lit(1), seg_words), " ")),
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style repeated-segment census → per-doc boilerplate stats
+    (n_segments, n_boilerplate, retained_ratio)."""
+    segs = df.select(
+        F.col(id_col), F.explode(segment_fingerprints(F.col(text_col), seg_words)).alias("seg_fp")
+    )
+    boiler = (
+        segs.groupBy("seg_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg_fp")
+    )
+    return (
+        segs.join(F.broadcast(boiler.withColumn("__b", F.lit(1))), "seg_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).alias("n_boilerplate"),
+        )
+        .withColumn(
+            "retained_ratio",
+            F.round(F.lit(1.0) - F.col("n_boilerplate") / F.col("n_segments"), 6),
+        )
+    )
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per training doc, the count of
+    distinct n-gram fingerprints shared with the benchmark corpus and a
+    contaminated flag. The benchmark's distinct shingle set is
+    eval-suite-sized → broadcast; the corpus side never shuffles."""
+    sh = lambda d: d.select(  # noqa: E731
+        F.col(id_col), F.explode(ngram_shingles(F.col(text_col), n, distinct=True)).alias("fp")
+    )
+    bench = sh(bench_df).select("fp").distinct()
+    return (
+        sh(train_df)
+        .join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct(F.when(F.col("__hit").isNotNull(), F.col("fp"))).alias("n_overlap"),
+        )
+        .withColumn("contaminated", (F.col("n_overlap") > 0).cast("int"))
+    )
+
+
+def pack_sequences(
+    chunks_df: DataFrame,
+    tokens_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("shuffle_key",),
+    shard_col: str = "shard",
+    capacity: int = 128,
+) -> DataFrame:
+    """Greedy contiguous packing of token chunks into fixed-capacity
+    training sequences, independently per shard (running-sum window)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    offset = cum - F.col(tokens_col)
+    return chunks_df.withColumn("seq_id", (offset / capacity).cast("long")).withColumn(
+        "offset_in_seq", (offset - F.col("seq_id") * capacity).cast("long")
+    )

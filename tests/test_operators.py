@@ -221,3 +221,45 @@ def test_minhash_skew_valve_in_registered_template(spark):
     con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
     want = sorted(tuple(r) for r in con.execute(_sql_minhash_oracle(_Duck)).fetchall())
     assert got == want
+
+
+# -- corpus-cleaning API (operators/corpus.py) -------------------------------
+def test_boilerplate_stats_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import boilerplate_stats
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = boilerplate_stats(docs).orderBy("doc_id").toPandas()
+    reg = plans.QUERIES["line_dedup_boilerplate"](spark, sf_dir).orderBy("doc_id").toPandas()
+    assert (api["n_segments"].to_numpy() == reg["n_segments"].to_numpy()).all()
+    assert (api["n_boilerplate"].to_numpy() == reg["n_boilerplate"].to_numpy()).all()
+
+
+def test_ngram_decontaminate_flags_known_overlap(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import ngram_decontaminate
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    out = ngram_decontaminate(train, bench).toPandas()
+    assert len(out) == train.count()
+    reg = plans.QUERIES["decontaminate_ngram_overlap"](spark, sf_dir).toPandas()
+    assert out.contaminated.sum() == reg.contaminated.sum()
+
+
+def test_pack_sequences_never_exceeds_offset_capacity(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import pack_sequences
+
+    chunks = spark.range(200).select(
+        F.col("id").alias("chunk"),
+        (F.col("id") % 8).alias("shard"),
+        F.md5(F.col("id").cast("string")).alias("shuffle_key"),
+        (F.col("id") % 50 + 10).alias("n_tokens"),
+    )
+    out = pack_sequences(chunks, capacity=128).toPandas()
+    assert (out.offset_in_seq >= 0).all() and (out.offset_in_seq < 128).all()
+    # packing is contiguous per shard: the last sequence starts below the
+    # total token count, so max seq_id is bounded by total/capacity
+    for _, grp in out.groupby("shard"):
+        assert grp.seq_id.max() <= grp.n_tokens.sum() // 128
