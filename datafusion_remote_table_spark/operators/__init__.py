@@ -1,3 +1,4 @@
+from .corpus import boilerplate_stats, ngram_decontaminate, pack_sequences  # noqa: F401
 from .dedup import exact_dedup, minhash_lsh_pairs, simhash_signatures  # noqa: F401
 from .similarity import brute_force_topk, lsh_buckets  # noqa: F401
 from .windows import sessionize, tumbling_window  # noqa: F401
