@@ -1612,3 +1612,34 @@ def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["minhash_accuracy_eval"] = minhash_accuracy_eval
 ORACLE["minhash_accuracy_eval"] = _sql_minhash_accuracy(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_frame_sample — the frame-sampling dataflow as a driver query:
+# payloads are opaque binary (text bytes stand in for media), n_frames
+# derives from payload length, and every 4th frame is emitted as a
+# fixed-width byte slice identified by its md5. The explode/slice shape
+# (one row per sampled frame, payload stays executor-side) is exactly
+# what a real video table runs; only the codec is fake. Scale: pure
+# map-side explode — zero shuffle.
+def _sql_frame_sample(E):
+    # the payload is conceptually opaque bytes; the corpus is ASCII so
+    # char slices == byte slices, which keeps the oracle in ANSI SQL
+    # (DuckDB has no BLOB slicing — the API version in
+    # multimodal/decode.py slices real bytes in the Pandas kernel)
+    return f"""
+    WITH media AS (
+      SELECT doc_id, text AS payload, length(text) AS n_bytes FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, payload,
+             {E.explode(f"{E.seq(0, '(n_bytes % 8)')}", 'f')}
+      FROM media
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           md5(substring(payload, f * 16 + 1, 16)) AS frame_md5
+    FROM frames WHERE f % 4 = 0
+    """
+
+
+_register_pair("multimodal_frame_sample", _sql_frame_sample)
