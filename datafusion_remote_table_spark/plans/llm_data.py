@@ -1033,6 +1033,75 @@ _register_pair("quality_filter_gopher", _sql_quality_filter)
 
 
 # ---------------------------------------------------------------------------
+# quality_repetition_signals — Gopher's WITHIN-document repetition rules
+# (the companion to quality_filter_gopher's document-level bounds): the
+# fraction of tokens taken by the most frequent word, the fraction of
+# characters covered by the most frequent word-bigram, and the duplicate
+# word-trigram fraction. Reference pipelines drop a doc when any signal is
+# high (template spam, keyword stuffing, boilerplate loops).
+# Scale shape: trigram dedup is per-row array math (zero shuffle); the
+# top-word / top-bigram counts explode then aggregate keyed by
+# (doc_id, gram) — uniform keys, partial aggregation map-side, and the
+# per-doc top-1 is a bounded window over already-aggregated counts.
+def _sql_repetition_signals(E):
+    words = E.splitws("lower(text)")
+    bigrams = (
+        f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, "
+        f"i -> array_join({E.slice('words', 'i', 2)}, ' '))"
+    )
+    trigrams = (
+        f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 2, 1)')}, "
+        f"i -> array_join({E.slice('words', 'i', 3)}, ' '))"
+    )
+    if E is _Duck:
+        bigrams = bigrams.replace("array_join", "array_to_string")
+        trigrams = trigrams.replace("array_join", "array_to_string")
+    strip_ws = E.regexp_replace_all("text", "\\\\s" if E is _Spark else "\\s", "")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {words} AS words,
+             CAST(length({strip_ws}) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, words, n_chars,
+             CAST({E.SIZE}(words) AS BIGINT) AS n_tokens,
+             1.0 - CAST({E.SIZE}({E.ADISTINCT}({trigrams})) AS DOUBLE)
+                 / greatest({E.SIZE}(words) - 2, 1) AS dup_trigram_frac
+      FROM base
+    ),
+    uni AS (SELECT doc_id, {E.explode('words', 'w')} FROM base),
+    uni_top AS (
+      SELECT doc_id, MAX(c) AS top_word_n
+      FROM (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ),
+    bi AS (SELECT doc_id, {E.explode(bigrams, 'gram')} FROM base),
+    bi_counts AS (
+      SELECT doc_id, gram, COUNT(*) AS c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
+      FROM bi GROUP BY doc_id, gram
+    ),
+    bi_top AS (SELECT doc_id, gram, c FROM bi_counts WHERE rn = 1)
+    SELECT f.doc_id, f.n_tokens,
+           CAST(u.top_word_n AS DOUBLE) / f.n_tokens AS top_word_frac,
+           CAST(b.c * length(replace(b.gram, ' ', '')) AS DOUBLE) / f.n_chars
+               AS top_bigram_char_frac,
+           f.dup_trigram_frac,
+           CASE WHEN CAST(u.top_word_n AS DOUBLE) / f.n_tokens <= 0.125
+                 AND CAST(b.c * length(replace(b.gram, ' ', '')) AS DOUBLE) / f.n_chars <= 0.11
+                 AND f.dup_trigram_frac <= 0.02
+                THEN 1 ELSE 0 END AS keep
+    FROM feats f
+    JOIN uni_top u ON f.doc_id = u.doc_id
+    JOIN bi_top b ON f.doc_id = b.doc_id
+    """
+
+
+_register_pair("quality_repetition_signals", _sql_repetition_signals)
+
+
+# ---------------------------------------------------------------------------
 # global_shuffle_shards — the training-data global shuffle: each doc gets a
 # deterministic pseudo-random shard (md5-bucket, uniform by construction)
 # and a position WITHIN its shard (window partitioned by shard, ordered by
