@@ -102,6 +102,20 @@ class _Spark:
     def intdiv(a, b):
         return f"(({a}) DIV ({b}))"
 
+    @staticmethod
+    def sqdist(a, b):
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    @staticmethod
+    def list_ordered(val, key):
+        return (
+            f"transform(array_sort(collect_list(named_struct('k', {key}, 'v', {val}))), s -> s.v)"
+        )
+
 
 class _Duck:
     STR = "VARCHAR"
@@ -177,6 +191,18 @@ class _Duck:
     @staticmethod
     def intdiv(a, b):
         return f"(({a}) // ({b}))"
+
+    @staticmethod
+    def sqdist(a, b):
+        return (
+            f"COALESCE(list_sum(list_transform(generate_series(1, len({a})), i -> "
+            f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)) * "
+            f"(CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)))), 0.0)"
+        )
+
+    @staticmethod
+    def list_ordered(val, key):
+        return f"list({val} ORDER BY {key})"
 
 
 def _repartition_views(spark: SparkSession, dfs: dict) -> None:
@@ -1099,6 +1125,117 @@ def _sql_repetition_signals(E):
 
 
 _register_pair("quality_repetition_signals", _sql_repetition_signals)
+
+
+# ---------------------------------------------------------------------------
+# sample_temperature_mix — temperature-weighted corpus mixing (the mC4 /
+# UniMax multilingual recipe): per-language target share ∝ (n_lang/N)^α
+# with α=0.7, renormalized, then a per-language keep rate that hits a 50%
+# overall token budget, clamped at 1. Selection is the same deterministic
+# md5-uniform threshold sample_stratified uses, so the sample is
+# reproducible and resumable. Scale: one tiny per-lang aggregate
+# (broadcastable), then a pure map-side filter — zero data shuffle.
+def _sql_sample_temperature(E):
+    u = E.hex2int(f"substring(md5(CAST(doc_id AS {E.STR})), 1, 4)")
+    return f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+    wts AS (
+      SELECT lang, n, POWER(CAST(n AS DOUBLE) / t, 0.7e0) AS wt FROM counts, tot
+    ),
+    rates AS (
+      SELECT lang, n,
+             LEAST(1.0e0, wt / SUM(wt) OVER () * (SELECT t FROM tot) * 0.5e0
+                          / CAST(n AS DOUBLE)) AS rate
+      FROM wts
+    )
+    SELECT d.doc_id, d.lang, r.n AS lang_docs, ROUND(r.rate, 6) AS rate
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE {u} < CAST(floor(r.rate * 65536.0e0) AS BIGINT)
+    """
+
+
+_register_pair("sample_temperature_mix", _sql_sample_temperature, repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_embeddings — Lloyd's k-means over the embedding table (k=4, 3
+# unrolled iterations), the clustering primitive behind cluster-balanced
+# corpus sampling and SemDeDup-style curation. Deterministic end to end:
+# seeds are the k vectors with the smallest md5(vec_id) (a global top-k,
+# bounded by k); assignment argmin rounds the squared distance to 6dp with
+# a cent_id tie-break; the centroid mean goes through floor()-quantized
+# fixed-point BIGINT sums, so it is order-independent and bit-identical
+# across engines (float SUM would drift with partition order).
+# Scale shape per iteration: centroids are k tiny rows (broadcast to the
+# assignment cross join — never a data shuffle); the update explodes
+# (row × dim) and aggregates on (cent_id, dim) — k*dim uniform keys with
+# map-side partial sums. Iteration count is fixed (a production run loops
+# until shift < eps, same dataflow per round).
+_KM_K = 4
+_KM_DIM = 64
+_KM_ITERS = 3
+
+
+def _sql_kmeans(E):
+    seed_key = f"md5(CAST(vec_id AS {E.STR}))"
+    to_double = f"{E.TRANSFORM}(embedding, x -> CAST(x AS DOUBLE))"
+    val_fp = (
+        f"CAST(floor(CAST({E.idx('v.embedding', 'dims.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    )
+    parts = [
+        f"""dims AS (SELECT {E.explode(E.seq(1, _KM_DIM), 'd')})""",
+        f"""cents0 AS (
+      SELECT cent_id, cent FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed_key}, vec_id) AS INT) AS cent_id,
+               {to_double} AS cent
+        FROM embeddings
+      ) s WHERE cent_id <= {_KM_K}
+    )""",
+    ]
+    prev = "cents0"
+    for it in range(1, _KM_ITERS + 1):
+        sqd = E.sqdist("v.embedding", "c.cent")
+        parts.append(
+            f"""assign{it} AS (
+      SELECT vec_id, cent_id, sqd FROM (
+        SELECT vec_id, cent_id, sqd,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sqd, cent_id) AS rn
+        FROM (
+          SELECT v.vec_id, c.cent_id, ROUND({sqd}, 6) AS sqd
+          FROM embeddings v CROSS JOIN {prev} c
+        ) scored
+      ) ranked WHERE rn = 1
+    )"""
+        )
+        if it < _KM_ITERS:
+            parts.append(
+                f"""cents{it} AS (
+      SELECT cent_id, {E.list_ordered('comp', 'd')} AS cent
+      FROM (
+        SELECT a.cent_id, dims.d,
+               CAST(SUM({val_fp}) AS DOUBLE) / (1000000.0e0 * COUNT(*)) AS comp
+        FROM assign{it} a
+        JOIN embeddings v ON a.vec_id = v.vec_id
+        CROSS JOIN dims
+        GROUP BY a.cent_id, dims.d
+      ) g GROUP BY cent_id
+    )"""
+            )
+            prev = f"cents{it}"
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT vec_id, CAST(cent_id AS INT) AS cluster, sqd AS sq_dist,
+           CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
+    FROM assign{_KM_ITERS}
+    """
+
+
+_register_pair("kmeans_embeddings", _sql_kmeans, tables=("embeddings",))
 
 
 # ---------------------------------------------------------------------------
