@@ -103,3 +103,26 @@ def test_minhash_staging_survives_view_replacement(spark, sf_dir):
     plans.QUERIES["text_quality_score"](spark, sf_dir).count()
     plan = _plan(plans.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, "minhash staging lost its cache"
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    # each Lloyd round's assignment joins a k-row centroid relation against
+    # the full embedding table: must be broadcast, never a data shuffle
+    plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_mix_rates_broadcast(spark, sf_dir):
+    # the per-language rate relation is tiny: joining it back to documents
+    # must broadcast, leaving the doc stream un-shuffled
+    plan = _plan(plans.QUERIES["sample_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_signals_partial_agg(spark, sf_dir):
+    # gram counting must partially aggregate map-side before the
+    # (doc_id, gram) exchange
+    plan = _plan(plans.QUERIES["quality_repetition_signals"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
