@@ -43,6 +43,10 @@ HEADLINE = [
     "pack_sequences",
     "text_bigram_score",
     "corpus_clean_pipeline",
+    # iterative clustering and weighted sampling paths
+    "kmeans_embeddings",
+    "sample_temperature_mix",
+    "quality_repetition_signals",
 ]
 
 
