@@ -1180,7 +1180,9 @@ _KM_DIM = 64
 _KM_ITERS = 3
 
 
-def _sql_kmeans(E):
+def _km_ctes(E):
+    """The shared Lloyd-iteration CTE chain; final assignment is
+    assign{_KM_ITERS}."""
     seed_key = f"md5(CAST(vec_id AS {E.STR}))"
     to_double = f"{E.TRANSFORM}(embedding, x -> CAST(x AS DOUBLE))"
     val_fp = (
@@ -1226,9 +1228,12 @@ def _sql_kmeans(E):
     )"""
             )
             prev = f"cents{it}"
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _sql_kmeans(E):
     return f"""
-    WITH {body}
+    WITH {_km_ctes(E)}
     SELECT vec_id, CAST(cent_id AS INT) AS cluster, sqd AS sq_dist,
            CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
     FROM assign{_KM_ITERS}
@@ -1236,6 +1241,34 @@ def _sql_kmeans(E):
 
 
 _register_pair("kmeans_embeddings", _sql_kmeans, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# cluster_balanced_sample — diversity-preserving curation on top of the
+# k-means assignment: within each semantic cluster, rank members by
+# md5(vec_id) (deterministic pseudo-random) and keep the first half, so
+# every region of embedding space contributes proportionally instead of
+# letting the corpus head dominate. The per-cluster window runs over
+# already-assigned rows (k bounded partitions); selection itself adds no
+# extra shuffle beyond the assignment's.
+def _sql_cluster_sample(E):
+    pick_key = f"md5(CAST(vec_id AS {E.STR}))"
+    return f"""
+    WITH {_km_ctes(E)},
+    ranked AS (
+      SELECT vec_id, CAST(cent_id AS INT) AS cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY {pick_key}, vec_id)
+                  AS BIGINT) AS pick_rank,
+             CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT) AS cluster_size
+      FROM assign{_KM_ITERS}
+    )
+    SELECT vec_id, cluster, pick_rank, cluster_size
+    FROM ranked
+    WHERE pick_rank <= {E.intdiv('cluster_size', 2)}
+    """
+
+
+_register_pair("cluster_balanced_sample", _sql_cluster_sample, tables=("embeddings",))
 
 
 # ---------------------------------------------------------------------------
