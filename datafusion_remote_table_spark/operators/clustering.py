@@ -1,0 +1,112 @@
+"""Embedding clustering as a reusable DataFrame API.
+
+The fixed-parameter `kmeans_embeddings` / `cluster_balanced_sample`
+queries in plans/llm_data.py are the driver-verified instances of these;
+this module exposes the same deterministic Lloyd's algorithm with
+tunable k / iteration count for pipeline use.
+
+Scale posture (100TB):
+- centroids are k tiny rows, broadcast into every assignment join — the
+  data stream is never shuffled for assignment;
+- the centroid update explodes (row x dim) and aggregates on
+  (cluster, dim): k*dim uniform keys with map-side partial sums;
+- means go through floor-quantized fixed-point BIGINT sums, so results
+  are order-independent and reproducible run-to-run (float SUM would
+  drift with partition order — the property the oracle gate enforces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")))
+    return F.aggregate(d, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def _assign(vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "cent_id",
+        F.round(_sq_dist(F.col(vec_col), F.col("cent")), 6).alias("sq_dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy("sq_dist", "cent_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: returns (id, cent_id, sq_dist).
+
+    Seeds are the k vectors with the smallest md5(id) — a global top-k
+    bounded by k. Assignment rounds the squared distance to 6dp with a
+    cent_id tie-break; the mean update sums floor(v*scale) as BIGINT.
+    """
+    vectors = df.select(F.col(id_col), F.col(vec_col))
+    seeds = (
+        vectors.withColumn("__seed", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__seed", id_col)
+        .limit(k)
+    )
+    sw = Window.orderBy("__seed", id_col)
+    cents = seeds.select(
+        F.row_number().over(sw).cast("int").alias("cent_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent"),
+    )
+    assigned = _assign(vectors, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        exploded = assigned.join(vectors, on=id_col).select(
+            "cent_id", F.posexplode(vec_col).alias("d", "val")
+        )
+        comps = exploded.groupBy("cent_id", "d").agg(
+            (
+                F.sum(F.floor(F.col("val").cast("double") * scale).cast("long")).cast("double")
+                / (float(scale) * F.count("*"))
+            ).alias("comp")
+        )
+        cents = comps.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "comp"))), lambda s: s.comp
+            ).alias("cent")
+        )
+        assigned = _assign(vectors, cents, id_col, vec_col)
+    return assigned
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 3,
+    keep_frac_denom: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving curation: md5-ranked 1/denom quota per
+    k-means cluster. Returns (id, cent_id, pick_rank, cluster_size)."""
+    assigned = kmeans_assign(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cent_id").orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    cw = Window.partitionBy("cent_id")
+    ranked = assigned.select(
+        id_col,
+        "cent_id",
+        F.row_number().over(w).cast("bigint").alias("pick_rank"),
+        F.count("*").over(cw).cast("bigint").alias("cluster_size"),
+    )
+    return ranked.filter(
+        F.col("pick_rank") <= (F.col("cluster_size") / keep_frac_denom).cast("bigint")
+    )

@@ -263,3 +263,25 @@ def test_pack_sequences_never_exceeds_offset_capacity(spark, sf_dir):
     # total token count, so max seq_id is bounded by total/capacity
     for _, grp in out.groupby("shard"):
         assert grp.seq_id.max() <= grp.n_tokens.sum() // 128
+
+
+def test_kmeans_api_matches_plan_instance(spark, sf_dir, emb):
+    from datafusion_remote_table_spark.operators.clustering import kmeans_assign
+
+    api = {(r.vec_id, r.cent_id) for r in kmeans_assign(emb).collect()}
+    plan = {
+        (r.vec_id, r.cluster)
+        for r in plans.QUERIES["kmeans_embeddings"](spark, sf_dir).collect()
+    }
+    assert api == plan
+
+
+def test_cluster_sample_api_matches_plan_instance(spark, sf_dir, emb):
+    from datafusion_remote_table_spark.operators.clustering import cluster_balanced_sample
+
+    api = {(r.vec_id, r.cent_id) for r in cluster_balanced_sample(emb).collect()}
+    plan = {
+        (r.vec_id, r.cluster)
+        for r in plans.QUERIES["cluster_balanced_sample"](spark, sf_dir).collect()
+    }
+    assert api == plan
