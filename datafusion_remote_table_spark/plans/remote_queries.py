@@ -445,6 +445,98 @@ def remote_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "remote_agg_pushdown",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def remote_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pushdown: the GROUP BY runs on the remote DB and
+    Spark receives one row per group — the grouped generalization of the
+    reference's count(1) rewrite (postgres.rs count1_agg; DataFusion's
+    federation layer does the same SQL rewrite). Money sums travel as
+    integer cents so both engines aggregate exactly."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders"])
+    df = t.aggregate(
+        spark,
+        group_by=["o_orderpriority"],
+        aggs=[
+            ("COUNT(*)", "n_orders"),
+            ("SUM(CAST(ROUND(o_totalprice * 100) AS INTEGER))", "total_cents"),
+        ],
+        filters=("o_orderstatus = 'F'",),
+        schema="o_orderpriority string, n_orders bigint, total_cents bigint",
+    )
+    return df.select(
+        "o_orderpriority",
+        "n_orders",
+        (F.col("total_cents") / F.lit(100.0)).alias("total_price"),
+    )
+
+
+@register(
+    "remote_topk_pushdown",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15
+    """,
+)
+def remote_topk_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT (top-k) pushdown: the remote engine sorts and
+    truncates to 15 rows (unique-key tie-break on c_custkey); Spark never
+    sees the other ~99.9% of the table — at 100 TB this is the difference
+    between shipping k rows and shipping the table."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["customer"])
+    return t.topk(
+        spark,
+        order_by=[("c_acctbal", "DESC"), ("c_custkey", "ASC")],
+        k=15,
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+
+
+@register(
+    "remote_join_pushdown",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def remote_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-source join pushdown, stacked with aggregate pushdown: both
+    tables live in the one remote DB, so join AND group-by run there and
+    Spark receives five rows. join_remote returns a RemoteTable, so the
+    pushdown ladder (filters/topk/aggregate) composes on the joined
+    source exactly like on a base table."""
+    opts = _sqlite_opts(sf_dir)
+    joined = RemoteTable(opts, ["orders"]).join_remote(
+        RemoteTable(opts, ["customer"]),
+        on=[("o_custkey", "c_custkey")],
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=["c_mktsegment"],
+    )
+    df = joined.aggregate(
+        spark,
+        group_by=["c_mktsegment"],
+        aggs=[
+            ("COUNT(*)", "n_orders"),
+            ("SUM(CAST(ROUND(o_totalprice * 100) AS INTEGER))", "total_cents"),
+        ],
+        schema="c_mktsegment string, n_orders bigint, total_cents bigint",
+    )
+    return df.select(
+        "c_mktsegment",
+        "n_orders",
+        (F.col("total_cents") / F.lit(100.0)).alias("total_price"),
+    )
+
+
+@register(
     "remote_command_list_tables",
     oracle="""
     SELECT backend, table_name FROM (

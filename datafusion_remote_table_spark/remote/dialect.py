@@ -122,6 +122,101 @@ class Dialect:
         """Parity: count(1) agg pushdown (postgres.rs test count1_agg)."""
         return f"SELECT COUNT(*) FROM {self.wrap_subquery(source_query)}"
 
+    # -- relational pushdown composition (parity-plus) ----------------------
+    # The reference pushes filters/limit/count (scan.rs, transform.rs);
+    # grouped aggregates, ORDER BY+LIMIT top-k, and same-source joins are
+    # the natural next rungs of the same SQL-rewrite ladder (DataFusion's
+    # federation layer does the identical rewrite). Everything stays
+    # string-level and per-dialect, like compose().
+
+    def from_ref(self, source) -> str:
+        """A FROM-clause reference: table identifiers stay flat, query
+        sources wrap in a subquery."""
+        if isinstance(source, (list, tuple)):
+            return self.table_ref(source)
+        return self.wrap_subquery(source)
+
+    def aggregate_query(
+        self,
+        source,
+        group_by: Sequence[str],
+        aggs: Sequence[tuple[str, str]],
+        filters: Sequence[str] = (),
+        having: str | None = None,
+    ) -> str:
+        """GROUP BY pushdown: aggs are (remote SQL expression, alias)
+        pairs — raw expressions by design, exactly like pushed_filters
+        (the caller/unparser owns dialect-correct spelling)."""
+        sel = [self.quote_ident(c) for c in group_by] + [
+            f"{expr} AS {self.quote_ident(alias)}" for expr, alias in aggs
+        ]
+        sql = f"SELECT {', '.join(sel)} FROM {self.from_ref(source)}"
+        if filters:
+            sql += " WHERE " + " AND ".join(f"({f})" for f in filters)
+        if group_by:
+            sql += " GROUP BY " + ", ".join(self.quote_ident(c) for c in group_by)
+        if having:
+            sql += f" HAVING {having}"
+        return sql
+
+    def topk_query(
+        self,
+        source,
+        order_by: Sequence[tuple[str, str]],
+        k: int,
+        columns: Sequence[str] | None = None,
+        filters: Sequence[str] = (),
+    ) -> str:
+        """ORDER BY + LIMIT pushdown (top-k): the remote engine sorts and
+        truncates, Spark receives k rows."""
+        proj = ", ".join(self.quote_ident(c) for c in columns) if columns else "*"
+        sql = f"SELECT {proj} FROM {self.from_ref(source)}"
+        if filters:
+            sql += " WHERE " + " AND ".join(f"({f})" for f in filters)
+        sql += " ORDER BY " + self._order_clause(order_by)
+        return f"{sql} {self.limit_clause(k)}"
+
+    def _order_clause(self, order_by: Sequence[tuple[str, str]]) -> str:
+        parts = []
+        for col, direction in order_by:
+            d = direction.upper()
+            if d not in ("ASC", "DESC"):
+                raise ValueError(f"order direction must be ASC or DESC, got {direction!r}")
+            parts.append(f"{self.quote_ident(col)} {d}")
+        return ", ".join(parts)
+
+    def join_query(
+        self,
+        left_source,
+        right_source,
+        on: Sequence[tuple[str, str]],
+        left_cols: Sequence[str],
+        right_cols: Sequence[str],
+        how: str = "INNER",
+    ) -> str:
+        """Same-source join pushdown: both sides live in one remote DB, so
+        the join itself runs there and Spark sees the joined rows."""
+        how = how.upper()
+        if how not in ("INNER", "LEFT", "RIGHT"):
+            raise ValueError(f"join type must be INNER/LEFT/RIGHT, got {how!r}")
+        la, ra = self.quote_ident("__l"), self.quote_ident("__r")
+        sel = [f"{la}.{self.quote_ident(c)} AS {self.quote_ident(c)}" for c in left_cols] + [
+            f"{ra}.{self.quote_ident(c)} AS {self.quote_ident(c)}" for c in right_cols
+        ]
+        cond = " AND ".join(
+            f"{la}.{self.quote_ident(a)} = {ra}.{self.quote_ident(b)}" for a, b in on
+        )
+        return (
+            f"SELECT {', '.join(sel)} FROM {self.aliased_ref(left_source, '__l')} "
+            f"{how} JOIN {self.aliased_ref(right_source, '__r')} ON {cond}"
+        )
+
+    def aliased_ref(self, source, alias: str) -> str:
+        # plain space alias (no AS): Oracle rejects AS on table aliases
+        if isinstance(source, (list, tuple)):
+            return f"{self.table_ref(source)} {self.quote_ident(alias)}"
+        return self.wrap_subquery(source, alias)
+
     def limit0_query(self, source_query: str) -> str:
         """Schema-inference probe: zero rows, full metadata."""
         return f"SELECT * FROM {self.wrap_subquery(source_query)} {self.limit_clause(0)}"
@@ -248,6 +343,48 @@ class MdbDialect(Dialect):
 
     def limit0_query(self, source_query: str) -> str:
         return f"{source_query.strip()} {self.limit_clause(0)}"
+
+    def aggregate_query(
+        self,
+        source,
+        group_by: Sequence[str],
+        aggs: Sequence[tuple[str, str]],
+        filters: Sequence[str] = (),
+        having: str | None = None,
+    ) -> str:
+        # flat composition, unparenthesized filters (Jet quirks above)
+        sel = [self.quote_ident(c) for c in group_by] + [
+            f"{expr} AS {self.quote_ident(alias)}" for expr, alias in aggs
+        ]
+        sql = f"SELECT {', '.join(sel)} FROM {self.from_ref(source)}"
+        if filters:
+            sql += " WHERE " + " AND ".join(filters)
+        if group_by:
+            sql += " GROUP BY " + ", ".join(self.quote_ident(c) for c in group_by)
+        if having:
+            sql += f" HAVING {having}"
+        return sql
+
+    def topk_query(
+        self,
+        source,
+        order_by: Sequence[tuple[str, str]],
+        k: int,
+        columns: Sequence[str] | None = None,
+        filters: Sequence[str] = (),
+    ) -> str:
+        # Jet has no LIMIT; SELECT TOP n ... ORDER BY is the spelling
+        # (note Jet's TOP includes ties on the boundary value)
+        proj = ", ".join(self.quote_ident(c) for c in columns) if columns else "*"
+        sql = f"SELECT TOP {k} {proj} FROM {self.from_ref(source)}"
+        if filters:
+            sql += " WHERE " + " AND ".join(filters)
+        return sql + " ORDER BY " + self._order_clause(order_by)
+
+    def from_ref(self, source) -> str:
+        if isinstance(source, (list, tuple)):
+            return self.table_ref(source)
+        raise NotImplementedError("mdb cannot nest query sources (no subquery-in-FROM)")
 
 
 DIALECTS: dict[str, Dialect] = {

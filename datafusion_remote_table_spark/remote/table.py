@@ -118,6 +118,77 @@ class RemoteTable:
         df.createOrReplaceTempView(name)
         return df
 
+    # -- relational pushdown paths (parity-plus) ----------------------------
+    def aggregate(
+        self,
+        spark: SparkSession,
+        group_by: list[str],
+        aggs: list[tuple[str, str]],
+        filters: tuple[str, ...] = (),
+        having: str | None = None,
+        schema=None,
+    ) -> DataFrame:
+        """Push a grouped aggregate to the remote DB: the GROUP BY runs
+        there and Spark receives one row per group — the grouped
+        generalization of the reference's count(1) pushdown. ``aggs``
+        are (remote SQL expression, alias) pairs; ``filters`` are raw
+        remote-dialect predicates (same contract as pushed_filters).
+
+        Pass ``schema`` for backends whose cursors report no aggregate
+        types (sqlite infers from a value sample otherwise)."""
+        spec = self.spec()
+        sql = spec.dialect.aggregate_query(
+            self.table or self.query, group_by, aggs, filters=filters, having=having
+        )
+        return RemoteTable(self.options, sql, schema=schema).read(spark)
+
+    def topk(
+        self,
+        spark: SparkSession,
+        order_by: list[tuple[str, str]],
+        k: int,
+        columns: list[str] | None = None,
+        filters: tuple[str, ...] = (),
+        schema=None,
+    ) -> DataFrame:
+        """Push ORDER BY + LIMIT (top-k) to the remote DB: the remote
+        engine sorts and truncates, Spark receives exactly k rows (ties
+        broken only if order_by ends in a unique key — caller's duty,
+        same as any top-k)."""
+        spec = self.spec()
+        sql = spec.dialect.topk_query(
+            self.table or self.query, order_by, k, columns=columns, filters=filters
+        )
+        return RemoteTable(self.options, sql, schema=schema).read(spark)
+
+    def join_remote(
+        self,
+        other: "RemoteTable",
+        on: list[tuple[str, str]],
+        left_cols: list[str],
+        right_cols: list[str],
+        how: str = "inner",
+    ) -> "RemoteTable":
+        """Same-source join pushdown: when both tables live in one remote
+        DB, compose the join into a single remote query (returned as a
+        new RemoteTable, so further pushdown — aggregate/topk/filters —
+        stacks on top of the joined source)."""
+        if self.options.to_dict() != other.options.to_dict():
+            raise ValueError(
+                "join_remote requires both tables on the same remote source; "
+                "use read() on each and join in Spark for cross-source federation"
+            )
+        spec = self.spec()
+        sql = spec.dialect.join_query(
+            self.table or self.query,
+            other.table or other.query,
+            on,
+            left_cols,
+            right_cols,
+            how=how,
+        )
+        return RemoteTable(self.options, sql)
+
     # -- pushdown-only paths ------------------------------------------------
     def count(self) -> int:
         """Remote ``SELECT count(*)`` — the count1_agg pushdown parity.

@@ -473,3 +473,57 @@ def test_count_falls_back_to_fetch_when_dialect_cannot_push(sqlite_db, monkeypat
 
     monkeypatch.setattr(SqliteDialect, "count_query", no_push)
     assert t.count() == expected
+
+
+# -- relational pushdown composition (aggregate / top-k / join) -------------
+def test_aggregate_pushdown_sql_and_result(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    d = dialect_for("sqlite")
+    sql = d.aggregate_query(
+        ["simple_table"], ["name"], [("COUNT(*)", "n")], filters=("id > 1",)
+    )
+    assert sql == 'SELECT "name", COUNT(*) AS "n" FROM "simple_table" WHERE (id > 1) GROUP BY "name"'
+    df = t.aggregate(
+        spark, group_by=[], aggs=[("COUNT(*)", "n"), ("MAX(id)", "max_id")],
+        schema="n bigint, max_id bigint",
+    )
+    assert df.collect()[0].asDict() == {"n": 3, "max_id": 3}
+
+
+def test_topk_pushdown_sql_and_result(spark, sqlite_db):
+    t = RemoteTable(SqliteConnectionOptions(path=sqlite_db), ["simple_table"])
+    df = t.topk(spark, order_by=[("id", "DESC")], k=2, columns=["id", "name"])
+    assert [r.name for r in df.collect()] == ["Spike", "Jerry"]
+    # dialect spellings: Oracle uses FETCH FIRST, Jet uses SELECT TOP
+    assert dialect_for("oracle").topk_query(["t"], [("a", "ASC")], 5).endswith(
+        'ORDER BY "a" ASC FETCH FIRST 5 ROWS ONLY'
+    )
+    assert dialect_for("mdb").topk_query(["t"], [("a", "DESC")], 5) == (
+        "SELECT TOP 5 * FROM [t] ORDER BY [a] DESC"
+    )
+
+
+def test_join_pushdown_same_source_only(spark, sqlite_db, tmp_path):
+    opts = SqliteConnectionOptions(path=sqlite_db)
+    joined = RemoteTable(opts, ["simple_table"]).join_remote(
+        RemoteTable(opts, ["simple_table"]),
+        on=[("id", "id")], left_cols=["id"], right_cols=["name"],
+    )
+    got = {(r.id, r.name) for r in joined.read(spark).collect()}
+    assert got == {(1, "Tom"), (2, "Jerry"), (3, "Spike")}
+    other = SqliteConnectionOptions(path=str(tmp_path / "other.db"))
+    with pytest.raises(ValueError, match="same remote source"):
+        RemoteTable(opts, ["simple_table"]).join_remote(
+            RemoteTable(other, ["simple_table"]), on=[("id", "id")],
+            left_cols=["id"], right_cols=["name"],
+        )
+
+
+def test_mysql_join_query_quoting():
+    sql = dialect_for("mysql").join_query(
+        ["a"], ["b"], on=[("x", "y")], left_cols=["x"], right_cols=["z"]
+    )
+    assert sql == (
+        "SELECT `__l`.`x` AS `x`, `__r`.`z` AS `z` FROM `a` `__l` "
+        "INNER JOIN `b` `__r` ON `__l`.`x` = `__r`.`y`"
+    )
