@@ -22,10 +22,25 @@ from pyspark.sql import functions as F
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ns timestamps → µs)."""
+    """events.parquet as a file-source stream.
+
+    The ts column's parquet unit is probed with pyarrow (exactly like the
+    batch path, session.py load_tables): a ``timestamp[us]`` column is read
+    natively as a Spark timestamp, while a ``timestamp[ns]`` column — which
+    Spark can only deliver as long via ``nanosAsLong`` — is declared bigint
+    in the stream schema and truncated to µs, matching DuckDB's behavior on
+    the same file. Branching the *schema* matters: a µs column cannot be
+    delivered as bigint, and a ns column cannot be delivered as timestamp.
+    """
     import hashlib
 
+    import pyarrow.parquet as pq
+
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
+    ts_unit = pq.ParquetFile(path).schema_arrow.field("ts").type.unit
     # the file stream source requires a directory; stage a symlink dir
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"dfrt_events_stream_{key}")
@@ -33,12 +48,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
+    ts_type = "bigint" if ts_unit == "ns" else "timestamp"
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+        f"event_id bigint, ts {ts_type}, user_id bigint, event_type string, value double, props string"
     )
-    # ts is TIMESTAMP(NANOS) in parquet → long via nanosAsLong (session.py)
     stream = spark.readStream.schema(schema).parquet(stage)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_unit == "ns":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
 
 
 def _run_bounded(stream_df: DataFrame, name: str) -> DataFrame:

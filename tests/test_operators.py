@@ -74,12 +74,12 @@ def test_lsh_buckets_deterministic_and_complete(emb):
 
 
 def test_sessionize_matches_plan(spark, sf_dir):
-    import os as _os
     from datafusion_remote_table_spark.operators.windows import sessionize
+    from datafusion_remote_table_spark.session import load_tables
 
-    events = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # load_tables probes the parquet timestamp unit (us vs ns) and converts
+    # only when needed — a hand-rolled `ts div 1000` here broke on us files.
+    events = load_tables(spark, sf_dir, ("events",))["events"]
     api = (
         sessionize(events)
         .groupBy("user_id", "session_id")

@@ -118,3 +118,35 @@ def test_stream_reader_simple_fallback(spark, log_db, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("simple_reader_result").count() == 5
+
+
+def test_events_stream_ts_unit_probe(spark, sf_dir):
+    """Regression: _events_stream must deliver real event times regardless
+    of the parquet timestamp unit (us vs ns). The round-2 bug hardcoded a
+    ns->us `ts div 1000` on timestamp[us] files, collapsing every event
+    into ~2 hours of January 1970 — this probe fails with a year instead
+    of an opaque hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from datafusion_remote_table_spark.session import load_tables
+    from datafusion_remote_table_spark.streaming.events import _events_stream
+
+    stream = _events_stream(spark, sf_dir)
+    probe = stream.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        probe.writeStream.format("memory")
+        .queryName("events_ts_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("events_ts_probe").collect()[0]
+    batch = load_tables(spark, sf_dir, ("events",))["events"].select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert row.n == batch.n
+    assert row.lo.year > 2000, f"stream ts collapsed to {row.lo} (unit bug)"
+    assert (row.lo, row.hi) == (batch.lo, batch.hi)
