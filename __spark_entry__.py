@@ -14,10 +14,93 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datafusion_remote_table_spark import plans
 
+# The driver verifies queries in dict order under a per-round budget
+# (~50 queries). Entries that have never received a driver CORRECTNESS
+# row run FIRST so every §2 item accumulates at least one hard
+# verification across rounds; round-1-only greens come next (refresh),
+# and the already re-verified round-2 greens go last.
+_VERIFY_FIRST = [
+    # §2.B — registered in round 2, never reached by the driver budget
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "events_funnel",
+    "retention_cohorts",
+    "window_analytics",
+    "agg_cube",
+    # §2.C — registered in round 2, never reached
+    "dedup_keep_best",
+    "ann_recall_eval",
+    "sample_stratified",
+    "train_test_split_group",
+    "doc_chunk_tokens",
+    "quality_filter_gopher",
+    "quality_repetition_signals",
+    "sample_temperature_mix",
+    "kmeans_embeddings",
+    "cluster_balanced_sample",
+    "global_shuffle_shards",
+    "text_pii_redact",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "line_dedup_boilerplate",
+    "decontaminate_ngram_overlap",
+    "text_bigram_score",
+    "pack_sequences",
+    "corpus_mix_report",
+    "corpus_clean_pipeline",
+    "semdedup_embedding",
+    "minhash_accuracy_eval",
+    "multimodal_frame_sample",
+]
+
+# Green in round 1 only (driver budget skipped them in round 2): refresh
+# these before re-running the round-2 greens.
+_VERIFY_SECOND = [
+    "null_handling",
+    "window_lead_lag",
+    "asof_join_events_orders",
+    "range_join_price_bands",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q17_small_quantity",
+    "q22_sales_opportunity",
+    "q2_min_supplier",
+    "skyline_parts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "embedding_similarity_join",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_top_ngrams",
+    "multimodal_decode_stub",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    priority = [n for n in _VERIFY_FIRST + _VERIFY_SECOND if n in mapping]
+    rest = [n for n in mapping if n not in set(priority)]
+    return {n: mapping[n] for n in priority + rest}
+
 
 def _registry():
     plans.load_all()
-    return plans.QUERIES, plans.ORACLE
+    return _ordered(plans.QUERIES), _ordered(plans.ORACLE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
