@@ -366,17 +366,28 @@ def _minhash_shingles(E, src="documents"):
 
 
 def _minhash_sigs(E, src):
-    sigs = (
-        f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(shingles, "
-        f"s -> md5(CAST(p AS {E.STR}) || '|' || s))))"
+    # Carter-Wegman universal hashing: md5 each shingle ONCE (the only
+    # cryptographic hash in the pipeline), then derive the 32 permutation
+    # values with integer mixing (h1 + p*h2) mod prime — the standard
+    # minhash trick (used by e.g. datasketch). The round-2 spelling
+    # computed 32 md5s per shingle and the signature stage dominated the
+    # whole dedup pipeline (7.7 s of an 11 s query at sf0.1). 60 md5 bits
+    # split into two 30-bit halves keep (h1 + 32*h2) < 2^36: safe BIGINT
+    # arithmetic in both engines, no overflow, no wrap-around divergence.
+    h = E.hex2int("substring(md5(s), 1, 15)")
+    mix = f"(({E.shr('h', 30)}) + p * (h & 1073741823)) % 1073741789"
+    sigs = f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(hs, h -> {mix})))"
+    return (
+        f"SELECT doc_id, {sigs} AS sigs FROM "
+        f"(SELECT doc_id, {E.TRANSFORM}(shingles, s -> {h}) AS hs FROM {src}) hashed"
     )
-    return f"SELECT doc_id, {sigs} AS sigs FROM {src}"
 
 
 def _minhash_bands(E, src):
+    cell = lambda i: f"CAST({E.idx('sigs', f'4*b + {i}')} AS {E.STR})"  # noqa: E731
     band_key = (
-        f"md5(CAST(b AS {E.STR}) || '|' || {E.idx('sigs', '4*b + 1')} || {E.idx('sigs', '4*b + 2')}"
-        f" || {E.idx('sigs', '4*b + 3')} || {E.idx('sigs', '4*b + 4')})"
+        f"md5(CAST(b AS {E.STR}) || '|' || {cell(1)} || '|' || {cell(2)}"
+        f" || '|' || {cell(3)} || '|' || {cell(4)})"
     )
     return f"SELECT doc_id, {band_key} AS band_key FROM {src}, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids"
 
@@ -421,14 +432,21 @@ def _sql_minhash_oracle(E):
 _MINHASH_STAGE_CACHE: dict = {}
 
 
-def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Persisted shingle + band staging, shared across the minhash
-    consumers (dedup_minhash_lsh / dedup_clusters / dedup_keep_best /
-    corpus_clean_pipeline): the per-row signature compute is the
-    expensive stage, and it is identical in all of them, so one
-    materialization serves them all. Returns the (shingles, bands)
-    temp-view names. Keyed by session+sf_dir so the driver's
+def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Minhash staging shared across the consumers (dedup_minhash_lsh /
+    dedup_clusters / dedup_keep_best / corpus_clean_pipeline /
+    minhash_accuracy_eval). Returns (shingles, sigs, bands) temp-view
+    names, keyed by session+sf_dir so the driver's
     one-session-many-queries run pays the stage once.
+
+    The shingle and signature frames are persisted (computed once,
+    joined many times — Spark re-evaluates view references); the
+    8×-exploded bands frame stays a lazy view. With Carter-Wegman
+    signatures (see _minhash_sigs) the sig frame is 32 BIGINTs per doc,
+    so deriving bands from it per reference costs pennies, while round
+    2's persisted bands frame was the bulk of the materialized bytes and
+    its write pushed the registered dedup_minhash_lsh from 2.0 s to
+    8.5 s in the driver bench at sf0.1 (back to ~2 s with this shape).
 
     The staging views are PRIVATE, per-sf_dir names built from the
     loaded DataFrame, never from the shared ``documents`` temp view:
@@ -450,15 +468,14 @@ def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         docs = docs.repartition(n)
     doc_view = f"mh_docs_{suff}"
     docs.createOrReplaceTempView(doc_view)
-    sh = spark.sql(_minhash_shingles(_Spark, src=doc_view)).persist()
     sh_view = f"mh_sh_{suff}"
-    sh.createOrReplaceTempView(sh_view)
-    bands = spark.sql(
-        _minhash_bands(_Spark, f"({_minhash_sigs(_Spark, sh_view)})")
-    ).persist()
+    spark.sql(_minhash_shingles(_Spark, src=doc_view)).persist().createOrReplaceTempView(sh_view)
+    sig_view = f"mh_sig_{suff}"
+    sigs = spark.sql(_minhash_sigs(_Spark, sh_view)).persist()
+    sigs.createOrReplaceTempView(sig_view)
     bands_view = f"mh_bands_{suff}"
-    bands.createOrReplaceTempView(bands_view)
-    _MINHASH_STAGE_CACHE[key] = (sh_view, bands_view)
+    spark.sql(_minhash_bands(_Spark, sig_view)).createOrReplaceTempView(bands_view)
+    _MINHASH_STAGE_CACHE[key] = (sh_view, sig_view, bands_view)
     return _MINHASH_STAGE_CACHE[key]
 
 
@@ -468,7 +485,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the two verify joins run once per session+sf_dir."""
     key = ("pairs", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        sh, bands = _minhash_stage(spark, sf_dir)
+        sh, _sig, bands = _minhash_stage(spark, sf_dir)
         _MINHASH_STAGE_CACHE[key] = spark.sql(_minhash_verify(_Spark, bands, sh)).persist()
     return _MINHASH_STAGE_CACHE[key]
 
@@ -1165,8 +1182,12 @@ _register_pair("sample_temperature_mix", _sql_sample_temperature, repartition=Fa
 # kmeans_embeddings — Lloyd's k-means over the embedding table (k=4, 3
 # unrolled iterations), the clustering primitive behind cluster-balanced
 # corpus sampling and SemDeDup-style curation. Deterministic end to end:
-# seeds are the k vectors with the smallest md5(vec_id) (a global top-k,
-# bounded by k); assignment argmin rounds the squared distance to 6dp with
+# seeds are the k vectors with the smallest md5(vec_id) — selected via
+# ORDER BY + LIMIT k, which Spark plans as TakeOrderedAndProject
+# (per-partition top-k heaps merged on the driver: k rows, never a
+# single-partition window over the full table; the round-2 spelling
+# ranked ALL vectors through one unpartitioned ROW_NUMBER task);
+# assignment argmin rounds the squared distance to 6dp with
 # a cent_id tie-break; the centroid mean goes through floor()-quantized
 # fixed-point BIGINT sums, so it is order-independent and bit-identical
 # across engines (float SUM would drift with partition order).
@@ -1191,11 +1212,13 @@ def _km_ctes(E):
     parts = [
         f"""dims AS (SELECT {E.explode(E.seq(1, _KM_DIM), 'd')})""",
         f"""cents0 AS (
-      SELECT cent_id, cent FROM (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed_key}, vec_id) AS INT) AS cent_id,
-               {to_double} AS cent
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sk, vec_id) AS INT) AS cent_id, cent
+      FROM (
+        SELECT {seed_key} AS sk, vec_id, {to_double} AS cent
         FROM embeddings
-      ) s WHERE cent_id <= {_KM_K}
+        ORDER BY sk, vec_id
+        LIMIT {_KM_K}
+      ) topk
     )""",
     ]
     prev = "cents0"
@@ -1834,8 +1857,7 @@ def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     view = f"mh_acc_pairs_{suff}"
     pairs.createOrReplaceTempView(view)
-    sh_view, _ = _minhash_stage(spark, sf_dir)
-    sig = f"({_minhash_sigs(_Spark, sh_view)})"
+    _sh, sig, _bands = _minhash_stage(spark, sf_dir)
     matches = _Spark.list_sum_int(
         f"{_Spark.TRANSFORM}({_Spark.seq(1, 32)}, p -> CASE WHEN {_Spark.idx('sa.sigs', 'p')} = {_Spark.idx('sb.sigs', 'p')} THEN 1 ELSE 0 END)"
     )
