@@ -126,3 +126,11 @@ def test_repetition_signals_partial_agg(spark, sf_dir):
     plan = _plan(plans.QUERIES["quality_repetition_signals"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_seed_selection_is_take_ordered(spark, sf_dir):
+    # seed selection is a k-row top-k: TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never an unpartitioned ROW_NUMBER window
+    # ranking the whole embedding table through one task
+    plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
