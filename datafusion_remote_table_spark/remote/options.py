@@ -16,9 +16,16 @@ from typing import Dict
 @dataclass
 class ConnectionOptions:
     """Base options. ``stream_chunk_size`` bounds rows fetched per Arrow
-    batch on the executor (parity: with_stream_chunk_size)."""
+    batch on the executor (parity: with_stream_chunk_size).
+
+    ``pool_max_size`` caps concurrent open connections to this source
+    per machine (parity: options.rs pool_max_size, default 10 — enforced
+    by connection.PoolValve since Spark workers are processes, not a
+    shared pool). 0 disables the cap (parity: the reference's
+    disable_pooled_connections test mode)."""
 
     stream_chunk_size: int = 10_000
+    pool_max_size: int = 10
 
     backend: str = ""
 

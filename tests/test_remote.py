@@ -527,3 +527,91 @@ def test_mysql_join_query_quoting():
         "SELECT `__l`.`x` AS `x`, `__r`.`z` AS `z` FROM `a` `__l` "
         "INNER JOIN `b` `__r` ON `__l`.`x` = `__r`.`y`"
     )
+
+
+# -- connection pool valve (options.rs pool_max_size parity) ----------------
+
+
+def test_pool_max_size_serde_roundtrip(sqlite_db):
+    spec = RemoteScanSpec(
+        options=SqliteConnectionOptions(path=sqlite_db, pool_max_size=3),
+        table=["simple_table"],
+    )
+    back = RemoteScanSpec.from_json(spec.to_json())
+    assert back.options.pool_max_size == 3
+
+
+def test_pool_valve_caps_concurrent_connections(sqlite_db):
+    import threading
+
+    from datafusion_remote_table_spark.remote.connection import connect
+
+    opts = SqliteConnectionOptions(path=sqlite_db, pool_max_size=2)
+    lock = threading.Lock()
+    live, peak, errors = [0], [0], []
+
+    def worker():
+        try:
+            con = connect(opts)
+            with lock:
+                live[0] += 1
+                peak[0] = max(peak[0], live[0])
+            import time as _t
+
+            _t.sleep(0.15)
+            with lock:
+                live[0] -= 1
+            con.close()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert peak[0] <= 2, f"valve leaked: {peak[0]} concurrent connections"
+
+
+def test_pool_valve_reaps_dead_holder_slots(sqlite_db, tmp_path):
+    from datafusion_remote_table_spark.remote.connection import PoolValve
+
+    valve = PoolValve("reap-test", max_size=1)
+    # forge the single slot as held by a pid that no longer exists
+    path = f"{valve._base}.0.slot"
+    with open(path, "w") as f:
+        f.write("999999999")
+    try:
+        valve.acquire(timeout=2.0)  # must reap and succeed, not time out
+        valve.release()
+    finally:
+        import os as _os
+
+        if _os.path.exists(path):
+            _os.unlink(path)
+
+
+def test_pool_valve_times_out_when_exhausted():
+    from datafusion_remote_table_spark.remote.connection import PoolValve
+
+    a = PoolValve("timeout-test", max_size=1)
+    b = PoolValve("timeout-test", max_size=1)
+    a.acquire()
+    try:
+        with pytest.raises(TimeoutError):
+            b.acquire(timeout=0.3)
+    finally:
+        a.release()
+
+
+def test_pool_valve_zero_disables_cap(sqlite_db):
+    from datafusion_remote_table_spark.remote.connection import connect
+
+    opts = SqliteConnectionOptions(path=sqlite_db, pool_max_size=0)
+    cons = [connect(opts) for _ in range(5)]
+    import sqlite3 as _sq
+
+    assert all(isinstance(c, _sq.Connection) for c in cons)  # no proxy wrap
+    for c in cons:
+        c.close()
