@@ -36,19 +36,27 @@ def _local_skyline(pdf: pd.DataFrame, dims: list[str]) -> pd.DataFrame:
     return pdf.iloc[keep]
 
 
-def skyline(df: DataFrame, dims: list[str]) -> DataFrame:
-    """All-dimensions-minimized skyline of df over `dims`."""
+def skyline(df: DataFrame, dims: list[str], fanin: int = 64) -> DataFrame:
+    """All-dimensions-minimized skyline of df over `dims`.
+
+    The reduce is a bounded-fan-in TREE, not a flat coalesce(1): each
+    level merges at most ``fanin`` partitions' local skylines and prunes
+    dominated points before the next level, so no single task ever
+    concatenates more than ``fanin`` candidate sets — the valve for the
+    degenerate (anti-correlated) case where per-partition skylines are
+    large. Levels = ceil(log_fanin(P)): 100k-partition input reduces in
+    3 levels. Correctness: dominance is transitive, so pruning at any
+    level never removes a global skyline point (skyline of a union ⊇
+    skyline of the whole — the final level is exact)."""
 
     def local(batches):
-        for pdf in batches:
-            yield _local_skyline(pdf, dims)
-
-    candidates = df.mapInPandas(local, schema=df.schema)
-
-    # global pass: candidates are few; single-partition exact reduce
-    def global_reduce(batches):
-        frames = [b for b in batches if len(b)]
-        if frames:  # empty input -> empty result, not a concat error
+        frames = [_local_skyline(pdf, dims) for pdf in batches if len(pdf)]
+        if frames:  # empty partition -> no output, not a concat error
             yield _local_skyline(pd.concat(frames, ignore_index=True), dims)
 
-    return candidates.coalesce(1).mapInPandas(global_reduce, schema=df.schema)
+    candidates = df.mapInPandas(local, schema=df.schema)
+    parts = candidates.rdd.getNumPartitions()
+    while parts > 1:
+        parts = max(1, -(-parts // fanin))
+        candidates = candidates.coalesce(parts).mapInPandas(local, schema=df.schema)
+    return candidates

@@ -285,3 +285,15 @@ def test_cluster_sample_api_matches_plan_instance(spark, sf_dir, emb):
         for r in plans.QUERIES["cluster_balanced_sample"](spark, sf_dir).collect()
     }
     assert api == plan
+
+
+def test_skyline_tree_reduce_matches_flat(spark):
+    """A many-partition input forced through multiple tree levels
+    (fanin=2) must produce the same skyline as a single-partition run."""
+    from datafusion_remote_table_spark.operators.skyline import skyline
+
+    rows = [(i, float((i * 7) % 50), float((i * 13) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(16)
+    tree = sorted(map(tuple, skyline(df, ["x", "y"], fanin=2).collect()))
+    flat = sorted(map(tuple, skyline(df.coalesce(1), ["x", "y"]).collect()))
+    assert tree == flat and len(tree) > 0
