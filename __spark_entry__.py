@@ -20,6 +20,12 @@ from datafusion_remote_table_spark import plans
 # verification across rounds; round-1-only greens come next (refresh),
 # and the already re-verified round-2 greens go last.
 _VERIFY_FIRST = [
+    # new in round 3 — no driver row yet
+    "bm25_topk",
+    "tfidf_top_terms",
+    "hybrid_search_rrf",
+    "quality_perplexity_buckets",
+    "embedding_dim_stats",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

@@ -116,6 +116,12 @@ class _Spark:
             f"transform(array_sort(collect_list(named_struct('k', {key}, 'v', {val}))), s -> s.v)"
         )
 
+    @staticmethod
+    def bhint(*aliases):
+        # broadcast hint for relations Catalyst can't size (derived CTEs);
+        # a no-op spelling in DuckDB, which plans its own join sides
+        return f"/*+ BROADCAST({', '.join(aliases)}) */ "
+
 
 class _Duck:
     STR = "VARCHAR"
@@ -203,6 +209,10 @@ class _Duck:
     @staticmethod
     def list_ordered(val, key):
         return f"list({val} ORDER BY {key})"
+
+    @staticmethod
+    def bhint(*aliases):
+        return ""
 
 
 def _repartition_views(spark: SparkSession, dfs: dict) -> None:
@@ -1624,7 +1634,7 @@ def _sql_bigram_score(E):
       SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM doc_grams GROUP BY gram
     ),
     scored AS (
-      SELECT d.doc_id,
+      SELECT {E.bhint('u')}d.doc_id,
              CAST(ROUND(CAST(g.c12 + 1 AS DOUBLE) / (u.c1 + vocab.v), 9) AS DECIMAL(12, 9)) AS p
       FROM doc_grams d
       JOIN gram_counts g ON d.gram = g.gram
@@ -1904,3 +1914,213 @@ def _sql_frame_sample(E):
 
 
 _register_pair("multimodal_frame_sample", _sql_frame_sample)
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — Okapi BM25 retrieval (k1=1.2, b=0.75) for a fixed keyword
+# query, top-20 docs. The lexical-retrieval primitive a training-data
+# pipeline uses for targeted corpus mining and eval-set construction.
+# Scale: the explode is filtered to QUERY TERMS before any shuffle (only
+# matching postings move — the inverted-index access pattern without an
+# index); df and corpus stats are term-count-sized (broadcast); the only
+# corpus-scale shuffle is the per-doc score agg on uniform doc_id keys;
+# top-20 is TakeOrderedAndProject. Per-doc addends are decimal-cast
+# before SUM so the score is order-independent (house determinism rule).
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def _sql_bm25(E):
+    words = E.splitws("lower(text)")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    idf = "ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
+    tf_norm = (
+        "(t.tf * (1.2e0 + 1.0e0)) / "
+        "(t.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * l.dl / s.avgdl))"
+    )
+    return f"""
+    WITH doclen AS (
+      SELECT doc_id, CAST({E.SIZE}({words}) AS BIGINT) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) posting
+      WHERE w IN ({terms})
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    scored AS (
+      SELECT {E.bhint('d', 's')}t.doc_id,
+             SUM(CAST({idf} * {tf_norm} AS DECIMAL(18, 9))) AS score
+      FROM tf t
+      JOIN df d ON t.w = d.w
+      JOIN doclen l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(CAST(score AS DOUBLE), 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+_register_pair("bm25_topk", _sql_bm25)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms — the 3 highest-tf-idf terms per document (smooth idf:
+# ln((1+N)/(1+df)) + 1): per-doc keyword extraction for corpus browsing,
+# topic tagging, and weak labeling. Scale: tf aggregates on uniform
+# (doc_id, term) keys with map-side partials; df is a second agg over the
+# much smaller tf frame; the df join back is term-keyed (zipf head — AQE
+# skew-join handles it, and the df relation is vocab-sized so Catalyst
+# broadcasts it); the final window partitions by doc_id (uniform).
+def _sql_tfidf_terms(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) x
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT {E.bhint('d', 'n')}t.doc_id, t.w AS term, t.tf,
+             ROUND(t.tf * (ln((1.0e0 + n.n_docs) / (1.0e0 + d.df)) + 1.0e0), 6) AS tfidf
+      FROM tf t JOIN df d ON t.w = d.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, term, tf, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) ranked
+    WHERE rn <= 3
+    """
+
+
+_register_pair("tfidf_top_terms", _sql_tfidf_terms)
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — reciprocal-rank fusion (k=60) of lexical BM25
+# retrieval over documents and dense cosine retrieval over embeddings
+# (doc_id == vec_id in the testdata), top-10 fused. The RAG-stack
+# retrieval shape: two independent bounded top-20 lists (each planned as
+# TakeOrderedAndProject — never a full-relation window), fused with a
+# 20-row full outer join. Scale: each leg is the scale path of its
+# operator family (BM25 above, ANN via IVF in ann_ivf_cosine); fusion
+# cost is O(k).
+def _sql_hybrid_rrf(E):
+    cosd = (
+        f"{E.dot('e.embedding', 'q.embedding')} / "
+        f"(sqrt({E.dot('e.embedding', 'e.embedding')}) * sqrt({E.dot('q.embedding', 'q.embedding')}))"
+    )
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+      FROM ({_sql_bm25(E)}) bm_top
+    ),
+    qvec AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos_top AS (
+      SELECT e.vec_id, ROUND({cosd}, 6) AS cosine
+      FROM embeddings e CROSS JOIN qvec q
+      WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT 20
+    ),
+    cs AS (
+      SELECT vec_id, cosine,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_cos
+      FROM cos_top
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+             ROUND(COALESCE(1.0e0 / (60 + b.r_bm25), 0.0e0)
+                   + COALESCE(1.0e0 / (60 + c.r_cos), 0.0e0), 6) AS rrf,
+             CAST(COALESCE(b.r_bm25, 0) AS BIGINT) AS r_bm25,
+             CAST(COALESCE(c.r_cos, 0) AS BIGINT) AS r_cos
+      FROM bm b FULL OUTER JOIN cs c ON b.doc_id = c.vec_id
+    )
+    SELECT doc_id, rrf, r_bm25, r_cos
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+_register_pair("hybrid_search_rrf", _sql_hybrid_rrf, tables=("documents", "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# quality_perplexity_buckets — CCNet-style LM-score bucketing: each doc is
+# assigned head/middle/tail (1/2/3) WITHIN ITS LANGUAGE by the in-engine
+# bigram-LM fluency score (text_bigram_score), the standard gate for
+# keeping a perplexity-balanced corpus slice per language. NTILE with a
+# (score, doc_id) total order is bit-identical across engines — no float
+# percentile interpolation to diverge on. Scale note: the per-lang NTILE
+# sorts each language partition (CCNet itself sorts per-language shards);
+# at extreme per-lang volume the production variant swaps NTILE for
+# per-lang score-quantile thresholds computed on a sample, trading exact
+# terciles for a fully map-side bucket assignment.
+def _sql_perplexity_buckets(E):
+    return f"""
+    WITH scored AS ({_sql_bigram_score(E)})
+    SELECT d.doc_id, d.lang,
+           CAST(NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_cond_prob DESC, d.doc_id) AS BIGINT) AS bucket
+    FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+_register_pair("quality_perplexity_buckets", _sql_perplexity_buckets)
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension mean/std/min/max over the embedding
+# table: the QA report behind normalization choices, dead-dimension
+# detection, and anisotropy checks before ANN indexing. Determinism:
+# values are floor-quantized to 1e-6 fixed point and summed as DECIMAL
+# (exact, order-independent in both engines; the kmeans centroid rule);
+# variance comes from the exact sums in one pass. Scale: explode to
+# (row × dim) then aggregate on exactly `dim` uniform keys with map-side
+# partials — one shuffle of dim-sized partial states per partition.
+def _sql_embedding_dim_stats(E):
+    val = f"CAST({E.idx('embedding', 'dims.d')} AS DOUBLE)"
+    fp = f"CAST(floor({val} * 1000000.0e0) AS BIGINT)"
+    return f"""
+    WITH dims AS (SELECT {E.explode(E.seq(1, 64), 'd')}),
+    cells AS (
+      SELECT dims.d AS dim, {fp} AS v_fp
+      FROM embeddings CROSS JOIN dims
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000.0e0 AS s1,
+             CAST(SUM(CAST(v_fp * v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000000000.0e0 AS s2,
+             CAST(MIN(v_fp) AS DOUBLE) / 1000000.0e0 AS vmin,
+             CAST(MAX(v_fp) AS DOUBLE) / 1000000.0e0 AS vmax
+      FROM cells GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0e0)), 6) AS std,
+           ROUND(vmin, 6) AS vmin,
+           ROUND(vmax, 6) AS vmax
+    FROM agg
+    """
+
+
+_register_pair("embedding_dim_stats", _sql_embedding_dim_stats, tables=("embeddings",))
