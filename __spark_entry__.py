@@ -21,6 +21,7 @@ from datafusion_remote_table_spark import plans
 # and the already re-verified round-2 greens go last.
 _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
+    "remote_wide_types",
     "bm25_topk",
     "tfidf_top_terms",
     "hybrid_search_rrf",

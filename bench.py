@@ -47,6 +47,11 @@ HEADLINE = [
     "kmeans_embeddings",
     "sample_temperature_mix",
     "quality_repetition_signals",
+    # round-3 additions: retrieval (lexical, dense, fused) + embedding QA
+    "bm25_topk",
+    "tfidf_top_terms",
+    "hybrid_search_rrf",
+    "embedding_dim_stats",
 ]
 
 

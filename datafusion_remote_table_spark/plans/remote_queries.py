@@ -87,12 +87,30 @@ _ARRAY_TYPES_SQL = """
 """
 
 
+# the reference README's supported-type matrix beyond ints/floats/text:
+# DECIMAL, DATE, TIMESTAMP, BOOLEAN, BLOB, JSON — derived deterministically
+# from orders so the DuckDB oracle can rebuild identical values from the
+# parquet view with the same expressions
+_WIDE_TYPES_SQL = """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS dec_col,
+           DATE '1995-01-01' + CAST(o_orderkey % 1000 AS INT) AS date_col,
+           TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 1 HOUR * CAST(o_orderkey % 240 AS INT) AS ts_col,
+           (o_orderkey % 2 = 0) AS bool_col,
+           CAST(o_orderstatus AS BLOB) AS blob_col,
+           '{{"priority": "' || o_orderpriority || '"}}' AS json_col
+    FROM {orders}
+    WHERE o_orderkey % 97 = 0
+"""
+
+
 def ensure_duckdb_remote(sf_dir: str) -> str:
     """A second, different remote backend (analytical) for multi-source
-    federation: nation+region live here, plus an array-typed table."""
+    federation: nation+region live here, plus array- and wide-typed
+    tables."""
     import duckdb
 
-    path = _cache_path(sf_dir, ".duckdb", spec=f"duckdb-v2|{_ARRAY_TYPES_SQL}")
+    path = _cache_path(sf_dir, ".duckdb", spec=f"duckdb-v3|{_ARRAY_TYPES_SQL}|{_WIDE_TYPES_SQL}")
     if os.path.exists(path):
         return path
     tmp = path + ".tmp"
@@ -107,6 +125,10 @@ def ensure_duckdb_remote(sf_dir: str) -> str:
         con.execute(
             "CREATE TABLE array_types AS "
             + _ARRAY_TYPES_SQL.format(nation=f"read_parquet('{os.path.join(sf_dir, 'nation')}.parquet')")
+        )
+        con.execute(
+            "CREATE TABLE wide_types AS "
+            + _WIDE_TYPES_SQL.format(orders=f"read_parquet('{os.path.join(sf_dir, 'orders')}.parquet')")
         )
     finally:
         con.close()
@@ -569,3 +591,51 @@ def remote_command_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         if t in base_duckdb
     ]
     return spark.createDataFrame(rows, "backend string, table_name string")
+
+
+@register(
+    "remote_wide_types",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS dec_col,
+             DATE '1995-01-01' + CAST(o_orderkey % 1000 AS INT) AS date_col,
+             TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 1 HOUR * CAST(o_orderkey % 240 AS INT) AS ts_col,
+             (o_orderkey % 2 = 0) AS bool_col,
+             CAST(o_orderstatus AS BLOB) AS blob_col,
+             '{"priority": "' || o_orderpriority || '"}' AS json_col
+      FROM orders
+      WHERE o_orderkey % 97 = 0
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(dec_col AS DOUBLE) AS dec_dbl,
+           strftime(date_col, '%Y-%m-%d') AS date_str,
+           strftime(ts_col, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           bool_col,
+           md5(decode(blob_col)) AS blob_md5,
+           json_extract_string(json_col, '$.priority') AS priority
+    FROM w
+    """,
+)
+def remote_wide_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README's supported-type matrix beyond
+    ints/floats/text, end-to-end through the remote fetch: DECIMAL,
+    DATE, TIMESTAMP, BOOLEAN, BLOB, and JSON-shaped text columns arrive
+    as Arrow decimal128/date32/timestamp/bool/binary/utf8 and are
+    operated on Spark-side (decimal cast, date/ts formatting, binary
+    md5, get_json_object). Parity: schema.rs RemoteType mappings +
+    integration-tests supported_*_types."""
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    ddb = DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+    df = RemoteTable(ddb, ["wide_types"]).read(spark)
+    return df.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("dec_col").cast("double").alias("dec_dbl"),
+        F.date_format("date_col", "yyyy-MM-dd").alias("date_str"),
+        F.date_format("ts_col", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "bool_col",
+        F.md5("blob_col").alias("blob_md5"),
+        F.get_json_object("json_col", "$.priority").alias("priority"),
+    )

@@ -134,3 +134,25 @@ def test_kmeans_seed_selection_is_take_ordered(spark, sf_dir):
     # ranking the whole embedding table through one task
     plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    # the top-20 must be TakeOrderedAndProject, and the posting explode
+    # must filter to query terms before the per-doc aggregation shuffle
+    plan = _plan(plans.QUERIES["bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_legs_are_bounded_topk(spark, sf_dir):
+    # both retrieval legs are ORDER BY + LIMIT 20 subqueries: planned as
+    # TakeOrderedAndProject, never a full-relation rank window
+    plan = _plan(plans.QUERIES["hybrid_search_rrf"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_bigram_unigram_join_broadcasts(spark, sf_dir):
+    # the vocab-sized unigram relation must broadcast into the zipf-head
+    # gram join instead of shuffling the corpus-scale gram stream
+    plan = _plan(plans.QUERIES["text_bigram_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
