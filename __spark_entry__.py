@@ -22,6 +22,7 @@ from datafusion_remote_table_spark import plans
 _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "remote_wide_types",
+    "stream_doc_quality_gate",
     "bm25_topk",
     "tfidf_top_terms",
     "hybrid_search_rrf",

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_dedup_stateful,
+    stream_doc_quality_gate,
     stream_events_windowed,
     stream_join_enrich,
     stream_remote_sink,
@@ -99,4 +100,19 @@ ORACLE["stream_sessionize_stateful"] = """
     SELECT user_id, session_start, n_events, session_value
     FROM rolled r
     WHERE session_id < (SELECT MAX(session_id) FROM rolled r2 WHERE r2.user_id = r.user_id)
+"""
+
+
+from .llm_data import _Duck as _D  # noqa: E402
+from .llm_data import _sql_quality_filter as _qf  # noqa: E402
+
+QUERIES["stream_doc_quality_gate"] = stream_doc_quality_gate
+# Stateless per-doc gate + keyed rollup: bounded input converges to the
+# batch Gopher filter's (lang, keep) aggregate.
+ORACLE["stream_doc_quality_gate"] = f"""
+    WITH q AS ({_qf(_D)})
+    SELECT lang, CAST(keep AS BIGINT) AS keep,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM q GROUP BY lang, keep
 """

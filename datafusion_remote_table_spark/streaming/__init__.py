@@ -1,5 +1,6 @@
 from .events import (  # noqa: F401
     stream_dedup_stateful,
+    stream_doc_quality_gate,
     stream_events_windowed,
     stream_join_enrich,
     stream_remote_sink,

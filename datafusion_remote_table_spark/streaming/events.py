@@ -58,6 +58,51 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (no timestamp column —
+    the corpus-ingest shape: docs arrive continuously from a crawler)."""
+    import hashlib
+
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"dfrt_docs_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def stream_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality gate: the Gopher document filter
+    (quality_filter_gopher's exact rule) applied to a documents stream,
+    rolled up per (lang, keep). The pipeline shape for filtering a crawl
+    AS IT ARRIVES instead of in nightly batches. Stateless per-doc
+    feature compute (no watermark needed) + one keyed agg; on bounded
+    input it converges to the batch filter's rollup, which is the
+    oracle. Scale: the only shuffle is (lang, keep) — a handful of
+    groups with map-side partial aggregation."""
+    from ..plans.llm_data import _Spark, _sql_quality_filter
+
+    stream = _docs_stream(spark, sf_dir)
+    view = "stream_docs_gate_in"
+    stream.createOrReplaceTempView(view)
+    per_doc = spark.sql(_sql_quality_filter(_Spark).replace("FROM documents", f"FROM {view}"))
+    agg = (
+        per_doc.groupBy(
+            "lang", F.col("keep").cast("bigint").alias("keep")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    return _run_bounded(agg, "stream_doc_quality_gate")
+
+
 def _run_bounded(stream_df: DataFrame, name: str) -> DataFrame:
     """Execute a streaming query to completion on bounded input and return
     the full result as a (batch) DataFrame."""
