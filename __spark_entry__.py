@@ -23,6 +23,7 @@ _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "remote_wide_types",
     "stream_doc_quality_gate",
+    "events_gap_fill_locf",
     "bm25_topk",
     "tfidf_top_terms",
     "hybrid_search_rrf",

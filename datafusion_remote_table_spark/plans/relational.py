@@ -1691,3 +1691,65 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_gap_fill_locf — hypertable-style gap fill: each user's activity
+# is rolled up to an hourly series, missing hours are materialized from a
+# per-user hour grid, and the value is carried forward (LOCF) across the
+# gaps — the time-series regularization step every downstream
+# resample/join expects. Scale: the hourly rollup aggregates on uniform
+# (user, hour) keys map-side; the grid explode is per-user bounded by the
+# observed span (no global calendar cross join); the gap join is
+# co-keyed; LOCF is a per-user ordered window (uniform partitions, no
+# global sort). First grid hour per user is always observed, so the fill
+# never has leading NULLs.
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(CASE WHEN v IS NULL THEN 0 ELSE 1 END AS INT) AS observed,
+           ROUND(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_locf
+    FROM joined
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql("""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, explode(sequence(lo, hi, interval 1 hour)) AS h FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN hourly o ON g.user_id = o.user_id AND g.h = o.h
+    )
+    SELECT user_id, date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
+           CAST(CASE WHEN v IS NULL THEN 0 ELSE 1 END AS INT) AS observed,
+           ROUND(last_value(v, true) OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_locf
+    FROM joined
+    """)
