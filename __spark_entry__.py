@@ -22,6 +22,7 @@ from datafusion_remote_table_spark import plans
 _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "remote_wide_types",
+    "remote_filter_mixed_pushdown",
     "stream_doc_quality_gate",
     "events_gap_fill_locf",
     "bm25_topk",

@@ -639,3 +639,31 @@ def remote_wide_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("blob_col").alias("blob_md5"),
         F.get_json_object("json_col", "$.priority").alias("priority"),
     )
+
+
+@register(
+    "remote_filter_mixed_pushdown",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE 'Customer#00000%'
+      AND c_acctbal IS NOT NULL
+      AND CAST(c_custkey AS BIGINT) % 3 = 0
+    """,
+)
+def remote_filter_mixed_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact/unsupported pushdown split end-to-end (transform.rs
+    support_filter_pushdown parity): IN-list, prefix LIKE, and IS NOT
+    NULL unparse into the remote sqlite SQL; the modulo predicate has no
+    DataSource filter representation, so Spark keeps it local — pushdown
+    as an optimization, never a correctness dependency."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["customer"])
+    return (
+        t.read(spark)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .filter(F.col("c_name").startswith("Customer#00000"))
+        .filter(F.col("c_acctbal").isNotNull())
+        .filter((F.col("c_custkey") % 3) == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )

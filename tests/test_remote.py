@@ -615,3 +615,21 @@ def test_pool_valve_zero_disables_cap(sqlite_db):
     assert all(isinstance(c, _sq.Connection) for c in cons)  # no proxy wrap
     for c in cons:
         c.close()
+
+
+def test_mixed_pushdown_split(sqlite_db):
+    """IN / prefix-LIKE / IS NOT NULL unparse; a modulo predicate has no
+    DataSource filter class so it must come back unsupported — the split
+    the remote_filter_mixed_pushdown driver query relies on."""
+    d = dialect_for("sqlite")
+    pushed, unsupported = split_filters(
+        [
+            In(("c_mktsegment",), ("BUILDING", "MACHINERY")),
+            StringStartsWith(("c_name",), "Customer#00000"),
+            Not(IsNull(("c_acctbal",))),
+        ],
+        d,
+    )
+    assert len(pushed) == 3 and unsupported == []
+    assert "\"c_mktsegment\" IN ('BUILDING', 'MACHINERY')" in pushed
+    assert any("LIKE 'Customer#00000%'" in p for p in pushed)
