@@ -297,3 +297,62 @@ def test_skyline_tree_reduce_matches_flat(spark):
     tree = sorted(map(tuple, skyline(df, ["x", "y"], fanin=2).collect()))
     flat = sorted(map(tuple, skyline(df.coalesce(1), ["x", "y"]).collect()))
     assert tree == flat and len(tree) > 0
+
+
+def test_bm25_api_matches_plan_instance(spark, sf_dir, docs):
+    from datafusion_remote_table_spark.operators.retrieval import bm25_topk
+    from datafusion_remote_table_spark.plans.llm_data import _BM25_TERMS
+
+    api = {(r.doc_id, r.bm25) for r in bm25_topk(docs, list(_BM25_TERMS)).collect()}
+    plan = {(r.doc_id, r.bm25) for r in plans.QUERIES["bm25_topk"](spark, sf_dir).collect()}
+    assert api == plan
+
+
+def test_tfidf_api_matches_plan_instance(spark, sf_dir, docs):
+    from datafusion_remote_table_spark.operators.retrieval import tfidf_top_terms
+
+    api = {
+        (r.doc_id, r.term, r.tf, r.tfidf, r.rn) for r in tfidf_top_terms(docs).collect()
+    }
+    plan = {
+        (r.doc_id, r.term, r.tf, r.tfidf, r.rn)
+        for r in plans.QUERIES["tfidf_top_terms"](spark, sf_dir).collect()
+    }
+    assert api == plan
+
+
+def test_rrf_fuse_matches_plan_instance(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.retrieval import rrf_fuse
+
+    plan = plans.QUERIES["hybrid_search_rrf"](spark, sf_dir)
+    want = {(r.doc_id, r.rrf) for r in plan.collect()}
+    # rebuild the two legs exactly as the registered query defines them,
+    # then fuse through the API
+    from pyspark.sql import functions as F
+    from datafusion_remote_table_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("documents", "embeddings"))
+    bm = plans.QUERIES["bm25_topk"](spark, sf_dir).select(
+        "doc_id", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.col("bm25").desc(), "doc_id"
+            )
+        ).alias("rn"),
+    )
+    cos = spark.sql("""
+      WITH qvec AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id AS doc_id,
+             ROUND(aggregate(zip_with(e.embedding, q.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+               / (sqrt(aggregate(zip_with(e.embedding, e.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                  * sqrt(aggregate(zip_with(q.embedding, q.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 6) AS cosine
+      FROM embeddings e CROSS JOIN qvec q WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, e.vec_id LIMIT 20
+    """).select(
+        "doc_id", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.col("cosine").desc(), "doc_id"
+            )
+        ).alias("rn"),
+    )
+    got = {(r.id, r.rrf) for r in rrf_fuse(bm, cos).collect()}
+    assert got == want
