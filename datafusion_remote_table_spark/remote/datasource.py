@@ -79,8 +79,13 @@ class RemoteTableReader(DataSourceReader):
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         """Exact/Unsupported split (transform.rs:52-86 parity): filters
         that unparse in the remote dialect are absorbed into the remote
-        SQL; the rest are returned for Spark-side evaluation."""
-        pushed_sql, unsupported = split_filters(list(filters), self.spec.dialect)
+        SQL; the rest are returned for Spark-side evaluation. A custom
+        literalizer (spec.literalizer import path) overrides per-value
+        rendering, as literalize.rs's pluggable Literalize does."""
+        from .unparse import resolve_literalizer
+
+        literal = resolve_literalizer(self.spec.literalizer)
+        pushed_sql, unsupported = split_filters(list(filters), self.spec.dialect, literal)
         self.spec.pushed_filters.extend(pushed_sql)
         return unsupported
 

@@ -37,6 +37,10 @@ class RemoteScanSpec:
     limit: int | None = None
     partition_column: str | None = None
     fetch_partitions: int = 1
+    # 'module:function' import path of a custom literal renderer used when
+    # unparsing pushdown filters (literalize.rs `Literalize` parity); the
+    # JSON spec carries only the name, the code ships with the job
+    literalizer: str | None = None
 
     # -- source / SQL composition ------------------------------------------
     @property
@@ -75,6 +79,7 @@ class RemoteScanSpec:
                 "limit": self.limit,
                 "partition_column": self.partition_column,
                 "fetch_partitions": self.fetch_partitions,
+                "literalizer": self.literalizer,
             }
         )
 

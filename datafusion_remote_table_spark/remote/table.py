@@ -12,6 +12,11 @@ Constructor parity map:
 - try_new_with_schema          → RemoteTable(..., schema=StructType/DDL)
 - try_new_with_remote_schema   → RemoteTable(..., schema=[(name, remote_type), ...])
 - try_new_with_transform       → RemoteTable(..., transform=RemoteTransform(...))
+- try_new_with_schema_transform_literalizer
+                               → RemoteTable(..., literalizer="module:function")
+  (the hook overrides per-value literal rendering when pushdown filters
+  unparse; it is named by import path so the JSON scan spec stays
+  serializable — the code ships with the job, as --py-files on a cluster)
 """
 
 from __future__ import annotations
@@ -42,8 +47,10 @@ class RemoteTable:
         source,
         schema=None,
         transform: RemoteTransform | None = None,
+        literalizer: str | None = None,
     ):
         self.options = options
+        self.literalizer = literalizer
         if isinstance(source, str):
             self.query: str | None = source
             self.table: list[str] | None = None
@@ -63,7 +70,9 @@ class RemoteTable:
 
     # -- spec / schema ------------------------------------------------------
     def spec(self, **overrides) -> RemoteScanSpec:
-        spec = RemoteScanSpec(options=self.options, query=self.query, table=self.table)
+        spec = RemoteScanSpec(
+            options=self.options, query=self.query, table=self.table, literalizer=self.literalizer
+        )
         for k, v in overrides.items():
             setattr(spec, k, v)
         return spec

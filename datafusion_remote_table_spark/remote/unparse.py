@@ -39,31 +39,58 @@ def _col(dialect: Dialect, attribute) -> str:
     return dialect.quote_ident(attribute[0])
 
 
-def unparse_filter(f: Filter, dialect: Dialect) -> str:
+def resolve_literalizer(path: str | None):
+    """Resolve a 'module:function' import path to the custom literalizer
+    callable (parity: try_new_with_schema_transform_literalizer +
+    literalize.rs's pluggable `Literalize`). The hook is shipped as an
+    import path — code travels with the job (--py-files), only the name
+    rides in the JSON spec, mirroring how the reference's codec never
+    serializes the literalizer object itself."""
+    if path is None:
+        return None
+    mod, _, fn = path.partition(":")
+    if not mod or not fn:
+        raise ValueError(f"literalizer must be 'module:function', got {path!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), fn)
+
+
+def _lit(dialect: Dialect, value, literal=None) -> str:
+    """Render one literal: the custom hook first (returning None defers),
+    the dialect's default otherwise — DefaultLiteralizer fallthrough."""
+    if literal is not None:
+        rendered = literal(value, dialect)
+        if rendered is not None:
+            return rendered
+    return dialect.literal(value)
+
+
+def unparse_filter(f: Filter, dialect: Dialect, literal=None) -> str:
     """Render one pushdown filter as remote SQL, or raise UnsupportedFilter."""
     if isinstance(f, EqualTo):
-        return f"{_col(dialect, f.attribute)} = {dialect.literal(f.value)}"
+        return f"{_col(dialect, f.attribute)} = {_lit(dialect, f.value, literal)}"
     if isinstance(f, EqualNullSafe):
-        c, v = _col(dialect, f.attribute), dialect.literal(f.value)
+        c, v = _col(dialect, f.attribute), _lit(dialect, f.value, literal)
         return f"({c} = {v} OR ({c} IS NULL AND {v} IS NULL))"
     if isinstance(f, GreaterThan):
-        return f"{_col(dialect, f.attribute)} > {dialect.literal(f.value)}"
+        return f"{_col(dialect, f.attribute)} > {_lit(dialect, f.value, literal)}"
     if isinstance(f, GreaterThanOrEqual):
-        return f"{_col(dialect, f.attribute)} >= {dialect.literal(f.value)}"
+        return f"{_col(dialect, f.attribute)} >= {_lit(dialect, f.value, literal)}"
     if isinstance(f, LessThan):
-        return f"{_col(dialect, f.attribute)} < {dialect.literal(f.value)}"
+        return f"{_col(dialect, f.attribute)} < {_lit(dialect, f.value, literal)}"
     if isinstance(f, LessThanOrEqual):
-        return f"{_col(dialect, f.attribute)} <= {dialect.literal(f.value)}"
+        return f"{_col(dialect, f.attribute)} <= {_lit(dialect, f.value, literal)}"
     if isinstance(f, In):
         if not f.value:
             return "1 = 0"
-        return f"{_col(dialect, f.attribute)} IN {dialect.literal(list(f.value))}"
+        return f"{_col(dialect, f.attribute)} IN {_lit(dialect, list(f.value), literal)}"
     if isinstance(f, IsNull):
         return f"{_col(dialect, f.attribute)} IS NULL"
     if isinstance(f, IsNotNull):
         return f"{_col(dialect, f.attribute)} IS NOT NULL"
     if isinstance(f, Not):
-        return f"NOT ({unparse_filter(f.child, dialect)})"
+        return f"NOT ({unparse_filter(f.child, dialect, literal)})"
     if isinstance(f, StringStartsWith):
         return dialect.string_match(_col(dialect, f.attribute), f.value, "starts")
     if isinstance(f, StringEndsWith):
@@ -73,17 +100,20 @@ def unparse_filter(f: Filter, dialect: Dialect) -> str:
     raise UnsupportedFilter(f"filter {type(f).__name__} not unparseable")
 
 
-def split_filters(filters: list[Filter], dialect: Dialect) -> tuple[list[str], list[Filter]]:
+def split_filters(
+    filters: list[Filter], dialect: Dialect, literal=None
+) -> tuple[list[str], list[Filter]]:
     """Partition filters into (pushed SQL strings, unsupported originals).
 
     Unsupported ones go back to Spark for local evaluation — pushdown is
-    an optimization, never a correctness dependency.
-    """
+    an optimization, never a correctness dependency. A custom literalizer
+    that raises keeps its filter on the unsupported side (the reference's
+    support_filter_pushdown contract: unparse cleanly or don't push)."""
     pushed_sql: list[str] = []
     unsupported: list[Filter] = []
     for f in filters:
         try:
-            pushed_sql.append(unparse_filter(f, dialect))
+            pushed_sql.append(unparse_filter(f, dialect, literal))
         except (UnsupportedFilter, TypeError):
             unsupported.append(f)
     return pushed_sql, unsupported

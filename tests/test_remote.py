@@ -633,3 +633,54 @@ def test_mixed_pushdown_split(sqlite_db):
     assert len(pushed) == 3 and unsupported == []
     assert "\"c_mktsegment\" IN ('BUILDING', 'MACHINERY')" in pushed
     assert any("LIKE 'Customer#00000%'" in p for p in pushed)
+
+
+# -- custom literalizer (try_new_with_schema_transform_literalizer parity) --
+
+
+def sqlite_float_text_literalizer(value, dialect):
+    """Render floats with explicit CAST (a dialect-quirk workaround the
+    reference's pluggable Literalize exists for); defer everything else."""
+    if isinstance(value, float):
+        return f"CAST('{value!r}' AS REAL)"
+    return None
+
+
+def test_custom_literalizer_rewrites_pushed_sql(spark, sqlite_db):
+    t = RemoteTable(
+        SqliteConnectionOptions(path=sqlite_db),
+        ["supported_data_types"],
+        literalizer="tests.test_remote:sqlite_float_text_literalizer",
+    )
+    df = t.read(spark).filter(F.col("real_col") > 1.0).select("int_col", "real_col")
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [(1, 1.5)]
+    # the rendered literal flows through the serialized spec
+    spec = t.spec()
+    from datafusion_remote_table_spark.remote.scan import RemoteScanSpec as _S
+    from datafusion_remote_table_spark.remote.unparse import (
+        resolve_literalizer,
+        split_filters,
+    )
+    from pyspark.sql.datasource import GreaterThan
+
+    lit = resolve_literalizer(_S.from_json(spec.to_json()).literalizer)
+    pushed, unsupported = split_filters([GreaterThan(("real_col",), 1.0)], spec.dialect, lit)
+    assert pushed == ["\"real_col\" > CAST('1.0' AS REAL)"] and not unsupported
+
+
+def test_raising_literalizer_keeps_filter_unsupported():
+    from datafusion_remote_table_spark.remote.dialect import dialect_for
+    from datafusion_remote_table_spark.remote.unparse import split_filters
+    from pyspark.sql.datasource import EqualTo
+
+    def refuse_strings(value, dialect):
+        if isinstance(value, str):
+            raise TypeError("no string literals on this remote")
+        return None
+
+    pushed, unsupported = split_filters(
+        [EqualTo(("name",), "Tom"), EqualTo(("id",), 1)], dialect_for("sqlite"), refuse_strings
+    )
+    assert pushed == ['"id" = 1']
+    assert len(unsupported) == 1  # the string filter stays Spark-side
