@@ -1,0 +1,98 @@
+"""Scaling harness: how do the corpus operators behave as the input
+grows 1x -> 4x -> 16x beyond sf0.1?
+
+Builds perturbed replicas of documents.parquet (each copy keeps a
+deterministic 80% word subsample keyed by copy index, so shingle sets
+across copies are dissimilar and the near-dup workload scales linearly
+instead of degenerating into giant identical-doc buckets — exact dedup
+owns identical docs). Prints one JSON line per (scale, query).
+
+Usage: python bench_scale.py [--scales 1,4,16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "bm25_topk", "tfidf_top_terms", "text_quality_score"]
+
+
+def build_scaled(scale: int) -> str:
+    import duckdb
+
+    out = os.path.join(tempfile.gettempdir(), f"dfrt_scale_{scale}x")
+    target = os.path.join(out, "documents.parquet")
+    if os.path.exists(target):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "documents.parquet")
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
+    # copy k keeps words whose (position + k) % 5 != k % 5 — a
+    # deterministic 80% subsample that differs per copy
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + k.k * {n} AS doc_id,
+                 array_to_string(
+                   list_filter_helper.words, ' ') AS text,
+                 d.lang, d.source,
+                 CAST(length(array_to_string(list_filter_helper.words, ' ')) AS BIGINT) AS n_chars
+          FROM read_parquet('{src}') d
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+          CROSS JOIN LATERAL (
+            SELECT CASE WHEN k.k = 0 THEN regexp_split_to_array(trim(d.text), '\\s+')
+                   ELSE list_filter(
+                     list_transform(regexp_split_to_array(trim(d.text), '\\s+'),
+                                    (w, i) -> CASE WHEN (i + k.k) % 5 <> k.k % 5 THEN w ELSE NULL END),
+                     w -> w IS NOT NULL)
+                   END AS words
+          ) list_filter_helper
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    from datafusion_remote_table_spark import plans
+    from datafusion_remote_table_spark.session import get_spark
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans.load_all()
+
+    # JVM warm-up outside all timed regions
+    for q in QUERIES:
+        plans.QUERIES[q](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    for scale in scales:
+        sf_dir = build_scaled(scale)
+        for q in QUERIES:
+            t0 = time.perf_counter()
+            plans.QUERIES[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            print(
+                json.dumps(
+                    {"scale": scale, "query": q, "sec": round(time.perf_counter() - t0, 2)}
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -171,10 +171,12 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a", b_col: str = "id
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
-    """Per-doc simhash over md5-derived token bit vectors (32-bit default,
-    matching the verified plans/llm_data.py instance). Per-row only."""
+    """Per-doc simhash over md5-derived token bit vectors (60-bit default,
+    matching the verified plans/llm_data.py instance — the Manku-style
+    wide signature whose 15-bit bands keep blocking buckets ~n/32768).
+    Per-row only."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     vals = F.transform(
         words, lambda t: F.conv(F.substring(F.md5(t), 1, bits // 4), 16, 10).cast("bigint")
