@@ -23,13 +23,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "bm25_topk", "tfidf_top_terms", "text_quality_score"]
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "bm25_topk",
+    "tfidf_top_terms",
+    "text_quality_score",
+    # corpus heavies
+    "text_bigram_score",
+    "line_dedup_boilerplate",
+    "quality_repetition_signals",
+    "corpus_clean_pipeline",
+    "dedup_clusters",
+    # embedding family
+    "kmeans_embeddings",
+    "ann_ivf_cosine",
+    "semdedup_embedding",
+    "embedding_dim_stats",
+    "dedup_embedding_cosine",
+]
 
 
 def build_scaled(scale: int) -> str:
     import duckdb
 
     out = os.path.join(tempfile.gettempdir(), f"dfrt_scale_{scale}x")
+    _build_embeddings(out, scale)
     target = os.path.join(out, "documents.parquet")
     if os.path.exists(target):
         return out
@@ -61,6 +80,34 @@ def build_scaled(scale: int) -> str:
         """
     )
     return out
+
+
+def _build_embeddings(out: str, scale: int) -> None:
+    """Perturbed embedding replicas: copy k rotates each vector left by k
+    positions — distinct vectors, same norm distribution, so clustering
+    and ANN workloads scale without collapsing into duplicate points."""
+    import duckdb
+
+    target = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(target):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "embeddings.parquet")
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + k.k * {n} AS vec_id,
+                 CASE WHEN k.k = 0 THEN e.embedding
+                      ELSE e.embedding[(k.k % 64) + 1:64] || e.embedding[1:(k.k % 64)]
+                 END AS embedding,
+                 e.label
+          FROM read_parquet('{src}') e
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
 
 
 def main() -> None:

@@ -720,31 +720,76 @@ ORACLE["multimodal_decode_stub"] = """
 
 # ---------------------------------------------------------------------------
 # dedup_embedding_cosine — embedding-space near-dup detection via BANDED
-# hyperplane LSH: 4 bands x 4 md5-keyed hyperplanes; vectors colliding in
-# ANY band become candidates (recall ~1-(1-p^4)^4 vs p^16 for a single
-# 16-bit signature), candidates are DISTINCT-ed before the exact-cosine
-# verify (>= 0.30), lower vec_id kept. Band signatures are map-side only;
-# the only shuffles are the (band, bucket) self-join and the candidate
-# dedup — never an all-pairs product. At 100TB raise planes-per-band so
-# 2^r buckets keeps |bucket| bounded (r=4 here matches the tiny test SFs).
-def _sql_dedup_embedding(E):
-    sign = lambda p, i: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
-    proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
+# hyperplane LSH with ADAPTIVE resolution: 4 bands × 12 md5-keyed
+# hyperplanes each, but the bucket key uses only the top
+# r_eff = clamp(ceil(log2(n / 50)), 4, 12) signature bits — computed
+# from COUNT(*) inside the query, in both engines — so bucket count
+# GROWS with the corpus and per-band candidate volume stays ~n × 50
+# instead of n²/2^r for a fixed r (the round-2 fixed r=4 went quadratic
+# in the 16x scale test: 3.8 s → 73 s; adaptive holds ~linear). Vectors
+# colliding in ANY band are candidates (recall 1-(1-p^r)^4), DISTINCT-ed
+# before the exact-cosine verify; lower vec_id kept.
+# The ±1 plane components are md5("p,i")-keyed like round 2's, but
+# evaluated at TEMPLATE BUILD time and inlined as literal signs: both
+# engines share the template text, so cross-engine identity holds by
+# construction and the per-row work is straight-line codegen arithmetic
+# (the round-2 spelling re-hashed 1024 constants per row).
+_LSH_BANDS, _LSH_BITS = 4, 12
 
-    def band_bucket(b: int) -> str:
-        # planes b*4+1 .. b*4+4 -> 4-bit bucket id for band b
-        return E.list_sum_int(
-            f"{E.TRANSFORM}({E.seq(b * 4 + 1, b * 4 + 4)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1 - {b * 4}')} ELSE 0 END)"
+
+def _lsh_plane_sign(p: int, i: int) -> int:
+    import hashlib
+
+    return -1 if int(hashlib.md5(f"{p},{i}".encode()).hexdigest()[0], 16) < 8 else 1
+
+
+def _lsh_adaptive(E, src="embeddings", target_bucket=50):
+    # Staged so every generated expression stays small enough for
+    # whole-stage codegen: one column per plane projection (64 additive
+    # terms each), then the band signatures as CASE sums over those
+    # columns, exploded by band index from one array (a UNION ALL of
+    # band selects re-evaluated the projection subtree per band, and a
+    # single 3000-term expression fell out of codegen into interpreted
+    # eval — measured 10 s vs ~2 s at sf0.1 for the same arithmetic).
+    def proj(p: int) -> str:
+        terms = " ".join(
+            f"{'-' if _lsh_plane_sign(p, i) < 0 else '+'} CAST({E.idx('embedding', i)} AS DOUBLE)"
+            for i in range(1, 65)
+        )
+        return f"(0 {terms})"
+
+    proj_cols = ",\n             ".join(
+        f"{proj(p)} AS pj_{p}" for p in range(1, _LSH_BANDS * _LSH_BITS + 1)
+    )
+
+    def sig(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN pj_{b * _LSH_BITS + q} >= 0 THEN {1 << (q - 1)} ELSE 0 END)"
+            for q in range(1, _LSH_BITS + 1)
         )
 
-    bands = "\n      UNION ALL\n      ".join(
-        f"SELECT vec_id, {b} AS band, {band_bucket(b)} AS bucket FROM embeddings" for b in range(4)
-    )
+    sigs = ", ".join(f"CAST({sig(b)} AS BIGINT)" for b in range(_LSH_BANDS))
+    sigs_arr = f"array({sigs})" if E is _Spark else f"[{sigs}]"
+    return f"""
+    SELECT t.vec_id, t.band, {E.intdiv('t.sig', 'x.p2')} AS bucket
+    FROM (
+      SELECT s.vec_id, b - 1 AS band, {E.idx('s.sigs', 'b')} AS sig
+      FROM (
+        SELECT vec_id, {sigs_arr} AS sigs
+        FROM (SELECT vec_id, {proj_cols} FROM {src}) prj
+      ) s, (SELECT {E.explode(E.seq(1, _LSH_BANDS), 'b')}) bi
+    ) t CROSS JOIN (
+      SELECT CAST(pow(2, {_LSH_BITS} - LEAST({_LSH_BITS}, GREATEST(4,
+               CAST(ceil(log2(CAST(COUNT(*) AS DOUBLE) / {target_bucket}.0e0)) AS INT)))) AS BIGINT) AS p2
+      FROM {src}
+    ) x
+    """
+
+
+def _sql_dedup_embedding(E):
     cos = E.dot("ea.embedding", "eb.embedding")
     return f"""
-    WITH buckets AS (
-      {bands}
-    ),
+    WITH buckets AS ({_lsh_adaptive(E)}),
     cand AS (
       SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
       FROM buckets a JOIN buckets b
@@ -1812,17 +1857,26 @@ ORACLE["corpus_clean_pipeline"] = _sql_corpus_clean(_Duck)
 _SEMDEDUP_T = 0.35
 
 
-def _sql_semdedup(E, lists_src=None):
+def _sql_semdedup(E, lists_src=None, emb_src="embeddings"):
     lists = lists_src or f"({_sql_ivf_lists(E)})"
     cos = (
         f"{E.dot('a.embedding', 'b.embedding')} / "
         f"(sqrt({E.dot('a.embedding', 'a.embedding')}) * sqrt({E.dot('b.embedding', 'b.embedding')}))"
     )
+    # intra-cluster candidates are refined by the adaptive-LSH buckets
+    # (geometry-aware, resolution grows with n): the published algorithm
+    # grows its cluster count with the corpus, and a fixed-k IVF cannot —
+    # the fixed-k pairwise went 4.9 s → 167 s in the 16x scale test,
+    # while cluster ∩ LSH-bucket keeps per-pair volume ~linear.
     return f"""
-    WITH pruned AS (
+    WITH lb AS ({_lsh_adaptive(E, src=emb_src)}),
+    pruned AS (
       SELECT DISTINCT b.vec_id
-      FROM {lists} a JOIN {lists} b
-        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      FROM {lists} a
+      JOIN lb la ON la.vec_id = a.vec_id
+      JOIN lb lbb ON lbb.band = la.band AND lbb.bucket = la.bucket
+      JOIN {lists} b ON b.vec_id = lbb.vec_id
+       AND b.cent_id = a.cent_id AND a.vec_id < b.vec_id
       WHERE {cos} >= {_SEMDEDUP_T}e0
     )
     SELECT l.vec_id, l.cent_id,
@@ -1838,7 +1892,9 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return spark.sql(_sql_semdedup(_Spark, lists_src=f"ivf_lists_{suff}"))
+    return spark.sql(
+        _sql_semdedup(_Spark, lists_src=f"ivf_lists_{suff}", emb_src=f"ivf_emb_{suff}")
+    )
 
 
 QUERIES["semdedup_embedding"] = semdedup_embedding
