@@ -41,6 +41,18 @@ QUERIES = [
     "semdedup_embedding",
     "embedding_dim_stats",
     "dedup_embedding_cosine",
+    # events family
+    "events_sessionize",
+    "events_gap_fill_locf",
+    "events_funnel",
+    "retention_cohorts",
+    # chunk/pack + corpus stats
+    "doc_chunk_tokens",
+    "pack_sequences",
+    "text_top_ngrams",
+    "decontaminate_ngram_overlap",
+    "quality_perplexity_buckets",
+    "global_shuffle_shards",
 ]
 
 
@@ -49,6 +61,7 @@ def build_scaled(scale: int) -> str:
 
     out = os.path.join(tempfile.gettempdir(), f"dfrt_scale_{scale}x")
     _build_embeddings(out, scale)
+    _build_events(out, scale)
     target = os.path.join(out, "documents.parquet")
     if os.path.exists(target):
         return out
@@ -103,6 +116,33 @@ def _build_embeddings(out: str, scale: int) -> None:
                       ELSE e.embedding[(k.k % 64) + 1:64] || e.embedding[1:(k.k % 64)]
                  END AS embedding,
                  e.label
+          FROM read_parquet('{src}') e
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
+
+
+def _build_events(out: str, scale: int) -> None:
+    """Event replicas: copy k shifts user_id and event_id — more users
+    with the same temporal shape, the way a bigger deployment looks."""
+    import duckdb
+
+    target = os.path.join(out, "events.parquet")
+    if os.path.exists(target):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "events.parquet")
+    ne, nu = con.execute(
+        f"SELECT COUNT(*), MAX(user_id) + 1 FROM read_parquet('{src}')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + k.k * {ne} AS event_id, e.ts,
+                 e.user_id + k.k * {nu} AS user_id,
+                 e.event_type, e.value, e.props
           FROM read_parquet('{src}') e
           CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
         ) TO '{target}' (FORMAT PARQUET)
