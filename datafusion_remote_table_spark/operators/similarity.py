@@ -75,3 +75,25 @@ def lsh_buckets(
         lambda acc, v: acc + v,
     )
     return df.select("*", bucket.cast("bigint").alias("bucket"))
+
+
+def adaptive_lsh_buckets(df, target_bucket: int = 50, id_col: str = "vec_id"):
+    """Banded hyperplane LSH whose bucket resolution GROWS with the input
+    (the scale path behind dedup_embedding_cosine / semdedup_embedding):
+    4 bands x 12 build-time-inlined md5-keyed planes, bucket key = top
+    clamp(ceil(log2(n / target_bucket)), 4, 12) signature bits. Returns
+    (id_col, band, bucket) — one row per (vector, band); candidates are
+    same-(band, bucket) pairs. Per-band candidate volume stays ~n x
+    target_bucket at any corpus size, where any fixed resolution goes
+    quadratic (measured: 73 s vs 12 s at a 16x scale test)."""
+    import hashlib
+
+    from pyspark.sql import SparkSession
+
+    from ..plans.llm_data import _Spark, _lsh_adaptive
+
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    view = f"adap_lsh_{hashlib.md5(repr(df.schema).encode()).hexdigest()[:8]}"
+    df.createOrReplaceTempView(view)
+    sql = _lsh_adaptive(_Spark, src=view, target_bucket=target_bucket)
+    return spark.sql(sql).withColumnRenamed("vec_id", id_col)

@@ -356,3 +356,16 @@ def test_rrf_fuse_matches_plan_instance(spark, sf_dir):
     )
     got = {(r.id, r.rrf) for r in rrf_fuse(bm, cos).collect()}
     assert got == want
+
+
+def test_adaptive_lsh_api_matches_plan_buckets(spark, sf_dir, emb):
+    """API buckets == the registered dedup_embedding_cosine candidate
+    blocking (same template, same adaptive resolution)."""
+    from datafusion_remote_table_spark.operators.similarity import adaptive_lsh_buckets
+    from datafusion_remote_table_spark.plans.llm_data import _Spark, _lsh_adaptive
+    from datafusion_remote_table_spark.session import load_tables
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    api = {tuple(r) for r in adaptive_lsh_buckets(emb).collect()}
+    plan = {tuple(r) for r in spark.sql(_lsh_adaptive(_Spark)).collect()}
+    assert api == plan and len(api) > 0
