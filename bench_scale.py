@@ -69,8 +69,11 @@ def build_scaled(scale: int) -> str:
     con = duckdb.connect()
     src = os.path.join(BASE, "documents.parquet")
     n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
-    # copy k keeps words whose (position + k) % 5 != k % 5 — a
-    # deterministic 80% subsample that differs per copy
+    # copy k drops word positions i ≡ -k (mod 7) or i ≡ -3k (mod 11):
+    # two coprime strides make every k in 0..76 a DISTINCT ~78% subsample
+    # (the first spelling, (i+k)%5 != k%5, reduced to i%5 != 0 for every
+    # k — all replicas were identical, the degenerate workload this
+    # harness exists to avoid)
     con.execute(
         f"""
         COPY (
@@ -85,7 +88,9 @@ def build_scaled(scale: int) -> str:
             SELECT CASE WHEN k.k = 0 THEN regexp_split_to_array(trim(d.text), '\\s+')
                    ELSE list_filter(
                      list_transform(regexp_split_to_array(trim(d.text), '\\s+'),
-                                    (w, i) -> CASE WHEN (i + k.k) % 5 <> k.k % 5 THEN w ELSE NULL END),
+                                    (w, i) -> CASE WHEN (i + k.k) % 7 <> 0
+                                               AND (i + 3 * k.k) % 11 <> 0
+                                              THEN w ELSE NULL END),
                      w -> w IS NOT NULL)
                    END AS words
           ) list_filter_helper

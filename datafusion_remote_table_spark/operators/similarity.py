@@ -77,7 +77,7 @@ def lsh_buckets(
     return df.select("*", bucket.cast("bigint").alias("bucket"))
 
 
-def adaptive_lsh_buckets(df, target_bucket: int = 50, id_col: str = "vec_id"):
+def adaptive_lsh_buckets(df, target_bucket: int = 50, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Banded hyperplane LSH whose bucket resolution GROWS with the input
     (the scale path behind dedup_embedding_cosine / semdedup_embedding):
     4 bands x 12 build-time-inlined md5-keyed planes, bucket key = top
@@ -92,8 +92,16 @@ def adaptive_lsh_buckets(df, target_bucket: int = 50, id_col: str = "vec_id"):
 
     from ..plans.llm_data import _Spark, _lsh_adaptive
 
+    from pyspark.sql import functions as F
+
     spark = SparkSession.getActiveSession() or df.sparkSession
+    # normalize to the template's (vec_id, embedding) names BEFORE the
+    # view — the generated SQL references them literally, so a custom
+    # id/vector column must be mapped in, not renamed after
+    normalized = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     view = f"adap_lsh_{hashlib.md5(repr(df.schema).encode()).hexdigest()[:8]}"
-    df.createOrReplaceTempView(view)
+    normalized.createOrReplaceTempView(view)
     sql = _lsh_adaptive(_Spark, src=view, target_bucket=target_bucket)
     return spark.sql(sql).withColumnRenamed("vec_id", id_col)

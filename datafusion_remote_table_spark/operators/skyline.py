@@ -54,6 +54,7 @@ def skyline(df: DataFrame, dims: list[str], fanin: int = 64) -> DataFrame:
         if frames:  # empty partition -> no output, not a concat error
             yield _local_skyline(pd.concat(frames, ignore_index=True), dims)
 
+    fanin = max(2, fanin)  # fanin=1 would never converge; 0 divides by zero
     candidates = df.mapInPandas(local, schema=df.schema)
     parts = candidates.rdd.getNumPartitions()
     while parts > 1:

@@ -86,9 +86,17 @@ class PoolValve:
         try:
             os.kill(pid, 0)  # signal 0: existence probe only
         except ProcessLookupError:
+            # Re-read IMMEDIATELY before unlinking: another reaper may
+            # have already removed the stale slot and re-acquired it with
+            # a live pid, and unlinking that would let a third process
+            # overshoot the cap. The check-to-unlink window shrinks to
+            # microseconds; the residual race is part of the documented
+            # best-effort contract.
             try:
-                os.unlink(path)
-            except OSError:
+                with open(path) as f:
+                    if int(f.read().strip() or 0) == pid:
+                        os.unlink(path)
+            except (OSError, ValueError):
                 pass
         except PermissionError:
             pass  # pid exists under another user

@@ -84,7 +84,10 @@ def unparse_filter(f: Filter, dialect: Dialect, literal=None) -> str:
     if isinstance(f, In):
         if not f.value:
             return "1 = 0"
-        return f"{_col(dialect, f.attribute)} IN {_lit(dialect, list(f.value), literal)}"
+        # render element-wise so a custom literalizer sees each VALUE —
+        # passing the whole list would bypass per-value hooks
+        rendered = ", ".join(_lit(dialect, v, literal) for v in f.value)
+        return f"{_col(dialect, f.attribute)} IN ({rendered})"
     if isinstance(f, IsNull):
         return f"{_col(dialect, f.attribute)} IS NULL"
     if isinstance(f, IsNotNull):
@@ -114,6 +117,9 @@ def split_filters(
     for f in filters:
         try:
             pushed_sql.append(unparse_filter(f, dialect, literal))
-        except (UnsupportedFilter, TypeError):
+        except Exception:
+            # ANY unparse failure (unsupported shape, dialect gap, a
+            # raising literalizer hook) keeps the filter Spark-side —
+            # falling back is always correct, pushing a bad render never is
             unsupported.append(f)
     return pushed_sql, unsupported

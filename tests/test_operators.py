@@ -369,3 +369,22 @@ def test_adaptive_lsh_api_matches_plan_buckets(spark, sf_dir, emb):
     api = {tuple(r) for r in adaptive_lsh_buckets(emb).collect()}
     plan = {tuple(r) for r in spark.sql(_lsh_adaptive(_Spark)).collect()}
     assert api == plan and len(api) > 0
+
+
+def test_skyline_fanin_one_terminates(spark):
+    from datafusion_remote_table_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 2.0), (5.0, 1.0)], "x double, y double"
+    ).repartition(3)
+    got = sorted(tuple(r) for r in skyline(df, ["x", "y"], fanin=1).collect())
+    assert got == [(1.0, 5.0), (2.0, 2.0), (5.0, 1.0)]
+
+
+def test_adaptive_lsh_custom_column_names(spark, sf_dir, emb):
+    from datafusion_remote_table_spark.operators.similarity import adaptive_lsh_buckets
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_id").withColumnRenamed("embedding", "vec")
+    got = {tuple(r) for r in adaptive_lsh_buckets(renamed, id_col="doc_id", vec_col="vec").collect()}
+    want = {tuple(r) for r in adaptive_lsh_buckets(emb).collect()}
+    assert got == want and len(got) > 0

@@ -684,3 +684,31 @@ def test_raising_literalizer_keeps_filter_unsupported():
     )
     assert pushed == ['"id" = 1']
     assert len(unsupported) == 1  # the string filter stays Spark-side
+
+
+def test_custom_literalizer_applies_to_in_list_elements():
+    """The hook must see each IN-list VALUE, not the list object."""
+    from datafusion_remote_table_spark.remote.dialect import dialect_for
+    from datafusion_remote_table_spark.remote.unparse import split_filters
+
+    def floats_as_cast(value, dialect):
+        if isinstance(value, float):
+            return f"CAST('{value!r}' AS REAL)"
+        return None
+
+    pushed, unsupported = split_filters(
+        [In(("x",), (1.5, 2.5))], dialect_for("sqlite"), floats_as_cast
+    )
+    assert pushed == ["\"x\" IN (CAST('1.5' AS REAL), CAST('2.5' AS REAL))"]
+    assert not unsupported
+
+
+def test_literalizer_raising_any_exception_keeps_filter_unsupported():
+    from datafusion_remote_table_spark.remote.dialect import dialect_for
+    from datafusion_remote_table_spark.remote.unparse import split_filters
+
+    def refuse(value, dialect):
+        raise ValueError("cannot render")
+
+    pushed, unsupported = split_filters([EqualTo(("x",), 1)], dialect_for("sqlite"), refuse)
+    assert pushed == [] and len(unsupported) == 1
