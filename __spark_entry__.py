@@ -24,6 +24,7 @@ _VERIFY_FIRST = [
     "remote_wide_types",
     "remote_filter_mixed_pushdown",
     "stream_doc_quality_gate",
+    "stream_stream_attribution",
     "events_gap_fill_locf",
     "bm25_topk",
     "tfidf_top_terms",

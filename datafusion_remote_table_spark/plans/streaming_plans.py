@@ -14,6 +14,7 @@ from ..streaming import (
     stream_join_enrich,
     stream_remote_sink,
     stream_sliding_window,
+    stream_stream_attribution,
 )
 from . import ORACLE, QUERIES
 
@@ -115,4 +116,18 @@ ORACLE["stream_doc_quality_gate"] = f"""
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM q GROUP BY lang, keep
+"""
+
+
+QUERIES["stream_stream_attribution"] = stream_stream_attribution
+# Bounded stream-stream interval join converges to the batch interval
+# join; the per-user rollup is a batch aggregate over the joined pairs.
+ORACLE["stream_stream_attribution"] = """
+    SELECT v.user_id, COUNT(*) AS n_attributed,
+           COUNT(DISTINCT v.event_id) AS n_views_with_click
+    FROM events v
+    JOIN events c ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
 """

@@ -5,4 +5,5 @@ from .events import (  # noqa: F401
     stream_join_enrich,
     stream_remote_sink,
     stream_sliding_window,
+    stream_stream_attribution,
 )

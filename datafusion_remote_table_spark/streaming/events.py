@@ -247,3 +247,63 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_bounded(agg, "stream_sliding_window")
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the stateful join class the
+    stream-static enrich can't express): clicks are attributed to the
+    same user's preceding view within 30 minutes. Both sides carry a
+    2-hour watermark and the join condition bounds event time on both
+    ends, so Structured Streaming can expire join state — state is
+    O(events inside the watermark window), not O(stream length). The
+    joined pair stream lands append-mode in the sink; the per-user
+    rollup runs as a batch aggregate over the bounded result (chaining
+    a second stateful aggregate after a stream-stream join is the one
+    composition Spark restricts). Converges to the batch interval join
+    on bounded input, which is the oracle."""
+    stream = _events_stream(spark, sf_dir)
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    bounded = _run_bounded_append(pairs, "stream_stream_attribution_pairs")
+    return bounded.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("view_id").alias("n_views_with_click"),
+    )
+
+
+def _run_bounded_append(stream_df: DataFrame, name: str) -> DataFrame:
+    """Like _run_bounded but append-mode (stream-stream joins emit
+    append-only)."""
+    out_dir = tempfile.mkdtemp(prefix=f"dfrt_stream_{name}_")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
