@@ -23,6 +23,7 @@ _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "remote_wide_types",
     "remote_filter_mixed_pushdown",
+    "remote_command_table_schema",
     "stream_doc_quality_gate",
     "stream_stream_attribution",
     "events_gap_fill_locf",

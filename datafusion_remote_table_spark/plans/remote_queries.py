@@ -667,3 +667,38 @@ def remote_filter_mixed_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c_custkey") % 3) == 0)
         .select("c_custkey", "c_name", "c_mktsegment")
     )
+
+
+@register(
+    "remote_command_table_schema",
+    oracle="""
+    SELECT backend, table_name, column_name, CAST(position AS BIGINT) AS position
+    FROM (
+      VALUES ('sqlite', 'supplier', 's_suppkey', 0),
+             ('sqlite', 'supplier', 's_name', 1),
+             ('sqlite', 'supplier', 's_nationkey', 2),
+             ('sqlite', 'supplier', 's_acctbal', 3),
+             ('duckdb', 'nation', 'n_nationkey', 0),
+             ('duckdb', 'nation', 'n_name', 1),
+             ('duckdb', 'nation', 'n_regionkey', 2)
+    ) AS t(backend, table_name, column_name, position)
+    """,
+)
+def remote_command_table_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-metadata command (completing the `SourceCommand` surface
+    next to remote_command_list_tables): the ordered column list of a
+    table in each live remote backend, fetched through the connector's
+    catalog — what a user browses before registering a scan. Catalog
+    metadata is a handful of rows, driver-side by nature."""
+    rows = [
+        ("sqlite", "supplier", name, pos)
+        for name, pos in RemoteTable.list_columns(_sqlite_opts(sf_dir), "supplier")
+    ] + [
+        ("duckdb", "nation", name, pos)
+        for name, pos in RemoteTable.list_columns(
+            DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir)), "nation"
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "backend string, table_name string, column_name string, position bigint"
+    )

@@ -319,6 +319,41 @@ class RemoteTable:
         finally:
             conn.close()
 
+    @staticmethod
+    def list_columns(options: ConnectionOptions, table: str) -> list[tuple[str, int]]:
+        """Ordered (column_name, position) of one remote table — the
+        column-metadata command completing the `SourceCommand` surface
+        next to list_tables (catalog browsing before registering a
+        scan). Names only: declared type spellings vary per backend
+        (sqlite permits typeless columns), while names and order are
+        stable across all of them."""
+        from .connection import connect
+
+        sql = {
+            "sqlite": f"PRAGMA table_info({table})",
+            "duckdb": f"PRAGMA table_info('{table}')",
+            "postgres": (
+                "SELECT ordinal_position - 1, column_name FROM information_schema.columns "
+                f"WHERE table_name = '{table}' ORDER BY ordinal_position"
+            ),
+            "mysql": (
+                "SELECT ordinal_position - 1, column_name FROM information_schema.columns "
+                f"WHERE table_name = '{table}' ORDER BY ordinal_position"
+            ),
+        }.get(options.backend)
+        if sql is None:
+            raise NotImplementedError(f"list_columns not implemented for {options.backend}")
+        conn = connect(options)
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            rows = cur.fetchall()
+        finally:
+            conn.close()
+        # PRAGMA table_info rows are (cid, name, type, ...); the
+        # information_schema spellings are already (position, name)
+        return [(str(r[1]), int(r[0])) for r in sorted(rows, key=lambda r: int(r[0]))]
+
     # -- write path ---------------------------------------------------------
     def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
         """Insert a DataFrame into the remote table (insert.rs parity).
