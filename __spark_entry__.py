@@ -27,6 +27,7 @@ _VERIFY_FIRST = [
     "stream_doc_quality_gate",
     "stream_stream_attribution",
     "events_gap_fill_locf",
+    "dedup_cross_source_overlap",
     "bm25_topk",
     "tfidf_top_terms",
     "hybrid_search_rrf",

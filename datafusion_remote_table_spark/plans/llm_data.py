@@ -2195,3 +2195,47 @@ def _sql_embedding_dim_stats(E):
 
 
 _register_pair("embedding_dim_stats", _sql_embedding_dim_stats, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source_overlap — the data-governance report over the
+# near-dup graph: for every (source_a, source_b) pair, how many verified
+# near-dup pairs cross that boundary (licensing/provenance review and
+# crawl-overlap detection run exactly this). Scale: reuses the persisted
+# minhash pair staging (pairs are LSH output — tiny vs the corpus);
+# two broadcast-sized joins attach sources; the rollup keys are
+# source-pair names (bounded by #sources²).
+def _sql_cross_source(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    return f"""
+    WITH labeled AS (
+      SELECT LEAST(da.source, db.source) AS source_a,
+             GREATEST(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM {pairs} p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*), 6) AS avg_jaccard,
+           CAST(CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS INT) AS within_source
+    FROM labeled
+    GROUP BY source_a, source_b
+    """
+
+
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    view = f"xsrc_pairs_{suff}"
+    pairs.createOrReplaceTempView(view)
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_cross_source(_Spark, pairs_src=view))
+
+
+QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
+ORACLE["dedup_cross_source_overlap"] = _sql_cross_source(_Duck)
