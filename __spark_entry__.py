@@ -28,6 +28,8 @@ _VERIFY_FIRST = [
     "stream_stream_attribution",
     "events_gap_fill_locf",
     "dedup_cross_source_overlap",
+    "adaptive_lsh_recall_eval",
+    "doc_length_histogram",
     "bm25_topk",
     "tfidf_top_terms",
     "hybrid_search_rrf",

@@ -2239,3 +2239,63 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_cross_source_overlap"] = dedup_cross_source_overlap
 ORACLE["dedup_cross_source_overlap"] = _sql_cross_source(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# adaptive_lsh_recall_eval — the eval harness for the ADAPTIVE blocking
+# (the scale path behind the embedding dedups): per query vector, what
+# fraction of the brute-force cosine top-5 shares at least one adaptive
+# band-bucket with the query. The number a pipeline watches when the
+# resolution clamp moves with corpus growth. Scale: candidates come from
+# the bucket join (bounded per band by construction); the brute-force
+# truth is bounded to the 5 query vectors.
+def _sql_adaptive_recall(E):
+    return f"""
+    WITH lb AS ({_lsh_adaptive(E)}),
+    q AS (SELECT vec_id, band, bucket FROM lb WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM q JOIN lb c ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM ({_sql_ann_brute(E)}) brute WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT t.query_id, COUNT(*) AS n_truth, COUNT(c.vec_id) AS n_hits
+      FROM truth t
+      LEFT JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS bucket_recall_at_5
+    FROM hits
+    """
+
+
+_register_pair("adaptive_lsh_recall_eval", _sql_adaptive_recall, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# doc_length_histogram — log2-bucketed document length distribution per
+# language: the first QA chart anyone draws over a new corpus drop
+# (truncation artifacts show up as missing tails, boilerplate floods as
+# spikes). Map-side bucket assignment, (lang, bucket)-keyed rollup with
+# partial aggregation — nothing else moves.
+def _sql_doc_length_hist(E):
+    bucket = f"CAST(floor(log2(CAST(greatest(n_chars, 1) AS DOUBLE))) AS INT)"
+    return f"""
+    WITH bucketed AS (
+      SELECT lang, {bucket} AS len_bucket, n_chars FROM documents
+    )
+    SELECT lang, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM bucketed
+    GROUP BY lang, len_bucket
+    """
+
+
+_register_pair("doc_length_histogram", _sql_doc_length_hist, repartition=False)
