@@ -26,3 +26,19 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = plans.QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_verify_priority_lists_match_registry():
+    """A typo in the driver-order priority lists would silently demote a
+    query out of the verification budget — pin every name to the
+    registry and forbid duplicates."""
+    import __spark_entry__ as entry
+
+    names = entry._VERIFY_FIRST + entry._VERIFY_SECOND
+    assert len(names) == len(set(names)), "duplicate priority entries"
+    missing = [n for n in names if n not in plans.QUERIES]
+    assert not missing, f"priority entries not in registry: {missing}"
+    ordered = list(entry.queries())
+    assert ordered[: len(entry._VERIFY_FIRST)] == [
+        n for n in entry._VERIFY_FIRST if n in plans.QUERIES
+    ]
