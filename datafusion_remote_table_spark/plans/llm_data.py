@@ -753,16 +753,24 @@ def _lsh_adaptive(E, src="embeddings", target_bucket=50):
     # literal-array spelling computes the identical buckets in 0.3 s
     # warm. One column per plane keeps every expression tree small.
     def proj(p: int) -> str:
+        # NULL/length parity: both engines treat a missing or NULL
+        # element as 0 (Spark's zip_with pads the shorter side with
+        # NULL, DuckDB's out-of-range index yields NULL — both coalesce
+        # per element), and a fully-NULL vector folds to 0 via the outer
+        # coalesce, so every sign decision is identical for ANY input,
+        # not just the 64-length non-NULL testdata.
         signs = ", ".join(f"{_lsh_plane_sign(p, i)}.0e0" for i in range(1, 65))
         if E is _Spark:
-            return (
-                f"aggregate(zip_with(embedding, array({signs}), "
-                f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            inner = (
+                f"zip_with(embedding, array({signs}), "
+                f"(x, w) -> COALESCE(CAST(x AS DOUBLE), 0.0e0) * w)"
             )
-        return (
-            f"COALESCE(list_sum(list_transform(generate_series(1, 64), "
-            f"i -> CAST((embedding)[i] AS DOUBLE) * ([{signs}])[i])), 0.0)"
+            return f"COALESCE({E.list_sum(inner)}, 0.0e0)"
+        inner = (
+            f"list_transform(generate_series(1, 64), "
+            f"i -> COALESCE(CAST((embedding)[i] AS DOUBLE), 0.0e0) * ([{signs}])[i])"
         )
+        return E.list_sum(inner)
 
     proj_cols = ",\n             ".join(
         f"{proj(p)} AS pj_{p}" for p in range(1, _LSH_BANDS * _LSH_BITS + 1)
@@ -2252,10 +2260,10 @@ ORACLE["dedup_cross_source_overlap"] = _sql_cross_source(_Duck)
 def _sql_adaptive_recall(E):
     return f"""
     WITH lb AS ({_lsh_adaptive(E)}),
-    q AS (SELECT vec_id, band, bucket FROM lb WHERE vec_id < 5),
     cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-      FROM q JOIN lb c ON c.band = q.band AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      SELECT DISTINCT a.vec_id AS query_id, c.vec_id
+      FROM lb a JOIN lb c ON c.band = a.band AND c.bucket = a.bucket AND c.vec_id <> a.vec_id
+      WHERE a.vec_id < 5
     ),
     truth AS (
       SELECT query_id, vec_id FROM ({_sql_ann_brute(E)}) brute WHERE rn <= 5

@@ -328,17 +328,25 @@ class RemoteTable:
         (sqlite permits typeless columns), while names and order are
         stable across all of them."""
         from .connection import connect
+        from .dialect import dialect_for
 
+        ident = dialect_for(options.backend).quote_ident(table)
+        esc = table.replace("'", "''")  # info-schema variants compare a string literal
         sql = {
-            "sqlite": f"PRAGMA table_info({table})",
-            "duckdb": f"PRAGMA table_info('{table}')",
+            "sqlite": f"PRAGMA table_info({ident})",
+            "duckdb": f"PRAGMA table_info('{esc}')",
+            # scope to the visible schema/database like list_tables does —
+            # an unscoped information_schema query unions same-named
+            # tables from every schema into one garbled column list
             "postgres": (
                 "SELECT ordinal_position - 1, column_name FROM information_schema.columns "
-                f"WHERE table_name = '{table}' ORDER BY ordinal_position"
+                f"WHERE table_name = '{esc}' AND table_schema = ANY(current_schemas(false)) "
+                "ORDER BY ordinal_position"
             ),
             "mysql": (
                 "SELECT ordinal_position - 1, column_name FROM information_schema.columns "
-                f"WHERE table_name = '{table}' ORDER BY ordinal_position"
+                f"WHERE table_name = '{esc}' AND table_schema = DATABASE() "
+                "ORDER BY ordinal_position"
             ),
         }.get(options.backend)
         if sql is None:

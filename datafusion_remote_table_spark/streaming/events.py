@@ -103,14 +103,15 @@ def stream_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_bounded(agg, "stream_doc_quality_gate")
 
 
-def _run_bounded(stream_df: DataFrame, name: str) -> DataFrame:
+def _run_bounded(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion on bounded input and return
-    the full result as a (batch) DataFrame."""
+    the full result as a (batch) DataFrame. ``mode`` is the sink output
+    mode — stream-stream joins emit append-only."""
     out_dir = tempfile.mkdtemp(prefix=f"dfrt_stream_{name}_")
     query = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -286,24 +287,9 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"
         ),
     )
-    bounded = _run_bounded_append(pairs, "stream_stream_attribution_pairs")
+    bounded = _run_bounded(pairs, "stream_stream_attribution_pairs", mode="append")
     return bounded.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed"),
         F.countDistinct("view_id").alias("n_views_with_click"),
     )
 
-
-def _run_bounded_append(stream_df: DataFrame, name: str) -> DataFrame:
-    """Like _run_bounded but append-mode (stream-stream joins emit
-    append-only)."""
-    out_dir = tempfile.mkdtemp(prefix=f"dfrt_stream_{name}_")
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
