@@ -21,6 +21,10 @@ from datafusion_remote_table_spark import plans
 # and the already re-verified round-2 greens go last.
 _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
+    "dedup_substring_spans",
+    "embedding_correlation_pairs",
+    "events_markov_transitions",
+    "events_hourly_anomaly",
     "remote_wide_types",
     "remote_filter_mixed_pushdown",
     "remote_command_table_schema",

@@ -52,6 +52,12 @@ HEADLINE = [
     "tfidf_top_terms",
     "hybrid_search_rrf",
     "embedding_dim_stats",
+    # round-3 additions: span-level dedup census, embedding correlation QA,
+    # and the event-stream behavioral analytics pair
+    "dedup_substring_spans",
+    "embedding_correlation_pairs",
+    "events_markov_transitions",
+    "events_hourly_anomaly",
 ]
 
 

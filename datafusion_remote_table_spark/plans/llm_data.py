@@ -2307,3 +2307,104 @@ def _sql_doc_length_hist(E):
 
 
 _register_pair("doc_length_histogram", _sql_doc_length_hist, repartition=False)
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_spans — exact duplicated-SPAN census, the n-gram
+# approximation of suffix-array substring dedup (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better"): every SLIDING word 8-gram
+# is fingerprinted (vs line_dedup_boilerplate's disjoint 5-word segments),
+# a census keeps fingerprints seen in >= 2 distinct docs, and each doc
+# reports the fraction of its 8-gram positions covered by cross-doc
+# duplicated spans — the signal substring-dedup clips on. Scale: the
+# sliding explode is ~len(words) rows per doc (same order as the minhash
+# shingle stage, map-side); the census shuffles on uniform md5 keys with
+# map-side partial COUNT(DISTINCT doc_id) pre-aggregation; surviving
+# duplicated fingerprints are a small fraction of the corpus so the
+# back-join broadcasts. No quadratic pair step anywhere — coverage comes
+# from the census, not from pairing docs.
+_SPAN_N = 8
+
+
+def _sql_substring_spans(E):
+    words = E.splitws("lower(text)")
+    npos = f"greatest({E.SIZE}(words) - {_SPAN_N - 1}, 1)"
+    gram_fp = f"md5(array_join({E.slice('words', 'i', _SPAN_N)}, ' '))"
+    gram_arr = f"{E.TRANSFORM}({E.seq(1, npos)}, i -> {gram_fp})"
+    if E is _Duck:
+        gram_arr = gram_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {E.explode(gram_arr, 'gram_fp')} FROM toks
+    ),
+    dup AS (
+      SELECT gram_fp FROM grams GROUP BY gram_fp
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    perdoc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN d.gram_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions
+      FROM grams g LEFT JOIN dup d ON g.gram_fp = d.gram_fp
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_positions, n_dup_positions,
+           ROUND(CAST(n_dup_positions AS DOUBLE) / n_positions, 6) AS dup_span_fraction
+    FROM perdoc
+    """
+
+
+_register_pair("dedup_substring_spans", _sql_substring_spans)
+
+
+# ---------------------------------------------------------------------------
+# embedding_correlation_pairs — top-20 most-|Pearson-correlated| dimension
+# pairs over the embedding table: the anisotropy/redundant-dimension QA
+# report behind whitening and PCA decisions. Determinism: components are
+# floor-quantized to 1e-6 fixed point (the embedding_dim_stats rule) and
+# all five sufficient statistics are exact DECIMAL sums of BIGINT
+# products, so both engines derive the correlation from identical exact
+# inputs. Scale: the d*(d-1)/2 pair explode is per-row map work against a
+# broadcast 64-row dims table (O(d^2) is inherent to covariance); hash
+# aggregation collapses each task to <= 2016 partial states before the
+# one shuffle on (i, j); top-20 is a TakeOrdered, never a global sort.
+# At extreme d a Pandas-UDF per-partition outer-product accumulator would
+# replace the explode — at d=64 the pure-SQL shape stays JVM-side.
+def _sql_embedding_corr(E):
+    a = f"CAST(floor(CAST({E.idx('embedding', 'd1.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    b = f"CAST(floor(CAST({E.idx('embedding', 'd2.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    return f"""
+    WITH dims AS (SELECT {E.explode(E.seq(1, 64), 'd')}),
+    cells AS (
+      SELECT d1.d AS i, d2.d AS j, {a} AS a_fp, {b} AS b_fp
+      FROM embeddings CROSS JOIN dims d1 CROSS JOIN dims d2
+      WHERE d2.d > d1.d
+    ),
+    agg AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(a_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(b_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(a_fp * b_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sab,
+             CAST(SUM(CAST(a_fp * a_fp AS DECIMAL(38, 0))) AS DOUBLE) AS saa,
+             CAST(SUM(CAST(b_fp * b_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sbb
+      FROM cells GROUP BY i, j
+    ),
+    corr AS (
+      SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+             ROUND((n * sab - sa * sb)
+                   / sqrt(greatest((n * saa - sa * sa) * (n * sbb - sb * sb), 1.0e0)), 6)
+               AS pearson_r
+      FROM agg
+    )
+    SELECT dim_i, dim_j, pearson_r, ROUND(abs(pearson_r), 6) AS abs_r
+    FROM corr
+    ORDER BY abs_r DESC, dim_i, dim_j
+    LIMIT 20
+    """
+
+
+_register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embeddings",))

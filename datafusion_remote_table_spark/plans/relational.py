@@ -1753,3 +1753,111 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_locf
     FROM joined
     """)
+
+
+# --------------------------------------------------------------------------
+# events_markov_transitions — first-order event-type transition matrix:
+# per-user event streams ordered by time, LAG gives each event its
+# predecessor type, and the (prev, next) census normalizes to transition
+# probabilities — the behavioral model behind funnel design and
+# next-action prediction features. Scale: one shuffle on user_id for the
+# ordered lag window (uniform key, O(1) window state), then a census on
+# |types|^2 keys with map-side partials; the probability normalization
+# windows over the census result (25 rows), not the events.
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_transition
+    FROM trans
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql("""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_transition
+    FROM trans
+    """)
+
+
+# --------------------------------------------------------------------------
+# events_hourly_anomaly — per-type hourly volume anomalies by z-score:
+# hourly counts per event type, each type's mean/std derived from exact
+# integer sufficient statistics (SUM(c), SUM(c*c) over hours — no
+# float-order drift), and the top-20 |z| hours reported — the ops-style
+# burst/outage detector over the event firehose. Scale: the hourly rollup
+# aggregates map-side on uniform (type, hour) keys; the per-type stats
+# reduce ~types*hours rows to |types|; the stats join back is a broadcast
+# of |types| rows; top-20 is a TakeOrdered.
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           CAST(h.c AS BIGINT) AS n_events,
+           ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ORDER BY abs(ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4)) DESC,
+             h.event_type, h.h
+    LIMIT 20
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql("""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, date_format(h.h, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
+           CAST(h.c AS BIGINT) AS n_events,
+           ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ORDER BY abs(ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4)) DESC,
+             h.event_type, h.h
+    LIMIT 20
+    """)
