@@ -53,6 +53,11 @@ QUERIES = [
     "decontaminate_ngram_overlap",
     "quality_perplexity_buckets",
     "global_shuffle_shards",
+    # round-3 late additions: span census, correlation QA, event analytics
+    "dedup_substring_spans",
+    "embedding_correlation_pairs",
+    "events_markov_transitions",
+    "events_hourly_anomaly",
 ]
 
 
@@ -158,8 +163,15 @@ def _build_events(out: str, scale: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--queries", default="", help="comma-separated subset of QUERIES")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = [q for q in subset if q not in QUERIES]
+        if unknown:
+            ap.error(f"not in the harness set: {unknown}")
+        QUERIES[:] = subset
 
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
     from datafusion_remote_table_spark import plans
