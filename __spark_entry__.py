@@ -22,7 +22,9 @@ from datafusion_remote_table_spark import plans
 _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "dedup_substring_spans",
+    "dedup_containment",
     "embedding_correlation_pairs",
+    "embedding_pca_top_component",
     "events_markov_transitions",
     "events_hourly_anomaly",
     "remote_wide_types",

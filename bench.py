@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_correlation_pairs",
     "events_markov_transitions",
     "events_hourly_anomaly",
+    "dedup_containment",
+    "embedding_pca_top_component",
 ]
 
 

@@ -2408,3 +2408,182 @@ def _sql_embedding_corr(E):
 
 
 _register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric near-dup detection over the LSH candidate
+# graph: containment |A∩B| / min(|A|,|B|) catches partial-inclusion pairs
+# (a doc quoting or embedding another) that symmetric jaccard understates
+# — the quote/copy-detection twin of dedup_minhash_lsh, reported with a
+# partial_only flag for pairs jaccard alone would miss. (Minhash LSH
+# under-recalls containment pairs with very different sizes; a
+# production containment search adds size-stratified sketches — the
+# candidate generation here deliberately reuses the shared staging so
+# the report is a free by-product of the dedup pass.) Scale: identical
+# to dedup_minhash_lsh — banded join with the bucket-size valve, exact
+# set intersection only on candidates.
+def _containment_verify(E, bands, sh, prelude="", max_bucket_size=1000):
+    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+    return f"""
+    WITH {prelude}ok_buckets AS (
+      SELECT band_key FROM {bands} GROUP BY band_key HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {bands} a
+      JOIN ok_buckets k ON a.band_key = k.band_key
+      JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({inter} AS DOUBLE)
+               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}) AS jaccard,
+             CAST({inter} AS DOUBLE)
+               / least({E.SIZE}(sa.shingles), {E.SIZE}(sb.shingles)) AS containment
+      FROM cand c
+      JOIN {sh} sa ON c.doc_a = sa.doc_id
+      JOIN {sh} sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(jaccard, 6) AS jaccard,
+           ROUND(containment, 6) AS containment,
+           CAST(CASE WHEN jaccard < 0.8 THEN 1 ELSE 0 END AS INT) AS partial_only
+    FROM scored WHERE containment >= 0.8
+    """
+
+
+def _sql_containment_oracle(E):
+    prelude = (
+        f"sh AS ({_minhash_shingles(E)}),\n"
+        f"    sig AS ({_minhash_sigs(E, 'sh')}),\n"
+        f"    bands AS ({_minhash_bands(E, 'sig')}),\n    "
+    )
+    return _containment_verify(E, "bands", "sh", prelude=prelude)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, _sig, bands = _minhash_stage(spark, sf_dir)
+    return spark.sql(_containment_verify(_Spark, bands, sh))
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLE["dedup_containment"] = _sql_containment_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_top_component — top principal component by power
+# iteration: one distributed corpus pass builds the exact covariance
+# sufficient statistics (the embedding_dim_stats fixed-point DECIMAL
+# rule), then 8 fixed iterations of v <- C.v / ||C.v|| run over the
+# collected 64x64 covariance — the same split Spark MLlib uses for PCA
+# (RowMatrix.computePrincipalComponents collects the d^2 Gramian, which
+# is corpus-size-independent, and eigensolves driver-side).
+# Determinism: every iteration quantizes v to 1e-12 fixed-point BIGINT
+# and sums matvec products as floor-quantized exact integers, mirroring
+# the oracle SQL expression-for-expression, so both engines iterate over
+# bit-identical state (no mid-iteration double ROUND, whose half-up
+# behavior differs per engine). The oracle expresses the identical
+# unrolled iteration as pure SQL CTEs; the Spark runner does NOT — a
+# CTE-chained spelling re-evaluates each referenced CTE per reference
+# (v_k is referenced twice per level), which measured 105 s at sf0.1
+# from 2^8 re-expansions of the corpus pass. Scale: only the
+# sufficient-statistics pass touches the corpus (d^2 explode against a
+# broadcast dims table, partial-agg to 4096 states per task); the
+# driver-side loop is O(d^2 * iters) on a d^2 collect, independent of
+# corpus size, and the iteration count is fixed, not data-dependent.
+def _pca_cov_parts(E):
+    a = f"CAST(floor(CAST({E.idx('embedding', 'd1.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    b = f"CAST(floor(CAST({E.idx('embedding', 'd2.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    return [
+        f"dims AS (SELECT {E.explode(E.seq(1, 64), 'd')})",
+        f"""cells AS (
+      SELECT d1.d AS i, d2.d AS j, {a} AS a_fp, {b} AS b_fp
+      FROM embeddings CROSS JOIN dims d1 CROSS JOIN dims d2
+    )""",
+        """agg AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(a_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(b_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(a_fp * b_fp AS DECIMAL(38, 0))) AS DOUBLE) AS sab
+      FROM cells GROUP BY i, j
+    )""",
+        """cov AS (
+      SELECT i, j, (sab / n - (sa / n) * (sb / n)) / 1000000000000.0e0 AS c
+      FROM agg
+    )""",
+    ]
+
+
+def _sql_pca_cov(E):
+    body = ",\n    ".join(_pca_cov_parts(E))
+    return f"WITH {body}\n    SELECT i, j, c FROM cov"
+
+
+def _sql_pca_top_component(E, iters=8):
+    parts = _pca_cov_parts(E) + [
+        "v0 AS (SELECT d, CAST(125000000000 AS BIGINT) AS v_fp FROM dims)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""w{k} AS (
+      SELECT c.i AS d,
+             CAST(SUM(CAST(CAST(floor(c.c * (CAST(v.v_fp AS DOUBLE) / 1000000000000.0e0)
+                                       * 1000000000000000.0e0) AS BIGINT)
+                           AS DECIMAL(38, 0))) AS DOUBLE) / 1000000000000000.0e0 AS w
+      FROM cov c JOIN v{k - 1} v ON c.j = v.d GROUP BY c.i
+    )"""
+        )
+        parts.append(
+            f"""n{k} AS (
+      SELECT greatest(sqrt(CAST(SUM(CAST(CAST(floor(w * w * 1000000000.0e0) AS BIGINT)
+                                         AS DECIMAL(38, 0))) AS DOUBLE) / 1000000000.0e0),
+                      0.000000000001e0) AS nrm
+      FROM w{k}
+    )"""
+        )
+        parts.append(
+            f"""v{k} AS (
+      SELECT d, CAST(floor(w / nrm * 1000000000000.0e0) AS BIGINT) AS v_fp
+      FROM w{k} CROSS JOIN n{k}
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(v.d AS INT) AS dim,
+           CAST(v.v_fp AS DOUBLE) / 1000000000000.0e0 AS pc1_loading,
+           CAST(floor(n.nrm * 1000000000.0e0) AS BIGINT) AS eigenvalue_fp9
+    FROM v{iters} v CROSS JOIN n{iters} n
+    """
+
+
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sufficient-statistics pass + driver-side quantized
+    power iteration. Each Python expression below mirrors the oracle
+    SQL's spelling token-for-token (same IEEE-double operation order),
+    so the BIGINT fixed-point state is identical across engines."""
+    import math
+
+    dfs = load_tables(spark, sf_dir, ("embeddings",))
+    _repartition_views(spark, dfs)
+    cov = {(r["i"], r["j"]): r["c"] for r in spark.sql(_sql_pca_cov(_Spark)).collect()}
+    dims = range(1, 65)
+    v_fp = {d: 125000000000 for d in dims}
+    nrm = 1.0
+    for _ in range(8):
+        # w_i = SUM(floor(c * (v_fp/1e12) * 1e15)) / 1e15  (exact int sum)
+        w = {
+            i: float(sum(math.floor(cov[(i, j)] * (v_fp[j] / 1e12) * 1e15) for j in dims)) / 1e15
+            for i in dims
+        }
+        # nrm = greatest(sqrt(SUM(floor(w*w*1e9)) / 1e9), 1e-12)
+        nrm = max(math.sqrt(float(sum(math.floor(w[i] * w[i] * 1e9) for i in dims)) / 1e9), 1e-12)
+        v_fp = {d: math.floor(w[d] / nrm * 1e12) for d in dims}
+    eig_fp9 = math.floor(nrm * 1e9)
+    rows = [(int(d), float(v_fp[d]) / 1e12, eig_fp9) for d in dims]
+    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
+
+
+QUERIES["embedding_pca_top_component"] = embedding_pca_top_component
+ORACLE["embedding_pca_top_component"] = _sql_pca_top_component(_Duck)
