@@ -110,3 +110,67 @@ def cluster_balanced_sample(
     return ranked.filter(
         F.col("pick_rank") <= (F.col("cluster_size") / keep_frac_denom).cast("bigint")
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component by power iteration: one distributed
+    exact-sufficient-statistics pass over (row x dim x dim) cells with
+    map-side partial aggregation, then a driver-side quantized iteration
+    over the collected dim^2 covariance (corpus-size-independent — the
+    same split MLlib's computePrincipalComponents uses). Returns
+    (dim, pc1_loading, eigenvalue_fp9). Registered instance:
+    embedding_pca_top_component (whose arithmetic this mirrors)."""
+    import math
+
+    spark = df.sparkSession
+    dims_df = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
+    d1, d2 = dims_df.alias("d1"), dims_df.alias("d2")
+    val = lambda side: F.floor(  # noqa: E731
+        F.element_at(F.col(vec_col), F.col(f"{side}.d")).cast("double") * F.lit(1000000.0)
+    ).cast("bigint")
+    cells = (
+        df.crossJoin(F.broadcast(d1))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            F.col("d1.d").alias("i"),
+            F.col("d2.d").alias("j"),
+            val("d1").alias("a_fp"),
+            val("d2").alias("b_fp"),
+        )
+    )
+    agg = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("a_fp").cast("decimal(38,0)")).cast("double").alias("sa"),
+        F.sum(F.col("b_fp").cast("decimal(38,0)")).cast("double").alias("sb"),
+        F.sum((F.col("a_fp") * F.col("b_fp")).cast("decimal(38,0)")).cast("double").alias("sab"),
+    )
+    cov_df = agg.select(
+        "i",
+        "j",
+        (
+            (F.col("sab") / F.col("n") - (F.col("sa") / F.col("n")) * (F.col("sb") / F.col("n")))
+            / F.lit(1000000000000.0)
+        ).alias("c"),
+    )
+    cov = {(r["i"], r["j"]): r["c"] for r in cov_df.collect()}
+    rng = range(1, dim + 1)
+    v_fp = {d: 125_000_000_000 for d in rng}  # uniform start, ||v||=1 at dim=64
+    if dim != 64:  # renormalize the uniform start for other dims
+        start = math.floor(1.0 / math.sqrt(dim) * 1e12)
+        v_fp = {d: start for d in rng}
+    nrm = 1.0
+    for _ in range(iters):
+        w = {
+            i: float(sum(math.floor(cov[(i, j)] * (v_fp[j] / 1e12) * 1e15) for j in rng)) / 1e15
+            for i in rng
+        }
+        nrm = max(math.sqrt(float(sum(math.floor(w[i] * w[i] * 1e9) for i in rng)) / 1e9), 1e-12)
+        v_fp = {d: math.floor(w[d] / nrm * 1e12) for d in rng}
+    eig_fp9 = math.floor(nrm * 1e9)
+    rows = [(int(d), float(v_fp[d]) / 1e12, eig_fp9) for d in rng]
+    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")

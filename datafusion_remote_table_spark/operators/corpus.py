@@ -115,3 +115,42 @@ def pack_sequences(
     return chunks_df.withColumn("seq_id", (offset / capacity).cast("long")).withColumn(
         "offset_in_seq", (offset - F.col("seq_id") * capacity).cast("long")
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sliding word n-gram duplicated-span census (the n-gram
+    approximation of suffix-array substring dedup): per doc, how many of
+    its overlapping `span_words`-gram positions are shared with at least
+    `min_docs - 1` other docs. Returns (id, n_positions, n_dup_positions,
+    dup_span_fraction). Registered instance: dedup_substring_spans."""
+    words = tokens(F.lower(F.col(text_col)))
+    n_pos = F.greatest(F.size(words) - F.lit(span_words - 1), F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.md5(F.array_join(F.slice(words, i, span_words), " ")),
+    )
+    grams = df.select(F.col(id_col), F.explode(fps).alias("gram_fp"))
+    dup = (
+        grams.groupBy("gram_fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram_fp")
+    )
+    return (
+        grams.join(F.broadcast(dup.withColumn("__d", F.lit(1))), "gram_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_span_fraction",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
+        )
+    )

@@ -48,9 +48,11 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via minhash + LSH banding + exact-jaccard
-    verification. Returns (id_a, id_b, jaccard)."""
+    verification. Returns (id_a, id_b, jaccard), plus a containment
+    column (|A∩B| / min(|A|,|B|)) when `with_containment` is set."""
     rows = n_perms // bands
     sh = df.select(
         F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
@@ -87,10 +89,13 @@ def minhash_lsh_pairs(
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    cols = ["id_a", "id_b", (inter / union).alias("jaccard")]
+    if with_containment:
+        cols.append((inter / F.least(F.size("sh_a"), F.size("sh_b"))).alias("containment"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .select(*cols)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -192,3 +197,47 @@ def simhash_signatures(
         term = F.when(vote_for(j) >= 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return df.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perms: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Asymmetric containment scoring |A∩B| / min(|A|,|B|) over the
+    minhash-LSH candidate graph: partial-inclusion (quote/copy) pairs
+    that symmetric jaccard understates. Returns (id_a, id_b, jaccard,
+    containment, partial_only) for pairs with containment >= threshold;
+    partial_only flags pairs below `jaccard_threshold` that a symmetric
+    near-dup pass would have missed. Candidate recall note: minhash LSH
+    under-recalls containment pairs of very different sizes; this is the
+    free by-product report of the dedup pass, not a containment index.
+    Registered instance: dedup_containment."""
+    scored = minhash_lsh_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n_perms=n_perms,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=0.0,
+        max_bucket_size=max_bucket_size,
+        with_containment=True,
+    )
+    return (
+        scored.filter(F.col("containment") >= threshold)
+        .withColumn("partial_only", (F.col("jaccard") < jaccard_threshold).cast("int"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment", 6).alias("containment"),
+            "partial_only",
+        )
+    )

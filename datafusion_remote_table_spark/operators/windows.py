@@ -38,3 +38,62 @@ def tumbling_window(
     """Add window_start/window_end columns for a tumbling window."""
     w = F.window(F.col(ts_col), width)
     return df.withColumn("window_start", w.start).withColumn("window_end", w.end)
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """First-order transition matrix over per-key ordered event streams:
+    (prev_type, next_type, n_transitions, p_transition). One shuffle on
+    the entity key for the lag window, then a |types|^2-key census.
+    Registered instance: events_markov_transitions."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    seq = df.withColumn("__prev", F.lag(type_col).over(w)).filter(F.col("__prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    total = Window.partitionBy("prev_type")
+    return trans.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(total).cast("double"),
+            6,
+        ),
+    )
+
+
+def hourly_anomaly(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-type hourly volume z-scores from exact integer sufficient
+    statistics (SUM(c), SUM(c*c) over hours — no float-order drift),
+    top-k |z| rows. Registered instance: events_hourly_anomaly."""
+    hourly = df.groupBy(
+        F.col(type_col).alias("event_type"), F.date_trunc("hour", F.col(ts_col)).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("nh")
+    std = F.sqrt(F.greatest(F.col("s2") / F.col("nh") - mean * mean, F.lit(0.000001)))
+    z = F.round((F.col("c").cast("double") - mean) / std, 4)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.col("c").cast("bigint").alias("n_events"),
+            z.alias("zscore"),
+        )
+        .orderBy(F.abs(F.col("zscore")).desc(), "event_type", "hour_ts")
+        .limit(top_k)
+    )

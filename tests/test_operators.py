@@ -388,3 +388,61 @@ def test_adaptive_lsh_custom_column_names(spark, sf_dir, emb):
     got = {tuple(r) for r in adaptive_lsh_buckets(renamed, id_col="doc_id", vec_col="vec").collect()}
     want = {tuple(r) for r in adaptive_lsh_buckets(emb).collect()}
     assert got == want and len(got) > 0
+
+
+# -- round-3 late APIs: span census, containment, events, PCA ----------------
+def test_substring_span_stats_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import substring_span_stats
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = substring_span_stats(docs).orderBy("doc_id").toPandas()
+    reg = plans.QUERIES["dedup_substring_spans"](spark, sf_dir).orderBy("doc_id").toPandas()
+    assert (api["n_positions"].to_numpy() == reg["n_positions"].to_numpy()).all()
+    assert (api["n_dup_positions"].to_numpy() == reg["n_dup_positions"].to_numpy()).all()
+
+
+def test_containment_pairs_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.dedup import containment_pairs
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"], r["containment"], r["partial_only"])
+        for r in containment_pairs(docs).collect()
+    )
+    reg = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"], r["containment"], r["partial_only"])
+        for r in plans.QUERIES["dedup_containment"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_markov_transitions_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.windows import markov_transitions
+    from datafusion_remote_table_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    api = sorted(tuple(r) for r in markov_transitions(events).collect())
+    reg = sorted(tuple(r) for r in plans.QUERIES["events_markov_transitions"](spark, sf_dir).collect())
+    assert api == reg and len(api) > 0
+
+
+def test_hourly_anomaly_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.windows import hourly_anomaly
+    from datafusion_remote_table_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    api = sorted(tuple(r) for r in hourly_anomaly(events).collect())
+    reg = sorted(tuple(r) for r in plans.QUERIES["events_hourly_anomaly"](spark, sf_dir).collect())
+    assert api == reg and len(api) == 20
+
+
+def test_pca_api_matches_registered_query(spark, sf_dir, emb):
+    from datafusion_remote_table_spark.operators.clustering import pca_top_component
+
+    api = sorted(tuple(r) for r in pca_top_component(emb).collect())
+    reg = sorted(
+        tuple(r) for r in plans.QUERIES["embedding_pca_top_component"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) == 64
