@@ -133,9 +133,13 @@ def pca_top_component(
     val = lambda side: F.floor(  # noqa: E731
         F.element_at(F.col(vec_col), F.col(f"{side}.d")).cast("double") * F.lit(1000000.0)
     ).cast("bigint")
+    # upper triangle only — covariance is symmetric and every sufficient
+    # statistic is symmetric under (i,j) swap, so the mirror below is
+    # bit-exact and the per-row explode halves
     cells = (
         df.crossJoin(F.broadcast(d1))
         .crossJoin(F.broadcast(d2))
+        .where(F.col("d2.d") >= F.col("d1.d"))
         .select(
             F.col("d1.d").alias("i"),
             F.col("d2.d").alias("j"),
@@ -158,6 +162,7 @@ def pca_top_component(
         ).alias("c"),
     )
     cov = {(r["i"], r["j"]): r["c"] for r in cov_df.collect()}
+    cov.update({(j, i): c for (i, j), c in list(cov.items()) if i != j})
     rng = range(1, dim + 1)
     v_fp = {d: 125_000_000_000 for d in rng}  # uniform start, ||v||=1 at dim=64
     if dim != 64:  # renormalize the uniform start for other dims

@@ -2491,14 +2491,20 @@ ORACLE["dedup_containment"] = _sql_containment_oracle(_Duck)
 # broadcast dims table, partial-agg to 4096 states per task); the
 # driver-side loop is O(d^2 * iters) on a d^2 collect, independent of
 # corpus size, and the iteration count is fixed, not data-dependent.
-def _pca_cov_parts(E):
+def _pca_cov_parts(E, triangle=False):
+    # triangle=True halves the per-row explode (upper triangle incl.
+    # diagonal); the runner mirrors cov[j,i] = cov[i,j] driver-side —
+    # bit-exact because every sufficient statistic is symmetric under
+    # (i,j) swap and double multiplication is commutative. The oracle
+    # keeps the full matrix (DuckDB evaluates it once; no mirror step).
     a = f"CAST(floor(CAST({E.idx('embedding', 'd1.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
     b = f"CAST(floor(CAST({E.idx('embedding', 'd2.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    where = "\n      WHERE d2.d >= d1.d" if triangle else ""
     return [
         f"dims AS (SELECT {E.explode(E.seq(1, 64), 'd')})",
         f"""cells AS (
       SELECT d1.d AS i, d2.d AS j, {a} AS a_fp, {b} AS b_fp
-      FROM embeddings CROSS JOIN dims d1 CROSS JOIN dims d2
+      FROM embeddings CROSS JOIN dims d1 CROSS JOIN dims d2{where}
     )""",
         """agg AS (
       SELECT i, j,
@@ -2515,8 +2521,8 @@ def _pca_cov_parts(E):
     ]
 
 
-def _sql_pca_cov(E):
-    body = ",\n    ".join(_pca_cov_parts(E))
+def _sql_pca_cov(E, triangle=False):
+    body = ",\n    ".join(_pca_cov_parts(E, triangle=triangle))
     return f"WITH {body}\n    SELECT i, j, c FROM cov"
 
 
@@ -2567,7 +2573,8 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dfs = load_tables(spark, sf_dir, ("embeddings",))
     _repartition_views(spark, dfs)
-    cov = {(r["i"], r["j"]): r["c"] for r in spark.sql(_sql_pca_cov(_Spark)).collect()}
+    cov = {(r["i"], r["j"]): r["c"] for r in spark.sql(_sql_pca_cov(_Spark, triangle=True)).collect()}
+    cov.update({(j, i): c for (i, j), c in list(cov.items()) if i != j})
     dims = range(1, 65)
     v_fp = {d: 125000000000 for d in dims}
     nrm = 1.0

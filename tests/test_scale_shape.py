@@ -156,3 +156,33 @@ def test_bigram_unigram_join_broadcasts(spark, sf_dir):
     # gram join instead of shuffling the corpus-scale gram stream
     plan = _plan(plans.QUERIES["text_bigram_score"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pca_cov_pass_broadcasts_dims(spark, sf_dir):
+    """The d^2 explode must be a broadcast NLJ against the 64-row dims
+    relation (never a shuffle or cartesian of the corpus) with map-side
+    partial aggregation on the (i, j) keys."""
+    from datafusion_remote_table_spark.plans.llm_data import _Spark, _repartition_views, _sql_pca_cov
+    from datafusion_remote_table_spark.session import load_tables
+
+    _repartition_views(spark, load_tables(spark, sf_dir, ("embeddings",)))
+    plan = _plan(spark.sql(_sql_pca_cov(_Spark, triangle=True)))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_markov_lag_window_partitions_by_user(spark, sf_dir):
+    plan = _plan(plans.QUERIES["events_markov_transitions"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_hourly_anomaly_is_take_ordered(spark, sf_dir):
+    plan = _plan(plans.QUERIES["events_hourly_anomaly"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_span_census_no_cartesian(spark, sf_dir):
+    plan = _plan(plans.QUERIES["dedup_substring_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
