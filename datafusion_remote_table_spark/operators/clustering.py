@@ -125,8 +125,6 @@ def pca_top_component(
     same split MLlib's computePrincipalComponents uses). Returns
     (dim, pc1_loading, eigenvalue_fp9). Registered instance:
     embedding_pca_top_component (whose arithmetic this mirrors)."""
-    import math
-
     spark = df.sparkSession
     dims_df = spark.range(1, dim + 1).select(F.col("id").cast("int").alias("d"))
     d1, d2 = dims_df.alias("d1"), dims_df.alias("d2")
@@ -162,20 +160,33 @@ def pca_top_component(
         ).alias("c"),
     )
     cov = {(r["i"], r["j"]): r["c"] for r in cov_df.collect()}
-    cov.update({(j, i): c for (i, j), c in list(cov.items()) if i != j})
+    rows = power_iterate(cov, dim, iters)
+    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
+
+
+def power_iterate(cov: dict, dim: int, iters: int) -> list:
+    """Quantized power iteration over an upper-triangle (or full)
+    covariance dict {(i, j): c}. Every expression mirrors the
+    embedding_pca_top_component oracle SQL token-for-token (same IEEE
+    operation order), so the BIGINT fixed-point state is identical
+    across engines. Returns [(dim, pc1_loading, eigenvalue_fp9)]."""
+    import math
+
+    cov = dict(cov)
+    cov.update({(j, i): c for (i, j), c in list(cov.items()) if i != j and (j, i) not in cov})
     rng = range(1, dim + 1)
-    v_fp = {d: 125_000_000_000 for d in rng}  # uniform start, ||v||=1 at dim=64
-    if dim != 64:  # renormalize the uniform start for other dims
-        start = math.floor(1.0 / math.sqrt(dim) * 1e12)
-        v_fp = {d: start for d in rng}
+    # uniform start with ||v||=1 (exact at dim=64: floor(0.125e12))
+    start = math.floor(1.0 / math.sqrt(dim) * 1e12)
+    v_fp = {d: start for d in rng}
     nrm = 1.0
     for _ in range(iters):
+        # w_i = SUM(floor(c * (v_fp/1e12) * 1e15)) / 1e15  (exact int sum)
         w = {
             i: float(sum(math.floor(cov[(i, j)] * (v_fp[j] / 1e12) * 1e15) for j in rng)) / 1e15
             for i in rng
         }
+        # nrm = greatest(sqrt(SUM(floor(w*w*1e9)) / 1e9), 1e-12)
         nrm = max(math.sqrt(float(sum(math.floor(w[i] * w[i] * 1e9) for i in rng)) / 1e9), 1e-12)
         v_fp = {d: math.floor(w[d] / nrm * 1e12) for d in rng}
     eig_fp9 = math.floor(nrm * 1e9)
-    rows = [(int(d), float(v_fp[d]) / 1e12, eig_fp9) for d in rng]
-    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
+    return [(int(d), float(v_fp[d]) / 1e12, eig_fp9) for d in rng]

@@ -36,6 +36,35 @@ def segment_fingerprints(text: Column, seg_words: int = 5) -> Column:
     )
 
 
+def _fingerprint_census_stats(
+    df: DataFrame,
+    fps: Column,
+    id_col: str,
+    min_docs: int,
+    total_col: str,
+    flagged_col: str,
+) -> DataFrame:
+    """Shared census skeleton: explode a per-doc fingerprint array, keep
+    fingerprints seen in >= min_docs distinct docs (the census output is
+    tiny vs the corpus → broadcast back-join), and count total/flagged
+    positions per doc."""
+    rows = df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    flagged = (
+        rows.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    return (
+        rows.join(F.broadcast(flagged.withColumn("__f", F.lit(1))), "fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias(total_col),
+            F.sum(F.when(F.col("__f").isNotNull(), 1).otherwise(0)).alias(flagged_col),
+        )
+    )
+
+
 def boilerplate_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -45,26 +74,17 @@ def boilerplate_stats(
 ) -> DataFrame:
     """C4-style repeated-segment census → per-doc boilerplate stats
     (n_segments, n_boilerplate, retained_ratio)."""
-    segs = df.select(
-        F.col(id_col), F.explode(segment_fingerprints(F.col(text_col), seg_words)).alias("seg_fp")
+    stats = _fingerprint_census_stats(
+        df,
+        segment_fingerprints(F.col(text_col), seg_words),
+        id_col,
+        min_docs,
+        "n_segments",
+        "n_boilerplate",
     )
-    boiler = (
-        segs.groupBy("seg_fp")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("seg_fp")
-    )
-    return (
-        segs.join(F.broadcast(boiler.withColumn("__b", F.lit(1))), "seg_fp", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).alias("n_boilerplate"),
-        )
-        .withColumn(
-            "retained_ratio",
-            F.round(F.lit(1.0) - F.col("n_boilerplate") / F.col("n_segments"), 6),
-        )
+    return stats.withColumn(
+        "retained_ratio",
+        F.round(F.lit(1.0) - F.col("n_boilerplate") / F.col("n_segments"), 6),
     )
 
 
@@ -135,22 +155,10 @@ def substring_span_stats(
         F.sequence(F.lit(1), n_pos),
         lambda i: F.md5(F.array_join(F.slice(words, i, span_words), " ")),
     )
-    grams = df.select(F.col(id_col), F.explode(fps).alias("gram_fp"))
-    dup = (
-        grams.groupBy("gram_fp")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("gram_fp")
+    stats = _fingerprint_census_stats(
+        df, fps, id_col, min_docs, "n_positions", "n_dup_positions"
     )
-    return (
-        grams.join(F.broadcast(dup.withColumn("__d", F.lit(1))), "gram_fp", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_positions"),
-            F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0)).alias("n_dup_positions"),
-        )
-        .withColumn(
-            "dup_span_fraction",
-            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
-        )
+    return stats.withColumn(
+        "dup_span_fraction",
+        F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
     )

@@ -81,7 +81,9 @@ def hourly_anomaly(
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("nh"),
         F.sum("c").cast("double").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("double").alias("s2"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s2"),
     )
     mean = F.col("s1") / F.col("nh")
     std = F.sqrt(F.greatest(F.col("s2") / F.col("nh") - mean * mean, F.lit(0.000001)))

