@@ -23,6 +23,7 @@ _VERIFY_FIRST = [
     # new in round 3 — no driver row yet
     "dedup_substring_spans",
     "dedup_containment",
+    "dedup_bloom_incremental",
     "embedding_correlation_pairs",
     "embedding_pca_top_component",
     "events_markov_transitions",

@@ -60,6 +60,7 @@ QUERIES = [
     "events_hourly_anomaly",
     "dedup_containment",
     "embedding_pca_top_component",
+    "dedup_bloom_incremental",
 ]
 
 

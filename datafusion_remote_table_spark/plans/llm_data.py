@@ -2611,3 +2611,62 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["embedding_pca_top_component"] = embedding_pca_top_component
 ORACLE["embedding_pca_top_component"] = _sql_pca_top_component(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_incremental — snapshot-vs-corpus dedup through a Bloom
+# filter: the standing corpus (source <> 'src0') populates a bit set of
+# k=3 Carter-Wegman positions per content hash; the incoming snapshot
+# (source = 'src0') probes it. The structure web-crawl pipelines use to
+# dedup each new snapshot against billions of existing docs without
+# materializing the key set. Self-evaluating output: per new doc,
+# maybe_dup (all 3 bits set), is_true_dup (exact hash match ground
+# truth), false_positive. The filter is ADAPTIVE: m = 2^ceil(log2(8n))
+# bits from COUNT(*) in pure SQL — load factor ~3/8 at any corpus size,
+# FP ~3%, identically in both engines. Scale: positions are map-side;
+# the DISTINCT bit set is bounded by m and broadcasts into the probe (no
+# corpus-side shuffle). This SQL spelling stores set bits as distinct
+# BIGINTs (~24 bytes/bit); a production deployment aggregates the same
+# positions into an m/8-byte binary bitmap with a bit_or UDAF — same
+# dataflow, smaller constant — and ships it like the broadcast here.
+def _sql_bloom_incremental(E):
+    key = f"md5({E.collapse_ws('lower(text)')})"
+    h1 = E.hex2int("substr(h, 1, 8)")
+    h2 = f"({E.hex2int('substr(h, 9, 8)')} * 2 + 1)"  # odd stride; sums stay < 2^36
+    pos = f"(({h1} + p * {h2}) % msel.m)"
+    return f"""
+    WITH newdocs AS (
+      SELECT doc_id, {key} AS h FROM documents WHERE source = 'src0'
+    ),
+    olddocs AS (
+      SELECT {key} AS h FROM documents WHERE source <> 'src0'
+    ),
+    msel AS (
+      SELECT CAST(pow(2.0e0, ceil(log2(CAST(greatest(COUNT(*), 1) AS DOUBLE) * 8.0e0))) AS BIGINT) AS m
+      FROM olddocs
+    ),
+    ks AS (SELECT {E.explode(E.seq(0, 2), 'p')}),
+    oldbits AS (
+      SELECT DISTINCT {pos} AS bit
+      FROM olddocs CROSS JOIN ks CROSS JOIN msel
+    ),
+    newpos AS (
+      SELECT doc_id, h, {pos} AS bit
+      FROM newdocs CROSS JOIN ks CROSS JOIN msel
+    ),
+    probe AS (
+      SELECT n.doc_id, n.h,
+             CAST(SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS bits_hit
+      FROM newpos n LEFT JOIN oldbits b ON n.bit = b.bit
+      GROUP BY n.doc_id, n.h
+    ),
+    truth AS (SELECT DISTINCT h FROM olddocs)
+    SELECT p.doc_id, p.bits_hit,
+           CAST(CASE WHEN p.bits_hit = 3 THEN 1 ELSE 0 END AS INT) AS maybe_dup,
+           CAST(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_true_dup,
+           CAST(CASE WHEN p.bits_hit = 3 AND t.h IS NULL THEN 1 ELSE 0 END AS INT) AS false_positive
+    FROM probe p LEFT JOIN truth t ON p.h = t.h
+    """
+
+
+_register_pair("dedup_bloom_incremental", _sql_bloom_incremental)
