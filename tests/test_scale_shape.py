@@ -186,3 +186,12 @@ def test_substring_span_census_no_cartesian(spark, sf_dir):
     plan = _plan(plans.QUERIES["dedup_substring_spans"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_bloom_incremental_no_cartesian_of_corpus(spark, sf_dir):
+    """The k-position and filter-size joins are tiny-relation cross
+    joins (broadcast NLJ); the corpus side must never cartesian with
+    itself and the probe census must partial-aggregate."""
+    plan = _plan(plans.QUERIES["dedup_bloom_incremental"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial" in plan.lower()
