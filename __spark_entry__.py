@@ -24,6 +24,8 @@ _VERIFY_FIRST = [
     "dedup_substring_spans",
     "dedup_containment",
     "dedup_bloom_incremental",
+    "simhash_accuracy_eval",
+    "events_top_paths",
     "embedding_correlation_pairs",
     "embedding_pca_top_component",
     "events_markov_transitions",

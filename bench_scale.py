@@ -61,6 +61,8 @@ QUERIES = [
     "dedup_containment",
     "embedding_pca_top_component",
     "dedup_bloom_incremental",
+    "simhash_accuracy_eval",
+    "events_top_paths",
 ]
 
 

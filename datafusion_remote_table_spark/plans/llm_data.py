@@ -2670,3 +2670,28 @@ def _sql_bloom_incremental(E):
 
 
 _register_pair("dedup_bloom_incremental", _sql_bloom_incremental)
+
+
+# ---------------------------------------------------------------------------
+# simhash_accuracy_eval — precision audit of the simhash blocking: every
+# surviving hamming<=3 pair re-scored with exact 5-gram jaccard. This
+# registers the claim behind the 60-bit band design ("surviving pairs
+# are all true near-dups", docs/SCALE.md) as a driver-verified query
+# instead of a manual observation — the simhash twin of
+# minhash_accuracy_eval. Scale: the pair set is the (linear) simhash
+# blocking output; the exact-jaccard verify joins shingles only for
+# those pairs.
+def _sql_simhash_accuracy(E):
+    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+    return f"""
+    WITH sh AS ({_minhash_shingles(E)})
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           ROUND(CAST({inter} AS DOUBLE)
+                 / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}), 6) AS exact_jaccard
+    FROM ({_sql_simhash(E)}) p
+    JOIN sh sa ON p.doc_a = sa.doc_id
+    JOIN sh sb ON p.doc_b = sb.doc_id
+    """
+
+
+_register_pair("simhash_accuracy_eval", _sql_simhash_accuracy)

@@ -1861,3 +1861,48 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              h.event_type, h.h
     LIMIT 20
     """)
+
+
+# --------------------------------------------------------------------------
+# events_top_paths — top 3-step behavioral paths: each event joined with
+# its two predecessors via double LAG over the per-user ordered stream,
+# then a census of (step1, step2, step3) sequences — the path-discovery
+# (Sankey) report that generalizes the fixed-order funnel and the
+# 1-step Markov matrix. Scale: one shuffle on user_id for the window
+# (O(1) state), census on |types|^3 keys with map-side partials, top-20
+# via TakeOrdered.
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type, 2) OVER w AS step1,
+             LAG(event_type, 1) OVER w AS step2,
+             event_type AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE step1 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql("""
+    WITH seq AS (
+      SELECT user_id,
+             LAG(event_type, 2) OVER w AS step1,
+             LAG(event_type, 1) OVER w AS step2,
+             event_type AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE step1 IS NOT NULL
+    GROUP BY step1, step2, step3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 20
+    """)
