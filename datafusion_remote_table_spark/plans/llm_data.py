@@ -529,7 +529,7 @@ ORACLE["dedup_minhash_lsh"] = _sql_minhash_oracle(_Duck)
 # quadratic at a 16x scale test (1.7 s -> 18.7 s, ~50M candidate pairs);
 # 15-bit bands give n/32768 buckets — candidate volume stays ~linear
 # through the same test and the surviving pairs are all true near-dups.
-def _sql_simhash(E):
+def _sql_simhash(E, src="documents"):
     bits, band_bits, n_bands = 60, 15, 4
     mask = (1 << band_bits) - 1
     words = E.splitws("lower(text)")
@@ -541,7 +541,7 @@ def _sql_simhash(E):
     )
     return f"""
     WITH vals AS (
-      SELECT doc_id, {vals} AS vals FROM documents
+      SELECT doc_id, {vals} AS vals FROM {src}
     ),
     sig AS (
       SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM vals
@@ -2629,26 +2629,29 @@ ORACLE["embedding_pca_top_component"] = _sql_pca_top_component(_Duck)
 # BIGINTs (~24 bytes/bit); a production deployment aggregates the same
 # positions into an m/8-byte binary bitmap with a bit_or UDAF — same
 # dataflow, smaller constant — and ships it like the broadcast here.
-def _sql_bloom_incremental(E):
-    key = f"md5({E.collapse_ws('lower(text)')})"
+def _bloom_body(E, olddocs="olddocs", extra_cte=""):
+    """Everything after the olddocs hash pass: filter sizing, bit set,
+    probe, truth join. m is the smallest power of two >= 8n picked from
+    an INTEGER shifted-powers relation — the first spelling used
+    float pow/ceil/log2, and Spark's log2 (ln x / ln 2) overshoots at
+    exact powers of two (log2(2^29) = 29.000000000000004) where
+    DuckDB's is exact, so the two engines sized the filter differently
+    whenever the standing corpus count was a power of two and every
+    position (h % m) diverged."""
     h1 = E.hex2int("substr(h, 1, 8)")
     h2 = f"({E.hex2int('substr(h, 9, 8)')} * 2 + 1)"  # odd stride; sums stay < 2^36
     pos = f"(({h1} + p * {h2}) % msel.m)"
-    return f"""
-    WITH newdocs AS (
-      SELECT doc_id, {key} AS h FROM documents WHERE source = 'src0'
-    ),
-    olddocs AS (
-      SELECT {key} AS h FROM documents WHERE source <> 'src0'
-    ),
-    msel AS (
-      SELECT CAST(pow(2.0e0, ceil(log2(CAST(greatest(COUNT(*), 1) AS DOUBLE) * 8.0e0))) AS BIGINT) AS m
-      FROM olddocs
+    return f"""{extra_cte}msel AS (
+      SELECT MIN(cand.m) AS m
+      FROM (SELECT {E.shl('CAST(1 AS BIGINT)', 'pw.p')} AS m
+            FROM (SELECT {E.explode(E.seq(12, 40), 'p')}) pw) cand,
+           (SELECT CAST(greatest(COUNT(*), 1) AS BIGINT) AS n FROM {olddocs}) cnt
+      WHERE cand.m >= 8 * cnt.n
     ),
     ks AS (SELECT {E.explode(E.seq(0, 2), 'p')}),
     oldbits AS (
       SELECT DISTINCT {pos} AS bit
-      FROM olddocs CROSS JOIN ks CROSS JOIN msel
+      FROM {olddocs} CROSS JOIN ks CROSS JOIN msel
     ),
     newpos AS (
       SELECT doc_id, h, {pos} AS bit
@@ -2660,7 +2663,7 @@ def _sql_bloom_incremental(E):
       FROM newpos n LEFT JOIN oldbits b ON n.bit = b.bit
       GROUP BY n.doc_id, n.h
     ),
-    truth AS (SELECT DISTINCT h FROM olddocs)
+    truth AS (SELECT DISTINCT h FROM {olddocs})
     SELECT p.doc_id, p.bits_hit,
            CAST(CASE WHEN p.bits_hit = 3 THEN 1 ELSE 0 END AS INT) AS maybe_dup,
            CAST(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_true_dup,
@@ -2669,7 +2672,54 @@ def _sql_bloom_incremental(E):
     """
 
 
-_register_pair("dedup_bloom_incremental", _sql_bloom_incremental)
+def _bloom_key(E):
+    return f"md5({E.collapse_ws('lower(text)')})"
+
+
+def _sql_bloom_incremental(E, src="documents"):
+    key = _bloom_key(E)
+    return f"""
+    WITH newdocs AS (
+      SELECT doc_id, {key} AS h FROM {src} WHERE source = 'src0'
+    ),
+    olddocs AS (
+      SELECT {key} AS h FROM {src} WHERE source <> 'src0'
+    ),
+    {_bloom_body(E)}"""
+
+
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The olddocs hash pass is referenced three times (filter sizing,
+    bit set, exact-truth set) and Spark re-evaluates CTE references —
+    persist the standing-corpus hashes once per session+sf_dir so the
+    corpus is scanned and md5'd once (the _minhash_stage pattern); the
+    oracle keeps the single-SQL lazy spelling."""
+    key = ("bloom_old", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        import hashlib
+
+        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        n = spark.sparkContext.defaultParallelism
+        if len(docs.inputFiles()) < n:
+            docs = docs.repartition(n)
+        doc_view = f"bloom_docs_{suff}"
+        docs.createOrReplaceTempView(doc_view)
+        old_view = f"bloom_old_{suff}"
+        spark.sql(
+            f"SELECT {_bloom_key(_Spark)} AS h FROM {doc_view} WHERE source <> 'src0'"
+        ).persist().createOrReplaceTempView(old_view)
+        _MINHASH_STAGE_CACHE[key] = (doc_view, old_view)
+    doc_view, old_view = _MINHASH_STAGE_CACHE[key]
+    newdocs = (
+        f"newdocs AS (SELECT doc_id, {_bloom_key(_Spark)} AS h "
+        f"FROM {doc_view} WHERE source = 'src0'),\n    "
+    )
+    return spark.sql(f"WITH {_bloom_body(_Spark, olddocs=old_view, extra_cte=newdocs)}")
+
+
+QUERIES["dedup_bloom_incremental"] = dedup_bloom_incremental
+ORACLE["dedup_bloom_incremental"] = _sql_bloom_incremental(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -2681,17 +2731,43 @@ _register_pair("dedup_bloom_incremental", _sql_bloom_incremental)
 # minhash_accuracy_eval. Scale: the pair set is the (linear) simhash
 # blocking output; the exact-jaccard verify joins shingles only for
 # those pairs.
-def _sql_simhash_accuracy(E):
+def _simhash_accuracy_select(E, pairs, sh):
     inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
     return f"""
-    WITH sh AS ({_minhash_shingles(E)})
     SELECT p.doc_a, p.doc_b, p.hamming,
            ROUND(CAST({inter} AS DOUBLE)
                  / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}), 6) AS exact_jaccard
-    FROM ({_sql_simhash(E)}) p
-    JOIN sh sa ON p.doc_a = sa.doc_id
-    JOIN sh sb ON p.doc_b = sb.doc_id
+    FROM {pairs} p
+    JOIN {sh} sa ON p.doc_a = sa.doc_id
+    JOIN {sh} sb ON p.doc_b = sb.doc_id
     """
 
 
-_register_pair("simhash_accuracy_eval", _sql_simhash_accuracy)
+def _sql_simhash_accuracy(E):
+    return f"""
+    WITH sh AS ({_minhash_shingles(E)})
+    {_simhash_accuracy_select(E, f'({_sql_simhash(E)})', 'sh')}
+    """
+
+
+def simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution: the shingles come from the persisted minhash
+    staging (same 5-gram sets) and the simhash pair output is persisted
+    once per session+sf_dir — the lazy CTE spelling (kept as the
+    oracle) re-evaluates the per-token md5 signature stage ~4x through
+    the sh double-reference and the bands self-join."""
+    key = ("simhash_pairs", id(spark), os.path.abspath(sf_dir))
+    sh_view, _sig, _bands = _minhash_stage(spark, sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        import hashlib
+
+        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        pairs_view = f"simhash_pairs_{suff}"
+        doc_view = f"mh_docs_{suff}"  # registered by _minhash_stage
+        spark.sql(_sql_simhash(_Spark, src=doc_view)).persist().createOrReplaceTempView(pairs_view)
+        _MINHASH_STAGE_CACHE[key] = pairs_view
+    return spark.sql(_simhash_accuracy_select(_Spark, _MINHASH_STAGE_CACHE[key], sh_view))
+
+
+QUERIES["simhash_accuracy_eval"] = simhash_accuracy_eval
+ORACLE["simhash_accuracy_eval"] = _sql_simhash_accuracy(_Duck)

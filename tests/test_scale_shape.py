@@ -194,4 +194,5 @@ def test_bloom_incremental_no_cartesian_of_corpus(spark, sf_dir):
     itself and the probe census must partial-aggregate."""
     plan = _plan(plans.QUERIES["dedup_bloom_incremental"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
