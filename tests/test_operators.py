@@ -446,3 +446,33 @@ def test_pca_api_matches_registered_query(spark, sf_dir, emb):
         tuple(r) for r in plans.QUERIES["embedding_pca_top_component"](spark, sf_dir).collect()
     )
     assert api == reg and len(api) == 64
+
+
+def test_bloom_sizing_integer_parity_at_powers_of_two(spark):
+    """Spark's float log2 overshoots at exact powers of two (ln x / ln 2)
+    while DuckDB's is exact — the original float spelling sized the
+    Bloom filter differently across engines whenever the standing-corpus
+    count was a power of two. Pin the integer shifted-powers sizing to
+    the same m in both engines at the boundary counts."""
+    import duckdb
+
+    from datafusion_remote_table_spark.plans.llm_data import _Duck, _Spark
+
+    def msel(E, olddocs):
+        return f"""
+        SELECT MIN(cand.m) AS m
+        FROM (SELECT {E.shl('CAST(1 AS BIGINT)', 'pw.p')} AS m
+              FROM (SELECT {E.explode(E.seq(12, 40), 'p')}) pw) cand,
+             (SELECT CAST(greatest(COUNT(*), 1) AS BIGINT) AS n FROM {olddocs}) cnt
+        WHERE cand.m >= 8 * cnt.n
+        """
+
+    con = duckdb.connect()
+    for n in [4096, 4097, 2**15, 2**15 + 1, 2**17]:
+        spark.range(n).createOrReplaceTempView("bloom_sizing_probe")
+        got = spark.sql(msel(_Spark, "bloom_sizing_probe")).collect()[0]["m"]
+        want = con.execute(
+            msel(_Duck, f"(SELECT * FROM range({n}))")
+        ).fetchone()[0]
+        expected = 1 << (8 * n - 1).bit_length()  # smallest 2^p >= 8n
+        assert got == want == expected, (n, got, want, expected)
