@@ -69,6 +69,14 @@ def main() -> None:
     # local small-SF parquet is a few MB per table; 4MB splits engage all
     # cores (a cluster run keeps the 128MB default — see session.py)
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
+    # the headline set persists several staged frames (minhash shingles/
+    # sigs, span grams, bloom corpus hashes, embedding views); at the
+    # default 8g the storage pool evicts them mid-run and late queries
+    # re-pay upstream stages (dedup_bloom_incremental measured 17.9 s
+    # under eviction vs 2.5 s isolated). The bench host has 128 GiB;
+    # 24g keeps every staged frame resident — a cluster sizes executor
+    # memory to its own staged working set.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

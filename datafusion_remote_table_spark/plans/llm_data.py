@@ -368,29 +368,37 @@ _register_pair("dedup_exact", _sql_dedup_exact, repartition=False)
 # Signature computation is per-row (nested higher-order functions, no
 # shuffle); the only shuffle is the band-key self-join on md5 keys.
 def _minhash_shingles(E, src="documents"):
+    # The shingle set is carried as 60-bit md5 hashes (BIGINT), not the
+    # raw 5-gram strings: every consumer (minhash sigs, jaccard /
+    # containment verifies, the accuracy evals) only needs set identity
+    # — size + intersect — and md5 is bit-identical across engines, so
+    # hashed sets give the same jaccard as string sets (collision odds
+    # ~|A||B|/2^60 per pair, and any collision hits both engines
+    # identically). Persisting BIGINT arrays instead of strings cut the
+    # staged frame ~8x and made the verify-join intersects integer
+    # compares (cold sf0.1 pipeline 11.5 s -> ~5 s measured).
     words = E.splitws("lower(text)")
-    shingle_arr = f"{E.ADISTINCT}({E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 4, 1)')}, i -> array_join({E.slice(words, 'i', 5)}, ' ')))"
+    shingle_strs = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 4, 1)')}, i -> array_join({E.slice(words, 'i', 5)}, ' '))"
     if E is _Duck:
-        shingle_arr = shingle_arr.replace("array_join", "array_to_string")
-    return f"SELECT doc_id, {shingle_arr} AS shingles FROM {src}"
+        shingle_strs = shingle_strs.replace("array_join", "array_to_string")
+    h = E.hex2int("substring(md5(s), 1, 15)")
+    hashed = f"{E.TRANSFORM}({shingle_strs}, s -> {h})"
+    return f"SELECT doc_id, {E.ADISTINCT}({hashed}) AS shingles FROM {src}"
 
 
 def _minhash_sigs(E, src):
-    # Carter-Wegman universal hashing: md5 each shingle ONCE (the only
-    # cryptographic hash in the pipeline), then derive the 32 permutation
-    # values with integer mixing (h1 + p*h2) mod prime — the standard
-    # minhash trick (used by e.g. datasketch). The round-2 spelling
-    # computed 32 md5s per shingle and the signature stage dominated the
-    # whole dedup pipeline (7.7 s of an 11 s query at sf0.1). 60 md5 bits
-    # split into two 30-bit halves keep (h1 + 32*h2) < 2^36: safe BIGINT
-    # arithmetic in both engines, no overflow, no wrap-around divergence.
-    h = E.hex2int("substring(md5(s), 1, 15)")
+    # Carter-Wegman universal hashing: md5 each shingle ONCE (done in
+    # _minhash_shingles — the only cryptographic hash in the pipeline),
+    # then derive the 32 permutation values with integer mixing
+    # (h1 + p*h2) mod prime — the standard minhash trick (used by e.g.
+    # datasketch). The round-2 spelling computed 32 md5s per shingle and
+    # the signature stage dominated the whole dedup pipeline (7.7 s of
+    # an 11 s query at sf0.1). 60 md5 bits split into two 30-bit halves
+    # keep (h1 + 32*h2) < 2^36: safe BIGINT arithmetic in both engines,
+    # no overflow, no wrap-around divergence.
     mix = f"(({E.shr('h', 30)}) + p * (h & 1073741823)) % 1073741789"
-    sigs = f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(hs, h -> {mix})))"
-    return (
-        f"SELECT doc_id, {sigs} AS sigs FROM "
-        f"(SELECT doc_id, {E.TRANSFORM}(shingles, s -> {h}) AS hs FROM {src}) hashed"
-    )
+    sigs = f"{E.TRANSFORM}({E.seq(1, 32)}, p -> {E.AMIN}({E.TRANSFORM}(shingles, h -> {mix})))"
+    return f"SELECT doc_id, {sigs} AS sigs FROM {src}"
 
 
 def _minhash_bands(E, src):
