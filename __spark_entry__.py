@@ -44,6 +44,11 @@ _VERIFY_FIRST = [
     "hybrid_search_rrf",
     "quality_perplexity_buckets",
     "embedding_dim_stats",
+    "text_entropy_score",
+    "corpus_language_confusion",
+    "embedding_outlier_zscore",
+    "ann_pq_cosine",
+    "stream_near_dedup",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

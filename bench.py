@@ -61,6 +61,12 @@ HEADLINE = [
     "dedup_containment",
     "embedding_pca_top_component",
     "dedup_bloom_incremental",
+    # round-3 continuation: entropy quality signal, langid QA matrix,
+    # embedding outlier gate, and the PQ/ADC ANN path
+    "text_entropy_score",
+    "corpus_language_confusion",
+    "embedding_outlier_zscore",
+    "ann_pq_cosine",
 ]
 
 

@@ -2779,3 +2779,247 @@ def simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["simhash_accuracy_eval"] = simhash_accuracy_eval
 ORACLE["simhash_accuracy_eval"] = _sql_simhash_accuracy(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# text_entropy_score — per-document Shannon entropy of the word
+# distribution (bits) plus the length-normalized variant H / log2(V):
+# the information-density quality signal behind low-entropy spam /
+# template detection (a doc repeating a 5-word slogan scores near 0;
+# natural prose sits near its vocabulary bound). Computed from integer
+# word counts via H = log2(N) - (1/N)·Σ c·log2(c), so the only floats
+# are the final log terms (ROUND 6, the BM25/tf-idf convention).
+# Scale: explode → (doc_id, word) count agg — uniform keys with
+# map-side partials — then a doc-keyed agg of vocab-sized groups; no
+# windows, no skew.
+def _sql_entropy(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH uni AS (
+      SELECT doc_id, {E.explode(words, 'w')} FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY doc_id, w
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) / ln(2.0e0), 6)
+             AS word_entropy_bits,
+           ROUND(CASE WHEN n_distinct > 1
+                      THEN (ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens)
+                           / ln(CAST(n_distinct AS DOUBLE))
+                      ELSE 0.0e0 END, 6) AS norm_entropy
+    FROM agg
+    """
+
+
+_register_pair("text_entropy_score", _sql_entropy)
+
+
+# ---------------------------------------------------------------------------
+# corpus_language_confusion — the language-ID evaluation matrix: detected
+# language (text_langid's marker heuristic) against the labeled lang
+# column, with per-true-lang recall fractions. The QA report a pipeline
+# runs before trusting a language filter to route 100TB of documents —
+# and on this corpus it genuinely discriminates (the zh marker is a stub,
+# so zh rows scatter across the latin languages). Scale: one per-row
+# argmax (no shuffle) then an agg on ≤ |langs|² keys.
+def _sql_lang_confusion(E):
+    return f"""
+    WITH det AS ({_sql_langid(E)}),
+    joined AS (
+      SELECT d.lang AS true_lang, det.detected_lang
+      FROM documents d JOIN det ON d.doc_id = det.doc_id
+    ),
+    cells AS (
+      SELECT true_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM joined GROUP BY true_lang, detected_lang
+    )
+    SELECT true_lang, detected_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / SUM(n_docs) OVER (PARTITION BY true_lang), 6) AS frac_of_true_lang
+    FROM cells
+    """
+
+
+_register_pair("corpus_language_confusion", _sql_lang_confusion)
+
+
+# ---------------------------------------------------------------------------
+# embedding_outlier_zscore — embedding-space outlier report: per-dimension
+# mean/std from exact fixed-point sums (the embedding_dim_stats rule),
+# then each vector's max and mean absolute z-score across dimensions;
+# top-20 outliers (max_abs_z desc, vec_id tie-break). The QA gate that
+# catches corrupt / out-of-distribution vectors before they poison ANN
+# index training or semantic dedup. Scale: the dim-stats agg shuffles
+# `dim`-sized partials; the z-score pass joins the 64-row stats table
+# (broadcast) back to the exploded cells and aggregates per vec_id —
+# uniform keys, no windows except the bounded top-k sort-limit.
+def _sql_embedding_outliers(E):
+    val = f"CAST({E.idx('e.embedding', 'dims.d')} AS DOUBLE)"
+    fp = f"CAST(floor({val} * 1000000.0e0) AS BIGINT)"
+    return f"""
+    WITH dims AS (SELECT {E.explode(E.seq(1, 64), 'd')}),
+    cells AS (
+      SELECT e.vec_id, dims.d AS dim, {fp} AS v_fp
+      FROM embeddings e CROSS JOIN dims
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(CAST(v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000.0e0
+               / COUNT(*) AS mean,
+             sqrt(greatest(
+               CAST(SUM(CAST(v_fp * v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000000000.0e0
+                 / COUNT(*)
+               - (CAST(SUM(CAST(v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000.0e0
+                  / COUNT(*))
+                 * (CAST(SUM(CAST(v_fp AS DECIMAL(38, 0))) AS DOUBLE) / 1000000.0e0
+                    / COUNT(*)),
+               1e-12)) AS std
+      FROM cells GROUP BY dim
+    ),
+    z AS (
+      SELECT c.vec_id,
+             abs((CAST(c.v_fp AS DOUBLE) / 1000000.0e0 - s.mean) / s.std) AS az
+      FROM cells c JOIN stats s ON c.dim = s.dim
+    ),
+    pervec AS (
+      SELECT vec_id,
+             ROUND(MAX(az), 6) AS max_abs_z,
+             ROUND(SUM(az) / COUNT(*), 6) AS mean_abs_z
+      FROM z GROUP BY vec_id
+    )
+    SELECT vec_id, max_abs_z, mean_abs_z
+    FROM pervec
+    ORDER BY max_abs_z DESC, vec_id
+    LIMIT 20
+    """
+
+
+_register_pair("embedding_outlier_zscore", _sql_embedding_outliers, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_cosine — product-quantization ANN (the ADC scoring path of an
+# IVF-PQ index, the standard 100TB-scale layout beyond raw IVF): the
+# 64-dim space splits into 4×16-dim subspaces; each subspace gets a
+# 16-codeword codebook (deterministic seed set — the first 16 vectors'
+# subvectors, the ann_ivf_cosine training convention); every vector is
+# encoded as 4 code ids (64 dims → 4 bytes, a 64× compression); a query
+# precomputes a 4×16 partial-dot lookup table and scores each candidate
+# as the sum of 4 table lookups (asymmetric distance computation), then
+# the approx top-20 shortlist is re-ranked with exact dots.
+# Scale: the codebook and LUT are tiny (broadcast); encoding is a
+# per-row argmin over 16 codewords (uniform (vec,subspace) window
+# keys); ADC scoring is a broadcast join + (query,vec)-keyed agg with
+# map-side partials. The per-query shortlist rank scans all n codes —
+# a production deployment composes this with ann_ivf_cosine's inverted
+# lists so each query ranks only its probed lists (IVF-PQ).
+def _sql_pq_sub(E, arr):
+    return E.slice(arr, "(cb.j - 1) * 16 + 1", 16)
+
+
+def _sql_pq_codebook(E):
+    sub = E.slice("s.embedding", "(subs.j - 1) * 16 + 1", 16)
+    return f"""
+    SELECT s.vec_id AS cent_id, subs.j, {sub} AS cw
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) s
+    CROSS JOIN (SELECT {E.explode(E.seq(1, 4), 'j')}) subs
+    """
+
+
+def _sql_pq_codes(E, cb):
+    d2 = E.sqdist(_sql_pq_sub(E, "v.embedding"), "cb.cw")
+    return f"""
+    SELECT vec_id, j, cent_id FROM (
+      SELECT v.vec_id, cb.j, cb.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j
+                                ORDER BY ROUND({d2}, 6), cb.cent_id) AS rn
+      FROM embeddings v CROSS JOIN {cb} cb
+    ) enc WHERE rn = 1
+    """
+
+
+def _sql_pq_probe(E, cb, codes):
+    pdot = E.dot(_sql_pq_sub(E, "q.embedding"), "cb.cw")
+    exact = E.dot("q.embedding", "v.embedding")
+    return f"""
+    WITH lut AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.cent_id, {pdot} AS pdot
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN {cb} cb
+    ),
+    approx AS (
+      SELECT l.query_id, c.vec_id, ROUND(SUM(l.pdot), 6) AS approx_dot
+      FROM {codes} c JOIN lut l ON c.j = l.j AND c.cent_id = l.cent_id
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, approx_dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_dot DESC, vec_id) AS arn
+      FROM approx
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id, s.approx_dot,
+             ROUND({exact}, 6) AS cosine
+      FROM shortlist s
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        ON s.query_id = q.vec_id
+      JOIN embeddings v ON s.vec_id = v.vec_id
+      WHERE s.arn <= 20
+    )
+    SELECT query_id, vec_id, approx_dot, cosine, CAST(rn AS INT) AS rn FROM (
+      SELECT query_id, vec_id, approx_dot, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM rerank
+    ) final WHERE rn <= 5
+    """
+
+
+def _sql_ann_pq(E):
+    return _sql_pq_probe(E, f"({_sql_pq_codebook(E)})", f"({_sql_pq_codes(E, f'({_sql_pq_codebook(E)})')})")
+
+
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: codebook + codes (the PQ index build) persist once per
+    session+sf_dir through PRIVATE views (the minhash-staging rule);
+    probes pay only the LUT build + ADC join. The oracle keeps the
+    single-SQL lazy spelling."""
+    import hashlib
+
+    key = ("pq", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+        dfs = load_tables(spark, sf_dir, ("embeddings",))
+        emb = dfs["embeddings"]
+        n = spark.sparkContext.defaultParallelism
+        if len(emb.inputFiles()) < n:
+            emb = emb.repartition(n)
+        emb_view = f"pq_emb_{suff}"
+        emb.createOrReplaceTempView(emb_view)
+        cb_view = f"pq_cb_{suff}"
+        spark.sql(
+            _sql_pq_codebook(_Spark).replace("embeddings", emb_view)
+        ).persist().createOrReplaceTempView(cb_view)
+        codes_view = f"pq_codes_{suff}"
+        spark.sql(
+            _sql_pq_codes(_Spark, cb_view).replace("embeddings", emb_view)
+        ).persist().createOrReplaceTempView(codes_view)
+        _MINHASH_STAGE_CACHE[key] = (emb_view, cb_view, codes_view)
+    emb_view, cb_view, codes_view = _MINHASH_STAGE_CACHE[key]
+    return spark.sql(
+        _sql_pq_probe(_Spark, cb_view, codes_view).replace("embeddings", emb_view)
+    )
+
+
+QUERIES["ann_pq_cosine"] = ann_pq_cosine
+ORACLE["ann_pq_cosine"] = _sql_ann_pq(_Duck)

@@ -12,6 +12,7 @@ from ..streaming import (
     stream_doc_quality_gate,
     stream_events_windowed,
     stream_join_enrich,
+    stream_near_dedup,
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
@@ -106,6 +107,9 @@ ORACLE["stream_sessionize_stateful"] = """
 
 from .llm_data import _Duck as _D  # noqa: E402
 from .llm_data import _sql_quality_filter as _qf  # noqa: E402
+from .llm_data import _minhash_shingles as _mh_shingles  # noqa: E402
+from .llm_data import _minhash_sigs as _mh_sigs  # noqa: E402
+from .llm_data import _minhash_bands as _mh_bands  # noqa: E402
 
 QUERIES["stream_doc_quality_gate"] = stream_doc_quality_gate
 # Stateless per-doc gate + keyed rollup: bounded input converges to the
@@ -130,4 +134,23 @@ ORACLE["stream_stream_attribution"] = """
      AND v.event_type = 'view' AND c.event_type = 'click'
      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
     GROUP BY v.user_id
+"""
+
+
+QUERIES["stream_near_dedup"] = stream_near_dedup
+# Bounded stream-static band join converges to the batch band join: for
+# every arriving src0 doc, the distinct standing-corpus docs sharing at
+# least one minhash LSH band.
+ORACLE["stream_near_dedup"] = f"""
+    WITH oldsh AS ({_mh_shingles(_D, "(SELECT * FROM documents WHERE source <> 'src0')")}),
+    oldsig AS ({_mh_sigs(_D, 'oldsh')}),
+    oldbands AS ({_mh_bands(_D, 'oldsig')}),
+    newsh AS ({_mh_shingles(_D, "(SELECT * FROM documents WHERE source = 'src0')")}),
+    newsig AS ({_mh_sigs(_D, 'newsh')}),
+    newbands AS ({_mh_bands(_D, 'newsig')})
+    SELECT n.doc_id,
+           CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_corpus_near_dups,
+           CAST(CASE WHEN COUNT(o.doc_id) > 0 THEN 1 ELSE 0 END AS INT) AS maybe_near_dup
+    FROM newbands n LEFT JOIN oldbands o ON n.band_key = o.band_key
+    GROUP BY n.doc_id
 """

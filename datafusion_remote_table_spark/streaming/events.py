@@ -293,3 +293,74 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("view_id").alias("n_views_with_click"),
     )
 
+
+
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup gate on corpus ingest: incoming crawl docs
+    (source = 'src0') stream in, each computes its minhash band keys
+    per-row (stateless — the llm_data shingle/signature/band templates
+    applied to the stream view), then a stream-static LEFT join against
+    the standing corpus's band table (source <> 'src0') counts the
+    distinct standing docs sharing >= 1 LSH band. The semantic
+    complement of stream_dedup_stateful (exact keys) and
+    dedup_bloom_incremental (batch exact-hash): this one flags
+    NEAR-duplicates as documents arrive.
+
+    On bounded input it converges to the batch band-join, which is the
+    oracle. Scale: the static band side shuffles once on uniform md5
+    band keys and is reused every microbatch; per-row signature compute
+    is map-side; the pair dropDuplicates is keyed by (doc, corpus doc)
+    — a production run adds an arrival-time watermark to bound that
+    state (bounded input keeps it finite here).
+    """
+    from ..plans.llm_data import (
+        _minhash_bands,
+        _minhash_shingles,
+        _minhash_sigs,
+        _minhash_stage,
+        _Spark,
+    )
+    from ..session import load_tables
+
+    # static side: the standing corpus's band table, derived from the
+    # persisted minhash staging (_minhash_stage — the same shingle/sig
+    # frames dedup_minhash_lsh and friends share, paid once per
+    # session), filtered to the standing corpus by a broadcast semi
+    # join on doc_id. Recomputing the signature pipeline inline here
+    # was measured at 5-12 s at sf0.1; the staged derive is pennies.
+    _sh, _sig, bands_view = _minhash_stage(spark, sf_dir)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    old_ids = docs.filter("source <> 'src0'").select("doc_id")
+    old_bands = (
+        spark.table(bands_view)
+        .join(F.broadcast(old_ids), "doc_id", "semi")
+        .withColumnRenamed("doc_id", "old_doc_id")
+    )
+
+    # stream side: per-row band keys for arriving docs, computed inline
+    # (a stream can't read the batch staging). The single-file source
+    # delivers each microbatch as ONE task and the signature stage is
+    # CPU-bound — spread it across the cluster first.
+    def bands_sql(src: str) -> str:
+        sh = f"({_minhash_shingles(_Spark, src)})"
+        sig = f"({_minhash_sigs(_Spark, sh)})"
+        return _minhash_bands(_Spark, sig)
+
+    n = spark.sparkContext.defaultParallelism
+    stream = _docs_stream(spark, sf_dir)
+    in_view = "stream_neardup_in"
+    stream.filter("source = 'src0'").repartition(n).createOrReplaceTempView(in_view)
+    new_bands = spark.sql(bands_sql(in_view))
+
+    pairs = (
+        new_bands.join(old_bands, on="band_key", how="left")
+        .select("doc_id", "old_doc_id")
+        .dropDuplicates(["doc_id", "old_doc_id"])
+    )
+    gate = pairs.groupBy("doc_id").agg(
+        F.count("old_doc_id").alias("n_corpus_near_dups"),
+        F.max(
+            F.when(F.col("old_doc_id").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("maybe_near_dup"),
+    )
+    return _run_bounded(gate, "stream_near_dedup")
