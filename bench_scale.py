@@ -63,6 +63,11 @@ QUERIES = [
     "dedup_bloom_incremental",
     "simhash_accuracy_eval",
     "events_top_paths",
+    # round-3 continuation: entropy, langid QA, outlier gate, PQ ANN
+    "text_entropy_score",
+    "corpus_language_confusion",
+    "embedding_outlier_zscore",
+    "ann_pq_cosine",
 ]
 
 
