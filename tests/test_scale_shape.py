@@ -196,3 +196,22 @@ def test_bloom_incremental_no_cartesian_of_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_entropy_partial_agg(spark, sf_dir):
+    # the (doc_id, word) census must combine map-side before its shuffle
+    plan = _plan(plans.QUERIES["text_entropy_score"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_outlier_zscore_is_take_ordered(spark, sf_dir):
+    plan = _plan(plans.QUERIES["embedding_outlier_zscore"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-20 outliers must not be a full sort"
+
+
+def test_pq_scoring_joins_are_broadcast(spark, sf_dir):
+    # codebook and LUT are tiny — the ADC join must broadcast them, and
+    # the encode window must partition by (vec, subspace), never globally
+    plan = _plan(plans.QUERIES["ann_pq_cosine"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
