@@ -456,6 +456,45 @@ def _sql_minhash_oracle(E):
 _MINHASH_STAGE_CACHE: dict = {}
 
 
+def _dataset_suffix(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def _spread_view(spark: SparkSession, sf_dir: str, table: str, prefix: str) -> str:
+    """Register ``table`` under a PRIVATE per-dataset view name
+    (``{prefix}_{md5(sf_dir)[:8]}``), spread across the cluster when the
+    scan has fewer splits than cores (the single-row-group parquet at
+    these SFs arrives as ONE partition and per-row hash/signature
+    compute is CPU-bound; a 100TB scan already has thousands of splits
+    and skips the shuffle). Private names matter: re-registering the
+    SHARED table view uncaches every cached plan built on it
+    (recache-by-name — see _minhash_stage). Idempotent per
+    session+sf_dir+prefix."""
+    key = (f"{prefix}_src", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        df = load_tables(spark, sf_dir, (table,))[table]
+        n = spark.sparkContext.defaultParallelism
+        if len(df.inputFiles()) < n:
+            df = df.repartition(n)
+        view = f"{prefix}_{_dataset_suffix(sf_dir)}"
+        df.createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _persist_view(spark: SparkSession, sf_dir: str, prefix: str, df: DataFrame) -> str:
+    """Persist ``df`` (computed once, joined many times — Spark
+    re-evaluates view/CTE references) and register it under a private
+    per-dataset view name. Returns the view name; callers cache it in
+    _MINHASH_STAGE_CACHE so the materialization happens once per
+    session+sf_dir."""
+    view = f"{prefix}_{_dataset_suffix(sf_dir)}"
+    df.persist().createOrReplaceTempView(view)
+    return view
+
+
 def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Minhash staging shared across the consumers (dedup_minhash_lsh /
     dedup_clusters / dedup_keep_best / corpus_clean_pipeline /
@@ -482,22 +521,12 @@ def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     key = (id(spark), os.path.abspath(sf_dir))
     if key in _MINHASH_STAGE_CACHE:
         return _MINHASH_STAGE_CACHE[key]
-    import hashlib
-
-    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    dfs = load_tables(spark, sf_dir, ("documents",))
-    docs = dfs["documents"]
-    n = spark.sparkContext.defaultParallelism
-    if len(docs.inputFiles()) < n:
-        docs = docs.repartition(n)
-    doc_view = f"mh_docs_{suff}"
-    docs.createOrReplaceTempView(doc_view)
-    sh_view = f"mh_sh_{suff}"
-    spark.sql(_minhash_shingles(_Spark, src=doc_view)).persist().createOrReplaceTempView(sh_view)
-    sig_view = f"mh_sig_{suff}"
-    sigs = spark.sql(_minhash_sigs(_Spark, sh_view)).persist()
-    sigs.createOrReplaceTempView(sig_view)
-    bands_view = f"mh_bands_{suff}"
+    doc_view = _spread_view(spark, sf_dir, "documents", "mh_docs")
+    sh_view = _persist_view(
+        spark, sf_dir, "mh_sh", spark.sql(_minhash_shingles(_Spark, src=doc_view))
+    )
+    sig_view = _persist_view(spark, sf_dir, "mh_sig", spark.sql(_minhash_sigs(_Spark, sh_view)))
+    bands_view = f"mh_bands_{_dataset_suffix(sf_dir)}"
     spark.sql(_minhash_bands(_Spark, sig_view)).createOrReplaceTempView(bands_view)
     _MINHASH_STAGE_CACHE[key] = (sh_view, sig_view, bands_view)
     return _MINHASH_STAGE_CACHE[key]
@@ -901,23 +930,15 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embeddings`` view) so later view re-registrations can't uncache it
     (same trap as the minhash staging), and is cached per session+sf_dir
     so repeat probes don't rebuild or re-persist the index."""
-    import hashlib
-
     key = ("ivf", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        dfs = load_tables(spark, sf_dir, ("embeddings",))
-        emb = dfs["embeddings"]
-        n = spark.sparkContext.defaultParallelism
-        if len(emb.inputFiles()) < n:
-            emb = emb.repartition(n)
-        emb_view = f"ivf_emb_{suff}"
-        emb.createOrReplaceTempView(emb_view)
-        lists = spark.sql(
-            _sql_ivf_lists(_Spark).replace("embeddings", emb_view)
-        ).persist()
-        lists_view = f"ivf_lists_{suff}"
-        lists.createOrReplaceTempView(lists_view)
+        emb_view = _spread_view(spark, sf_dir, "embeddings", "ivf_emb")
+        lists_view = _persist_view(
+            spark,
+            sf_dir,
+            "ivf_lists",
+            spark.sql(_sql_ivf_lists(_Spark).replace("embeddings", emb_view)),
+        )
         _MINHASH_STAGE_CACHE[key] = (emb_view, lists_view)
     emb_view, lists_view = _MINHASH_STAGE_CACHE[key]
     return spark.sql(_sql_ivf_probe(_Spark, lists_view).replace("embeddings", emb_view))
@@ -1858,10 +1879,8 @@ def _sql_corpus_clean(E, near_pairs_src=None):
 
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     pairs = _minhash_pairs(spark, sf_dir)
-    view = f"cc_near_pairs_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]}"
+    view = f"cc_near_pairs_{_dataset_suffix(sf_dir)}"
     pairs.createOrReplaceTempView(view)
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
@@ -1917,9 +1936,7 @@ def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the persisted IVF assignment staging (built behind private
     # per-dataset views so later view registrations can't uncache it)
     ann_ivf_cosine(spark, sf_dir)  # ensures the staging exists
-    import hashlib
-
-    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    suff = _dataset_suffix(sf_dir)
     return spark.sql(
         _sql_semdedup(_Spark, lists_src=f"ivf_lists_{suff}", emb_src=f"ivf_emb_{suff}")
     )
@@ -1955,10 +1972,7 @@ def _sql_minhash_accuracy(E):
 
 def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_pairs(spark, sf_dir)
-    import hashlib
-
-    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    view = f"mh_acc_pairs_{suff}"
+    view = f"mh_acc_pairs_{_dataset_suffix(sf_dir)}"
     pairs.createOrReplaceTempView(view)
     _sh, sig, _bands = _minhash_stage(spark, sf_dir)
     matches = _Spark.list_sum_int(
@@ -2248,11 +2262,8 @@ def _sql_cross_source(E, pairs_src=None):
 
 
 def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     pairs = _minhash_pairs(spark, sf_dir)
-    suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    view = f"xsrc_pairs_{suff}"
+    view = f"xsrc_pairs_{_dataset_suffix(sf_dir)}"
     pairs.createOrReplaceTempView(view)
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
@@ -2387,21 +2398,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     second map pass instead — both are linear."""
     key = ("span_grams", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        import hashlib
-
-        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-        n = spark.sparkContext.defaultParallelism
-        if len(docs.inputFiles()) < n:
-            docs = docs.repartition(n)
-        # PRIVATE doc view: a persisted plan referencing the shared
-        # "documents" name would be uncached when any later query
-        # re-registers it (recache-by-name; see _minhash_stage)
-        doc_view = f"span_docs_{suff}"
-        docs.createOrReplaceTempView(doc_view)
-        view = f"span_grams_{suff}"
-        spark.sql(_substring_grams_sql(_Spark, src=doc_view)).persist().createOrReplaceTempView(view)
-        _MINHASH_STAGE_CACHE[key] = view
+        doc_view = _spread_view(spark, sf_dir, "documents", "span_docs")
+        _MINHASH_STAGE_CACHE[key] = _persist_view(
+            spark, sf_dir, "span_grams", spark.sql(_substring_grams_sql(_Spark, src=doc_view))
+        )
     return spark.sql(_substring_census_sql(_MINHASH_STAGE_CACHE[key]))
 
 
@@ -2704,19 +2704,13 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle keeps the single-SQL lazy spelling."""
     key = ("bloom_old", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        import hashlib
-
-        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-        n = spark.sparkContext.defaultParallelism
-        if len(docs.inputFiles()) < n:
-            docs = docs.repartition(n)
-        doc_view = f"bloom_docs_{suff}"
-        docs.createOrReplaceTempView(doc_view)
-        old_view = f"bloom_old_{suff}"
-        spark.sql(
-            f"SELECT {_bloom_key(_Spark)} AS h FROM {doc_view} WHERE source <> 'src0'"
-        ).persist().createOrReplaceTempView(old_view)
+        doc_view = _spread_view(spark, sf_dir, "documents", "bloom_docs")
+        old_view = _persist_view(
+            spark,
+            sf_dir,
+            "bloom_old",
+            spark.sql(f"SELECT {_bloom_key(_Spark)} AS h FROM {doc_view} WHERE source <> 'src0'"),
+        )
         _MINHASH_STAGE_CACHE[key] = (doc_view, old_view)
     doc_view, old_view = _MINHASH_STAGE_CACHE[key]
     newdocs = (
@@ -2767,13 +2761,10 @@ def simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("simhash_pairs", id(spark), os.path.abspath(sf_dir))
     sh_view, _sig, _bands = _minhash_stage(spark, sf_dir)
     if key not in _MINHASH_STAGE_CACHE:
-        import hashlib
-
-        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        pairs_view = f"simhash_pairs_{suff}"
-        doc_view = f"mh_docs_{suff}"  # registered by _minhash_stage
-        spark.sql(_sql_simhash(_Spark, src=doc_view)).persist().createOrReplaceTempView(pairs_view)
-        _MINHASH_STAGE_CACHE[key] = pairs_view
+        doc_view = f"mh_docs_{_dataset_suffix(sf_dir)}"  # registered by _minhash_stage
+        _MINHASH_STAGE_CACHE[key] = _persist_view(
+            spark, sf_dir, "simhash_pairs", spark.sql(_sql_simhash(_Spark, src=doc_view))
+        )
     return spark.sql(_simhash_accuracy_select(_Spark, _MINHASH_STAGE_CACHE[key], sh_view))
 
 
@@ -2787,8 +2778,10 @@ ORACLE["simhash_accuracy_eval"] = _sql_simhash_accuracy(_Duck)
 # the information-density quality signal behind low-entropy spam /
 # template detection (a doc repeating a 5-word slogan scores near 0;
 # natural prose sits near its vocabulary bound). Computed from integer
-# word counts via H = log2(N) - (1/N)·Σ c·log2(c), so the only floats
-# are the final log terms (ROUND 6, the BM25/tf-idf convention).
+# word counts via H = log2(N) - (1/N)·Σ c·log2(c); each c·ln(c) term is
+# quantized to 1e-9 and summed as DECIMAL (order-independent, exact —
+# the CLAUDE.md SUM discipline) so the only cross-engine float ops are
+# the per-term ln and the final division (ROUND 6, the BM25 rule).
 # Scale: explode → (doc_id, word) count agg — uniform keys with
 # map-side partials — then a doc-keyed agg of vocab-sized groups; no
 # windows, no skew.
@@ -2805,7 +2798,8 @@ def _sql_entropy(E):
       SELECT doc_id,
              CAST(SUM(c) AS BIGINT) AS n_tokens,
              CAST(COUNT(*) AS BIGINT) AS n_distinct,
-             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+             CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                           AS DECIMAL(28, 9))) AS DOUBLE) AS clogc
       FROM counts GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, n_distinct,
@@ -2860,7 +2854,10 @@ _register_pair("corpus_language_confusion", _sql_lang_confusion)
 # index training or semantic dedup. Scale: the dim-stats agg shuffles
 # `dim`-sized partials; the z-score pass joins the 64-row stats table
 # (broadcast) back to the exploded cells and aggregates per vec_id —
-# uniform keys, no windows except the bounded top-k sort-limit.
+# uniform keys, no windows except the bounded top-k sort-limit. The
+# cells CTE is referenced twice, so the scan+explode runs twice: the
+# inherent two passes of mean/std-then-z (a windowed single pass would
+# funnel all n rows through 64 dim partitions instead — worse).
 def _sql_embedding_outliers(E):
     val = f"CAST({E.idx('e.embedding', 'dims.d')} AS DOUBLE)"
     fp = f"CAST(floor({val} * 1000000.0e0) AS BIGINT)"
@@ -2892,7 +2889,8 @@ def _sql_embedding_outliers(E):
     pervec AS (
       SELECT vec_id,
              ROUND(MAX(az), 6) AS max_abs_z,
-             ROUND(SUM(az) / COUNT(*), 6) AS mean_abs_z
+             ROUND(CAST(SUM(CAST(ROUND(az, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_abs_z
       FROM z GROUP BY vec_id
     )
     SELECT vec_id, max_abs_z, mean_abs_z
@@ -2956,7 +2954,8 @@ def _sql_pq_probe(E, cb, codes):
       CROSS JOIN {cb} cb
     ),
     approx AS (
-      SELECT l.query_id, c.vec_id, ROUND(SUM(l.pdot), 6) AS approx_dot
+      SELECT l.query_id, c.vec_id,
+             CAST(SUM(CAST(ROUND(l.pdot, 6) AS DECIMAL(18, 6))) AS DOUBLE) AS approx_dot
       FROM {codes} c JOIN lut l ON c.j = l.j AND c.cent_id = l.cent_id
       WHERE c.vec_id <> l.query_id
       GROUP BY l.query_id, c.vec_id
@@ -2994,26 +2993,15 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     session+sf_dir through PRIVATE views (the minhash-staging rule);
     probes pay only the LUT build + ADC join. The oracle keeps the
     single-SQL lazy spelling."""
-    import hashlib
-
     key = ("pq", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        suff = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-        dfs = load_tables(spark, sf_dir, ("embeddings",))
-        emb = dfs["embeddings"]
-        n = spark.sparkContext.defaultParallelism
-        if len(emb.inputFiles()) < n:
-            emb = emb.repartition(n)
-        emb_view = f"pq_emb_{suff}"
-        emb.createOrReplaceTempView(emb_view)
-        cb_view = f"pq_cb_{suff}"
-        spark.sql(
-            _sql_pq_codebook(_Spark).replace("embeddings", emb_view)
-        ).persist().createOrReplaceTempView(cb_view)
-        codes_view = f"pq_codes_{suff}"
-        spark.sql(
-            _sql_pq_codes(_Spark, cb_view).replace("embeddings", emb_view)
-        ).persist().createOrReplaceTempView(codes_view)
+        emb_view = _spread_view(spark, sf_dir, "embeddings", "pq_emb")
+        cb_view = _persist_view(
+            spark, sf_dir, "pq_cb", spark.sql(_sql_pq_codebook(_Spark).replace("embeddings", emb_view))
+        )
+        codes_view = _persist_view(
+            spark, sf_dir, "pq_codes", spark.sql(_sql_pq_codes(_Spark, cb_view).replace("embeddings", emb_view))
+        )
         _MINHASH_STAGE_CACHE[key] = (emb_view, cb_view, codes_view)
     emb_view, cb_view, codes_view = _MINHASH_STAGE_CACHE[key]
     return spark.sql(
