@@ -49,6 +49,8 @@ _VERIFY_FIRST = [
     "embedding_outlier_zscore",
     "ann_pq_cosine",
     "stream_near_dedup",
+    "pq_recall_eval",
+    "kmeans_inertia_eval",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

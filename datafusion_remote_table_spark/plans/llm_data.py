@@ -3011,3 +3011,74 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_pq_cosine"] = ann_pq_cosine
 ORACLE["ann_pq_cosine"] = _sql_ann_pq(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# pq_recall_eval — recall@5 of the product-quantization ADC path against
+# the brute-force ground truth, per query: the companion eval to
+# ann_recall_eval (LSH) and adaptive_lsh_recall_eval — the number a
+# pipeline watches when trading PQ's 64x compression for accuracy.
+# Scale: one row per query; the cost is the two retrieval paths, both
+# already bounded (brute force caps its query set, PQ is the staged
+# index).
+def _pq_recall_select(E, retrieved):
+    return f"""
+    WITH truth AS (
+      SELECT query_id, vec_id FROM ({_sql_ann_brute(E)}) t WHERE rn <= 5
+    ),
+    retrieved AS (
+      SELECT query_id, vec_id FROM {retrieved} r
+    ),
+    hits AS (
+      SELECT t.query_id,
+             COUNT(*) AS n_truth,
+             COUNT(r.vec_id) AS n_hits
+      FROM truth t
+      LEFT JOIN retrieved r ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT query_id,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall_at_5
+    FROM hits
+    """
+
+
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: the retrieved side reuses ann_pq_cosine's persisted
+    codebook/codes; the truth side runs the bounded brute-force scan.
+    The oracle keeps both as lazy subqueries."""
+    retr = ann_pq_cosine(spark, sf_dir)
+    view = f"pq_retr_{_dataset_suffix(sf_dir)}"
+    retr.createOrReplaceTempView(view)
+    dfs = load_tables(spark, sf_dir, ("embeddings",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_pq_recall_select(_Spark, view))
+
+
+QUERIES["pq_recall_eval"] = pq_recall_eval
+ORACLE["pq_recall_eval"] = _pq_recall_select(_Duck, f"({_sql_ann_pq(_Duck)})")
+
+
+# ---------------------------------------------------------------------------
+# kmeans_inertia_eval — per-cluster inertia (within-cluster sum of
+# squared distances), size, and mean squared distance from the same
+# deterministic Lloyd chain as kmeans_embeddings: the elbow-method /
+# convergence-monitoring readout a pipeline tracks when choosing k.
+# sqd is already 6dp-quantized, so the DECIMAL SUM is exact and
+# order-independent (the CLAUDE.md SUM discipline). Scale: the eval
+# adds one k-key aggregate on top of the clustering pass.
+def _sql_kmeans_inertia(E):
+    return f"""
+    WITH {_km_ctes(E)}
+    SELECT CAST(cent_id AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(sqd AS DECIMAL(20, 6))) AS DOUBLE) AS inertia,
+           ROUND(CAST(SUM(CAST(sqd AS DECIMAL(20, 6))) AS DOUBLE) / COUNT(*), 6) AS mean_sq_dist
+    FROM assign{_KM_ITERS}
+    GROUP BY cent_id
+    """
+
+
+_register_pair("kmeans_inertia_eval", _sql_kmeans_inertia, tables=("embeddings",))
