@@ -1,0 +1,94 @@
+"""Cross-engine property test for the dual-engine SQL templates.
+
+The correctness gate compares Spark against DuckDB on the FIXED
+testdata; this harness feeds randomly generated corpora (hypothesis)
+through a representative template set on both engines and asserts the
+results agree — catching parity drift the fixed data can't reach (empty
+and whitespace-only docs, sub-shingle lengths, repeated words, accent
+characters, identical docs across sources).
+
+Each example costs several Spark jobs, so max_examples stays small; the
+generator is biased toward edge shapes rather than breadth.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datafusion_remote_table_spark.plans import llm_data as L
+
+# small vocab with repeats + accents; '' and ' ' force the
+# empty/whitespace tokenize edge
+_WORDS = ["the", "data", "spark", "café", "naïve", "row", "the", "agg"]
+
+_doc_text = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+)
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    texts = [draw(_doc_text) for _ in range(n)]
+    if draw(st.booleans()) and n >= 2:
+        texts[-1] = texts[0]  # identical pair across rows (dedup paths)
+    return pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": [draw(st.sampled_from(["en", "de", "zh"])) for _ in range(n)],
+            "source": [draw(st.sampled_from(["src0", "src1"])) for _ in range(n)],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+# templates whose inputs are just the documents table and whose outputs
+# are deterministic under the repo's SUM/ROUND discipline
+_TEMPLATES = [
+    L._sql_token_count,
+    L._sql_quality,
+    L._sql_langid,
+    L._sql_fingerprint,
+    L._sql_entropy,
+    L._sql_dedup_exact,
+    L._sql_lang_confusion,
+    L._sql_minhash_oracle,
+]
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
+    assert list(sorted(got.columns)) == list(sorted(want.columns)), label
+    assert len(got) == len(want), f"{label}: {len(got)} vs {len(want)} rows"
+    if not len(got):
+        return
+    cols = sorted(got.columns)
+    gs = got[cols].sort_values(by=cols).reset_index(drop=True)
+    ws = want[cols].sort_values(by=cols).reset_index(drop=True)
+    for c in cols:
+        g, w = gs[c].to_numpy(), ws[c].to_numpy()
+        if np.issubdtype(np.asarray(g).dtype, np.floating):
+            ok = np.isclose(g.astype(float), w.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True)
+        else:
+            ok = np.asarray(g == w)
+        assert ok.all(), f"{label}.{c}: {gs[~ok][c].tolist()[:3]} vs {ws[~ok][c].tolist()[:3]}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_corpus())
+def test_templates_agree_on_random_corpora(spark, docs):
+    sdf = spark.createDataFrame(docs)
+    sdf.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    for build in _TEMPLATES:
+        label = build.__name__
+        got = spark.sql(build(L._Spark)).toPandas()
+        want = con.execute(build(L._Duck)).fetchdf()
+        _compare(got, want, label)
