@@ -51,6 +51,7 @@ _VERIFY_FIRST = [
     "stream_near_dedup",
     "pq_recall_eval",
     "kmeans_inertia_eval",
+    "tokenize_bpe_train",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

@@ -3082,3 +3082,130 @@ def _sql_kmeans_inertia(E):
 
 
 _register_pair("kmeans_inertia_eval", _sql_kmeans_inertia, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# tokenize_bpe_train — byte-pair-encoding merge training over the corpus
+# (Sennrich et al.): words decompose into per-character symbols + </w>,
+# and each round merges the highest-weighted-count adjacent symbol pair
+# (count desc, pair asc tie-break) across the vocabulary. Output: the
+# ordered merge table (rank, pair, merged symbol, weighted count) — the
+# artifact a tokenizer trainer ships.
+# Scale: the corpus-size pass is the word-frequency census (uniform
+# word keys, map-side partials); every merge round then runs over the
+# VOCABULARY (distinct words), which is orders of magnitude smaller
+# than the corpus at any scale, with one tiny broadcast (the 1-row best
+# pair) per round. The Spark runner persists each level — the chain
+# references words_{k-1} twice per level (pair census + merge rewrite),
+# which inlined would re-expand 2^K times (the PCA CTE trap).
+# Greedy-merge parity: symbols are double-space separated before the
+# non-overlapping replace, so consecutive pair occurrences ("a b a b",
+# "a a a") merge exactly like reference BPE in BOTH engines (a
+# single-space replace consumes the shared boundary space and silently
+# skips every second occurrence); spacing is re-normalized after.
+_BPE_MERGES = 6
+
+
+def _bpe_words0(E, src="documents"):
+    rep = "$1 " if E is _Spark else "\\1 "
+    symstr = f"trim({E.regexp_replace_all('word', '(.)', rep)}) || ' </w>'"
+    return f"""
+    SELECT {symstr} AS s, freq FROM (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) toks
+      WHERE length(w) > 0
+      GROUP BY w
+    ) wf
+    """
+
+
+def _bpe_pairs(E, words_src):
+    # fully merged words (one symbol) are filtered BEFORE the adjacent-
+    # pair transform: Spark's element_at ERRORS past the array end where
+    # DuckDB returns NULL, so an unguarded syms[i+1] crashes one engine
+    # the moment any word collapses to a single symbol (found by the
+    # random-corpus property test, not the fixed testdata)
+    syms = E.splitws("s")
+    pair = f"{E.idx('syms', 'i')} || ' ' || {E.idx('syms', 'i + 1')}"
+    pairs_arr = f"{E.TRANSFORM}({E.seq(1, f'{E.SIZE}(syms) - 1')}, i -> {pair})"
+    return f"""
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+      SELECT {E.explode(pairs_arr, 'pair')}, freq
+      FROM (SELECT {syms} AS syms, freq FROM {words_src}) sy
+      WHERE {E.SIZE}(syms) >= 2
+    ) p
+    GROUP BY pair
+    """
+
+
+def _bpe_best(E, pairs_src):
+    return f"SELECT pair, pair_count FROM {pairs_src} ORDER BY pair_count DESC, pair LIMIT 1"
+
+
+def _bpe_merge(E, words_src, best_src):
+    wide = "replace(s, ' ', '  ')"
+    pat = "' ' || replace(b.pair, ' ', '  ') || ' '"
+    rep = "' ' || replace(b.pair, ' ', '') || ' '"
+    renorm = E.regexp_replace_all(f"replace(' ' || {wide} || ' ', {pat}, {rep})", " +", " ")
+    return f"""
+    SELECT trim({renorm}) AS s, freq
+    FROM {words_src} CROSS JOIN {best_src} b
+    """
+
+
+def _sql_bpe_train(E, src="documents"):
+    parts = [f"words0 AS ({_bpe_words0(E, src)})"]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
+        parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
+        if k < _BPE_MERGES:
+            parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM best{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {selects}
+    """
+
+
+def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution: the word-frequency census is persisted once
+    (the only corpus-scale pass), then each merge level persists its
+    rewritten vocabulary — K small materializations instead of the
+    2^K CTE re-expansion of the lazy spelling (which the oracle keeps;
+    DuckDB materializes multi-referenced CTEs)."""
+    key = ("bpe", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
+        words_view = _persist_view(
+            spark, sf_dir, "bpe_words0", spark.sql(_bpe_words0(_Spark, doc_view))
+        )
+        best_views = []
+        for k in range(1, _BPE_MERGES + 1):
+            best_view = _persist_view(
+                spark,
+                sf_dir,
+                f"bpe_best{k}",
+                spark.sql(_bpe_best(_Spark, f"({_bpe_pairs(_Spark, words_view)})")),
+            )
+            best_views.append(best_view)
+            if k < _BPE_MERGES:
+                words_view = _persist_view(
+                    spark,
+                    sf_dir,
+                    f"bpe_words{k}",
+                    spark.sql(_bpe_merge(_Spark, words_view, best_view)),
+                )
+        _MINHASH_STAGE_CACHE[key] = best_views
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM {v}"
+        for k, v in enumerate(_MINHASH_STAGE_CACHE[key], start=1)
+    )
+    return spark.sql(selects)
+
+
+QUERIES["tokenize_bpe_train"] = tokenize_bpe_train
+ORACLE["tokenize_bpe_train"] = _sql_bpe_train(_Duck)

@@ -60,6 +60,7 @@ _TEMPLATES = [
     L._sql_dedup_exact,
     L._sql_lang_confusion,
     L._sql_minhash_oracle,
+    L._sql_bpe_train,
 ]
 
 
