@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     "pq_recall_eval",
     "kmeans_inertia_eval",
     "tokenize_bpe_train",
+    "tokenize_bpe_apply",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

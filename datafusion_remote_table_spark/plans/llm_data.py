@@ -3110,7 +3110,7 @@ def _bpe_words0(E, src="documents"):
     rep = "$1 " if E is _Spark else "\\1 "
     symstr = f"trim({E.regexp_replace_all('word', '(.)', rep)}) || ' </w>'"
     return f"""
-    SELECT {symstr} AS s, freq FROM (
+    SELECT word, {symstr} AS s, freq FROM (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
       FROM (SELECT {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) toks
       WHERE length(w) > 0
@@ -3148,7 +3148,7 @@ def _bpe_merge(E, words_src, best_src):
     rep = "' ' || replace(b.pair, ' ', '') || ' '"
     renorm = E.regexp_replace_all(f"replace(' ' || {wide} || ' ', {pat}, {rep})", " +", " ")
     return f"""
-    SELECT trim({renorm}) AS s, freq
+    SELECT word, trim({renorm}) AS s, freq
     FROM {words_src} CROSS JOIN {best_src} b
     """
 
@@ -3171,12 +3171,15 @@ def _sql_bpe_train(E, src="documents"):
     """
 
 
-def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged execution: the word-frequency census is persisted once
-    (the only corpus-scale pass), then each merge level persists its
-    rewritten vocabulary — K small materializations instead of the
-    2^K CTE re-expansion of the lazy spelling (which the oracle keeps;
-    DuckDB materializes multi-referenced CTEs)."""
+def _bpe_stage(spark: SparkSession, sf_dir: str) -> tuple[list, str]:
+    """Staged BPE training shared by tokenize_bpe_train (the merge
+    table) and tokenize_bpe_apply (the post-merge vocabulary): the
+    word-frequency census is persisted once (the only corpus-scale
+    pass), then each merge level persists its rewritten vocabulary — K
+    small materializations instead of the 2^K CTE re-expansion of the
+    lazy spelling (which the oracles keep; DuckDB materializes
+    multi-referenced CTEs). Returns ([best1..bestK views], final
+    vocabulary view)."""
     key = ("bpe", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
@@ -3192,20 +3195,67 @@ def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.sql(_bpe_best(_Spark, f"({_bpe_pairs(_Spark, words_view)})")),
             )
             best_views.append(best_view)
-            if k < _BPE_MERGES:
-                words_view = _persist_view(
-                    spark,
-                    sf_dir,
-                    f"bpe_words{k}",
-                    spark.sql(_bpe_merge(_Spark, words_view, best_view)),
-                )
-        _MINHASH_STAGE_CACHE[key] = best_views
+            words_view = _persist_view(
+                spark,
+                sf_dir,
+                f"bpe_words{k}",
+                spark.sql(_bpe_merge(_Spark, words_view, best_view)),
+            )
+        _MINHASH_STAGE_CACHE[key] = (best_views, words_view)
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best_views, _vocab = _bpe_stage(spark, sf_dir)
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM {v}"
-        for k, v in enumerate(_MINHASH_STAGE_CACHE[key], start=1)
+        for k, v in enumerate(best_views, start=1)
     )
     return spark.sql(selects)
 
 
 QUERIES["tokenize_bpe_train"] = tokenize_bpe_train
 ORACLE["tokenize_bpe_train"] = _sql_bpe_train(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# tokenize_bpe_apply — apply the trained merges: every document's words
+# look up their post-merge symbol decomposition in the vocabulary and
+# the per-doc readout is whitespace tokens vs BPE tokens and the
+# fertility ratio (BPE tokens per word) — the number that prices a
+# tokenizer against a corpus (and per-language cost skew). Scale: the
+# vocabulary is broadcast-joined to the exploded corpus words; the only
+# corpus-scale shuffle is the per-doc aggregate on doc_id.
+def _bpe_apply_select(E, src, vocab):
+    return f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM({E.SIZE}({E.splitws('v.s')})) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM({E.SIZE}({E.splitws('v.s')})) AS DOUBLE) / COUNT(*), 6) AS fertility
+    FROM (SELECT doc_id, {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) d
+    JOIN {vocab} v ON d.w = v.word
+    GROUP BY d.doc_id
+    """
+
+
+def _sql_bpe_apply(E, src="documents"):
+    parts = [f"words0 AS ({_bpe_words0(E, src)})"]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
+        parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
+        parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {_bpe_apply_select(E, src, f'words{_BPE_MERGES}')}
+    """
+
+
+def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bests, vocab_view = _bpe_stage(spark, sf_dir)
+    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
+    return spark.sql(_bpe_apply_select(_Spark, doc_view, vocab_view))
+
+
+QUERIES["tokenize_bpe_apply"] = tokenize_bpe_apply
+ORACLE["tokenize_bpe_apply"] = _sql_bpe_apply(_Duck)

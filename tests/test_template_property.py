@@ -61,6 +61,7 @@ _TEMPLATES = [
     L._sql_lang_confusion,
     L._sql_minhash_oracle,
     L._sql_bpe_train,
+    L._sql_bpe_apply,
 ]
 
 
