@@ -1216,7 +1216,12 @@ def _sql_repetition_signals(E):
     return f"""
     WITH base AS (
       SELECT doc_id, {words} AS words,
-             CAST(length({strip_ws}) AS BIGINT) AS n_chars
+             -- floor at 1: an empty/whitespace-only doc has 0 content
+             -- chars, and Spark's ANSI mode turns the char-fraction
+             -- division into a job-killing DIVIDE_BY_ZERO (one blank
+             -- doc in 100TB fails the stage; found by the
+             -- random-corpus property test)
+             CAST(greatest(length({strip_ws}), 1) AS BIGINT) AS n_chars
       FROM documents
     ),
     feats AS (

@@ -62,6 +62,11 @@ _TEMPLATES = [
     L._sql_minhash_oracle,
     L._sql_bpe_train,
     L._sql_bpe_apply,
+    L._sql_quality_filter,
+    L._sql_repetition_signals,
+    L._sql_line_dedup,
+    L._sql_entropy,
+    L._sql_simhash,
 ]
 
 
