@@ -1486,8 +1486,15 @@ _register_pair("text_pii_redact", _sql_pii_redact)
 # original norm and a checksum of the normalized vector so the oracle
 # verifies actual values, not just shapes.
 def _sql_embedding_normalize(E):
+    # the divisor floors at 1e-12: an all-zero vector (failed encoder
+    # output — they happen in real embedding tables) has L2 norm 0 and
+    # Spark's ANSI mode turns v/0 into a job-killing DIVIDE_BY_ZERO
+    # (found by the random-table property test); a zero vector
+    # normalizes to zeros in both engines instead
     norm = f"sqrt({E.dot('embedding', 'embedding')})"
-    normalized_sum = E.list_sum(f"{E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE) / nrm)")
+    normalized_sum = E.list_sum(
+        f"{E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE) / greatest(nrm, 1e-12))"
+    )
     return f"""
     WITH norms AS (
       SELECT vec_id, embedding, {norm} AS nrm FROM embeddings
@@ -1510,8 +1517,11 @@ _register_pair("embedding_normalize", _sql_embedding_normalize, tables=("embeddi
 def _sql_embedding_quantize(E):
     mn = f"{E.AMIN}({E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE)))"
     mx = f"(0.0 - {E.AMIN}({E.TRANSFORM}(embedding, v -> 0.0 - CAST(v AS DOUBLE))))"
+    # range floors at 1e-12: a constant vector has mx = mn and the scale
+    # division would DIVIDE_BY_ZERO under Spark ANSI (all codes land on 0,
+    # the right answer for a flat vector)
     codes_sum = E.list_sum_int(
-        f"{E.TRANSFORM}(embedding, v -> CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT))"
+        f"{E.TRANSFORM}(embedding, v -> CAST(floor((CAST(v AS DOUBLE) - mn) * 255.0 / greatest(mx - mn, 1e-12)) AS BIGINT))"
     )
     return f"""
     WITH ranges AS (

@@ -99,3 +99,71 @@ def test_templates_agree_on_random_corpora(spark, docs):
         got = spark.sql(build(L._Spark)).toPandas()
         want = con.execute(build(L._Duck)).fetchdf()
         _compare(got, want, label)
+
+
+# embedding-table templates: the risky edges are all-zero vectors,
+# constant vectors (zero variance), exact duplicates, and tiny tables
+# (fewer rows than the seed/codebook cutoffs assume)
+_component = st.sampled_from([0.0, 0.25, -0.5, 1.0, -1.0])
+
+
+@st.composite
+def _embeddings(draw):
+    n = draw(st.integers(min_value=2, max_value=8))
+    vecs = []
+    for i in range(n):
+        kind = draw(st.sampled_from(["rand", "zero", "const"]))
+        if kind == "zero":
+            vecs.append([0.0] * 64)
+        elif kind == "const":
+            vecs.append([0.25] * 64)
+        else:
+            vecs.append([draw(_component) for _ in range(64)])
+    if draw(st.booleans()) and n >= 2:
+        vecs[-1] = list(vecs[0])  # exact duplicate
+    return pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": vecs,
+            "label": [draw(st.integers(min_value=0, max_value=3)) for _ in range(n)],
+        }
+    )
+
+
+_EMB_TEMPLATES = [
+    L._sql_embedding_dim_stats,
+    L._sql_embedding_outliers,
+    L._sql_embedding_normalize,
+    L._sql_embedding_quantize,
+    L._sql_embedding_corr,
+    L._sql_kmeans,
+    L._sql_kmeans_inertia,
+    L._sql_ann_brute,
+    L._sql_ann_pq,
+]
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(embs=_embeddings())
+def test_embedding_templates_agree_on_random_tables(spark, embs):
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(embs, schema=schema).createOrReplaceTempView("embeddings")
+    con = duckdb.connect()
+    con.register("embeddings_pd", embs)
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label FROM embeddings_pd"
+    )
+    for build in _EMB_TEMPLATES:
+        label = build.__name__
+        got = spark.sql(build(L._Spark)).toPandas()
+        want = con.execute(build(L._Duck)).fetchdf()
+        _compare(got, want, label)
