@@ -65,7 +65,6 @@ _TEMPLATES = [
     L._sql_quality_filter,
     L._sql_repetition_signals,
     L._sql_line_dedup,
-    L._sql_entropy,
     L._sql_simhash,
 ]
 
@@ -167,3 +166,75 @@ def test_embedding_templates_agree_on_random_tables(spark, embs):
         got = spark.sql(build(L._Spark)).toPandas()
         want = con.execute(build(L._Duck)).fetchdf()
         _compare(got, want, label)
+
+
+# events-table queries: generated at QUERY level (the events family lives
+# in plans/relational.py as paired spellings, not shared templates) — the
+# risky edges are same-timestamp events per user (window/LAG tie-breaks),
+# single-event users, and sparse hours
+import os
+import shutil
+import tempfile
+
+from datafusion_remote_table_spark import plans
+
+plans.load_all()
+
+_EVENT_QUERIES = [
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_funnel",
+    "retention_cohorts",
+    "events_gap_fill_locf",
+    "events_markov_transitions",
+    "events_hourly_anomaly",
+    "events_top_paths",
+    "json_extract_events",
+]
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@st.composite
+def _events_table(draw):
+    n = draw(st.integers(min_value=8, max_value=30))
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + pd.Timedelta(minutes=draw(st.integers(min_value=0, max_value=600))),
+                draw(st.integers(min_value=0, max_value=n_users - 1)),
+                draw(st.sampled_from(_TYPES)),
+                draw(st.sampled_from([0.0, 1.5, 10.0, 185.22])),
+                draw(st.sampled_from(['{"k": 1}', '{"k": 87}', '{}'])),
+            )
+        )
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_events_table())
+def test_event_queries_agree_on_random_tables(spark, events):
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_events_")
+    try:
+        for t in os.listdir("/root/testdata/sf0.001"):
+            os.symlink(os.path.join("/root/testdata/sf0.001", t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "events.parquet"))
+        events.to_parquet(os.path.join(tmp, "events.parquet"), index=False)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
+        )
+        for name in _EVENT_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
