@@ -12,6 +12,7 @@ from ..streaming import (
     stream_doc_quality_gate,
     stream_events_windowed,
     stream_join_enrich,
+    stream_join_remote_dim,
     stream_near_dedup,
     stream_remote_sink,
     stream_sliding_window,
@@ -153,4 +154,20 @@ ORACLE["stream_near_dedup"] = f"""
            CAST(CASE WHEN COUNT(o.doc_id) > 0 THEN 1 ELSE 0 END AS INT) AS maybe_near_dup
     FROM newbands n LEFT JOIN oldbands o ON n.band_key = o.band_key
     GROUP BY n.doc_id
+"""
+
+
+QUERIES["stream_join_remote_dim"] = stream_join_remote_dim
+# Federated stream-static join: the dimension comes through the remote
+# scan (sqlite mirror of the same parquet), so the bounded stream
+# converges to the batch parquet join.
+ORACLE["stream_join_remote_dim"] = """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(MAX(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
 """

@@ -3,6 +3,7 @@ from .events import (  # noqa: F401
     stream_doc_quality_gate,
     stream_events_windowed,
     stream_join_enrich,
+    stream_join_remote_dim,
     stream_near_dedup,
     stream_remote_sink,
     stream_sliding_window,

@@ -364,3 +364,42 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("maybe_near_dup"),
     )
     return _run_bounded(gate, "stream_near_dedup")
+
+
+def stream_join_remote_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED streaming enrichment: the events stream joined to a
+    dimension fetched through the remote scan (the sqlite stand-in
+    OLTP database, read via the Python DataSource with projection
+    pushdown) — the reference's remote table as the static side of a
+    stream-static join, i.e. remote federation and Structured
+    Streaming composed in one plan. The remote dim is broadcast, so
+    the join is stateless and the stream never shuffles before the
+    final keyed agg; at cluster scale the remote fetch happens once
+    per microbatch plan, which is why real deployments snapshot slow
+    remote dims (remote_stream_scan covers the incremental-tail
+    variant). Converges to the batch join on bounded input."""
+    from ..plans.remote_queries import _sqlite_opts, ensure_sqlite_remote
+    from ..remote import RemoteTable
+
+    ensure_sqlite_remote(sf_dir)
+    cust = (
+        RemoteTable(_sqlite_opts(sf_dir), ["customer"])
+        .read(spark)
+        .select("c_custkey", "c_nationkey")
+    )
+    nat = (
+        RemoteTable(_sqlite_opts(sf_dir), ["nation"])
+        .read(spark)
+        .select("n_nationkey", "n_name")
+    )
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = enriched.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
+    )
+    return _run_bounded(agg, "stream_join_remote_dim")
