@@ -3158,14 +3158,30 @@ def _bpe_best(E, pairs_src):
 
 
 def _bpe_merge(E, words_src, best_src):
+    # LEFT JOIN, not CROSS JOIN: once merges exhaust before round K,
+    # best{k} is EMPTY and a cross join would annihilate the whole
+    # vocabulary — every later round (and tokenize_bpe_apply) silently
+    # returns zero rows for a valid small/short-word corpus. With no
+    # best pair the vocabulary passes through unchanged.
     wide = "replace(s, ' ', '  ')"
     pat = "' ' || replace(b.pair, ' ', '  ') || ' '"
     rep = "' ' || replace(b.pair, ' ', '') || ' '"
     renorm = E.regexp_replace_all(f"replace(' ' || {wide} || ' ', {pat}, {rep})", " +", " ")
     return f"""
-    SELECT word, trim({renorm}) AS s, freq
-    FROM {words_src} CROSS JOIN {best_src} b
+    SELECT word,
+           CASE WHEN b.pair IS NULL THEN s ELSE trim({renorm}) END AS s,
+           freq
+    FROM {words_src} LEFT JOIN {best_src} b ON true
     """
+
+
+def _bpe_rank_select(k, src):
+    """One spelling for the merge-table projection, shared by the oracle
+    chain and the staged Spark runner so the schemas cannot drift."""
+    return (
+        f"SELECT CAST({k} AS INT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged, pair_count FROM {src}"
+    )
 
 
 def _sql_bpe_train(E, src="documents"):
@@ -3176,8 +3192,7 @@ def _sql_bpe_train(E, src="documents"):
         if k < _BPE_MERGES:
             parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
     selects = " UNION ALL ".join(
-        f"SELECT CAST({k} AS INT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM best{k}"
-        for k in range(1, _BPE_MERGES + 1)
+        _bpe_rank_select(k, f"best{k}") for k in range(1, _BPE_MERGES + 1)
     )
     ctes = ",\n    ".join(parts)
     return f"""
@@ -3223,8 +3238,7 @@ def _bpe_stage(spark: SparkSession, sf_dir: str) -> tuple[list, str]:
 def tokenize_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     best_views, _vocab = _bpe_stage(spark, sf_dir)
     selects = " UNION ALL ".join(
-        f"SELECT CAST({k} AS INT) AS merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count FROM {v}"
-        for k, v in enumerate(best_views, start=1)
+        _bpe_rank_select(k, v) for k, v in enumerate(best_views, start=1)
     )
     return spark.sql(selects)
 

@@ -98,6 +98,12 @@ def test_templates_agree_on_random_corpora(spark, docs):
         got = spark.sql(build(L._Spark)).toPandas()
         want = con.execute(build(L._Duck)).fetchdf()
         _compare(got, want, label)
+    # anti-vacuousness: every doc with at least one word must get a
+    # fertility row (the merge-exhaustion bug annihilated the vocabulary
+    # in BOTH engines, so the parity compare alone passed on 0 == 0 rows)
+    n_real = int((docs.text.str.strip() != "").sum())
+    got = spark.sql(L._sql_bpe_apply(L._Spark)).toPandas()
+    assert len(got) == n_real, f"bpe_apply dropped docs: {len(got)} vs {n_real}"
 
 
 # embedding-table templates: the risky edges are all-zero vectors,
@@ -222,10 +228,12 @@ def _events_table(draw):
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(events=_events_table())
 def test_event_queries_agree_on_random_tables(spark, events):
+    from .conftest import SF_DIR
+
     tmp = tempfile.mkdtemp(prefix="tpl_prop_events_")
     try:
-        for t in os.listdir("/root/testdata/sf0.001"):
-            os.symlink(os.path.join("/root/testdata/sf0.001", t), os.path.join(tmp, t))
+        for t in os.listdir(SF_DIR):
+            os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
         os.unlink(os.path.join(tmp, "events.parquet"))
         events.to_parquet(os.path.join(tmp, "events.parquet"), index=False)
         con = duckdb.connect()
