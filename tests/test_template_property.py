@@ -196,6 +196,8 @@ _EVENT_QUERIES = [
     "events_hourly_anomaly",
     "events_top_paths",
     "json_extract_events",
+    "window_running_sum",
+    "asof_join_events_orders",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -237,9 +239,11 @@ def test_event_queries_agree_on_random_tables(spark, events):
         os.unlink(os.path.join(tmp, "events.parquet"))
         events.to_parquet(os.path.join(tmp, "events.parquet"), index=False)
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet')"
-        )
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
         for name in _EVENT_QUERIES:
             got = plans.QUERIES[name](spark, tmp).toPandas()
             want = con.execute(plans.ORACLE[name]).fetchdf()
