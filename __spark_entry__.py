@@ -54,6 +54,7 @@ _VERIFY_FIRST = [
     "tokenize_bpe_train",
     "tokenize_bpe_apply",
     "stream_join_remote_dim",
+    "ann_ivfpq_cosine",
     # §2.B — registered in round 2, never reached by the driver budget
     "q8_market_share",
     "q11_important_stock",

@@ -68,6 +68,7 @@ QUERIES = [
     "corpus_language_confusion",
     "embedding_outlier_zscore",
     "ann_pq_cosine",
+    "ann_ivfpq_cosine",
     "tokenize_bpe_train",
 ]
 

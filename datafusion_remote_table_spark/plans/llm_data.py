@@ -3288,3 +3288,93 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tokenize_bpe_apply"] = tokenize_bpe_apply
 ORACLE["tokenize_bpe_apply"] = _sql_bpe_apply(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_cosine — the composed IVF-PQ index (the production ANN
+# layout at 100TB: Faiss's IVFx,PQy): the query probes its 2 nearest
+# coarse centroids (IVF — prunes the candidate set to the probed
+# inverted lists), the surviving candidates are scored by PQ lookup
+# (ADC — 4 table lookups per candidate instead of a 64-dim dot), and
+# the approx top-20 shortlist is re-ranked exactly. Completes the ANN
+# progression brute → LSH → IVF → PQ → IVF-PQ, each stage reusing the
+# persisted index stagings of its parts. Scale: candidates per query
+# shrink from n (PQ alone) to n×(probes/nlist); every join side except
+# the inverted lists is broadcast-sized.
+def _sql_ivfpq_probe(E, lists, cb, codes):
+    dot_qc = E.dot("q.embedding", "c.cent")
+    pdot = E.dot(_sql_pq_sub(E, "q.embedding"), "cb.cw")
+    exact = E.dot("q.embedding", "v.embedding")
+    return f"""
+    WITH cents AS ({_IVF_CENTS}),
+    qprobe AS (
+      SELECT q.vec_id AS query_id, q.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({dot_qc}, 6) DESC, c.cent_id) AS prn
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q, cents c
+    ),
+    probes AS (SELECT query_id, cent_id FROM qprobe WHERE prn <= 2),
+    cand AS (
+      SELECT p.query_id, l.vec_id
+      FROM probes p JOIN {lists} l ON l.cent_id = p.cent_id AND l.vec_id <> p.query_id
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.j, cb.cent_id, {pdot} AS pdot
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN {cb} cb
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.vec_id,
+             CAST(SUM(CAST(ROUND(l.pdot, 6) AS DECIMAL(18, 6))) AS DOUBLE) AS approx_dot
+      FROM cand cd
+      JOIN {codes} c2 ON cd.vec_id = c2.vec_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.j = c2.j AND l.cent_id = c2.cent_id
+      GROUP BY cd.query_id, cd.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id, approx_dot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY approx_dot DESC, vec_id) AS arn
+      FROM adc
+    ),
+    rerank AS (
+      SELECT s.query_id, s.vec_id, s.approx_dot, ROUND({exact}, 6) AS cosine
+      FROM shortlist s
+      JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+        ON s.query_id = q.vec_id
+      JOIN embeddings v ON s.vec_id = v.vec_id
+      WHERE s.arn <= 20
+    )
+    SELECT query_id, vec_id, approx_dot, cosine, CAST(rn AS INT) AS rn FROM (
+      SELECT query_id, vec_id, approx_dot, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM rerank
+    ) f WHERE rn <= 5
+    """
+
+
+def _sql_ann_ivfpq(E):
+    cb = f"({_sql_pq_codebook(E)})"
+    return _sql_ivfpq_probe(E, f"({_sql_ivf_lists(E)})", cb, f"({_sql_pq_codes(E, cb)})")
+
+
+def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: reuses BOTH persisted index stagings — ann_ivf_cosine's
+    inverted lists and ann_pq_cosine's codebook/codes — so the composed
+    probe pays only the candidate join + ADC scoring."""
+    ann_ivf_cosine(spark, sf_dir)  # ensures the IVF staging exists
+    ann_pq_cosine(spark, sf_dir)  # ensures the PQ staging exists
+    ivf_key = ("ivf", id(spark), os.path.abspath(sf_dir))
+    pq_key = ("pq", id(spark), os.path.abspath(sf_dir))
+    emb_view, lists_view = _MINHASH_STAGE_CACHE[ivf_key]
+    _pq_emb, cb_view, codes_view = _MINHASH_STAGE_CACHE[pq_key]
+    return spark.sql(
+        _sql_ivfpq_probe(_Spark, lists_view, cb_view, codes_view).replace(
+            "embeddings", emb_view
+        )
+    )
+
+
+QUERIES["ann_ivfpq_cosine"] = ann_ivfpq_cosine
+ORACLE["ann_ivfpq_cosine"] = _sql_ann_ivfpq(_Duck)

@@ -145,6 +145,7 @@ _EMB_TEMPLATES = [
     L._sql_kmeans_inertia,
     L._sql_ann_brute,
     L._sql_ann_pq,
+    L._sql_ann_ivfpq,
 ]
 
 
