@@ -28,6 +28,7 @@ _WORDS = ["the", "data", "spark", "café", "naïve", "row", "the", "agg"]
 _doc_text = st.one_of(
     st.just(""),
     st.just("   "),
+    st.none(),  # NULL text rows occur in real corpora; NULL must propagate identically
     st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
 )
 
@@ -44,7 +45,7 @@ def _corpus(draw):
             "text": texts,
             "lang": [draw(st.sampled_from(["en", "de", "zh"])) for _ in range(n)],
             "source": [draw(st.sampled_from(["src0", "src1"])) for _ in range(n)],
-            "n_chars": [len(t) for t in texts],
+            "n_chars": [len(t) if t is not None else 0 for t in texts],
         }
     )
 
@@ -101,7 +102,7 @@ def test_templates_agree_on_random_corpora(spark, docs):
     # anti-vacuousness: every doc with at least one word must get a
     # fertility row (the merge-exhaustion bug annihilated the vocabulary
     # in BOTH engines, so the parity compare alone passed on 0 == 0 rows)
-    n_real = int((docs.text.str.strip() != "").sum())
+    n_real = int((docs.text.fillna("").str.strip() != "").sum())
     got = spark.sql(L._sql_bpe_apply(L._Spark)).toPandas()
     assert len(got) == n_real, f"bpe_apply dropped docs: {len(got)} vs {n_real}"
 
@@ -217,8 +218,8 @@ def _events_table(draw):
                 base + pd.Timedelta(minutes=draw(st.integers(min_value=0, max_value=600))),
                 draw(st.integers(min_value=0, max_value=n_users - 1)),
                 draw(st.sampled_from(_TYPES)),
-                draw(st.sampled_from([0.0, 1.5, 10.0, 185.22])),
-                draw(st.sampled_from(['{"k": 1}', '{"k": 87}', '{}'])),
+                draw(st.sampled_from([0.0, 1.5, 10.0, 185.22, None])),
+                draw(st.sampled_from(['{"k": 1}', '{"k": 87}', '{}', None])),
             )
         )
     df = pd.DataFrame(
