@@ -922,14 +922,12 @@ def _sql_ann_ivf(E):
     return _sql_ivf_probe(E, f"({_sql_ivf_lists(E)})")
 
 
-def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged: the inverted lists (centroid assignment of every vector)
-    are materialized once via persist, then probed — the build-once /
-    probe-many layout of a real IVF index. The list build reads the
-    loaded DataFrame through a PRIVATE per-dataset view (not the shared
-    ``embeddings`` view) so later view re-registrations can't uncache it
-    (same trap as the minhash staging), and is cached per session+sf_dir
-    so repeat probes don't rebuild or re-persist the index."""
+def _ivf_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persisted IVF index staging (emb_view, lists_view), shared by
+    ann_ivf_cosine / semdedup_embedding / ann_ivfpq_cosine — the
+    build-once / probe-many layout of a real IVF index, cached per
+    session+sf_dir behind private per-dataset views (the uncache-by-name
+    trap; see _minhash_stage)."""
     key = ("ivf", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         emb_view = _spread_view(spark, sf_dir, "embeddings", "ivf_emb")
@@ -940,7 +938,12 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(_sql_ivf_lists(_Spark).replace("embeddings", emb_view)),
         )
         _MINHASH_STAGE_CACHE[key] = (emb_view, lists_view)
-    emb_view, lists_view = _MINHASH_STAGE_CACHE[key]
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: probe the persisted inverted lists (_ivf_stage)."""
+    emb_view, lists_view = _ivf_stage(spark, sf_dir)
     return spark.sql(_sql_ivf_probe(_Spark, lists_view).replace("embeddings", emb_view))
 
 
@@ -1950,11 +1953,8 @@ def _sql_semdedup(E, lists_src=None, emb_src="embeddings"):
 def semdedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the persisted IVF assignment staging (built behind private
     # per-dataset views so later view registrations can't uncache it)
-    ann_ivf_cosine(spark, sf_dir)  # ensures the staging exists
-    suff = _dataset_suffix(sf_dir)
-    return spark.sql(
-        _sql_semdedup(_Spark, lists_src=f"ivf_lists_{suff}", emb_src=f"ivf_emb_{suff}")
-    )
+    emb_view, lists_view = _ivf_stage(spark, sf_dir)
+    return spark.sql(_sql_semdedup(_Spark, lists_src=lists_view, emb_src=emb_view))
 
 
 QUERIES["semdedup_embedding"] = semdedup_embedding
@@ -3003,11 +3003,11 @@ def _sql_ann_pq(E):
     return _sql_pq_probe(E, f"({_sql_pq_codebook(E)})", f"({_sql_pq_codes(E, f'({_sql_pq_codebook(E)})')})")
 
 
-def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged: codebook + codes (the PQ index build) persist once per
-    session+sf_dir through PRIVATE views (the minhash-staging rule);
-    probes pay only the LUT build + ADC join. The oracle keeps the
-    single-SQL lazy spelling."""
+def _pq_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """Persisted PQ index staging (emb_view, codebook, codes), shared by
+    ann_pq_cosine / pq_recall_eval / ann_ivfpq_cosine — the PQ index
+    build pays once per session+sf_dir behind private per-dataset views
+    (the minhash-staging rule)."""
     key = ("pq", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         emb_view = _spread_view(spark, sf_dir, "embeddings", "pq_emb")
@@ -3018,7 +3018,14 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "pq_codes", spark.sql(_sql_pq_codes(_Spark, cb_view).replace("embeddings", emb_view))
         )
         _MINHASH_STAGE_CACHE[key] = (emb_view, cb_view, codes_view)
-    emb_view, cb_view, codes_view = _MINHASH_STAGE_CACHE[key]
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged: probes pay only the LUT build + ADC join over the
+    persisted PQ index (_pq_stage); the oracle keeps the single-SQL
+    lazy spelling."""
+    emb_view, cb_view, codes_view = _pq_stage(spark, sf_dir)
     return spark.sql(
         _sql_pq_probe(_Spark, cb_view, codes_view).replace("embeddings", emb_view)
     )
@@ -3308,7 +3315,7 @@ def _sql_ivfpq_probe(E, lists, cb, codes):
     return f"""
     WITH cents AS ({_IVF_CENTS}),
     qprobe AS (
-      SELECT q.vec_id AS query_id, q.embedding, c.cent_id,
+      SELECT q.vec_id AS query_id, c.cent_id,
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                 ORDER BY ROUND({dot_qc}, 6) DESC, c.cent_id) AS prn
       FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q, cents c
@@ -3363,12 +3370,8 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged: reuses BOTH persisted index stagings — ann_ivf_cosine's
     inverted lists and ann_pq_cosine's codebook/codes — so the composed
     probe pays only the candidate join + ADC scoring."""
-    ann_ivf_cosine(spark, sf_dir)  # ensures the IVF staging exists
-    ann_pq_cosine(spark, sf_dir)  # ensures the PQ staging exists
-    ivf_key = ("ivf", id(spark), os.path.abspath(sf_dir))
-    pq_key = ("pq", id(spark), os.path.abspath(sf_dir))
-    emb_view, lists_view = _MINHASH_STAGE_CACHE[ivf_key]
-    _pq_emb, cb_view, codes_view = _MINHASH_STAGE_CACHE[pq_key]
+    emb_view, lists_view = _ivf_stage(spark, sf_dir)
+    _pq_emb, cb_view, codes_view = _pq_stage(spark, sf_dir)
     return spark.sql(
         _sql_ivfpq_probe(_Spark, lists_view, cb_view, codes_view).replace(
             "embeddings", emb_view

@@ -237,7 +237,8 @@ def test_event_queries_agree_on_random_tables(spark, events):
     tmp = tempfile.mkdtemp(prefix="tpl_prop_events_")
     try:
         for t in os.listdir(SF_DIR):
-            os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
         os.unlink(os.path.join(tmp, "events.parquet"))
         events.to_parquet(os.path.join(tmp, "events.parquet"), index=False)
         con = duckdb.connect()
