@@ -15,64 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from datafusion_remote_table_spark import plans
 
 # The driver verifies queries in dict order under a per-round budget
-# (~50 queries). Entries that have never received a driver CORRECTNESS
-# row run FIRST so every §2 item accumulates at least one hard
-# verification across rounds; round-1-only greens come next (refresh),
-# and the already re-verified round-2 greens go last.
+# (~50 queries). Ordering policy (VERDICT r3 item 1+2): queries whose
+# most recent driver row is FAIL outrank everything (a stale FAIL is the
+# only hard negative signal on record); never-driver-verified queries come
+# next so every §2 item accumulates at least one green row; then the
+# oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # new in round 3 — no driver row yet
-    "dedup_substring_spans",
-    "dedup_containment",
-    "dedup_bloom_incremental",
-    "simhash_accuracy_eval",
-    "events_top_paths",
-    "embedding_correlation_pairs",
-    "embedding_pca_top_component",
-    "events_markov_transitions",
-    "events_hourly_anomaly",
-    "remote_wide_types",
-    "remote_filter_mixed_pushdown",
-    "remote_command_table_schema",
-    "stream_doc_quality_gate",
-    "stream_stream_attribution",
-    "events_gap_fill_locf",
-    "dedup_cross_source_overlap",
-    "adaptive_lsh_recall_eval",
-    "doc_length_histogram",
-    "bm25_topk",
-    "tfidf_top_terms",
-    "hybrid_search_rrf",
-    "quality_perplexity_buckets",
-    "embedding_dim_stats",
-    "text_entropy_score",
-    "corpus_language_confusion",
-    "embedding_outlier_zscore",
-    "ann_pq_cosine",
-    "stream_near_dedup",
-    "pq_recall_eval",
-    "kmeans_inertia_eval",
-    "tokenize_bpe_train",
-    "tokenize_bpe_apply",
-    "stream_join_remote_dim",
-    "ann_ivfpq_cosine",
-    # §2.B — registered in round 2, never reached by the driver budget
-    "q8_market_share",
-    "q11_important_stock",
-    "q12_late_shipping",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "events_funnel",
-    "retention_cohorts",
-    "window_analytics",
-    "agg_cube",
-    # §2.C — registered in round 2, never reached
-    "dedup_keep_best",
-    "ann_recall_eval",
-    "sample_stratified",
+    # stale r2 FAIL rows (timestamp-unit bug fixed at HEAD, pytest-green;
+    # need a green driver row to clear the record)
+    "stream_events_windowed",
+    "stream_sliding_window",
+    "stream_sessionize_stateful",
+    # §2.C — never driver-verified (registered round 2/3)
     "train_test_split_group",
     "doc_chunk_tokens",
     "quality_filter_gopher",
@@ -95,8 +49,9 @@ _VERIFY_FIRST = [
     "multimodal_frame_sample",
 ]
 
-# Green in round 1 only (driver budget skipped them in round 2): refresh
-# these before re-running the round-2 greens.
+# Oldest greens (round-1 rows only): refresh these before re-running the
+# round-2/3 greens. 3 + 20 priority slots leave ~27 refresh slots in a
+# 50-query budget.
 _VERIFY_SECOND = [
     "null_handling",
     "window_lead_lag",

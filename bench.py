@@ -70,6 +70,35 @@ HEADLINE = [
 ]
 
 
+def _default_driver_mem(target_gb: int = 24) -> str:
+    """Largest of 4g..target_gb that fits in ~half of detected RAM.
+
+    Reads MemTotal (and the cgroup-v2 limit when set) so a smaller or
+    container-limited host gets a heap the kernel will actually grant
+    instead of the bench host's 24g.
+    """
+    avail_gb = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    avail_gb = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/sys/fs/cgroup/memory.max") as fh:
+            raw = fh.read().strip()
+        if raw != "max":
+            cg_gb = int(raw) / (1024**3)
+            avail_gb = cg_gb if avail_gb is None else min(avail_gb, cg_gb)
+    except (OSError, ValueError):
+        pass
+    if avail_gb is None:
+        return f"{target_gb}g"
+    return f"{max(4, min(target_gb, int(avail_gb // 2)))}g"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # local small-SF parquet is a few MB per table; 4MB splits engage all
@@ -79,10 +108,11 @@ def main() -> None:
     # sigs, span grams, bloom corpus hashes, embedding views); at the
     # default 8g the storage pool evicts them mid-run and late queries
     # re-pay upstream stages (dedup_bloom_incremental measured 17.9 s
-    # under eviction vs 2.5 s isolated). The bench host has 128 GiB;
-    # 24g keeps every staged frame resident — a cluster sizes executor
-    # memory to its own staged working set.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # under eviction vs 2.5 s isolated). Target 24g (sized to the staged
+    # working set at sf0.1) but never more than ~half of detected RAM so
+    # smaller/cgroup-limited hosts don't fail the heap request — a
+    # cluster sizes executor memory to its own staged working set.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

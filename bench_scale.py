@@ -188,8 +188,10 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024))
     # staged frames accumulate across all scales in one session — size the
     # storage pool so eviction re-execution can't masquerade as
-    # superlinear scaling (same sizing rationale as bench.py)
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # superlinear scaling (same sizing + host-cap rationale as bench.py)
+    from bench import _default_driver_mem
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
     from datafusion_remote_table_spark import plans
     from datafusion_remote_table_spark.session import get_spark
 

@@ -76,8 +76,20 @@ def _compare(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
     if not len(got):
         return
     cols = sorted(got.columns)
-    gs = got[cols].sort_values(by=cols).reset_index(drop=True)
-    ws = want[cols].sort_values(by=cols).reset_index(drop=True)
+    # Align rows by sorting on non-float (key) columns only: sub-ulp
+    # cross-engine float drift can reorder rows when a float column leads
+    # the sort and the key columns tie, comparing mismatched rows. Floats
+    # participate in the sort only after rounding to the isclose tolerance.
+    def _sort_frame(df: pd.DataFrame) -> pd.DataFrame:
+        keyed = df[cols].copy()
+        for c in cols:
+            if np.issubdtype(keyed[c].to_numpy().dtype, np.floating):
+                keyed[c] = keyed[c].round(6)
+        order = keyed.sort_values(by=cols).index
+        return df[cols].loc[order].reset_index(drop=True)
+
+    gs = _sort_frame(got)
+    ws = _sort_frame(want)
     for c in cols:
         g, w = gs[c].to_numpy(), ws[c].to_numpy()
         if np.issubdtype(np.asarray(g).dtype, np.floating):
