@@ -54,7 +54,7 @@ def infer_remote_schema(spec: RemoteScanSpec) -> StructType:
             schema = StructType(fields)
         else:
             cur = conn.cursor()
-            cur.execute(spec.dialect.compose(src, limit=100))
+            cur.execute(spec.dialect.compose(spec.table if spec.table else spec.query, limit=100))
             names = [d[0] for d in cur.description]
             sample = cur.fetchall()
             schema = infer_schema_from_rows(names, sample)

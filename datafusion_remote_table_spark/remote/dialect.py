@@ -97,18 +97,33 @@ class Dialect:
 
     def compose(
         self,
-        source_query: str,
+        source,
         columns: Sequence[str] | None = None,
         filters: Sequence[str] = (),
         limit: int | None = None,
     ) -> str:
         """Build the SQL actually sent to the remote DB: projection +
-        pushed filters + pushed limit around the source query.
+        pushed filters + pushed limit around the source.
 
-        Parity: scan.rs rewrites the remote query with filters/limit.
+        Parity: RemoteDbType::rewrite_query (connection/mod.rs:267-385) —
+        a TABLE source composes FLAT (``SELECT .. FROM "t" WHERE ..``,
+        never a subquery wrap), a QUERY source is returned unchanged when
+        nothing is pushed and wrapped in a subquery otherwise. Dialects
+        whose limit is a WHERE-condition (Oracle ROWNUM) fold it into the
+        filter list exactly as the reference does.
         """
+        filters = list(filters)
+        limit_filter = self.limit_as_filter(limit)
+        if limit_filter is not None:
+            filters.append(limit_filter)
+            limit = None
         proj = ", ".join(self.quote_ident(c) for c in columns) if columns else "*"
-        sql = f"SELECT {proj} FROM {self.wrap_subquery(source_query)}"
+        if isinstance(source, (list, tuple)):
+            sql = f"SELECT {proj} FROM {self.table_ref(source)}"
+        elif proj == "*" and not filters and limit is None:
+            return source
+        else:
+            sql = f"SELECT {proj} FROM {self.wrap_subquery(source)}"
         if filters:
             sql += " WHERE " + " AND ".join(f"({f})" for f in filters)
         if limit is not None:
@@ -118,9 +133,19 @@ class Dialect:
     def limit_clause(self, n: int) -> str:
         return f"LIMIT {n}"
 
-    def count_query(self, source_query: str) -> str:
-        """Parity: count(1) agg pushdown (postgres.rs test count1_agg)."""
-        return f"SELECT COUNT(*) FROM {self.wrap_subquery(source_query)}"
+    def limit_as_filter(self, n: int | None) -> str | None:
+        """Dialects whose limit composes as a WHERE condition (Oracle
+        ``ROWNUM <= n`` — connection/mod.rs:324,365) return it here; the
+        rest return None and use ``limit_clause``."""
+        return None
+
+    def count_query(self, source) -> str:
+        """Parity: count(1) agg pushdown — try_count1_query
+        (connection/mod.rs:457-): flat ``SELECT COUNT(1) FROM "t"`` for
+        table sources, subquery wrap for query sources."""
+        if isinstance(source, (list, tuple)):
+            return f"SELECT COUNT(1) FROM {self.table_ref(source)}"
+        return f"SELECT COUNT(1) FROM {self.wrap_subquery(source)}"
 
     # -- relational pushdown composition (parity-plus) ----------------------
     # The reference pushes filters/limit/count (scan.rs, transform.rs);
@@ -252,7 +277,10 @@ class PostgresDialect(Dialect):
     name = "postgres"
 
     def bytes_literal(self, value: bytes) -> str:
-        return f"'\\x{value.hex()}'::bytea"
+        # the reference's spelling (connection/mod.rs sql_binary_literal:
+        # E'\\x{hex}'): explicit escape-string syntax, valid regardless of
+        # standard_conforming_strings
+        return f"E'\\\\x{value.hex()}'"
 
 
 class MysqlDialect(Dialect):
@@ -274,7 +302,20 @@ class OracleDialect(Dialect):
     def bytes_literal(self, value: bytes) -> str:
         return f"HEXTORAW('{value.hex()}')"
 
+    def limit_as_filter(self, n: int | None) -> str | None:
+        # Oracle has no LIMIT; the reference composes the pushed limit as
+        # a ROWNUM condition in the WHERE clause (connection/mod.rs:324),
+        # which works on every Oracle version (FETCH FIRST needs 12c+).
+        # ROWNUM is assigned after the other predicates, so the combined
+        # WHERE means "first n rows of the filtered set" — same semantics
+        # as filter-then-limit.
+        return None if n is None else f"ROWNUM <= {n}"
+
     def limit_clause(self, n: int) -> str:
+        # only reached where a WHERE-level ROWNUM would be wrong (top-k
+        # truncation AFTER ORDER BY, the limit-0 schema probe): FETCH
+        # FIRST runs after the sort (12c+; the reference never pushes
+        # ORDER BY so it has no such path)
         return f"FETCH FIRST {n} ROWS ONLY"
 
     def wrap_subquery(self, query: str, alias: str = "__remote_t") -> str:
@@ -286,15 +327,25 @@ class OracleDialect(Dialect):
 
 class GaussdbDialect(PostgresDialect):
     """GaussDB/OpenGauss speaks the Postgres dialect (gaussdb.rs reuses the
-    Postgres wire protocol and types in the reference)."""
+    Postgres wire protocol and types in the reference; rewrite_query and
+    sql_binary_literal group GaussDB with Postgres)."""
 
     name = "gaussdb"
 
 
 class DmDialect(OracleDialect):
-    """DM (达梦) is Oracle-compatible at the SQL level (dm/ in reference)."""
+    """DM (达梦) is Oracle-compatible for literals (HEXTORAW —
+    connection/mod.rs:407) but the reference groups it with the LIMIT
+    dialects in rewrite_query (mod.rs:274-281), not with Oracle's ROWNUM
+    composition."""
 
     name = "dm"
+
+    def limit_as_filter(self, n: int | None) -> str | None:
+        return None
+
+    def limit_clause(self, n: int) -> str:
+        return f"LIMIT {n}"
 
 
 class MdbDialect(Dialect):
@@ -320,21 +371,27 @@ class MdbDialect(Dialect):
 
     def compose(
         self,
-        source_query: str,
+        source,
         columns: Sequence[str] | None = None,
         filters: Sequence[str] = (),
         limit: int | None = None,
     ) -> str:
-        sql = source_query.strip()
-        prefix = "SELECT * FROM "
-        if columns and sql.upper().startswith(prefix):
-            proj = ", ".join(self.quote_ident(c) for c in columns)
-            sql = f"SELECT {proj} FROM " + sql[len(prefix):]
-        if filters:
-            sql += " WHERE " + " AND ".join(filters)
-        if limit is not None:
-            sql += f" {self.limit_clause(limit)}"
-        return sql
+        # table sources compose flat with UNparenthesized filters; query
+        # sources take no pushdown at all (support_rewrite gates Mdb to
+        # Table sources — mod.rs:241) and pass through unchanged
+        if isinstance(source, (list, tuple)):
+            proj = ", ".join(self.quote_ident(c) for c in columns) if columns else "*"
+            sql = f"SELECT {proj} FROM {self.table_ref(source)}"
+            if filters:
+                sql += " WHERE " + " AND ".join(filters)
+            if limit is not None:
+                sql += f" {self.limit_clause(limit)}"
+            return sql
+        if columns or filters or limit is not None:
+            raise NotImplementedError(
+                "mdb pushdown is table-source-only (no subquery-in-FROM in Jet SQL)"
+            )
+        return source
 
     def count_query(self, source_query: str) -> str:
         raise NotImplementedError(

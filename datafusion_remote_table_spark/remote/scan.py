@@ -56,16 +56,18 @@ class RemoteScanSpec:
 
     def remote_sql(self, extra_filters: tuple[str, ...] = ()) -> str:
         """The exact SQL sent to the remote DB (inspectable, testable —
-        the analogue of the reference's plan-display assertions)."""
+        the analogue of the reference's plan-display assertions). Table
+        sources compose flat, query sources wrap only when something is
+        pushed (RemoteDbType::rewrite_query parity)."""
         return self.dialect.compose(
-            self.source_query(),
+            self.table if self.table else self.query,
             columns=self.columns,
             filters=tuple(self.pushed_filters) + extra_filters,
             limit=self.limit,
         )
 
     def count_sql(self) -> str:
-        return self.dialect.count_query(self.source_query())
+        return self.dialect.count_query(self.table if self.table else self.query)
 
     # -- serde (codec.rs parity) -------------------------------------------
     def to_json(self) -> str:

@@ -218,7 +218,7 @@ class RemoteTable:
             if count_sql is not None:
                 cur.execute(count_sql)
                 return int(cur.fetchone()[0])
-            cur.execute(spec.dialect.compose(spec.source_query()))
+            cur.execute(spec.dialect.compose(spec.table if spec.table else spec.query))
             n = 0
             while True:
                 rows = cur.fetchmany(self.options.stream_chunk_size)
