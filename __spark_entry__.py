@@ -47,6 +47,8 @@ _VERIFY_FIRST = [
     "semdedup_embedding",
     "minhash_accuracy_eval",
     "multimodal_frame_sample",
+    # new in round 4
+    "multimodal_decode_real",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

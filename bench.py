@@ -67,6 +67,11 @@ HEADLINE = [
     "corpus_language_confusion",
     "embedding_outlier_zscore",
     "ann_pq_cosine",
+    # round 4: real (stdlib BMP/PPM) image decode through Arrow batches,
+    # and the staged boilerplate/decontamination legs
+    "multimodal_decode_real",
+    "line_dedup_boilerplate",
+    "decontaminate_ngram_overlap",
 ]
 
 

@@ -70,6 +70,8 @@ QUERIES = [
     "ann_pq_cosine",
     "ann_ivfpq_cosine",
     "tokenize_bpe_train",
+    # round 4: stdlib image decode (per-row map work — must stay linear)
+    "multimodal_decode_real",
 ]
 
 

@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed in Arrow batches via mapInPandas.
 
-The decode kernels themselves are STUBS (this container ships no
-image/audio libraries — see SURVEY.md §2.C): `_decode_stub` is a
-deterministic fake and `decode_media(real=True)` raises
-NotImplementedError where PIL/ffmpeg would be called. Everything
-Spark-side — schema, Arrow batch shape, partitioning, UDF signatures —
-is real and tested; swapping the kernel for a real decoder changes no
-plumbing.
+Decode kernels: UNCOMPRESSED formats (24bpp BMP, binary PPM/P6) decode
+for REAL via pure-stdlib struct/bytes parsing — `decode_media(real=True)`
+parses actual headers and pixel data. Compressed formats (jpeg/video)
+still need PIL/ffmpeg, which this container doesn't ship (SURVEY.md
+§2.C); those raise NotImplementedError, and `_decode_stub` remains the
+deterministic fake for plumbing tests. Swapping a real jpeg kernel in
+changes no Spark-side plumbing: schema, Arrow batch shape, partitioning,
+and UDF signatures are identical.
 
 Scale: payloads never hit the driver; batches stream executor-side with
 spark.sql.execution.arrow.maxRecordsPerBatch bounding memory. For
@@ -18,12 +19,91 @@ holds a bounded number of payloads.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = "struct<mime:string,width:int,height:int,n_frames:int>"
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib codecs for uncompressed formats (no PIL/ffmpeg needed).
+def encode_bmp(pixels: bytes, width: int, height: int) -> bytes:
+    """24bpp bottom-up BMP (BITMAPINFOHEADER). ``pixels`` is raw RGB
+    triplets row-major top-down; rows are re-ordered bottom-up and
+    channel-swapped to BGR, padded to 4-byte boundaries — a real BMP any
+    external viewer opens."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    stride = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - width * 3)
+    rows = []
+    for y in reversed(range(height)):
+        row = bytearray()
+        for x in range(width):
+            off = (y * width + x) * 3
+            r, g, b = pixels[off : off + 3]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    data = b"".join(rows)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_header + info_header + data
+
+
+def encode_ppm(pixels: bytes, width: int, height: int) -> bytes:
+    """Binary PPM (P6), raw RGB row-major."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} pixel bytes, got {len(pixels)}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_image(payload: bytes) -> tuple[str, int, int, bytes]:
+    """Parse an uncompressed image: returns (format, width, height,
+    RGB pixel bytes row-major top-down). Raises NotImplementedError for
+    formats that need external decoders (jpeg/png/video)."""
+    if payload[:2] == b"BM":
+        offset, = struct.unpack_from("<I", payload, 10)
+        width, height, _planes, bpp, compression = struct.unpack_from("<iiHHI", payload, 18)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(f"only uncompressed 24bpp BMP supported (bpp={bpp})")
+        top_down = height < 0
+        height = abs(height)
+        stride = (width * 3 + 3) // 4 * 4
+        out = bytearray()
+        ys = range(height) if top_down else reversed(range(height))
+        for y in ys:
+            row = payload[offset + y * stride : offset + y * stride + width * 3]
+            for x in range(width):
+                b, g, r = row[x * 3 : x * 3 + 3]
+                out += bytes((r, g, b))
+        return "bmp", width, height, bytes(out)
+    if payload[:2] == b"P6":
+        # header: magic, width, height, maxval — ASCII tokens with
+        # comment support, then ONE whitespace byte before raw pixels
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        width, height, maxval = tokens
+        if maxval != 255:
+            raise NotImplementedError("only 8-bit PPM supported")
+        return "ppm", width, height, bytes(payload[pos : pos + width * height * 3])
+    raise NotImplementedError(
+        "compressed formats (jpeg/png/video) require PIL/ffmpeg, not available "
+        "in this container; BMP and PPM decode natively"
+    )
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str, mime: str = "image/fake") -> DataFrame:
@@ -53,13 +133,39 @@ def decode_media(
 ) -> DataFrame:
     """Decode/feature-extract binary payloads executor-side.
 
-    real=True is the seam for an actual decoder; it raises here because
-    no media libraries exist in this environment.
+    real=True parses ACTUAL image bytes (24bpp BMP / binary PPM via the
+    stdlib codecs above) and computes pixel statistics from the decoded
+    data: format + dimensions from the header, mean_luma as the mean of
+    the RGB samples. Compressed payloads raise NotImplementedError from
+    decode_image (jpeg/video need PIL/ffmpeg, not in this container).
+    real=False keeps the deterministic stub kernel for plumbing tests.
     """
     if real:
-        raise NotImplementedError(
-            "real decode requires PIL/ffmpeg (not available in this container); "
-            "use real=False for the deterministic stub kernel"
+
+        def batches(it):
+            for pdf in it:
+                fmts, widths, heights, sums, lumas = [], [], [], [], []
+                for b in pdf[payload_col]:
+                    fmt, w, h, pix = decode_image(bytes(b))
+                    fmts.append(fmt)
+                    widths.append(w)
+                    heights.append(h)
+                    sums.append(sum(pix))
+                    lumas.append(round(sum(pix) / (len(pix) * 255.0), 6) if pix else 0.0)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "fmt": fmts,
+                        "width": pd.Series(widths, dtype="int32"),
+                        "height": pd.Series(heights, dtype="int32"),
+                        "pixel_sum": pd.Series(sums, dtype="int64"),
+                        "mean_luma": pd.Series(lumas, dtype="float64"),
+                    }
+                )
+
+        return df.mapInPandas(
+            batches,
+            schema=f"{id_col} long, fmt string, width int, height int, pixel_sum long, mean_luma double",
         )
 
     def batches(it):

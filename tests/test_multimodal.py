@@ -34,9 +34,46 @@ def test_decode_stub_deterministic(media):
     assert all(0.0 <= r[3] <= 1.0 for r in a)
 
 
-def test_real_decode_is_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, real=True)
+def test_real_decode_rejects_compressed_payloads(media):
+    # text payloads are not BMP/PPM: the kernel raises inside the executor
+    # (jpeg/video would need PIL/ffmpeg), surfaced through the Spark job
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        decode_media(media, real=True).collect()
+
+
+def test_bmp_ppm_codec_roundtrip():
+    from datafusion_remote_table_spark.multimodal.decode import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    pix = bytes(range(4 * 2 * 3))
+    for enc, fmt in ((encode_bmp, "bmp"), (encode_ppm, "ppm")):
+        f, w, h, out = decode_image(enc(pix, 4, 2))
+        assert (f, w, h) == (fmt, 4, 2)
+        assert out == pix  # BGR bottom-up (BMP) restored to RGB top-down
+    # non-multiple-of-4 row stride exercises BMP padding
+    pix3 = bytes(range(3 * 3 * 3))
+    f, w, h, out = decode_image(encode_bmp(pix3, 3, 3))
+    assert (w, h) == (3, 3) and out == pix3
+    # PPM comments are skipped
+    f, w, h, out = decode_image(b"P6\n# a comment\n2 1\n255\n" + bytes(6))
+    assert (f, w, h) == ("ppm", 2, 1) and out == bytes(6)
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_real_decode_on_real_images(spark):
+    from datafusion_remote_table_spark.multimodal.decode import encode_bmp, encode_ppm
+
+    pix_dark, pix_light = bytes(24), bytes([255] * 24)
+    rows = [(1, encode_bmp(pix_dark, 4, 2)), (2, encode_ppm(pix_light, 4, 2))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_media(media, real=True).collect()}
+    assert (out[1].fmt, out[1].width, out[1].height) == ("bmp", 4, 2)
+    assert out[1].mean_luma == 0.0 and out[2].mean_luma == 1.0
+    assert out[2].pixel_sum == 24 * 255
 
 
 def test_sample_frames_shape(media):
