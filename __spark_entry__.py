@@ -49,6 +49,9 @@ _VERIFY_FIRST = [
     "multimodal_frame_sample",
     # new in round 4
     "multimodal_decode_real",
+    "stream_trending_topk",
+    "ann_matryoshka_recall",
+    "dedup_rate_by_source",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

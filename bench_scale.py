@@ -70,8 +70,12 @@ QUERIES = [
     "ann_pq_cosine",
     "ann_ivfpq_cosine",
     "tokenize_bpe_train",
-    # round 4: stdlib image decode (per-row map work — must stay linear)
+    # round 4: stdlib image decode (per-row map work — must stay linear),
+    # truncated-dim recall (bounded-query brute force), per-source dup
+    # report (joins over the shared stagings)
     "multimodal_decode_real",
+    "ann_matryoshka_recall",
+    "dedup_rate_by_source",
 ]
 
 

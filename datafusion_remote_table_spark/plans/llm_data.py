@@ -1452,57 +1452,98 @@ def _km_ctes(E):
     return ",\n    ".join(parts)
 
 
+def _double_lit(x: float) -> str:
+    """Exact DOUBLE literal: repr round-trips IEEE-754 and the e0 suffix
+    keeps Spark from parsing a bare decimal as DECIMAL."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s or "inf" in s or "nan" in s) else s + "e0"
+
+
+def _km_assign_inline(vsrc: str, cents: list) -> str:
+    """Map-side Lloyd assignment against k INLINE centroid literals: the
+    per-cent squared distances compute in one projection and the argmin
+    is a CASE chain — first cent whose distance is <= every later one —
+    which picks exactly the window spelling's (sqd ASC, cent_id ASC)
+    winner. No explode, no window shuffle, no join: one pass over the
+    vectors. (NULL embeddings would diverge from the window's NULLS
+    FIRST here; the embeddings table schema is non-null.)"""
+    cents = sorted(cents, key=lambda c: c[0])
+    cols, ids = [], []
+    for cid, comp in cents:
+        arr = "array(" + ", ".join(_double_lit(x) for x in comp) + ")"
+        cols.append(f"ROUND({_Spark.sqdist('embedding', arr)}, 6) AS s{cid}")
+        ids.append(cid)
+    whens = []
+    for i, cid in enumerate(ids[:-1]):
+        cond = " AND ".join(f"s{cid} <= s{j}" for j in ids[i + 1 :])
+        whens.append(f"WHEN {cond} THEN {cid}")
+    case = f"CASE {' '.join(whens)} ELSE {ids[-1]} END"
+    least = f"LEAST({', '.join(f's{c}' for c in ids)})" if len(ids) > 1 else f"s{ids[0]}"
+    return f"""
+      SELECT vec_id, embedding, CAST({case} AS INT) AS cent_id, {least} AS sqd
+      FROM (SELECT vec_id, embedding, {', '.join(cols)} FROM {vsrc}) scored"""
+
+
+def _km_update_carried(E, asrc, dims="dims"):
+    """Centroid update over an assignment frame that CARRIES the
+    embedding — same fixed-point arithmetic as _km_update, minus the
+    join back to the vectors."""
+    val_fp = (
+        f"CAST(floor(CAST({E.idx('a.embedding', f'{dims}.d')} AS DOUBLE) * 1000000.0e0) AS BIGINT)"
+    )
+    return f"""
+      SELECT cent_id, {E.list_ordered('comp', 'd')} AS cent
+      FROM (
+        SELECT a.cent_id, {dims}.d,
+               CAST(SUM({val_fp}) AS DOUBLE) / (1000000.0e0 * COUNT(*)) AS comp
+        FROM ({asrc}) a
+        CROSS JOIN {dims}
+        GROUP BY a.cent_id, {dims}.d
+      ) g GROUP BY cent_id"""
+
+
 def _km_stage(spark: SparkSession, sf_dir: str) -> str:
     """Final Lloyd assignment (vec_id, cent_id, sqd), persisted once per
     session+sf_dir and shared by kmeans_embeddings /
     cluster_balanced_sample / kmeans_inertia_eval.
 
-    The CTE-chain spelling re-evaluates ``embeddings`` on every reference
-    (2 scans per unrolled iteration — ~6 full scans of a 100TB table for
-    3 iterations; measured 2.50 s vs 1.79 s in-suite at sf0.1 when the
-    chain competed for the storage pool). Here each iteration runs the
-    SAME step templates as the oracle chain but persists its k-row
-    centroid frame, so every assignment is one scan of the (persisted)
-    embeddings view cross-joined with k broadcast rows, and the final
-    assignment is computed exactly once. Values are bit-identical to the
-    chain: the steps are the same SQL text over the same inputs, and the
-    centroid means are floor()-quantized fixed-point BIGINT sums
-    (order-independent)."""
+    Dataflow (the production Spark k-means shape, cf. MLlib): centroids
+    are k tiny rows — COLLECT them each iteration (k×dim doubles, the
+    same bounded control-plane class as the PCA covariance collect) and
+    inline them as literals, so each iteration is ONE map-side pass over
+    the persisted vectors plus a k*dim-key aggregate with map-side
+    partials. The first staged spelling kept centroids as persisted
+    frames and paid a window shuffle + a vec_id join per iteration
+    (profiled 1.0-1.6 s/iteration at sf0.1, 3.8 s total vs the 2.5 s
+    inline chain); this one is shuffle-free per assignment. Values stay
+    bit-identical to the oracle CTE chain: centroid means are exact
+    integer sums divided once (IEEE-identical across engines), repr()
+    round-trips the doubles into literals, and sqdist is the same
+    sequential fold."""
     key = ("km_assign", id(spark), os.path.abspath(sf_dir))
     if key in _MINHASH_STAGE_CACHE:
         return _MINHASH_STAGE_CACHE[key]
     emb_view = _spread_view(spark, sf_dir, "embeddings", "km_emb")
-    # persist the base vectors once: every iteration's assignment and
-    # centroid update rescan them (2 scans/iteration in the step
-    # templates), and at 100TB the persisted frame (MEMORY_AND_DISK)
-    # replaces ~6 repeated parquet scans of the full table
+    # persist the base vectors once: every iteration rescans them, and at
+    # 100TB the persisted frame (MEMORY_AND_DISK) replaces repeated
+    # parquet scans of the full table
     emb_view = _persist_view(
         spark, sf_dir, "km_vecs", spark.table(emb_view).select("vec_id", "embedding")
     )
-    cents = _persist_view(spark, sf_dir, "km_cents0", spark.sql(_km_seed(_Spark, emb_view)))
-    for it in range(1, _KM_ITERS + 1):
-        assign_sql = _km_assign(_Spark, emb_view, cents)
-        if it < _KM_ITERS:
-            # intermediate assignments are consumed exactly once (by the
-            # update) — a lazy view, not persisted; forcing the k-row
-            # centroid frame with count() cuts the lineage chain so the
-            # next iteration plans against k cached rows, never the
-            # previous iteration's full subtree
-            assign_view = f"km_assign{it}_{_dataset_suffix(sf_dir)}"
-            spark.sql(assign_sql).createOrReplaceTempView(assign_view)
-            cents = _persist_view(
-                spark,
-                sf_dir,
-                f"km_cents{it}",
-                spark.sql(
-                    f"WITH dims AS ({_km_dims(_Spark)}) {_km_update(_Spark, assign_view, emb_view)}"
-                ),
-            )
-            spark.table(cents).count()
-        else:
-            _MINHASH_STAGE_CACHE[key] = _persist_view(
-                spark, sf_dir, "km_assign_final", spark.sql(assign_sql)
-            )
+    cents = [
+        (r["cent_id"], list(r["cent"]))
+        for r in spark.sql(_km_seed(_Spark, emb_view)).collect()
+    ]
+    for _it in range(1, _KM_ITERS):
+        cents = [
+            (r["cent_id"], list(r["cent"]))
+            for r in spark.sql(
+                f"WITH dims AS ({_km_dims(_Spark)})"
+                f" {_km_update_carried(_Spark, _km_assign_inline(emb_view, cents))}"
+            ).collect()
+        ]
+    final = spark.sql(_km_assign_inline(emb_view, cents)).select("vec_id", "cent_id", "sqd")
+    _MINHASH_STAGE_CACHE[key] = _persist_view(spark, sf_dir, "km_assign_final", final)
     return _MINHASH_STAGE_CACHE[key]
 
 
@@ -1791,6 +1832,54 @@ def _sql_ann_recall(E):
 
 
 _register_pair("ann_recall_eval", _sql_ann_recall, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# ann_matryoshka_recall — truncated-dimension retrieval quality (the
+# Matryoshka-representation eval a pipeline runs before serving shorter
+# embeddings): per query, recall@10 of the 16-dim-prefix ranking against
+# the full 64-dim ground truth. Scale shape: both legs are the bounded
+# query block × corpus map-side score with per-query top-k windows over
+# k-bounded partitions — same as ann_cosine_topk; the prefix leg reads
+# the SAME scan (no second pass at the storage level).
+def _sql_matryoshka(E):
+    dot_full = E.dot("q.embedding", "c.embedding")
+    dot16 = E.list_sum(
+        f"{E.TRANSFORM}({E.seq(1, 16)}, i -> "
+        f"CAST({E.idx('q.embedding', 'i')} AS DOUBLE) * CAST({E.idx('c.embedding', 'i')} AS DOUBLE))"
+    )
+    rank = "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)"
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND({dot_full}, 6) AS full_score,
+             ROUND({dot16}, 6) AS trunc_score
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    full_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, {rank} AS rn
+        FROM (SELECT query_id, vec_id, full_score AS score FROM scored) s
+      ) r WHERE rn <= 10
+    ),
+    trunc_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, {rank} AS rn
+        FROM (SELECT query_id, vec_id, trunc_score AS score FROM scored) s
+      ) r WHERE rn <= 10
+    )
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(t.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_10
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """
+
+
+_register_pair("ann_matryoshka_recall", _sql_matryoshka, tables=("embeddings",))
 
 
 # ---------------------------------------------------------------------------
@@ -2108,13 +2197,15 @@ def _sql_corpus_clean(E, near_pairs_src=None, segs_src=None, sh_src=None, fps_sr
 
 
 def _fps_stage(spark: SparkSession, sf_dir: str) -> str:
-    """Persisted normalized-fingerprint frame (doc_id, fp) — referenced
-    twice in the clean pipeline (keeper census + final join)."""
+    """Persisted normalized-fingerprint frame (doc_id, source, fp) —
+    referenced twice in the clean pipeline (keeper census + final join)
+    and by the per-source dedup-rate report."""
     key = ("cc_fps", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         doc_view = _spread_view(spark, sf_dir, "documents", "cc_docs")
         sql = (
-            f"SELECT doc_id, md5({_Spark.collapse_ws('lower(text)')}) AS fp FROM {doc_view}"
+            f"SELECT doc_id, source, md5({_Spark.collapse_ws('lower(text)')}) AS fp"
+            f" FROM {doc_view}"
         )
         _MINHASH_STAGE_CACHE[key] = _persist_view(spark, sf_dir, "cc_fps", spark.sql(sql))
     return _MINHASH_STAGE_CACHE[key]
@@ -2144,6 +2235,59 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["corpus_clean_pipeline"] = corpus_clean_pipeline
 ORACLE["corpus_clean_pipeline"] = _sql_corpus_clean(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_by_source — the per-source duplication report a corpus build
+# publishes before mixing: exact-dup rate (non-keeper share of the
+# normalized-fingerprint census) and near-dup rate (docs flagged by the
+# minhash pair set) per source. Scale: both inputs are the already-shared
+# stagings (fps frame, verified pairs) — the report itself is a
+# |sources|-key aggregate over two joins on uniform keys.
+def _sql_dedup_rate(E, near_pairs_src=None, fps_src=None):
+    near_pairs = near_pairs_src or f"({_sql_minhash_oracle(E)})"
+    fps = fps_src or "fps"
+    fps_cte = (
+        ""
+        if fps_src
+        else (
+            "fps AS (\n      SELECT doc_id, source, "
+            f"md5({E.collapse_ws('lower(text)')}) AS fp FROM documents\n    ),\n    "
+        )
+    )
+    return f"""
+    WITH {fps_cte}keepers AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM {fps} GROUP BY fp
+    ),
+    near_dups AS (
+      SELECT DISTINCT doc_b AS doc_id FROM {near_pairs} np
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           ROUND(CAST(SUM(CASE WHEN f.doc_id <> k.keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS exact_dup_rate,
+           ROUND(CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS near_dup_rate
+    FROM {fps} f
+    JOIN keepers k ON f.fp = k.fp
+    LEFT JOIN near_dups nd ON f.doc_id = nd.doc_id
+    GROUP BY f.source
+    """
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"ddr_near_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(
+        _sql_dedup_rate(_Spark, near_pairs_src=view, fps_src=_fps_stage(spark, sf_dir))
+    )
+
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+ORACLE["dedup_rate_by_source"] = _sql_dedup_rate(_Duck)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from ..streaming import (
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
+    stream_trending_topk,
 )
 from . import ORACLE, QUERIES
 
@@ -170,4 +171,27 @@ ORACLE["stream_join_remote_dim"] = """
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
+"""
+
+
+QUERIES["stream_trending_topk"] = stream_trending_topk
+# Streaming hourly counts converge to the batch hourly counts on bounded
+# input; the per-window top-3 rank (n_events DESC, event_type ASC) runs
+# over the converged aggregate in both engines.
+ORACLE["stream_trending_topk"] = """
+    WITH agg AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY window_start, event_type
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY n_events DESC, event_type
+             ) AS INT) AS rank
+      FROM agg
+    )
+    SELECT window_start, event_type, n_events, rank
+    FROM ranked WHERE rank <= 3
 """

@@ -8,4 +8,5 @@ from .events import (  # noqa: F401
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
+    stream_trending_topk,
 )

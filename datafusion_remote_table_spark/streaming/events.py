@@ -403,3 +403,39 @@ def stream_join_remote_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("value").cast("decimal(18,6)")).cast("double").alias("max_value"),
     )
     return _run_bounded(agg, "stream_join_remote_dim")
+
+
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TRENDING top-k: hourly tumbling counts per event type,
+    then the per-window top-3 rank. Structured Streaming cannot layer a
+    rank over a streaming aggregate (no second stateful op after a
+    windowed agg in the same query), so the production layering applies:
+    the streaming job maintains the windowed counts (watermark-bounded
+    state), and the rank runs as a batch window over the converged
+    complete-mode table — the same split a dashboard's "trending now"
+    tile uses. Converges to the batch hourly-top-3 on bounded input,
+    which is the oracle. Scale: streaming state is O(active windows ×
+    event types); the rank input is the aggregate (windows × types), not
+    the event stream."""
+    from pyspark.sql.window import Window
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    bounded = _run_bounded(agg, "stream_trending_topk")
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        bounded.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n_events", "rank")
+    )
