@@ -39,9 +39,14 @@ HEADLINE = [
     "dedup_simhash",
     "text_top_ngrams",
     # round-2 additions: training-data pipeline tail (chunk→pack, corpus
-    # LM scoring, and the composed cleaning pipeline)
+    # LM scoring, and the composed cleaning pipeline). The boilerplate and
+    # decontamination legs run FIRST so their shared staging builds are
+    # attributed to them and corpus_clean_pipeline's number is its
+    # incremental assembly cost (the stagings are genuinely shared).
     "pack_sequences",
     "text_bigram_score",
+    "line_dedup_boilerplate",
+    "decontaminate_ngram_overlap",
     "corpus_clean_pipeline",
     # iterative clustering and weighted sampling paths
     "kmeans_embeddings",
@@ -68,10 +73,10 @@ HEADLINE = [
     "embedding_outlier_zscore",
     "ann_pq_cosine",
     # round 4: real (stdlib BMP/PPM) image decode through Arrow batches,
-    # and the staged boilerplate/decontamination legs
+    # truncated-dim recall eval, per-source dup-rate report
     "multimodal_decode_real",
-    "line_dedup_boilerplate",
-    "decontaminate_ngram_overlap",
+    "ann_matryoshka_recall",
+    "dedup_rate_by_source",
 ]
 
 

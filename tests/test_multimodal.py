@@ -93,3 +93,35 @@ def test_resize_media_fixed_output(media):
     assert sorted((r.doc_id, bytes(r.resized_payload)) for r in out) == sorted(
         (r.doc_id, bytes(r.resized_payload)) for r in again
     )
+
+
+def test_bmp_ppm_codec_property_roundtrip():
+    """Random dims/pixels survive encode->decode bit-for-bit in both
+    codecs — covers BMP row padding at every width mod 4 and PPM header
+    token widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_remote_table_spark.multimodal.decode import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    @st.composite
+    def _img(draw):
+        w = draw(st.integers(min_value=1, max_value=9))
+        h = draw(st.integers(min_value=1, max_value=6))
+        pix = draw(st.binary(min_size=w * h * 3, max_size=w * h * 3))
+        return w, h, pix
+
+    @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(img=_img())
+    def run(img):
+        w, h, pix = img
+        for enc, fmt in ((encode_bmp, "bmp"), (encode_ppm, "ppm")):
+            f, gw, gh, out = decode_image(enc(pix, w, h))
+            assert (f, gw, gh) == (fmt, w, h)
+            assert out == pix
+
+    run()

@@ -105,12 +105,26 @@ def test_minhash_staging_survives_view_replacement(spark, sf_dir):
     assert "InMemoryTableScan" in plan, "minhash staging lost its cache"
 
 
-def test_kmeans_broadcasts_centroids(spark, sf_dir):
-    # each Lloyd round's assignment joins a k-row centroid relation against
-    # the full embedding table: must be broadcast, never a data shuffle
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    # each Lloyd round's assignment scores against k INLINE centroid
+    # literals (collected k-row frame — bounded control-plane): the
+    # registered query reads the persisted assignment with no join at
+    # all; the only exchange is the cluster_size window's
+    from datafusion_remote_table_spark.plans import llm_data as L
+
     plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
-    assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # assignment carries everything it needs
+    assert "InMemoryTableScan" in plan  # shared persisted staging
+    # the assignment pass itself (stage-build SQL) is pure map work:
+    # no exchange of the vector table before the scored projection
+    cents = [(1, [0.0] * L._KM_DIM), (2, [1.0] * L._KM_DIM)]
+    assign_plan = _plan(spark.sql(L._km_assign_inline("embeddings", cents)))
+    # no keyed exchange (the view's round-robin spread is input plumbing,
+    # not part of the assignment), no join, no rank window
+    assert "Exchange hashpartitioning" not in assign_plan
+    assert "Join" not in assign_plan
+    assert "Window" not in assign_plan  # CASE-chain argmin, not ROW_NUMBER
 
 
 def test_temperature_mix_rates_broadcast(spark, sf_dir):
@@ -131,9 +145,13 @@ def test_repetition_signals_partial_agg(spark, sf_dir):
 def test_kmeans_seed_selection_is_take_ordered(spark, sf_dir):
     # seed selection is a k-row top-k: TakeOrderedAndProject (per-partition
     # heaps + driver merge), never an unpartitioned ROW_NUMBER window
-    # ranking the whole embedding table through one task
-    plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
-    assert "TakeOrderedAndProject" in plan
+    # ranking the whole embedding table through one task. The seed runs
+    # inside _km_stage now — assert its own plan.
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    plans.QUERIES["kmeans_embeddings"](spark, sf_dir)  # tables registered
+    seed_plan = _plan(spark.sql(L._km_seed(L._Spark, "embeddings")))
+    assert "TakeOrderedAndProject" in seed_plan
 
 
 def test_bm25_topk_is_take_ordered(spark, sf_dir):
