@@ -52,6 +52,10 @@ _VERIFY_FIRST = [
     "stream_trending_topk",
     "ann_matryoshka_recall",
     "dedup_rate_by_source",
+    "embedding_dedup_threshold_sweep",
+    "quality_signal_correlation",
+    "knn_label_consistency",
+    "sample_hard_negatives",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

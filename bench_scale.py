@@ -76,6 +76,10 @@ QUERIES = [
     "multimodal_decode_real",
     "ann_matryoshka_recall",
     "dedup_rate_by_source",
+    "embedding_dedup_threshold_sweep",
+    "quality_signal_correlation",
+    "knn_label_consistency",
+    "sample_hard_negatives",
 ]
 
 

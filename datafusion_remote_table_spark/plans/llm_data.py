@@ -707,6 +707,88 @@ _register_pair("embedding_similarity_join", _sql_sim_join, tables=("embeddings",
 
 
 # ---------------------------------------------------------------------------
+# knn_label_consistency — label-noise audit over the embedding corpus: for
+# each audited vector, the fraction of its k=10 cosine nearest neighbours
+# that share its label (kNN agreement), reported per label with the count
+# of suspect vectors (agreement < 0.5 — likely mislabeled or boundary
+# docs). The first pass a labeled training set gets before the labels are
+# trusted. Scale shape: the audit block is a bounded sample (vec_id < 100
+# here); at corpus scale the brute-force candidate join is replaced by the
+# IVF probe staging (_ivf_stage) exactly as ann_ivf_cosine does — the
+# per-vector agree count and the per-label aggregate are unchanged and
+# map-side. Exactness: agree is an integer in [0,10] per vector, so the
+# per-label mean is a ratio of exact integer sums (no float-order drift).
+def _sql_knn_label_consistency(E):
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+      SELECT q.vec_id, q.label AS q_label, c.label AS n_label,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rn
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    agree AS (
+      SELECT vec_id, q_label,
+             SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_agree
+      FROM scored WHERE rn <= 10
+      GROUP BY vec_id, q_label
+    )
+    SELECT CAST(q_label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(n_agree) AS DOUBLE) / (10.0e0 * COUNT(*)), 6)
+               AS mean_agreement,
+           CAST(SUM(CASE WHEN n_agree * 2 < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suspect
+    FROM agree
+    GROUP BY q_label
+    """
+
+
+_register_pair("knn_label_consistency", _sql_knn_label_consistency, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# sample_hard_negatives — hard-negative mining for contrastive/retrieval
+# training: for each anchor vector, the k=5 most cosine-similar vectors
+# with a DIFFERENT label (the negatives that actually move the loss; random
+# negatives are trivially separable). Scale shape: identical dataflow to
+# ann_cosine_topk with the label-inequality pushed into the candidate join
+# — at corpus scale the candidates come from the LSH/IVF bucket stagings
+# and the label filter rides the same join, so mining cost equals ANN
+# lookup cost. Top-k per anchor is a bounded window over the candidate
+# set with the (cosine DESC, vec_id) tie-break.
+def _sql_hard_negatives(E):
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS query_label, embedding
+      FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+      SELECT q.query_id, q.query_label, c.vec_id AS neg_id,
+             c.label AS neg_label, ROUND({cos}, 6) AS cosine
+      FROM q JOIN embeddings c ON c.label <> q.query_label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, neg_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neg_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           neg_id, CAST(neg_label AS INT) AS neg_label, cosine,
+           CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 5
+    """
+
+
+_register_pair("sample_hard_negatives", _sql_hard_negatives, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
 # multimodal_decode_stub — binary columns + typed metadata through real
 # mapInPandas plumbing; the decode itself is a deterministic stub (no
 # image/audio libs in this container — see SURVEY §2.C).
@@ -919,6 +1001,93 @@ def _sql_dedup_embedding(E):
 
 
 _register_pair("dedup_embedding_cosine", _sql_dedup_embedding, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# embedding_dedup_threshold_sweep — the threshold-tuning table a dedup
+# rollout decides from: for each candidate cosine cutoff, how many pairs
+# (and what fraction of the corpus) a semantic dedup at that threshold
+# would remove. One pass over the SAME LSH-candidate + verify dataflow as
+# dedup_embedding_cosine; the sweep itself is a 4-key aggregate (pairs ×
+# thresholds cross join against a 4-row literal relation).
+def _sql_embed_threshold_sweep(E):
+    lits = "0.3e0, 0.5e0, 0.7e0, 0.9e0"
+    arr = f"array({lits})" if E is _Spark else f"[{lits}]"
+    return f"""
+    WITH pairs AS ({_sql_dedup_embedding(E)}),
+    n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    ths AS (SELECT {E.explode(arr, 'threshold')})
+    SELECT t.threshold,
+           CAST(COUNT(p.dup_id) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.dup_id) AS BIGINT) AS n_docs_removed,
+           ROUND(CAST(COUNT(DISTINCT p.dup_id) AS DOUBLE) / MAX(n.n_vecs), 6)
+               AS removal_rate
+    FROM ths t
+    CROSS JOIN n
+    LEFT JOIN pairs p ON p.cosine >= t.threshold
+    GROUP BY t.threshold
+    """
+
+
+_register_pair(
+    "embedding_dedup_threshold_sweep", _sql_embed_threshold_sweep, tables=("embeddings",)
+)
+
+
+# ---------------------------------------------------------------------------
+# quality_signal_correlation — are the quality signals measuring the same
+# thing? Pearson correlation between per-doc token count, distinct-word
+# ratio, and mean word length — the redundancy check run before weighting
+# signals into a composite filter. Scale shape: one tokenize pass, then a
+# single global aggregate of exact DECIMAL(38) sums over 6dp fixed-point
+# signals (map-side partials, one reduce row); the correlations are pure
+# driver-free arithmetic on that row, so the whole query is one corpus
+# pass regardless of size. Floats only appear AFTER the exact sums
+# (decimal-SUM convention, docs/SCALE.md).
+def _sql_quality_corr(E):
+    words = E.splitws("lower(text)")
+    sum_word_len = E.list_sum_int(f"{E.TRANSFORM}(words, w -> CAST(length(w) AS BIGINT))")
+    dec = "DECIMAL(38, 0)"
+
+    def s(expr):  # exact sum of a BIGINT expression
+        return f"SUM(CAST({expr} AS {dec}))"
+
+    def corr(x, y):
+        cov = f"(CAST(n AS DOUBLE) * CAST(s_{x}{y} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        vx = f"(CAST(n AS DOUBLE) * CAST(s_{x}{x} AS DOUBLE) - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+        vy = f"(CAST(n AS DOUBLE) * CAST(s_{y}{y} AS DOUBLE) - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+        return (
+            f"CASE WHEN {vx} <= 0.0e0 OR {vy} <= 0.0e0 THEN NULL"
+            f" ELSE ROUND({cov} / sqrt({vx} * {vy}), 6) END"
+        )
+
+    return f"""
+    WITH feats AS (
+      SELECT CAST({E.SIZE}(words) AS BIGINT) AS x,
+             CAST(floor(CAST({E.SIZE}({E.ADISTINCT}(words)) AS DOUBLE)
+                  / greatest({E.SIZE}(words), 1) * 1000000.0e0) AS BIGINT) AS y,
+             CAST(floor(CAST({sum_word_len} AS DOUBLE)
+                  / greatest({E.SIZE}(words), 1) * 1000000.0e0) AS BIGINT) AS z
+      FROM (SELECT {words} AS words FROM documents WHERE text IS NOT NULL) toks
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {s('x')} AS s_x, {s('y')} AS s_y, {s('z')} AS s_z,
+             {s('x * x')} AS s_xx, {s('y * y')} AS s_yy, {s('z * z')} AS s_zz,
+             {s('x * y')} AS s_xy, {s('x * z')} AS s_xz, {s('y * z')} AS s_yz
+      FROM feats
+    )
+    SELECT 'n_tokens' AS signal_a, 'distinct_ratio' AS signal_b, n AS n_docs,
+           {corr('x', 'y')} AS pearson_r
+    FROM sums
+    UNION ALL
+    SELECT 'n_tokens', 'mean_word_len', n, {corr('x', 'z')} FROM sums
+    UNION ALL
+    SELECT 'distinct_ratio', 'mean_word_len', n, {corr('y', 'z')} FROM sums
+    """
+
+
+_register_pair("quality_signal_correlation", _sql_quality_corr)
 
 
 # ---------------------------------------------------------------------------
