@@ -56,6 +56,10 @@ _VERIFY_FIRST = [
     "quality_signal_correlation",
     "knn_label_consistency",
     "sample_hard_negatives",
+    "dedup_cluster_size_histogram",
+    "bpe_vocab_coverage",
+    "pack_bin_efficiency",
+    "corpus_clean_funnel",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

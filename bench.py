@@ -77,6 +77,16 @@ HEADLINE = [
     "multimodal_decode_real",
     "ann_matryoshka_recall",
     "dedup_rate_by_source",
+    # round-4 continuation: label-aware embedding audits, dedup tuning /
+    # reporting tables, and packing-efficiency readout. corpus_clean_funnel
+    # runs after corpus_clean_pipeline (same stagings — its number is the
+    # incremental funnel aggregate).
+    "knn_label_consistency",
+    "sample_hard_negatives",
+    "quality_signal_correlation",
+    "dedup_cluster_size_histogram",
+    "pack_bin_efficiency",
+    "corpus_clean_funnel",
 ]
 
 

@@ -80,6 +80,10 @@ QUERIES = [
     "quality_signal_correlation",
     "knn_label_consistency",
     "sample_hard_negatives",
+    "dedup_cluster_size_histogram",
+    "bpe_vocab_coverage",
+    "pack_bin_efficiency",
+    "corpus_clean_funnel",
 ]
 
 

@@ -495,6 +495,26 @@ def _persist_view(spark: SparkSession, sf_dir: str, prefix: str, df: DataFrame) 
     return view
 
 
+def _checkpoint_view(spark: SparkSession, sf_dir: str, prefix: str, df: DataFrame) -> str:
+    """_persist_view for DEEP iterative chains (the BPE merge levels):
+    plain persist relies on Spark 4.1's best-effort cache matching when
+    the plan is re-resolved through nested temp views, and for a K-level
+    chain that matching MISSES — every consumer replays the whole
+    ancestor tree, growing ~4.5x per level (measured at sf0.1: best6
+    4.2 s, COUNT(*) over the 31-row final vocabulary 18 s, and the
+    vocabulary consumers 45-50 s per query). localCheckpoint(eager=True)
+    materializes the partitions and REPLACES the logical plan with the
+    computed RDD, so each level and every downstream consumer starts
+    from rows, not lineage. Cluster note: localCheckpoint trades
+    fault-tolerance of the staging for this truncation (an executor loss
+    recomputes nothing — the stage must be re-run), the same trade
+    Spark's own iterative MLlib jobs make; these frames are
+    vocabulary-scale, far below corpus scale."""
+    view = f"{prefix}_{_dataset_suffix(sf_dir)}"
+    df.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return view
+
+
 def _minhash_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     """Minhash staging shared across the consumers (dedup_minhash_lsh /
     dedup_clusters / dedup_keep_best / corpus_clean_pipeline /
@@ -1303,6 +1323,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_clusters"] = dedup_clusters
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_histogram — the shape of the duplication: how many
+# duplicate clusters exist at each size, and how many documents they
+# absorb. Large clusters are template spam / boilerplate mills and decide
+# whether keep-one dedup is enough or a pattern filter is needed first.
+# Scale shape: rides the SAME persisted members staging as dedup_clusters
+# (no extra corpus pass); both aggregates are on uniform small keys.
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = _minhash_members(spark, sf_dir)
+    sizes = members.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def _sql_cluster_histogram_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM members GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """
+
+
+QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
+ORACLE["dedup_cluster_size_histogram"] = _sql_cluster_histogram_duck()
 ORACLE["dedup_clusters"] = _sql_dedup_clusters_duck()
 
 
@@ -2287,6 +2352,33 @@ _register_pair("pack_sequences", _sql_pack_sequences)
 
 
 # ---------------------------------------------------------------------------
+# pack_bin_efficiency — what the packing actually wastes: per shard, the
+# sequence count, token fill rate against the 128-token capacity (the
+# padding the trainer pays is 1 - fill_rate), and how many chunks were
+# split across a sequence boundary (attention-mask fragmentation). The
+# readout that tunes chunk size vs sequence capacity. Scale shape: one
+# aggregate over the pack_sequences dataflow keyed by the 8 shards —
+# map-side partials, constant-size result at any corpus size.
+def _sql_pack_bin_efficiency(E):
+    return f"""
+    WITH packed AS ({_sql_pack_sequences(E)})
+    SELECT shard,
+           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+                 / ({_PACK_CAP}.0e0 * COUNT(DISTINCT seq_id)), 6) AS fill_rate,
+           CAST(SUM(CASE WHEN offset_in_seq + n_tokens > {_PACK_CAP}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_chunks
+    FROM packed
+    GROUP BY shard
+    """
+
+
+_register_pair("pack_bin_efficiency", _sql_pack_bin_efficiency)
+
+
+# ---------------------------------------------------------------------------
 # corpus_mix_report — domain-mixing report: per (lang, source) doc/token
 # counts, corpus fraction, and the deterministic resampling weight that
 # would flatten the mix to uniform across observed groups. The planning
@@ -2404,6 +2496,51 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["corpus_clean_pipeline"] = corpus_clean_pipeline
 ORACLE["corpus_clean_pipeline"] = _sql_corpus_clean(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# corpus_clean_funnel — the one-page survival summary of the composed
+# cleaning pipeline: per rule (in application order) how many documents
+# it removed, how many remain after it, and the removal rate. Because
+# corpus_clean_pipeline assigns each doc its FIRST failing rule, the
+# funnel is exact sequential attrition, not overlapping rule counts.
+# Scale shape: one constant-size aggregate over the per-doc decisions
+# (which the Spark runner reads from the same shared stagings — the
+# funnel adds no corpus pass beyond the pipeline it summarizes).
+_FUNNEL_SQL = """
+    WITH decisions AS ({src}),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM decisions),
+    counts AS (
+      SELECT decision, CAST(COUNT(*) AS BIGINT) AS n
+      FROM decisions GROUP BY decision
+    ),
+    stages AS (
+      SELECT 'exact_dup' AS stage, 1 AS ord
+      UNION ALL SELECT 'near_dup', 2
+      UNION ALL SELECT 'quality', 3
+      UNION ALL SELECT 'boilerplate', 4
+      UNION ALL SELECT 'contaminated', 5
+    )
+    SELECT s.stage, CAST(s.ord AS INT) AS stage_ord,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed,
+           CAST(t.n_total - SUM(COALESCE(c.n, 0)) OVER (ORDER BY s.ord)
+                AS BIGINT) AS n_remaining,
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_total, 6) AS removal_rate
+    FROM stages s
+    LEFT JOIN counts c ON s.stage = c.decision
+    CROSS JOIN tot t
+"""
+
+
+def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decisions = corpus_clean_pipeline(spark, sf_dir)
+    view = f"cc_decisions_{_dataset_suffix(sf_dir)}"
+    decisions.createOrReplaceTempView(view)
+    return spark.sql(_FUNNEL_SQL.format(src=f"SELECT * FROM {view}"))
+
+
+QUERIES["corpus_clean_funnel"] = corpus_clean_funnel
+ORACLE["corpus_clean_funnel"] = _FUNNEL_SQL.format(src=_sql_corpus_clean(_Duck))
 
 
 # ---------------------------------------------------------------------------
@@ -3770,19 +3907,19 @@ def _bpe_stage(spark: SparkSession, sf_dir: str) -> tuple[list, str]:
     key = ("bpe", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
-        words_view = _persist_view(
+        words_view = _checkpoint_view(
             spark, sf_dir, "bpe_words0", spark.sql(_bpe_words0(_Spark, doc_view))
         )
         best_views = []
         for k in range(1, _BPE_MERGES + 1):
-            best_view = _persist_view(
+            best_view = _checkpoint_view(
                 spark,
                 sf_dir,
                 f"bpe_best{k}",
                 spark.sql(_bpe_best(_Spark, f"({_bpe_pairs(_Spark, words_view)})")),
             )
             best_views.append(best_view)
-            words_view = _persist_view(
+            words_view = _checkpoint_view(
                 spark,
                 sf_dir,
                 f"bpe_words{k}",
@@ -3845,6 +3982,54 @@ def tokenize_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tokenize_bpe_apply"] = tokenize_bpe_apply
 ORACLE["tokenize_bpe_apply"] = _sql_bpe_apply(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_coverage — what the trained vocabulary actually buys: for the
+# top symbols (characters + merged units) of the post-merge vocabulary,
+# the number of distinct word types containing them, the corpus-weighted
+# occurrence count, and each symbol's share of all corpus BPE tokens.
+# The readout that decides whether the merge budget was spent on real
+# coverage or corpus-specific boilerplate. Scale: the explode runs over
+# the VOCABULARY (distinct words — vastly smaller than the corpus at any
+# scale; the corpus pass is the word census already staged by
+# tokenize_bpe_train), and the share denominator is one scalar aggregate.
+def _bpe_coverage_select(E, vocab):
+    return f"""
+    SELECT symbol,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types,
+           CAST(SUM(freq) AS BIGINT) AS weighted_count,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / MAX(tot.total), 6) AS token_share
+    FROM (SELECT {E.explode(E.splitws('s'), 'symbol')}, word, freq FROM {vocab}) sym
+    CROSS JOIN (
+      SELECT CAST(SUM(freq * {E.SIZE}({E.splitws('s')})) AS DOUBLE) AS total FROM {vocab}
+    ) tot
+    GROUP BY symbol
+    ORDER BY weighted_count DESC, symbol
+    LIMIT 30
+    """
+
+
+def bpe_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bests, vocab_view = _bpe_stage(spark, sf_dir)
+    return spark.sql(_bpe_coverage_select(_Spark, vocab_view))
+
+
+def _sql_bpe_coverage(E, src="documents"):
+    parts = [f"words0 AS ({_bpe_words0(E, src)})"]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
+        parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
+        parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {_bpe_coverage_select(E, f'words{_BPE_MERGES}')}
+    """
+
+
+QUERIES["bpe_vocab_coverage"] = bpe_vocab_coverage
+ORACLE["bpe_vocab_coverage"] = _sql_bpe_coverage(_Duck)
 
 
 # ---------------------------------------------------------------------------

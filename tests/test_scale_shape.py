@@ -233,3 +233,45 @@ def test_pq_scoring_joins_are_broadcast(spark, sf_dir):
     plan = _plan(plans.QUERIES["ann_pq_cosine"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_audit_candidates_broadcast_the_query_block(spark, sf_dir):
+    # the bounded audit block (vec_id < 100) is the small side of the
+    # inequality candidate join: it must broadcast (NLJ over a tiny
+    # block), never a partitioned cartesian of the corpus with itself
+    for name in ("knn_label_consistency", "sample_hard_negatives"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_cluster_histogram_reads_staged_members(spark, sf_dir):
+    # the histogram must ride the SAME persisted CC members frame as
+    # dedup_clusters — no second pair-graph propagation
+    plans.QUERIES["dedup_clusters"](spark, sf_dir).count()
+    plan = _plan(plans.QUERIES["dedup_cluster_size_histogram"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "histogram lost the members staging"
+
+
+def test_bpe_chain_is_lineage_truncated(spark, sf_dir):
+    # each merge level is localCheckpoint'ed: consumers of the final
+    # vocabulary must plan over the materialized RDD, not replay the
+    # 6-level chain (which Spark 4.1's view-cache matching misses —
+    # measured 45+ s per consumer at sf0.1; docs/SCALE.md round 4)
+    plan = _plan(plans.QUERIES["bpe_vocab_coverage"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "vocabulary consumer replays the merge chain"
+    assert "FileScan" not in plan, "vocabulary consumer re-reads the corpus"
+
+
+def test_pack_bin_efficiency_partial_agg(spark, sf_dir):
+    plan = _plan(plans.QUERIES["pack_bin_efficiency"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_clean_funnel_is_constant_size_aggregate(spark, sf_dir):
+    # the funnel's stage relation is a 5-row literal union: its join to
+    # the decision counts must broadcast
+    plan = _plan(plans.QUERIES["corpus_clean_funnel"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
