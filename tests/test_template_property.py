@@ -50,6 +50,12 @@ def _corpus(draw):
     )
 
 
+def _sql_clean_funnel(E):
+    """Inline both sides of corpus_clean_funnel (the registered Spark
+    runner feeds staged views; the template composition is identical)."""
+    return L._FUNNEL_SQL.format(src=L._sql_corpus_clean(E))
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -67,6 +73,11 @@ _TEMPLATES = [
     L._sql_repetition_signals,
     L._sql_line_dedup,
     L._sql_simhash,
+    L._sql_quality_corr,
+    L._sql_pack_sequences,
+    L._sql_pack_bin_efficiency,
+    L._sql_bpe_coverage,
+    _sql_clean_funnel,
 ]
 
 
@@ -159,6 +170,9 @@ _EMB_TEMPLATES = [
     L._sql_ann_brute,
     L._sql_ann_pq,
     L._sql_ann_ivfpq,
+    L._sql_knn_label_consistency,
+    L._sql_hard_negatives,
+    L._sql_embed_threshold_sweep,
 ]
 
 
