@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "bpe_vocab_coverage",
     "pack_bin_efficiency",
     "corpus_clean_funnel",
+    "stream_hourly_anomaly",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -2468,7 +2468,44 @@ def _fps_stage(spark: SparkSession, sf_dir: str) -> str:
             f"SELECT doc_id, source, md5({_Spark.collapse_ws('lower(text)')}) AS fp"
             f" FROM {doc_view}"
         )
-        _MINHASH_STAGE_CACHE[key] = _persist_view(spark, sf_dir, "cc_fps", spark.sql(sql))
+        # checkpoint, not persist: every consumer references fps TWICE
+        # (keeper census + back-join) and Spark 4.1's view-cache matching
+        # misses the second reference, re-tokenizing documents per query
+        # (measured ~1.0 s per consumer at sf0.1; ~0.1 s checkpointed)
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "cc_fps", spark.sql(sql))
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _clean_decisions_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, decision) frame — the table a corpus build
+    MATERIALIZES and acts on. Shared by corpus_clean_pipeline and
+    corpus_clean_funnel so the funnel is a report over the decisions
+    table, not a second run of the whole assembly (measured 2.7 s vs
+    ~0.1 s at sf0.1). Lineage-truncated rather than persisted, for two
+    measured reasons: the temp-view route missed Spark 4.1's
+    best-effort cache matching (funnel replayed the assembly), and the
+    direct double DataFrame reference (funnel counts + total) trips
+    PushdownPredicatesAndPruneColumnsForCTEDef on a missing CTE id in
+    the assembly plan's CTE definitions — localCheckpoint replaces the
+    plan with the computed rows, which is exactly what the production
+    pipeline's written decisions table is."""
+    key = ("clean_decisions", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        pairs = _minhash_pairs(spark, sf_dir)
+        view = f"cc_near_pairs_{_dataset_suffix(sf_dir)}"
+        pairs.createOrReplaceTempView(view)
+        dfs = load_tables(spark, sf_dir, ("documents",))
+        _repartition_views(spark, dfs)
+        df = spark.sql(
+            _sql_corpus_clean(
+                _Spark,
+                near_pairs_src=view,
+                segs_src=_line_dedup_stage(spark, sf_dir),
+                sh_src=_decon_stage(spark, sf_dir),
+                fps_src=_fps_stage(spark, sf_dir),
+            )
+        )
+        _MINHASH_STAGE_CACHE[key] = df.localCheckpoint(eager=True)
     return _MINHASH_STAGE_CACHE[key]
 
 
@@ -2478,20 +2515,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the exact-dup fingerprints — the standalone queries for those
     rules hit the SAME stagings, so the composed pipeline re-pays none of
     them."""
-    pairs = _minhash_pairs(spark, sf_dir)
-    view = f"cc_near_pairs_{_dataset_suffix(sf_dir)}"
-    pairs.createOrReplaceTempView(view)
-    dfs = load_tables(spark, sf_dir, ("documents",))
-    _repartition_views(spark, dfs)
-    return spark.sql(
-        _sql_corpus_clean(
-            _Spark,
-            near_pairs_src=view,
-            segs_src=_line_dedup_stage(spark, sf_dir),
-            sh_src=_decon_stage(spark, sf_dir),
-            fps_src=_fps_stage(spark, sf_dir),
-        )
-    )
+    return _clean_decisions_stage(spark, sf_dir)
 
 
 QUERIES["corpus_clean_pipeline"] = corpus_clean_pipeline
@@ -2525,7 +2549,8 @@ _FUNNEL_SQL = """
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed,
            CAST(t.n_total - SUM(COALESCE(c.n, 0)) OVER (ORDER BY s.ord)
                 AS BIGINT) AS n_remaining,
-           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.n_total, 6) AS removal_rate
+           ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / greatest(t.n_total, 1), 6)
+               AS removal_rate
     FROM stages s
     LEFT JOIN counts c ON s.stage = c.decision
     CROSS JOIN tot t
@@ -2533,10 +2558,41 @@ _FUNNEL_SQL = """
 
 
 def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    decisions = corpus_clean_pipeline(spark, sf_dir)
-    view = f"cc_decisions_{_dataset_suffix(sf_dir)}"
-    decisions.createOrReplaceTempView(view)
-    return spark.sql(_FUNNEL_SQL.format(src=f"SELECT * FROM {view}"))
+    """DataFrame ops over the persisted decisions frame — routing the
+    doubly-referenced staging through a temp view made Spark 4.1's
+    best-effort cache matching miss and replay the whole assembly per
+    reference (measured 2.9 s vs ~0.1 s at sf0.1; same failure class as
+    the BPE chain, docs/SCALE.md round 4). Direct object references hit
+    the InMemoryRelation unconditionally."""
+    from pyspark.sql import Window
+
+    decisions = _clean_decisions_stage(spark, sf_dir)
+    stages = spark.createDataFrame(
+        [("exact_dup", 1), ("near_dup", 2), ("quality", 3),
+         ("boilerplate", 4), ("contaminated", 5)],
+        "stage string, ord int",
+    )
+    counts = decisions.groupBy("decision").agg(F.count("*").alias("n"))
+    tot = decisions.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    removed = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        stages.join(F.broadcast(counts), stages.stage == counts.decision, "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "stage",
+            F.col("ord").cast("int").alias("stage_ord"),
+            removed.cast("bigint").alias("n_removed"),
+            (F.col("n_total") - F.sum(removed).over(w)).cast("bigint").alias("n_remaining"),
+            # greatest-guard: an all-NULL-text corpus has an EMPTY decisions
+            # table (NULL fingerprints never join the keeper census) and
+            # Spark's ANSI divide errors on n_total = 0 — found by the
+            # random-corpus property harness, not the fixed testdata
+            F.round(removed.cast("double") / F.greatest(F.col("n_total"), F.lit(1)), 6).alias(
+                "removal_rate"
+            ),
+        )
+    )
 
 
 QUERIES["corpus_clean_funnel"] = corpus_clean_funnel

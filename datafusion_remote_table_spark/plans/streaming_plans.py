@@ -11,6 +11,7 @@ from ..streaming import (
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,
+    stream_hourly_anomaly,
     stream_join_enrich,
     stream_join_remote_dim,
     stream_near_dedup,
@@ -194,4 +195,34 @@ ORACLE["stream_trending_topk"] = """
     )
     SELECT window_start, event_type, n_events, rank
     FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES["stream_hourly_anomaly"] = stream_hourly_anomaly
+# Streaming hourly rollup converges to the batch hourly counts; the
+# z-score layer is the identical exact-sufficient-statistics aggregate in
+# both engines (same spelling as the batch events_hourly_anomaly oracle,
+# with hour_ts formatted by the streaming leg).
+ORACLE["stream_hourly_anomaly"] = """
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             COUNT(*) AS c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_ts,
+           CAST(h.c AS BIGINT) AS n_events,
+           ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ORDER BY abs(ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4)) DESC,
+             h.event_type, h.hour_ts
+    LIMIT 20
 """

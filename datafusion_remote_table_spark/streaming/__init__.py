@@ -2,6 +2,7 @@ from .events import (  # noqa: F401
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,
+    stream_hourly_anomaly,
     stream_join_enrich,
     stream_join_remote_dim,
     stream_near_dedup,

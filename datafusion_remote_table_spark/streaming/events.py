@@ -439,3 +439,53 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "event_type", "n_events", "rank")
     )
+
+
+def stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming burst/outage detector: the streaming job maintains the
+    hourly per-type counts (watermark-bounded state — the same windowed
+    leg as stream_trending_topk), and the z-score layer runs as a batch
+    aggregate over the converged complete-mode table, exactly the
+    batch/serving split a monitoring pipeline deploys (the alert layer
+    reads the maintained rollup, not the firehose). Mean/std per type
+    come from exact integer sufficient statistics (SUM(c), SUM(c*c) as
+    DECIMAL) so there is no float-order drift; converges to
+    events_hourly_anomaly's batch answer on bounded input, which is the
+    oracle. Scale: streaming state is O(active windows x event types);
+    the anomaly layer's input is the rollup, not the stream."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+            "c",
+        )
+    )
+    bounded = _run_bounded(agg, "stream_hourly_anomaly")
+    bounded.createOrReplaceTempView("stream_hourly_anomaly_counts")
+    # identical spelling to the batch events_hourly_anomaly z-score layer
+    # (plans/relational.py) over the stream-maintained rollup
+    return spark.sql("""
+    WITH hourly AS (
+      SELECT event_type, hour_ts, c FROM stream_hourly_anomaly_counts
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS nh,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_ts,
+           CAST(h.c AS BIGINT) AS n_events,
+           ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    ORDER BY abs(ROUND((CAST(h.c AS DOUBLE) - s1 / nh)
+                 / sqrt(greatest(s2 / nh - (s1 / nh) * (s1 / nh), 0.000001e0)), 4)) DESC,
+             h.event_type, h.hour_ts
+    LIMIT 20
+    """)

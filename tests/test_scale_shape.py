@@ -101,7 +101,10 @@ def test_minhash_staging_survives_view_replacement(spark, sf_dir):
     _minhash_pairs(spark, sf_dir).count()  # build + persist the staging
     # simulate an unrelated query re-registering the shared view
     plans.QUERIES["text_quality_score"](spark, sf_dir).count()
-    plan = _plan(plans.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
+    # probe through dedup_rate_by_source: it reads the pairs staging via a
+    # view (corpus_clean_pipeline now returns the lineage-truncated
+    # decisions frame, whose plan is an RDD scan that hides its inputs)
+    plan = _plan(plans.QUERIES["dedup_rate_by_source"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, "minhash staging lost its cache"
 
 
