@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     "pack_bin_efficiency",
     "corpus_clean_funnel",
     "stream_hourly_anomaly",
+    "minhash_band_scurve",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

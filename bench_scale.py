@@ -84,6 +84,7 @@ QUERIES = [
     "bpe_vocab_coverage",
     "pack_bin_efficiency",
     "corpus_clean_funnel",
+    "minhash_band_scurve",
 ]
 
 

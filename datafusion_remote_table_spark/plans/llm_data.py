@@ -383,7 +383,14 @@ def _minhash_shingles(E, src="documents"):
         shingle_strs = shingle_strs.replace("array_join", "array_to_string")
     h = E.hex2int("substring(md5(s), 1, 15)")
     hashed = f"{E.TRANSFORM}({shingle_strs}, s -> {h})"
-    return f"SELECT doc_id, {E.ADISTINCT}({hashed}) AS shingles FROM {src}"
+    # NULL-text docs produce [NULL] hashes, and the engines DISAGREE on
+    # distinct-ing them: Spark's array_distinct keeps one NULL, DuckDB's
+    # list_distinct drops them — so two NULL docs had jaccard 1.0 in
+    # Spark and 0.0 in DuckDB (found by the random-corpus property
+    # harness via the band S-curve). Filter NULLs first: a NULL doc has
+    # the EMPTY shingle set in both engines.
+    non_null = f"{E.FILTER}({hashed}, h -> h IS NOT NULL)"
+    return f"SELECT doc_id, {E.ADISTINCT}({non_null}) AS shingles FROM {src}"
 
 
 def _minhash_sigs(E, src):
@@ -2748,6 +2755,87 @@ def minhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["minhash_accuracy_eval"] = minhash_accuracy_eval
 ORACLE["minhash_accuracy_eval"] = _sql_minhash_accuracy(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_scurve — the empirical S-curve that justifies the (bands,
+# rows) choice: over a bounded ground-truth block (all pairs of the first
+# 50 docs, exact shingle jaccard), the fraction of pairs in each jaccard
+# decile that at least one band matches, for the candidate configs
+# (16x2, 8x4, 4x8) carved from the SAME 32-permutation signatures. The
+# table a dedup rollout reads to pick its recall/candidate-volume
+# trade-off. Scale: the block is bounded (the corpus-scale path samples
+# pairs); per-pair band checks are array math over already-staged
+# signatures; the readout is a (config x decile)-key aggregate.
+_SCURVE_CONFIGS = ((16, 2), (8, 4), (4, 8))
+
+
+def _sql_band_scurve(E, sh_src=None, sig_src=None, pairs_src=None):
+    sh = sh_src or f"({_minhash_shingles(E)})"
+    sig = sig_src or f"({_minhash_sigs(E, sh)})"
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+    union = f"({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter})"
+    jacc = f"(CAST({inter} AS DOUBLE) / greatest({union}, 1))"
+
+    def banded(b, r):
+        band_eq = E.list_sum_int(
+            f"{E.TRANSFORM}({E.seq(f'(k - 1) * {r} + 1', f'k * {r}')}, "
+            f"p -> CASE WHEN {E.idx('pa.sigs', 'p')} = {E.idx('pb.sigs', 'p')} "
+            f"THEN 1 ELSE 0 END)"
+        )
+        hits = E.list_sum_int(
+            f"{E.TRANSFORM}({E.seq(1, b)}, k -> CASE WHEN {band_eq} = {r} THEN 1 ELSE 0 END)"
+        )
+        return f"CASE WHEN {hits} > 0 THEN 1 ELSE 0 END"
+
+    legs = " UNION ALL ".join(
+        f"SELECT 'b{b}r{r}' AS config, jbin, banded_{b}_{r} AS banded FROM graded"
+        for b, r in _SCURVE_CONFIGS
+    )
+    banded_cols = ",\n             ".join(
+        f"{banded(b, r)} AS banded_{b}_{r}" for b, r in _SCURVE_CONFIGS
+    )
+    return f"""
+    WITH block AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             CAST(floor({jacc} * 10) AS INT) AS jbin
+      FROM {sh} sa JOIN {sh} sb ON sa.doc_id < sb.doc_id
+      WHERE sa.doc_id < 50 AND sb.doc_id < 50
+      UNION ALL
+      -- the high-jaccard end of the curve: the verified near-dup pairs
+      -- (exact jaccard >= 0.8), excluding any already in the block
+      SELECT v.doc_a, v.doc_b, CAST(floor(v.jaccard * 10) AS INT) AS jbin
+      FROM {pairs} v
+      WHERE NOT (v.doc_a < 50 AND v.doc_b < 50)
+    ),
+    graded AS (
+      SELECT b.jbin,
+             {banded_cols}
+      FROM block b
+      JOIN {sig} pa ON b.doc_a = pa.doc_id
+      JOIN {sig} pb ON b.doc_b = pb.doc_id
+    ),
+    long AS ({legs})
+    SELECT config, jbin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(banded) AS BIGINT) AS n_banded,
+           ROUND(CAST(SUM(banded) AS DOUBLE) / COUNT(*), 6) AS hit_rate
+    FROM long
+    GROUP BY config, jbin
+    """
+
+
+def minhash_band_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, sig, _bands = _minhash_stage(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"mh_scurve_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(_sql_band_scurve(_Spark, sh_src=sh, sig_src=sig, pairs_src=view))
+
+
+QUERIES["minhash_band_scurve"] = minhash_band_scurve
+ORACLE["minhash_band_scurve"] = _sql_band_scurve(_Duck)
 
 
 # ---------------------------------------------------------------------------

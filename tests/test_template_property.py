@@ -78,6 +78,7 @@ _TEMPLATES = [
     L._sql_pack_bin_efficiency,
     L._sql_bpe_coverage,
     _sql_clean_funnel,
+    L._sql_band_scurve,
 ]
 
 
