@@ -62,6 +62,7 @@ _VERIFY_FIRST = [
     "corpus_clean_funnel",
     "stream_hourly_anomaly",
     "minhash_band_scurve",
+    "ann_recall_vs_probes",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

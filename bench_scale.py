@@ -85,6 +85,7 @@ QUERIES = [
     "pack_bin_efficiency",
     "corpus_clean_funnel",
     "minhash_band_scurve",
+    "ann_recall_vs_probes",
 ]
 
 

@@ -1204,6 +1204,73 @@ ORACLE["ann_ivf_cosine"] = _sql_ann_ivf(_Duck)
 
 
 # ---------------------------------------------------------------------------
+# ann_recall_vs_probes — the IVF tuning curve: recall@10 against exact
+# ground truth for nprobe in {1,2,4,8}, over a bounded query block and
+# the SAME staged inverted lists the serving path probes. The table that
+# prices recall against candidate volume when sizing nprobe. Scale: the
+# ground truth is the bounded-block exact ranking (the documented-
+# quadratic oracle pattern of ann_recall_eval); the approx legs share
+# one candidate join whose size grows with nprobe/nlist, never with
+# corpus size times configs.
+def _sql_recall_vs_probes(E, lists=None):
+    lists = lists or f"({_sql_ivf_lists(E)})"
+    dot_qc = E.dot("q.embedding", "c.cent")
+    cos_t = E.dot("q.embedding", "v.embedding")
+    cos_a = E.dot("qr.embedding", "v.embedding")
+    arr = "array(1, 2, 4, 8)" if E is _Spark else "[1, 2, 4, 8]"
+    return f"""
+    WITH cents AS ({_IVF_CENTS}),
+    q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+    probes AS (SELECT {E.explode(arr, 'nprobe')}),
+    qrank AS (
+      SELECT q.query_id, q.embedding, c.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND({dot_qc}, 6) DESC, c.cent_id) AS prn
+      FROM q CROSS JOIN cents c
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY ROUND({cos_t}, 6) DESC, v.vec_id) AS rn
+        FROM q JOIN embeddings v ON v.vec_id <> q.query_id
+      ) t WHERE rn <= 10
+    ),
+    approx AS (
+      SELECT nprobe, query_id, vec_id FROM (
+        SELECT p.nprobe, qr.query_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.nprobe, qr.query_id
+                                  ORDER BY ROUND({cos_a}, 6) DESC, v.vec_id) AS rn
+        FROM probes p
+        JOIN qrank qr ON qr.prn <= p.nprobe
+        JOIN {lists} v ON v.cent_id = qr.cent_id AND v.vec_id <> qr.query_id
+      ) s WHERE rn <= 10
+    )
+    SELECT a.nprobe, n.n_queries,
+           CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (10.0e0 * greatest(n.n_queries, 1)), 6) AS recall_at_10
+    FROM approx a
+    LEFT JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    CROSS JOIN nq n
+    GROUP BY a.nprobe, n.n_queries
+    """
+
+
+def ann_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_view, lists_view = _ivf_stage(spark, sf_dir)
+    return spark.sql(
+        _sql_recall_vs_probes(_Spark, lists=lists_view).replace("embeddings", emb_view)
+    )
+
+
+QUERIES["ann_recall_vs_probes"] = ann_recall_vs_probes
+ORACLE["ann_recall_vs_probes"] = _sql_recall_vs_probes(_Duck)
+
+
+# ---------------------------------------------------------------------------
 # text_top_ngrams — corpus-level bigram frequencies (explode → count →
 # top-k): the classic corpus-stats shape; shuffle keys are the ngrams
 # themselves (zipf-skewed — exactly what AQE skew handling is for).

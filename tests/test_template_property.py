@@ -174,6 +174,7 @@ _EMB_TEMPLATES = [
     L._sql_knn_label_consistency,
     L._sql_hard_negatives,
     L._sql_embed_threshold_sweep,
+    L._sql_recall_vs_probes,
 ]
 
 
