@@ -63,6 +63,7 @@ _VERIFY_FIRST = [
     "stream_hourly_anomaly",
     "minhash_band_scurve",
     "ann_recall_vs_probes",
+    "stream_corpus_mix_monitor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

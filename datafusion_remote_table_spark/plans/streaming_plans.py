@@ -8,6 +8,7 @@ property, so they get full DuckDB oracles, not just rows-only checks.
 from __future__ import annotations
 
 from ..streaming import (
+    stream_corpus_mix_monitor,
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,
@@ -226,3 +227,12 @@ ORACLE["stream_hourly_anomaly"] = """
              h.event_type, h.hour_ts
     LIMIT 20
 """
+
+
+from .llm_data import _sql_corpus_mix as _mix  # noqa: E402
+
+QUERIES["stream_corpus_mix_monitor"] = stream_corpus_mix_monitor
+# Streaming per-(lang, source) census converges to the batch census on
+# bounded input; the fraction/weight layer is the identical arithmetic in
+# both engines, so the batch corpus_mix_report oracle is the oracle.
+ORACLE["stream_corpus_mix_monitor"] = _mix(_D)

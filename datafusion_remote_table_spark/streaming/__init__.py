@@ -1,4 +1,5 @@
 from .events import (  # noqa: F401
+    stream_corpus_mix_monitor,
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,

@@ -489,3 +489,41 @@ def stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              h.event_type, h.hour_ts
     LIMIT 20
     """)
+
+
+def stream_corpus_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-mix monitor: the stream maintains per
+    (lang, source) doc/token counts as the crawl arrives (stateless
+    per-doc tokenize + one keyed agg), and the mix layer — corpus
+    fraction and the uniform-flattening resample weight, the same
+    readout as the batch corpus_mix_report — runs batch over the
+    converged complete-mode table. The live version of the mixing
+    dashboard a corpus build watches during ingest. On bounded input the
+    maintained counts equal the batch census, so corpus_mix_report's
+    oracle is the oracle. Scale: streaming state is O(langs x sources);
+    the weight layer reads the rollup, not the stream."""
+    stream = _docs_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_tokens"),
+        )
+        .select(
+            "lang", "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    bounded = _run_bounded(agg, "stream_corpus_mix_monitor")
+    tot = bounded.agg(
+        F.sum("n_tokens").cast("bigint").alias("all_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return bounded.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias("token_frac"),
+        F.round(
+            (F.col("all_tokens").cast("double") / F.col("n_groups")) / F.col("n_tokens"), 6
+        ).alias("uniform_weight"),
+    )
