@@ -48,7 +48,97 @@ def wide_df(spark, n_rows: int):
     )
 
 
+def _start_postgres():
+    """Boot a throwaway PostgreSQL cluster (trust auth, private port) the
+    way tests/test_remote_postgres_live.py does; returns (options,
+    stop_fn) or None when server binaries are unavailable. This makes
+    the benchmark the LITERAL mirror of the reference's
+    benchmarks/src/bin/postgres.rs — same table, same batch shapes, a
+    real server on the other end of the wire."""
+    import shutil
+    import socket
+    import subprocess
+
+    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
+        return None
+
+    def run(cmd):
+        if os.geteuid() == 0:
+            return subprocess.run(
+                ["su", "postgres", "-c", f"cd / && {cmd}"], capture_output=True, text=True
+            )
+        return subprocess.run(["bash", "-c", cmd], capture_output=True, text=True)
+
+    work = tempfile.mkdtemp(prefix="dfrt_bench_pg_")
+    if os.geteuid() == 0:
+        try:
+            shutil.chown(work, user="postgres", group="postgres")
+        except (LookupError, PermissionError):
+            return None
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    data = os.path.join(work, "data")
+    if run(f"initdb -D {data} -U dfrt -A trust").returncode != 0:
+        return None
+    r = run(
+        f"pg_ctl -D {data} -o '-p {port} -c listen_addresses=127.0.0.1 -k {work}' "
+        f"-l {work}/pg.log -w start"
+    )
+    if r.returncode != 0:
+        return None
+    from datafusion_remote_table_spark.remote import pgwire
+    from datafusion_remote_table_spark.remote.options import PostgresConnectionOptions
+
+    conn = pgwire.connect("127.0.0.1", port, "dfrt", "", "postgres")
+    cur = conn.cursor()
+    # the reference benchmark's table (benchmarks/src/bin/postgres.rs
+    # create_table_sql), JSON column included
+    cur.execute(
+        "CREATE TABLE bench (int_col INT, float8_col FLOAT8, bytea_col BYTEA,"
+        " text_col TEXT, json_col JSON, timestamp_col TIMESTAMP)"
+    )
+    conn.commit()
+    conn.close()
+
+    def stop():
+        run(f"pg_ctl -D {data} -m immediate stop")
+        import shutil as _sh
+
+        _sh.rmtree(work, ignore_errors=True)
+
+    return (
+        PostgresConnectionOptions(host="127.0.0.1", port=port, username="dfrt", database="postgres"),
+        stop,
+    )
+
+
 def roundtrip(spark, backend: str, n_rows: int) -> dict:
+    if backend == "postgres":
+        started = _start_postgres()
+        if started is None:
+            return {"backend": "postgres", "skipped": "no server binaries"}
+        opts, stop = started
+        try:
+            t = RemoteTable(opts, ["bench"])
+            df = wide_df(spark, n_rows)
+            t0 = time.perf_counter()
+            t.insert(df, coalesce=False)  # server backend: parallel writers
+            insert_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scanned = t.read(spark).count()
+            scan_s = time.perf_counter() - t0
+            assert scanned == n_rows, (scanned, n_rows)
+            return {
+                "backend": backend,
+                "rows": n_rows,
+                "insert_sec": round(insert_s, 3),
+                "insert_rows_per_sec": round(n_rows / insert_s),
+                "scan_sec": round(scan_s, 3),
+                "scan_rows_per_sec": round(n_rows / scan_s),
+            }
+        finally:
+            stop()
     work = tempfile.mkdtemp(prefix=f"dfrt_bench_{backend}_")
     path = os.path.join(work, f"bench.{backend}")
     if backend == "sqlite":
@@ -101,8 +191,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm the write/read path outside timing (JVM + Python workers)
     roundtrip(spark, "sqlite", 1000)
-    for backend in ("sqlite", "duckdb"):
-        print(json.dumps(roundtrip(spark, backend, n_rows)))
+    # postgres runs a SMALLER batch by default: the pure-Python wire
+    # driver literalizes row-at-a-time (the psycopg2-less fallback), so
+    # the honest number is driver-bound — printed as its own line
+    pg_rows = int(os.environ.get("DFRT_BENCH_PG_ROWS", min(n_rows, 100_000)))
+    for backend, n in (("sqlite", n_rows), ("duckdb", n_rows), ("postgres", pg_rows)):
+        print(json.dumps(roundtrip(spark, backend, n)))
 
 
 if __name__ == "__main__":

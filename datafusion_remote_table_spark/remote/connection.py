@@ -181,10 +181,19 @@ def _raw_connect(options: ConnectionOptions):
     if backend == "postgres":
         try:
             import psycopg2  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "postgres backend requires psycopg2 (not bundled in this environment)"
-            ) from e
+        except ImportError:
+            # pure-Python wire-protocol fallback (v3 simple query, trust/
+            # cleartext/md5 auth) — keeps the backend LIVE without a
+            # compiled driver; see pgwire.py for the documented limits
+            from . import pgwire
+
+            return pgwire.connect(
+                host=options.host,
+                port=options.port,
+                user=options.username,
+                password=options.password,
+                dbname=options.database,
+            )
         return psycopg2.connect(
             host=options.host,
             port=options.port,
@@ -218,13 +227,20 @@ def _raw_connect(options: ConnectionOptions):
         )
     if backend == "gaussdb":
         # GaussDB speaks the Postgres wire protocol (reference gaussdb.rs
-        # uses a tokio-postgres fork); any Postgres DB-API driver works
+        # uses a tokio-postgres fork); any Postgres driver works, including
+        # the pure-Python pgwire fallback
         try:
             import psycopg2  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "gaussdb backend requires a Postgres driver (psycopg2; not bundled in this environment)"
-            ) from e
+        except ImportError:
+            from . import pgwire
+
+            return pgwire.connect(
+                host=options.host,
+                port=options.port,
+                user=options.username,
+                password=options.password,
+                dbname=options.database,
+            )
         return psycopg2.connect(
             host=options.host,
             port=options.port,

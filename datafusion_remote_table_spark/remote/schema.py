@@ -10,6 +10,8 @@ type sample where the driver reports no metadata (sqlite query sources).
 
 from __future__ import annotations
 
+import datetime as _datetime
+import decimal as _decimal
 import re
 
 from pyspark.sql import types as T
@@ -139,6 +141,13 @@ _PY_TO_SPARK = {
     float: T.DoubleType(),
     str: T.StringType(),
     bytes: T.BinaryType(),
+    # drivers with typed cursors (pgwire, psycopg2) return these; sqlite
+    # never does, so the entries only widen coverage. Decimal precision
+    # is unknowable from a value sample; 38,18 round-trips any NUMERIC
+    # the text protocol delivers.
+    _datetime.datetime: T.TimestampType(),
+    _datetime.date: T.DateType(),
+    _decimal.Decimal: T.DecimalType(38, 18),
 }
 
 

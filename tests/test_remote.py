@@ -343,9 +343,17 @@ def test_gaussdb_dm_backends_fully_wired():
         spec = RemoteScanSpec(options=back, table=["t"], pushed_filters=['"id" > 1'], limit=5)
         rebuilt = RemoteScanSpec.from_json(spec.to_json())
         assert rebuilt.remote_sql() == spec.remote_sql()
-        # a connect attempt fails with a clear driver message, not a KeyError
-        with pytest.raises(ImportError, match="driver|dmPython|psycopg2"):
-            connect(back)
+        # DM fails with a clear import-gated driver message, not a
+        # KeyError; gaussdb now ALWAYS has a driver (psycopg2 or the
+        # pgwire fallback), so its failure mode against a fake host is a
+        # connection error — the live path is covered by
+        # tests/test_remote_postgres_live.py::test_gaussdb_backend_live_via_pg_wire
+        if back.backend == "dm":
+            with pytest.raises(ImportError, match="driver|dmPython"):
+                connect(back)
+        else:
+            with pytest.raises(OSError):
+                connect(back)
 
     g = RemoteScanSpec(options=GaussdbConnectionOptions(), table=["t"])
     # table sources compose FLAT (rewrite_query parity — no subquery wrap)

@@ -1,0 +1,273 @@
+"""LIVE Postgres integration tests over the pure-Python pgwire driver.
+
+Mirror of the reference's integration-tests/tests/postgres.rs
+(supported_postgres_types, pushdown_filters, pushdown_limit, count1_agg,
+insert, list tables) — the first tests that exercise the postgres
+dialect against a real server instead of golden SQL. The container
+ships PostgreSQL server binaries but no Python driver, so the scan/
+insert path runs through remote/pgwire.py (the psycopg2 fallback).
+
+The fixture initdb's a throwaway cluster on a private port with trust
+auth; postgres refuses to run as root, so when the test process is root
+every server command runs via ``su postgres``. Skipped cleanly where
+binaries or the postgres user are unavailable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+from decimal import Decimal
+
+import pytest
+
+from datafusion_remote_table_spark.remote import RemoteTable
+from datafusion_remote_table_spark.remote.options import PostgresConnectionOptions
+from datafusion_remote_table_spark.remote import pgwire
+
+_HAVE_PG = shutil.which("initdb") is not None and shutil.which("pg_ctl") is not None
+
+pytestmark = pytest.mark.skipif(not _HAVE_PG, reason="PostgreSQL server binaries not installed")
+
+
+def _run_server_cmd(cmd: str) -> subprocess.CompletedProcess:
+    """Run a postgres server command, dropping root if needed."""
+    if os.geteuid() == 0:
+        # cd / first: su's target user usually cannot read root's cwd
+        cmd = f"cd / && {cmd}"
+        return subprocess.run(["su", "postgres", "-c", cmd], capture_output=True, text=True)
+    return subprocess.run(["bash", "-c", cmd], capture_output=True, text=True)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def pg(request):
+    work = tempfile.mkdtemp(prefix="dfrt_pg_live_")
+    if os.geteuid() == 0:
+        try:
+            shutil.chown(work, user="postgres", group="postgres")
+        except (LookupError, PermissionError):
+            pytest.skip("no postgres user to run the server as")
+    port = _free_port()
+    data = os.path.join(work, "data")
+    r = _run_server_cmd(f"initdb -D {data} -U dfrt -A trust")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _run_server_cmd(
+        f"pg_ctl -D {data} -o '-p {port} -c listen_addresses=127.0.0.1 -k {work}' "
+        f"-l {work}/pg.log -w start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+
+    def fin():
+        _run_server_cmd(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(work, ignore_errors=True)
+
+    request.addfinalizer(fin)
+
+    conn = pgwire.connect("127.0.0.1", port, "dfrt", "", "postgres")
+    cur = conn.cursor()
+    # the reference's supported-type matrix (postgres.rs
+    # supported_postgres_types), restricted to text-protocol types
+    cur.execute(
+        """
+        CREATE TABLE pg_types (
+          int2_col SMALLINT, int4_col INT, int8_col BIGINT,
+          float4_col REAL, float8_col DOUBLE PRECISION,
+          bool_col BOOLEAN, text_col TEXT, varchar_col VARCHAR(40),
+          bytea_col BYTEA, numeric_col NUMERIC(10,3),
+          date_col DATE, ts_col TIMESTAMP, json_col JSON
+        )
+        """
+    )
+    cur.execute(
+        """
+        INSERT INTO pg_types VALUES
+          (1, 2, 9000000000, 1.5, 2.25, true, 'hello', 'it''s',
+           E'\\\\x00ff', 12.345, '2026-01-02', '2026-01-02 03:04:05.123456',
+           '{"k": 1}'),
+          (NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL)
+        """
+    )
+    cur.execute("CREATE TABLE pg_nums AS SELECT g AS id, g * 10 AS val FROM generate_series(1, 100) g")
+    cur.execute("CREATE TABLE pg_sink (id INT, name TEXT)")
+    conn.commit()
+    conn.close()
+    return PostgresConnectionOptions(host="127.0.0.1", port=port, username="dfrt", database="postgres")
+
+
+def test_supported_postgres_types_roundtrip(spark, pg):
+    rows = RemoteTable(pg, ["pg_types"]).read(spark).collect()
+    assert len(rows) == 2
+    full = next(r for r in rows if r.int4_col is not None)
+    assert full.int2_col == 1 and full.int4_col == 2 and full.int8_col == 9000000000
+    assert full.float8_col == 2.25 and abs(full.float4_col - 1.5) < 1e-6
+    assert full.bool_col is True
+    assert full.text_col == "hello" and full.varchar_col == "it's"
+    assert bytes(full.bytea_col) == b"\x00\xff"
+    assert full.numeric_col == Decimal("12.345")
+    assert full.date_col == dt.date(2026, 1, 2)
+    assert full.ts_col == dt.datetime(2026, 1, 2, 3, 4, 5, 123456)
+    assert full.json_col == '{"k": 1}'
+    empty = next(r for r in rows if r.int4_col is None)
+    assert all(v is None for v in empty.asDict().values())
+
+
+def test_filter_and_projection_pushdown_live(spark, pg):
+    df = RemoteTable(pg, ["pg_nums"]).read(spark, columns=["id", "val"])
+    got = df.filter("val >= 500 AND id < 60").orderBy("id").collect()
+    assert [r.id for r in got] == list(range(50, 60))
+    # the filter must reach the composed remote SQL, not just Spark
+    spec = RemoteTable(pg, ["pg_nums"]).spec()
+    from datafusion_remote_table_spark.remote.datasource import RemoteTableReader
+
+    reader = RemoteTableReader(spec, df.schema)
+    from pyspark.sql.datasource import EqualTo
+
+    unsupported = reader.pushFilters([EqualTo(("id",), 7)])
+    assert list(unsupported) == []
+    assert '"id" = 7' in spec.remote_sql(())
+
+
+def test_pushdown_limit_live(spark, pg):
+    got = RemoteTable(pg, ["pg_nums"]).read(spark, limit=5).collect()
+    assert len(got) == 5
+
+
+def test_count1_agg_live(spark, pg):
+    t = RemoteTable(pg, ["pg_nums"])
+    got = t.aggregate(spark, group_by=[], aggs=[("COUNT(1)", "n")]).collect()
+    assert got[0].n == 100
+
+
+def test_partitioned_read_live(spark, pg):
+    df = RemoteTable(pg, ["pg_nums"]).read(
+        spark, partition_column="id", fetch_partitions=4
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert df.agg({"val": "sum"}).collect()[0][0] == 50500
+
+
+def test_insert_append_and_readback_live(spark, pg):
+    t = RemoteTable(pg, ["pg_sink"])
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c's")], "id int, name string")
+    t.insert(df, mode="append")
+    got = sorted((r.id, r.name) for r in RemoteTable(pg, ["pg_sink"]).read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c's")]
+    t.insert(spark.createDataFrame([(9, "z")], "id int, name string"), mode="overwrite")
+    got = [(r.id, r.name) for r in RemoteTable(pg, ["pg_sink"]).read(spark).collect()]
+    assert got == [(9, "z")]
+
+
+def test_query_source_live(spark, pg):
+    t = RemoteTable(pg, "SELECT id, val FROM pg_nums WHERE id <= 10")
+    got = t.read(spark).orderBy("id").collect()
+    assert len(got) == 10 and got[-1].val == 100
+
+
+def test_list_tables_and_columns_live(spark, pg):
+    names = RemoteTable.list_tables(pg)
+    assert {"pg_types", "pg_nums", "pg_sink"} <= set(names)
+    cols = RemoteTable.list_columns(pg, "pg_nums")
+    assert [c for c, _ in cols] == ["id", "val"]
+
+
+# -- property roundtrip (the sqlite/duckdb harness, now against the wire) ----
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PG_COL_TYPES = {
+    "BIGINT": st.one_of(st.none(), st.integers(min_value=-(2**62), max_value=2**62)),
+    "DOUBLE PRECISION": st.one_of(
+        st.none(), st.floats(allow_nan=False, allow_infinity=False, width=64)
+    ),
+    "TEXT": st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(blacklist_characters="\x00", blacklist_categories=("Cs",)),
+            max_size=12,
+        ),
+    ),
+    "BYTEA": st.one_of(st.none(), st.binary(max_size=12)),
+}
+
+
+@st.composite
+def _random_pg_table(draw):
+    types = draw(st.lists(st.sampled_from(sorted(_PG_COL_TYPES)), min_size=1, max_size=4))
+    cols = [(f"c{i}", t) for i, t in enumerate(types)]
+    rows = draw(
+        st.lists(st.tuples(*[_PG_COL_TYPES[t] for _, t in cols]), min_size=0, max_size=8)
+    )
+    return cols, rows
+
+
+def _norm(v):
+    if v is None:
+        return (0, "")
+    if isinstance(v, (bytes, bytearray)):
+        return (1, bytes(v).hex())
+    if isinstance(v, float):
+        return (2, repr(v))
+    return (3, repr(v))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(table=_random_pg_table())
+def test_pg_roundtrip_random_tables(spark, pg, table):
+    """Random schemas/values through fetch -> Spark -> insert writeback ->
+    re-fetch, against the LIVE server — the postgres instance of the
+    boundary-fuzz that caught the round-2 streaming unit bug."""
+    cols, rows = table
+    conn = pgwire.connect(pg.host, pg.port, pg.username, "", pg.database)
+    cur = conn.cursor()
+    ddl = ", ".join(f"{n} {t}" for n, t in cols)
+    cur.execute("DROP TABLE IF EXISTS prop_src")
+    cur.execute("DROP TABLE IF EXISTS prop_sink")
+    cur.execute(f"CREATE TABLE prop_src ({ddl})")
+    cur.execute(f"CREATE TABLE prop_sink ({ddl})")
+    if rows:
+        cur.executemany(
+            f"INSERT INTO prop_src VALUES ({', '.join('%s' for _ in cols)})", rows
+        )
+    conn.commit()
+    conn.close()
+
+    t = RemoteTable(pg, ["prop_src"])
+    df = t.read(spark)
+    got = sorted(tuple(_norm(v) for v in r) for r in df.collect())
+    want = sorted(tuple(_norm(v) for v in r) for r in rows)
+    assert got == want, "remote fetch diverged from the inserted rows"
+
+    RemoteTable(pg, ["prop_sink"]).insert(df)
+    back = sorted(
+        tuple(_norm(v) for v in r)
+        for r in RemoteTable(pg, ["prop_sink"]).read(spark).collect()
+    )
+    assert back == want, "insert writeback diverged from the source rows"
+
+
+def test_gaussdb_backend_live_via_pg_wire(spark, pg):
+    """The gaussdb factory claims Postgres wire-identity (gaussdb.rs uses
+    a tokio-postgres fork); prove it live by reading through the gaussdb
+    backend against the running PostgreSQL server."""
+    from datafusion_remote_table_spark.remote.options import GaussdbConnectionOptions
+
+    opts = GaussdbConnectionOptions(
+        host=pg.host, port=pg.port, username=pg.username, database=pg.database
+    )
+    df = RemoteTable(opts, ["pg_nums"]).read(spark)
+    assert df.count() == 100
+    assert df.filter("id = 42").collect()[0].val == 420
