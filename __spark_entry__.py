@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "minhash_band_scurve",
     "ann_recall_vs_probes",
     "stream_corpus_mix_monitor",
+    "remote_postgres_scan",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

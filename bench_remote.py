@@ -49,68 +49,28 @@ def wide_df(spark, n_rows: int):
 
 
 def _start_postgres():
-    """Boot a throwaway PostgreSQL cluster (trust auth, private port) the
-    way tests/test_remote_postgres_live.py does; returns (options,
-    stop_fn) or None when server binaries are unavailable. This makes
-    the benchmark the LITERAL mirror of the reference's
-    benchmarks/src/bin/postgres.rs — same table, same batch shapes, a
-    real server on the other end of the wire."""
-    import shutil
-    import socket
-    import subprocess
-
-    if shutil.which("initdb") is None or shutil.which("pg_ctl") is None:
-        return None
-
-    def run(cmd):
-        if os.geteuid() == 0:
-            return subprocess.run(
-                ["su", "postgres", "-c", f"cd / && {cmd}"], capture_output=True, text=True
-            )
-        return subprocess.run(["bash", "-c", cmd], capture_output=True, text=True)
-
-    work = tempfile.mkdtemp(prefix="dfrt_bench_pg_")
-    if os.geteuid() == 0:
-        try:
-            shutil.chown(work, user="postgres", group="postgres")
-        except (LookupError, PermissionError):
-            return None
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    data = os.path.join(work, "data")
-    if run(f"initdb -D {data} -U dfrt -A trust").returncode != 0:
-        return None
-    r = run(
-        f"pg_ctl -D {data} -o '-p {port} -c listen_addresses=127.0.0.1 -k {work}' "
-        f"-l {work}/pg.log -w start"
-    )
-    if r.returncode != 0:
-        return None
+    """Boot a throwaway PostgreSQL cluster (remote/pglocal.py) and create
+    the reference benchmark's table (benchmarks/src/bin/postgres.rs
+    create_table_sql, JSON column included) — the LITERAL mirror of the
+    reference's postgres benchmark: same table, same batch shapes, a
+    real server on the other end of the wire. Returns (options, stop_fn)
+    or None when no server can run."""
     from datafusion_remote_table_spark.remote import pgwire
-    from datafusion_remote_table_spark.remote.options import PostgresConnectionOptions
+    from datafusion_remote_table_spark.remote.pglocal import start_local_postgres
 
-    conn = pgwire.connect("127.0.0.1", port, "dfrt", "", "postgres")
+    started = start_local_postgres("dfrt_bench_pg_")
+    if started is None:
+        return None
+    opts, stop = started
+    conn = pgwire.connect(opts.host, opts.port, opts.username, "", opts.database)
     cur = conn.cursor()
-    # the reference benchmark's table (benchmarks/src/bin/postgres.rs
-    # create_table_sql), JSON column included
     cur.execute(
         "CREATE TABLE bench (int_col INT, float8_col FLOAT8, bytea_col BYTEA,"
         " text_col TEXT, json_col JSON, timestamp_col TIMESTAMP)"
     )
     conn.commit()
     conn.close()
-
-    def stop():
-        run(f"pg_ctl -D {data} -m immediate stop")
-        import shutil as _sh
-
-        _sh.rmtree(work, ignore_errors=True)
-
-    return (
-        PostgresConnectionOptions(host="127.0.0.1", port=port, username="dfrt", database="postgres"),
-        stop,
-    )
+    return opts, stop
 
 
 def roundtrip(spark, backend: str, n_rows: int) -> dict:

@@ -702,3 +702,86 @@ def remote_command_table_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "backend string, table_name string, column_name string, position bigint"
     )
+
+
+# -- live server backend (postgres over the pgwire fallback driver) ----------
+_PG_LIVE: dict = {}
+
+
+def _ensure_postgres_remote(sf_dir: str):
+    """Session-lifetime LIVE PostgreSQL mirror of nation/region (25 + 5
+    rows, loaded once through the pgwire driver). The server is a
+    throwaway trust-auth cluster on a private port (remote/pglocal.py);
+    returns its options, or None when the sandbox cannot run a server —
+    never raises (callers fall back to the sqlite stand-in, keeping the
+    query's RESULT identical either way)."""
+    key = os.path.abspath(sf_dir)
+    if key in _PG_LIVE:
+        return _PG_LIVE[key]
+    opts = None
+    try:
+        from ..remote.pglocal import start_local_postgres
+
+        started = start_local_postgres("dfrt_pgq_")
+        if started is not None:
+            import atexit
+
+            import duckdb
+
+            from ..remote import pgwire
+
+            opts, stop = started
+            atexit.register(stop)
+            conn = pgwire.connect(opts.host, opts.port, opts.username, "", opts.database)
+            cur = conn.cursor()
+            ddb = duckdb.connect()
+            cur.execute("CREATE TABLE nation (n_nationkey INT, n_name TEXT, n_regionkey INT)")
+            cur.executemany(
+                "INSERT INTO nation VALUES (%s, %s, %s)",
+                ddb.execute(
+                    f"SELECT n_nationkey, n_name, n_regionkey FROM "
+                    f"read_parquet('{os.path.join(sf_dir, 'nation')}.parquet')"
+                ).fetchall(),
+            )
+            cur.execute("CREATE TABLE region (r_regionkey INT, r_name TEXT)")
+            cur.executemany(
+                "INSERT INTO region VALUES (%s, %s)",
+                ddb.execute(
+                    f"SELECT r_regionkey, r_name FROM "
+                    f"read_parquet('{os.path.join(sf_dir, 'region')}.parquet')"
+                ).fetchall(),
+            )
+            conn.commit()
+            conn.close()
+            ddb.close()
+    except Exception:
+        opts = None
+    _PG_LIVE[key] = opts
+    return opts
+
+
+@register(
+    "remote_postgres_scan",
+    oracle="""
+    SELECT CAST(n.n_nationkey AS BIGINT) AS n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_regionkey < 3
+    """,
+)
+def remote_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE server-backend scan: nation is served by a real PostgreSQL
+    (executor tasks fetch over the v3 wire protocol via remote/pgwire.py,
+    with the n_regionkey filter pushed into the remote SQL), then joined
+    to the local region parquet — the federated OLTP-dim pattern against
+    an actual server instead of a file stand-in. Sandboxes that cannot
+    boot a server (no binaries / no postgres user) fall back to the
+    sqlite mirror; the SQL surface and result are identical, and
+    tests/test_remote_postgres_live.py pins the live path."""
+    opts = _ensure_postgres_remote(sf_dir)
+    if opts is None:
+        opts = _sqlite_opts(sf_dir)
+    df = RemoteTable(opts, ["nation"]).read(spark).filter(F.col("n_regionkey") < 3)
+    region = load_tables(spark, sf_dir, ("region",))["region"]
+    return df.join(region, df.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name", "r_name"
+    )
