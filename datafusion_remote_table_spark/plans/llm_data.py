@@ -1183,7 +1183,7 @@ def _ivf_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = ("ivf", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         emb_view = _spread_view(spark, sf_dir, "embeddings", "ivf_emb")
-        lists_view = _persist_view(
+        lists_view = _checkpoint_view(
             spark,
             sf_dir,
             "ivf_lists",
@@ -3312,7 +3312,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("span_grams", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         doc_view = _spread_view(spark, sf_dir, "documents", "span_docs")
-        _MINHASH_STAGE_CACHE[key] = _persist_view(
+        # checkpoint, not persist: the census + back-join double reference
+        # partially misses the view-route cache (the Spark 4.1 matching
+        # issue, docs/SCALE.md) — a modest win here (repeats ~1.5 s
+        # persisted vs ~1.3-1.4 s truncated at sf0.1; the census
+        # aggregation itself dominates), taken for consistency with the
+        # other double-referenced stagings
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
             spark, sf_dir, "span_grams", spark.sql(_substring_grams_sql(_Spark, src=doc_view))
         )
     return spark.sql(_substring_census_sql(_MINHASH_STAGE_CACHE[key]))

@@ -278,3 +278,18 @@ def test_clean_funnel_is_constant_size_aggregate(spark, sf_dir):
     plan = _plan(plans.QUERIES["corpus_clean_funnel"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scurve_and_recall_curves_reuse_stagings(spark, sf_dir):
+    # both tuning curves must ride the SAME persisted index stagings as
+    # the serving paths (signatures for the S-curve, inverted lists for
+    # the nprobe curve) — no second index build
+    plans.QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    plan = _plan(plans.QUERIES["minhash_band_scurve"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "S-curve rebuilt the signature staging"
+    plans.QUERIES["ann_ivf_cosine"](spark, sf_dir).count()
+    plan = _plan(plans.QUERIES["ann_recall_vs_probes"](spark, sf_dir))
+    # the lists staging is lineage-truncated (localCheckpoint — view-route
+    # cache matching partially missed for every IVF consumer; measured in
+    # docs/SCALE.md), so the staged scan shows as an RDD scan
+    assert "Scan ExistingRDD" in plan, "recall curve rebuilt the inverted lists"
