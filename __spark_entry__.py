@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "ann_recall_vs_probes",
     "stream_corpus_mix_monitor",
     "remote_postgres_scan",
+    "stream_pii_gate",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

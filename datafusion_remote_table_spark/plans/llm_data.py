@@ -1958,7 +1958,7 @@ _register_pair("global_shuffle_shards", _sql_global_shuffle, repartition=False)
 # doc_id) is appended FIRST — the op then provably finds and removes it
 # (non-vacuous counts), plus any organic matches. Per-row regex only; the
 # 100 TB plan is a pure map — this is the shape of every scrubbing pass.
-def _sql_pii_redact(E):
+def _sql_pii_redact(E, with_source=False):
     synth = (
         f"text || ' contact user{{}}@example.com or +1-555-' || "
         f"lpad(CAST(doc_id % 10000 AS {E.STR}), 4, '0') || ' from 10.0.' || "
@@ -1975,11 +1975,12 @@ def _sql_pii_redact(E):
         ip_re,
         "<IP>",
     )
+    src_col = "source, " if with_source else ""
     return f"""
     WITH withpii AS (
-      SELECT doc_id, {synth} AS raw FROM documents
+      SELECT doc_id, {src_col}{synth} AS raw FROM documents
     )
-    SELECT doc_id,
+    SELECT doc_id, {src_col}
            {E.regexp_count('raw', email_re)} AS n_emails,
            {E.regexp_count('raw', phone_re)} AS n_phones,
            {E.regexp_count('raw', ip_re)} AS n_ips,

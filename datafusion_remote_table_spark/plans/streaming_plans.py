@@ -16,6 +16,7 @@ from ..streaming import (
     stream_join_enrich,
     stream_join_remote_dim,
     stream_near_dedup,
+    stream_pii_gate,
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
@@ -236,3 +237,18 @@ QUERIES["stream_corpus_mix_monitor"] = stream_corpus_mix_monitor
 # bounded input; the fraction/weight layer is the identical arithmetic in
 # both engines, so the batch corpus_mix_report oracle is the oracle.
 ORACLE["stream_corpus_mix_monitor"] = _mix(_D)
+
+
+from .llm_data import _sql_pii_redact as _pii  # noqa: E402
+
+QUERIES["stream_pii_gate"] = stream_pii_gate
+# Stateless per-doc redaction + keyed rollup converges to the batch
+# per-source PII aggregate (same template, source column included).
+ORACLE["stream_pii_gate"] = f"""
+    WITH p AS ({_pii(_D, with_source=True)})
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips
+    FROM p GROUP BY source
+"""

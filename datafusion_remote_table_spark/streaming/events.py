@@ -527,3 +527,28 @@ def stream_corpus_mix_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("all_tokens").cast("double") / F.col("n_groups")) / F.col("n_tokens"), 6
         ).alias("uniform_weight"),
     )
+
+
+def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII-scrubbing monitor: every arriving document runs the
+    SAME per-doc redaction pass as the batch text_pii_redact (stateless
+    regex map — the 100 TB shape of any scrubbing stage), and the
+    per-source rollup of detected emails/phones/IPs is maintained as
+    the crawl arrives — the compliance dashboard a live ingest watches.
+    Exact integer sums keyed by |sources|; converges to the batch
+    per-source aggregate on bounded input, which is the oracle."""
+    from ..plans.llm_data import _Spark, _sql_pii_redact
+
+    stream = _docs_stream(spark, sf_dir)
+    view = "stream_pii_gate_in"
+    stream.createOrReplaceTempView(view)
+    per_doc = spark.sql(
+        _sql_pii_redact(_Spark, with_source=True).replace("FROM documents", f"FROM {view}")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+    )
+    return _run_bounded(agg, "stream_pii_gate")
