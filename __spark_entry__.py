@@ -66,6 +66,11 @@ _VERIFY_FIRST = [
     "stream_corpus_mix_monitor",
     "remote_postgres_scan",
     "stream_pii_gate",
+    "dsir_importance_weights",
+    "nb_lang_classifier",
+    "dedup_span_runs",
+    "corpus_epoch_plan",
+    "multimodal_resize_real",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

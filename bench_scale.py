@@ -86,6 +86,13 @@ QUERIES = [
     "corpus_clean_funnel",
     "minhash_band_scurve",
     "ann_recall_vs_probes",
+    # round-4 continuation: data-selection + span-run ops (token explode +
+    # tiny-key census shapes — must stay linear)
+    "dsir_importance_weights",
+    "nb_lang_classifier",
+    "dedup_span_runs",
+    "corpus_epoch_plan",
+    "multimodal_resize_real",
 ]
 
 

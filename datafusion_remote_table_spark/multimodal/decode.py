@@ -205,6 +205,66 @@ def sample_frames(
     return df.mapInPandas(batches, schema=f"{id_col} long, frame_idx int, frame_payload binary")
 
 
+def resize_image_real(payload: bytes, tw: int, th: int) -> tuple[str, bytes]:
+    """REAL nearest-neighbor resize of an uncompressed image: decode via
+    the stdlib codecs, resample to (tw, th) with floor source mapping
+    (sx = x*w // tw — PIL's NEAREST convention), return (fmt, RGB bytes
+    row-major top-down). Compressed formats raise NotImplementedError
+    from decode_image."""
+    fmt, w, h, pix = decode_image(payload)
+    out = bytearray()
+    for y in range(th):
+        sy = (y * h) // th
+        for x in range(tw):
+            sx = (x * w) // tw
+            off = (sy * w + sx) * 3
+            out += pix[off : off + 3]
+    return fmt, bytes(out)
+
+
+def resize_media_real(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target: tuple[int, int] = (2, 1),
+) -> DataFrame:
+    """Real-decode resize over Arrow batches: per row, decode + NN-resample
+    + per-channel integer sums (means/rounding stay in SQL so both engines
+    round identically — no Python banker's-rounding in the data path)."""
+    tw, th = target
+
+    def batches(it):
+        for pdf in it:
+            fmts, psums, rsums, gsums, bsums = [], [], [], [], []
+            for b in pdf[payload_col]:
+                fmt, pix = resize_image_real(bytes(b), tw, th)
+                fmts.append(fmt)
+                psums.append(sum(pix))
+                rsums.append(sum(pix[0::3]))
+                gsums.append(sum(pix[1::3]))
+                bsums.append(sum(pix[2::3]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fmt": fmts,
+                    "width": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "height": pd.Series([th] * len(pdf), dtype="int32"),
+                    "pixel_sum": pd.Series(psums, dtype="int64"),
+                    "r_sum": pd.Series(rsums, dtype="int64"),
+                    "g_sum": pd.Series(gsums, dtype="int64"),
+                    "b_sum": pd.Series(bsums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, fmt string, width int, height int, "
+            "pixel_sum long, r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
 def resize_media(
     df: DataFrame,
     payload_col: str = "payload",

@@ -881,12 +881,16 @@ ORACLE["multimodal_decode_stub"] = """
 # directly — so any header-layout or pixel-order bug diverges the hash.
 # Scale: encode+decode run in Arrow batches executor-side (payloads never
 # visit the driver); jpeg/video stay NotImplementedError (no PIL/ffmpeg).
-def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _encoded_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc genuine 4×2 image payloads (BMP for even doc_ids, binary
+    PPM for odd), pixel bytes derived from md5(doc_id) — encoded
+    executor-side in Arrow batches. Shared by multimodal_decode_real and
+    multimodal_resize_real."""
     import hashlib
 
     import pandas as pd
 
-    from ..multimodal.decode import decode_media, encode_bmp, encode_ppm
+    from ..multimodal.decode import encode_bmp, encode_ppm
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
 
@@ -901,8 +905,13 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(enc(pix, 4, 2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    media = docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
-    return decode_media(media, real=True)
+    return docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+
+
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import decode_media
+
+    return decode_media(_encoded_media_frame(spark, sf_dir), real=True)
 
 
 def _sql_decode_real_oracle(E):
@@ -924,6 +933,60 @@ def _sql_decode_real_oracle(E):
 
 QUERIES["multimodal_decode_real"] = multimodal_decode_real
 ORACLE["multimodal_decode_real"] = _sql_decode_real_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_resize_real — REAL nearest-neighbor image resize: decode the
+# genuine 4×2 BMP/PPM payloads, NN-resample to 2×1 (floor source mapping,
+# PIL's NEAREST convention: sx = x*w//tw), report per-channel pixel
+# stats of the RESIZED image. The kernel emits only integer channel sums;
+# all division/rounding happens in SQL so both engines round identically.
+# The oracle recomputes the stats from the md5 pixel derivation + the
+# same index math (4×2 → 2×1 selects source pixels (0,0) and (0,2), i.e.
+# md5-bytes 1-3 and 7-9) — a wrong resample offset or channel order
+# diverges the hash. Scale: same Arrow-batch executor-side shape as
+# decode; payloads never visit the driver.
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import resize_media_real
+
+    sums = resize_media_real(_encoded_media_frame(spark, sf_dir), target=(2, 1))
+    return sums.select(
+        "doc_id", "fmt", "width", "height", "pixel_sum",
+        F.round(F.col("pixel_sum") / F.lit(1530.0), 6).alias("mean_luma"),
+        F.round(F.col("r_sum") / F.lit(510.0), 6).alias("r_mean"),
+        F.round(F.col("g_sum") / F.lit(510.0), 6).alias("g_mean"),
+        F.round(F.col("b_sum") / F.lit(510.0), 6).alias("b_mean"),
+    )
+
+
+def _sql_resize_real_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def byte_at(i):
+        return f"({E.hex2int(f'substring(h, {2 * i - 1}, 2)')})"
+
+    ps = " + ".join(byte_at(i) for i in (1, 2, 3, 7, 8, 9))
+    rs = f"{byte_at(1)} + {byte_at(7)}"
+    gs = f"{byte_at(2)} + {byte_at(8)}"
+    bs = f"{byte_at(3)} + {byte_at(9)}"
+    return f"""
+    WITH hx AS (
+      SELECT doc_id, {h} AS h FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,
+           CAST({ps} AS BIGINT) AS pixel_sum,
+           ROUND(CAST({ps} AS DOUBLE) / 1530.0e0, 6) AS mean_luma,
+           ROUND(CAST({rs} AS DOUBLE) / 510.0e0, 6) AS r_mean,
+           ROUND(CAST({gs} AS DOUBLE) / 510.0e0, 6) AS g_mean,
+           ROUND(CAST({bs} AS DOUBLE) / 510.0e0, 6) AS b_mean
+    FROM hx
+    """
+
+
+QUERIES["multimodal_resize_real"] = multimodal_resize_real
+ORACLE["multimodal_resize_real"] = _sql_resize_real_oracle(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -4334,3 +4397,272 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_ivfpq_cosine"] = ann_ivfpq_cosine
 ORACLE["ann_ivfpq_cosine"] = _sql_ann_ivfpq(_Duck)
+
+
+# ===========================================================================
+# Corpus-selection / classification / span-run operators (round-4
+# continuation): the data-selection half of a pretraining pipeline —
+# which documents to keep and how much of each source to sample — plus
+# the maximal-run refinement of the duplicated-span census.
+# ===========================================================================
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+def _dsir_buck_sql(E, src="documents"):
+    """Hashed-unigram feature stream: one row per token occurrence with
+    its md5 bucket. Shared by dsir_importance_weights and
+    nb_lang_classifier (both are bag-of-hashed-words models)."""
+    words = E.splitws("lower(text)")
+    b = f"({E.hex2int('substring(md5(w), 1, 6)')} % {_DSIR_BUCKETS})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {E.explode(words, 'w')} FROM {src}
+    )
+    SELECT doc_id, lang, CAST({b} AS BIGINT) AS b FROM toks"""
+
+
+def _dsir_stage(spark: SparkSession, sf_dir: str) -> str:
+    """The bucket stream is referenced twice per query (census + per-doc
+    scoring) and by two queries — checkpoint it once per session+sf_dir
+    (the double-reference view-cache miss, docs/SCALE.md)."""
+    key = ("dsir_buck", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "dsir_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "dsir_buck", spark.sql(_dsir_buck_sql(_Spark, src=doc_view))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _dsir_select(E, buck):
+    return f"""
+    WITH census AS (
+      SELECT b,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM {buck} GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS DOUBLE) AS r_tot, CAST(SUM(c_tgt) AS DOUBLE) AS t_tot
+      FROM census
+    ),
+    lr AS (
+      SELECT c.b,
+             ROUND(ln((c.c_tgt + 1.0e0) / (t.t_tot + {_DSIR_BUCKETS}.0e0))
+                   - ln((c.c_raw + 1.0e0) / (t.r_tot + {_DSIR_BUCKETS}.0e0)), 9) AS logratio
+      FROM census c CROSS JOIN tot t
+    ),
+    perdoc AS (
+      SELECT {E.bhint('l')}bu.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(l.logratio AS DECIMAL(28, 9))) AS DOUBLE) AS lw
+      FROM {buck} bu JOIN lr l ON bu.b = l.b
+      GROUP BY bu.doc_id
+    )
+    SELECT doc_id, n_tokens, ROUND(lw, 6) AS dsir_logweight,
+           CAST(CASE WHEN lw > 0.0e0 THEN 1 ELSE 0 END AS INT) AS target_like
+    FROM perdoc
+    """
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram bucket
+    distributions for a target corpus (lang = 'en' docs) vs the raw
+    corpus; each doc scores the sum of per-token log-likelihood ratios.
+    Positive log-weight ⇒ the doc looks target-like and would be
+    up-sampled by importance resampling. Determinism: each bucket's
+    log-ratio is quantized to 1e-9 and the per-doc sum is an exact
+    DECIMAL sum (order-independent). Scale: the token explode is
+    map-side; the census shuffles 64 uniform keys with map-side partial
+    aggregation; the 64-row log-ratio table broadcasts back; the per-doc
+    agg keys on doc_id. No pair step, no window, no skew."""
+    return spark.sql(_dsir_select(_Spark, _dsir_stage(spark, sf_dir)))
+
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+ORACLE["dsir_importance_weights"] = _dsir_select(_Duck, f"({_dsir_buck_sql(_Duck)})")
+
+
+# ---------------------------------------------------------------------------
+# nb_lang_classifier — multinomial Naive Bayes over the same hashed
+# buckets, trained on the corpus's own lang labels and evaluated as a
+# confusion matrix: the fasttext-style linear classifier analog (the
+# GPT-3/CCNet quality-filter family) expressed as two censuses and a
+# broadcast argmax — train and apply in one declarative plan.
+def _nb_select(E, buck):
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id, lang, b FROM {buck} WHERE lang IS NOT NULL
+    ),
+    census AS (
+      SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM labeled GROUP BY lang, b
+    ),
+    ltot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM census GROUP BY lang
+    ),
+    prior AS (
+      SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM labeled GROUP BY lang
+    ),
+    ptot AS (
+      SELECT CAST(SUM(nd) AS DOUBLE) AS total_docs FROM prior
+    ),
+    grid AS (
+      SELECT lt.lang, g.b, lt.t
+      FROM ltot lt CROSS JOIN (SELECT {E.explode(E.seq(0, _DSIR_BUCKETS - 1), 'b')}) g
+    ),
+    model AS (
+      SELECT g.lang, g.b,
+             ROUND(ln((COALESCE(c.c, 0) + 1.0e0) / (g.t + {_DSIR_BUCKETS}.0e0)), 9) AS logp
+      FROM grid g LEFT JOIN census c ON g.lang = c.lang AND g.b = c.b
+    ),
+    scored AS (
+      SELECT {E.bhint('m')}bu.doc_id, bu.lang AS actual_lang, m.lang AS cand,
+             CAST(SUM(CAST(m.logp AS DECIMAL(28, 9))) AS DOUBLE) AS ll
+      FROM labeled bu JOIN model m ON bu.b = m.b
+      GROUP BY bu.doc_id, bu.lang, m.lang
+    ),
+    best AS (
+      SELECT s.doc_id, s.actual_lang, s.cand AS predicted_lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.doc_id
+               ORDER BY s.ll + ROUND(ln(pr.nd / pt.total_docs), 9) DESC, s.cand
+             ) AS rn
+      FROM scored s JOIN prior pr ON s.cand = pr.lang CROSS JOIN ptot pt
+    ),
+    conf AS (
+      SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM best WHERE rn = 1 GROUP BY actual_lang, predicted_lang
+    )
+    SELECT actual_lang, predicted_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / NULLIF(CAST(SUM(n_docs) OVER (PARTITION BY actual_lang) AS DOUBLE), 0.0e0), 6)
+             AS row_frac
+    FROM conf
+    """
+
+
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (census) and apply (broadcast argmax) happen in one plan;
+    the argmax is deterministic because the per-class log-likelihood is
+    an exact DECIMAL sum of 1e-9-quantized terms and ties break on class
+    name. Scale: model is 5 langs × 64 buckets (broadcast); scoring is
+    the token stream joined to the broadcast model with map-side partial
+    aggregation on (doc, actual, cand); the per-doc argmax window
+    partitions on doc_id (uniform). Reuses the dsir bucket staging."""
+    return spark.sql(_nb_select(_Spark, _dsir_stage(spark, sf_dir)))
+
+
+QUERIES["nb_lang_classifier"] = nb_lang_classifier
+ORACLE["nb_lang_classifier"] = _nb_select(_Duck, f"({_dsir_buck_sql(_Duck)})")
+
+
+# ---------------------------------------------------------------------------
+# dedup_span_runs — maximal duplicated-RUN census: dedup_substring_spans
+# reports the fraction of 8-gram positions that are cross-doc dups; this
+# reports the RUN structure substring-dedup actually clips on (Lee et
+# al.: remove spans over a length threshold) — per doc, the number of
+# maximal consecutive runs of duplicated positions and the longest run.
+def _span_pos_sql(E, src="documents"):
+    words = E.splitws("lower(text)")
+    npos = f"greatest({E.SIZE}(words) - {_SPAN_N - 1}, 1)"
+    gram_fp = f"md5(array_join({E.slice('words', 'i', _SPAN_N)}, ' '))"
+    if E is _Duck:
+        gram_fp = gram_fp.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS words FROM {src}
+    ),
+    pos AS (
+      SELECT doc_id, words, {E.explode(E.seq(1, npos), 'i')} FROM toks
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS i, {gram_fp} AS gram_fp FROM pos"""
+
+
+def _span_runs_select(E, pos):
+    return f"""
+    WITH dup AS (
+      SELECT gram_fp FROM {pos} GROUP BY gram_fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+      SELECT g.doc_id, g.i FROM {pos} g JOIN dup d ON g.gram_fp = d.gram_fp
+    ),
+    isl AS (
+      SELECT doc_id, i, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM dpos
+    ),
+    runs AS (
+      SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_grams FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+           CAST(MAX(run_grams) AS BIGINT) AS longest_run_grams,
+           CAST(MAX(run_grams) + {_SPAN_N - 1} AS BIGINT) AS longest_run_words
+    FROM runs GROUP BY doc_id
+    """
+
+
+def dedup_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional sliding-gram frame (doc_id, i, gram_fp) is referenced
+    twice (census + back-join) — checkpoint once per session+sf_dir like
+    span_grams. The island detection (i - ROW_NUMBER) windows per doc_id
+    over only the DUPLICATED positions (a small fraction of the corpus),
+    so the window input is bounded; everything upstream is the same
+    map-side explode + uniform-md5-key census as dedup_substring_spans.
+    Cites Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" (the span-removal threshold is run length, not coverage)."""
+    key = ("span_pos", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "span_pos", spark.sql(_span_pos_sql(_Spark, src=doc_view))
+        )
+    return spark.sql(_span_runs_select(_Spark, _MINHASH_STAGE_CACHE[key]))
+
+
+QUERIES["dedup_span_runs"] = dedup_span_runs
+ORACLE["dedup_span_runs"] = _span_runs_select(_Duck, f"({_span_pos_sql(_Duck)})")
+
+
+# ---------------------------------------------------------------------------
+# corpus_epoch_plan — the data-mixing/epoching planner (the Llama/GPT
+# data-recipe table): temperature-weighted source mixing (τ = 2, weight
+# ∝ √tokens — up-weights small sources without letting giants dominate)
+# against a fixed training-token budget; epochs_needed > 1 flags sources
+# the plan would repeat (oversample). One census pass; the per-source
+# √token weights are quantized (ROUND 6) and normalized by an exact
+# DECIMAL sum so mix weights are bit-identical across engines.
+_EPOCH_BUDGET = 1000000
+
+
+def _sql_epoch_plan(E):
+    words = E.splitws("lower(text)")
+    epochs = (
+        f"{_EPOCH_BUDGET}.0e0 * CAST(srt AS DOUBLE) / NULLIF(t.z, 0.0e0)"
+        f" / NULLIF(CAST(n_tokens AS DOUBLE), 0.0e0)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT source, CAST({E.SIZE}({words}) AS BIGINT) AS n FROM documents
+    ),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(ROUND(sqrt(CAST(SUM(n) AS DOUBLE)), 6) AS DECIMAL(28, 6)) AS srt
+      FROM tok GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(srt) AS DOUBLE) AS z FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(srt AS DOUBLE) / NULLIF(t.z, 0.0e0), 6) AS mix_weight,
+           ROUND({epochs}, 6) AS epochs_needed,
+           CAST(CASE WHEN {epochs} > 1.0e0 THEN 1 ELSE 0 END AS INT) AS oversampled
+    FROM per CROSS JOIN tot t
+    """
+
+
+_register_pair("corpus_epoch_plan", _sql_epoch_plan)

@@ -293,3 +293,29 @@ def test_scurve_and_recall_curves_reuse_stagings(spark, sf_dir):
     # cache matching partially missed for every IVF consumer; measured in
     # docs/SCALE.md), so the staged scan shows as an RDD scan
     assert "Scan ExistingRDD" in plan, "recall curve rebuilt the inverted lists"
+
+
+def test_dsir_logratio_table_broadcasts(spark, sf_dir):
+    # the 64-row bucket log-ratio table must broadcast back onto the
+    # token stream — a shuffle join here would shuffle the whole corpus
+    plan = _plan(plans.QUERIES["dsir_importance_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_classifier_reuses_dsir_staging(spark, sf_dir):
+    # both bag-of-hashed-words models ride ONE checkpointed token-bucket
+    # staging (lineage-truncated → RDD scan), and the 5x64 model table
+    # broadcasts onto it
+    plans.QUERIES["dsir_importance_weights"](spark, sf_dir).count()
+    plan = _plan(plans.QUERIES["nb_lang_classifier"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "classifier re-tokenized the corpus"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_span_runs_census_staged_no_cartesian(spark, sf_dir):
+    # positional gram frame is referenced twice (census + back-join):
+    # must come from the truncated staging, joined hash-side
+    plan = _plan(plans.QUERIES["dedup_span_runs"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "span-run query re-exploded the corpus"
+    assert "CartesianProduct" not in plan

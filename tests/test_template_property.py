@@ -56,6 +56,18 @@ def _sql_clean_funnel(E):
     return L._FUNNEL_SQL.format(src=L._sql_corpus_clean(E))
 
 
+def _sql_dsir(E):
+    return L._dsir_select(E, f"({L._dsir_buck_sql(E)})")
+
+
+def _sql_nb_classifier(E):
+    return L._nb_select(E, f"({L._dsir_buck_sql(E)})")
+
+
+def _sql_span_runs(E):
+    return L._span_runs_select(E, f"({L._span_pos_sql(E)})")
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -79,6 +91,10 @@ _TEMPLATES = [
     L._sql_bpe_coverage,
     _sql_clean_funnel,
     L._sql_band_scurve,
+    _sql_dsir,
+    _sql_nb_classifier,
+    _sql_span_runs,
+    L._sql_epoch_plan,
 ]
 
 
