@@ -71,6 +71,10 @@ _VERIFY_FIRST = [
     "dedup_span_runs",
     "corpus_epoch_plan",
     "multimodal_resize_real",
+    "nn_descent_knn",
+    "zorder_layout_audit",
+    "multimodal_image_phash",
+    "multimodal_audio_real",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

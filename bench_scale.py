@@ -93,6 +93,12 @@ QUERIES = [
     "dedup_span_runs",
     "corpus_epoch_plan",
     "multimodal_resize_real",
+    # round-4 continuation (2): iterative kNN graph, layout audit, and the
+    # audio/phash multimodal legs
+    "nn_descent_knn",
+    "zorder_layout_audit",
+    "multimodal_image_phash",
+    "multimodal_audio_real",
 ]
 
 

@@ -299,3 +299,124 @@ def resize_media(
     return df.mapInPandas(
         batches, schema=f"{id_col} long, resized_payload binary, width int, height int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: genuine RIFF/WAVE PCM codec (pure stdlib) — the audio leg of the
+# modality triple. Encode writes a file any player opens; decode walks the
+# RIFF chunk list strictly, so a wrong header offset or chunk size breaks
+# the oracle hash the same way the BMP/PPM decoders do.
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Genuine RIFF/WAVE container, PCM unsigned 8-bit mono."""
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(samples), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(samples),
+    )
+    return hdr + samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, bytes]:
+    """Strict RIFF walk: returns (sample_rate, u8 samples). Compressed
+    audio (mp3/aac/opus) needs external codecs this container doesn't
+    ship — those payloads raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio (mp3/aac/opus) requires external codecs; "
+            "RIFF/WAVE PCM decodes natively"
+        )
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", payload, pos)
+            if audio_fmt != 1 or channels != 1 or bits != 8:
+                raise NotImplementedError("only PCM u8 mono WAV supported")
+        elif cid == b"data":
+            data = payload[pos : pos + csz]
+        pos += csz + (csz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def audio_stats_real(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real-decode audio feature extraction over Arrow batches: parse the
+    WAV container, emit integer waveform stats (peak deviation from the
+    u8 midpoint 128, sum of absolute deviations, zero crossings). Means
+    and rounding stay in SQL so both engines round identically."""
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rates, ns, peaks, sads, zcs = [], [], [], [], []
+            for b in pdf[payload_col]:
+                rate, samples = decode_wav(bytes(b))
+                d = np.frombuffer(samples, dtype=np.uint8).astype(np.int64) - 128
+                rates.append(rate)
+                ns.append(len(d))
+                peaks.append(int(np.max(np.abs(d))) if len(d) else 0)
+                sads.append(int(np.sum(np.abs(d))))
+                zcs.append(int(np.sum(d[:-1] * d[1:] < 0)) if len(d) > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "peak_dev": pd.Series(peaks, dtype="int64"),
+                    "sum_abs_dev": pd.Series(sads, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, sample_rate int, n_samples int, "
+            "peak_dev long, sum_abs_dev long, zero_crossings long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash) over REAL decoded pixels: bit i is 1 when pixel
+# i's luma exceeds the image mean — compared via integers (8*luma > total)
+# so there is no float rounding anywhere in the hash.
+def image_phash(payload: bytes) -> tuple[str, int]:
+    """Average-hash of an uncompressed image: decode, per-pixel luma =
+    r+g+b, bit_i = (n_pixels * luma_i > total_luma). Returns (fmt, hash)
+    with one bit per pixel, LSB = pixel 0 (row-major top-down)."""
+    fmt, w, h, pix = decode_image(payload)
+    n = w * h
+    lumas = [pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2] for i in range(n)]
+    total = sum(lumas)
+    return fmt, sum(1 << i for i, l in enumerate(lumas) if n * l > total)
+
+
+def phash_media(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batch aHash kernel: doc_id, fmt, phash. All-integer — the
+    census/dedup grouping downstream is plain SQL."""
+
+    def batches(it):
+        for pdf in it:
+            fmts, hashes = [], []
+            for b in pdf[payload_col]:
+                fmt, ph = image_phash(bytes(b))
+                fmts.append(fmt)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fmt": fmts,
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=f"{id_col} long, fmt string, phash long")

@@ -122,6 +122,12 @@ class _Spark:
         # a no-op spelling in DuckDB, which plans its own join sides
         return f"/*+ BROADCAST({', '.join(aliases)}) */ "
 
+    @staticmethod
+    def epoch(t):
+        # whole epoch seconds (Spark truncates; positive epochs so
+        # floor == trunc in the DuckDB spelling)
+        return f"CAST(unix_timestamp({t}) AS BIGINT)"
+
 
 class _Duck:
     STR = "VARCHAR"
@@ -213,6 +219,10 @@ class _Duck:
     @staticmethod
     def bhint(*aliases):
         return ""
+
+    @staticmethod
+    def epoch(t):
+        return f"CAST(floor(epoch({t})) AS BIGINT)"
 
 
 def _repartition_views(spark: SparkSession, dfs: dict) -> None:
@@ -4666,3 +4676,334 @@ def _sql_epoch_plan(E):
 
 
 _register_pair("corpus_epoch_plan", _sql_epoch_plan)
+
+
+# ===========================================================================
+# Round-4 continuation (2): kNN-graph construction by NN-Descent, storage
+# layout auditing (Z-order), and the audio + perceptual-hash legs of the
+# multimodal family.
+# ===========================================================================
+
+_NND_K = 5
+_NND_QBLOCK = 50
+
+
+def _nnd_init_sql(E, src="embeddings"):
+    """NN-Descent iteration 0: md5-keyed pseudo-random neighbor init
+    (k+3 probes per node; first k distinct non-self survive, ranked by
+    probe index). A ring init (src+j) would trap the descent in id-space
+    locality — the probes must be independent of vec_id order."""
+    probe = E.hex2int(
+        f"substring(md5(CAST(e.vec_id AS {E.STR}) || '_' || CAST(j AS {E.STR})), 1, 8)"
+    )
+    return f"""
+    WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src}),
+    probes AS (
+      SELECT e.vec_id AS src, CAST({probe} % n.n AS BIGINT) AS dst, j
+      FROM {src} e CROSS JOIN nv n
+           CROSS JOIN (SELECT {E.explode(E.seq(1, _NND_K + 3), 'j')}) js
+    ),
+    cand AS (
+      SELECT src, dst, MIN(j) AS fj FROM probes WHERE dst <> src GROUP BY src, dst
+    ),
+    keep AS (
+      SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY fj, dst) AS rn
+      FROM cand
+    )
+    SELECT k.src, k.dst, ROUND({E.dot('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM keep k JOIN {src} a ON a.vec_id = k.src JOIN {src} b ON b.vec_id = k.dst
+    WHERE k.rn <= {_NND_K}
+    """
+
+
+def _nnd_step_sql(E, g, src="embeddings"):
+    """One NN-Descent refinement: candidates = current neighbors ∪
+    reverse neighbors ∪ neighbors-of-neighbors (the local join), score
+    by cosine, keep top-k per node. Dataflow is two hash joins on vec_id
+    plus a per-src bounded window — n·k² candidate edges per round,
+    never all-pairs."""
+    return f"""
+    WITH cand AS (
+      SELECT g1.src AS src, g2.dst AS dst
+      FROM {g} g1 JOIN {g} g2 ON g2.src = g1.dst
+      WHERE g2.dst <> g1.src
+      UNION
+      SELECT src, dst FROM {g}
+      UNION
+      SELECT dst AS src, src AS dst FROM {g}
+    ),
+    scored AS (
+      SELECT c.src, c.dst, ROUND({E.dot('a.embedding', 'b.embedding')}, 6) AS cosine
+      FROM cand c JOIN {src} a ON a.vec_id = c.src JOIN {src} b ON b.vec_id = c.dst
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+      FROM scored
+    )
+    SELECT src, dst, cosine FROM ranked WHERE rn <= {_NND_K}
+    """
+
+
+def _nnd_summary_sql(E, g0, g1, g2, src="embeddings"):
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH gt AS (
+      SELECT src, dst FROM (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rn
+        FROM {src} q JOIN {src} c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_NND_QBLOCK}
+      ) x WHERE rn <= {_NND_K}
+    ),
+    gtc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS gn FROM gt),
+    allg AS (
+      SELECT 0 AS it, src, dst, cosine FROM {g0}
+      UNION ALL SELECT 1 AS it, src, dst, cosine FROM {g1}
+      UNION ALL SELECT 2 AS it, src, dst, cosine FROM {g2}
+    ),
+    hits AS (
+      SELECT a.it, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM allg a JOIN gt ON a.src = gt.src AND a.dst = gt.dst
+      GROUP BY a.it
+    ),
+    stats AS (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(SUM(CAST(cosine AS DECIMAL(18, 6))) AS DOUBLE) AS csum
+      FROM allg GROUP BY it
+    )
+    SELECT CAST(s.it AS INT) AS iteration, s.n_edges,
+           ROUND(s.csum / s.n_edges, 6) AS mean_edge_cosine,
+           ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / NULLIF(t.gn, 0.0e0), 6)
+             AS recall_at_5
+    FROM stats s LEFT JOIN hits h ON s.it = h.it CROSS JOIN gtc t
+    """
+
+
+def nn_descent_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-Descent kNN-graph construction (Dong, Moses & Li, WWW 2011
+    "Efficient k-nearest neighbor graph construction for generic
+    similarity measures"): iterate "a neighbor of a neighbor is likely a
+    neighbor" — per round, candidates are the current graph's one-hop
+    unions plus the local two-hop join, scored and pruned to top-k.
+    Reported as a convergence table: per iteration, mean kept-edge
+    cosine and recall@5 against exact ground truth on a bounded query
+    block — both must rise monotonically for the descent to be working.
+    Determinism: md5 probe init, 1e-6-quantized cosines with vec_id
+    tie-breaks, DECIMAL edge-cosine sums. Scale: each iteration is two
+    hash joins on vec_id (n·k² candidate rows) + a per-src top-k window
+    — the standard distributed spelling (Spark's own ANN packages use
+    exactly this local-join form); iterations are checkpointed so the
+    lineage doesn't re-expand 4× per level (docs/SCALE.md)."""
+    emb_view = _spread_view(spark, sf_dir, "embeddings", "nnd_emb")
+    key = ("nnd_g", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        g0 = _checkpoint_view(
+            spark, sf_dir, "nnd_g0", spark.sql(_nnd_init_sql(_Spark, src=emb_view))
+        )
+        g1 = _checkpoint_view(
+            spark, sf_dir, "nnd_g1", spark.sql(_nnd_step_sql(_Spark, g0, src=emb_view))
+        )
+        g2 = _checkpoint_view(
+            spark, sf_dir, "nnd_g2", spark.sql(_nnd_step_sql(_Spark, g1, src=emb_view))
+        )
+        _MINHASH_STAGE_CACHE[key] = (g0, g1, g2)
+    g0, g1, g2 = _MINHASH_STAGE_CACHE[key]
+    return spark.sql(_nnd_summary_sql(_Spark, g0, g1, g2, src=emb_view))
+
+
+def _nnd_oracle(E):
+    g0 = f"({_nnd_init_sql(E)})"
+    g1 = f"({_nnd_step_sql(E, g0)})"
+    g2 = f"({_nnd_step_sql(E, g1)})"
+    return _nnd_summary_sql(E, g0, g1, g2)
+
+
+QUERIES["nn_descent_knn"] = nn_descent_knn
+ORACLE["nn_descent_knn"] = _nnd_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# zorder_layout_audit — storage-layout planning: would Z-ordering the
+# events table beat a plain time-sorted layout for file skipping? Maps
+# each event to an 8-bit rank per dimension (user_id, event time),
+# interleaves the bits into a 16-bit Morton key, assigns rows to fixed
+# key-range "files", and reports per-layout how many files a point query
+# on each dimension would expect to touch (sum of per-file span
+# fractions). A time-sorted layout gives perfect ts pruning and zero
+# user pruning; Z-order trades a little of each — this query puts
+# numbers on the trade before anyone rewrites 100 TB. Scale: entirely
+# map-side (bounds are a 1-row broadcast; file assignment is integer
+# math on the key — no global sort, unlike NTILE layouts) + one tiny
+# (layout, file) census. At write time the layout itself would be
+# df.repartitionByRange(zkey).sortWithinPartitions — this audit never
+# moves data.
+_Z_FILES = 32
+
+
+def _sql_zorder_audit(E):
+    ep = E.epoch("e.ts")
+    zterms = []
+    for i in range(8):
+        ubit = "(" + E.shr("u8", i) + " & 1)"
+        tbit = "(" + E.shr("t8", i) + " & 1)"
+        zterms.append(f"({E.shl(ubit, 2 * i + 1)} + {E.shl(tbit, 2 * i)})")
+    zbits = " + ".join(zterms)
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS mu, MAX(user_id) AS xu,
+             MIN({E.epoch('ts')}) AS mt, MAX({E.epoch('ts')}) AS xt
+      FROM events
+    ),
+    base AS (
+      SELECT e.event_id,
+             {E.intdiv('256 * (e.user_id - b.mu)', '(b.xu - b.mu + 1)')} AS u8,
+             {E.intdiv(f'256 * ({ep} - b.mt)', '(b.xt - b.mt + 1)')} AS t8
+      FROM events e CROSS JOIN bounds b
+    ),
+    keyed AS (SELECT event_id, u8, t8, ({zbits}) AS zkey FROM base),
+    files AS (
+      SELECT 'zorder' AS layout, {E.intdiv('zkey', 65536 // _Z_FILES)} AS f, u8, t8 FROM keyed
+      UNION ALL
+      SELECT 'linear_ts' AS layout, {E.intdiv('t8', 256 // _Z_FILES)} AS f, u8, t8 FROM keyed
+    ),
+    fstat AS (
+      SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(u8) - MIN(u8) + 1 AS uspan, MAX(t8) - MIN(t8) + 1 AS tspan
+      FROM files GROUP BY layout, f
+    )
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           ROUND(CAST(SUM(uspan) AS DOUBLE) / 256.0e0, 6) AS exp_files_user_point,
+           ROUND(CAST(SUM(tspan) AS DOUBLE) / 256.0e0, 6) AS exp_files_ts_point,
+           ROUND(CAST(MAX(n_rows) AS DOUBLE) * COUNT(*) / CAST(SUM(n_rows) AS DOUBLE), 6)
+             AS max_file_skew
+    FROM fstat GROUP BY layout
+    """
+
+
+_register_pair("zorder_layout_audit", _sql_zorder_audit, tables=("events",))
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_phash — perceptual-hash (aHash) dedup census over REAL
+# decoded pixels: decode each genuine BMP/PPM payload, bit i of the hash
+# is "pixel i brighter than the image mean" compared in integers
+# (n_pixels·luma_i > total_luma — no float anywhere in the hash), then a
+# census of hash buckets: visually-similar images land in one bucket
+# regardless of container format (the oracle's n_bmp/n_ppm split proves
+# both codecs agree byte-for-byte). Scale: the kernel is an Arrow-batch
+# map; the census shuffles ≤2^8 uniform keys. Near-dup (hamming ≤ d)
+# extends with the same single-bit-flip band probes dedup_simhash uses.
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import phash_media
+
+    ph = phash_media(_encoded_media_frame(spark, sf_dir))
+    return ph.groupBy("phash").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("fmt") == "bmp", 1).otherwise(0)).cast("long").alias("n_bmp"),
+        F.sum(F.when(F.col("fmt") == "ppm", 1).otherwise(0)).cast("long").alias("n_ppm"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _sql_phash_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def byte_at(i):
+        return f"({E.hex2int(f'substring(h, {2 * i - 1}, 2)')})"
+
+    lumas = [f"({byte_at(3 * i + 1)} + {byte_at(3 * i + 2)} + {byte_at(3 * i + 3)})" for i in range(8)]
+    bits = " + ".join(
+        f"(CASE WHEN 8 * l{i} > lt THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    luma_cols = ", ".join(f"{l} AS l{i}" for i, l in enumerate(lumas))
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents),
+    lum AS (SELECT doc_id, {luma_cols} FROM hx),
+    ph AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS phash,
+             (l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7) AS lt_unused
+      FROM (SELECT doc_id, l0, l1, l2, l3, l4, l5, l6, l7,
+                   (l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7) AS lt
+            FROM lum) z
+    )
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppm,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM ph GROUP BY phash
+    """
+
+
+QUERIES["multimodal_image_phash"] = multimodal_image_phash
+ORACLE["multimodal_image_phash"] = _sql_phash_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_real — the audio leg, with REAL bytes end to end: a
+# genuine RIFF/WAVE PCM-u8 file is encoded per doc executor-side (24
+# samples from the same md5 derivation the image legs use), decoded by a
+# strict RIFF chunk walker, and reduced to integer waveform stats (peak
+# deviation, sum |dev|, zero crossings). The oracle recomputes every
+# stat from the md5 byte math directly, so a wrong chunk offset, header
+# size, or sample alignment diverges the hash. Means/rounding stay in
+# SQL. Scale: Arrow-batch map end to end; payloads never visit the
+# driver; compressed audio stays NotImplementedError (no codecs here).
+def multimodal_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import audio_stats_real, encode_wav
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def encode_batch(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = str(int(doc_id))
+                samples = bytes.fromhex(
+                    hashlib.md5(key.encode()).hexdigest()
+                    + hashlib.md5((key + "x").encode()).hexdigest()
+                )[:24]
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+    stats = audio_stats_real(wavs)
+    return stats.select(
+        "doc_id", "sample_rate", "n_samples", "peak_dev", "sum_abs_dev",
+        "zero_crossings",
+        F.round(F.col("sum_abs_dev") / F.col("n_samples").cast("double"), 6).alias("mean_abs_dev"),
+    )
+
+
+def _sql_audio_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def dev(i):
+        return f"({E.hex2int(f'substring(h, {2 * i - 1}, 2)')} - 128)"
+
+    peak = "greatest(" + ", ".join(f"abs({dev(i)})" for i in range(1, 25)) + ")"
+    sad = " + ".join(f"abs({dev(i)})" for i in range(1, 25))
+    zc = " + ".join(
+        f"(CASE WHEN {dev(i)} * {dev(i + 1)} < 0 THEN 1 ELSE 0 END)" for i in range(1, 24)
+    )
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents)
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(24 AS INT) AS n_samples,
+           CAST({peak} AS BIGINT) AS peak_dev,
+           CAST({sad} AS BIGINT) AS sum_abs_dev,
+           CAST({zc} AS BIGINT) AS zero_crossings,
+           ROUND(CAST({sad} AS DOUBLE) / 24.0e0, 6) AS mean_abs_dev
+    FROM hx
+    """
+
+
+QUERIES["multimodal_audio_real"] = multimodal_audio_real
+ORACLE["multimodal_audio_real"] = _sql_audio_oracle(_Duck)

@@ -125,3 +125,33 @@ def test_bmp_ppm_codec_property_roundtrip():
             assert out == pix
 
     run()
+
+
+def test_wav_codec_roundtrip():
+    from datafusion_remote_table_spark.multimodal.decode import decode_wav, encode_wav
+
+    samples = bytes(range(256))
+    rate, out = decode_wav(encode_wav(samples, sample_rate=16000))
+    assert rate == 16000 and out == samples
+    # strictness: non-RIFF payloads are compressed-audio territory
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"\xff\xfb\x90\x00 mp3 frame junk")
+
+
+def test_phash_bmp_ppm_agree():
+    from datafusion_remote_table_spark.multimodal.decode import (
+        encode_bmp,
+        encode_ppm,
+        image_phash,
+    )
+
+    pix = bytes((i * 37) % 256 for i in range(24))
+    fb, hb = image_phash(encode_bmp(pix, 4, 2))
+    fp, hp = image_phash(encode_ppm(pix, 4, 2))
+    assert (fb, fp) == ("bmp", "ppm")
+    assert hb == hp, "same pixels must hash identically across containers"
+    lumas = [pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2] for i in range(8)]
+    total = sum(lumas)
+    assert hb == sum(1 << i for i, l in enumerate(lumas) if 8 * l > total)

@@ -319,3 +319,32 @@ def test_span_runs_census_staged_no_cartesian(spark, sf_dir):
     plan = _plan(plans.QUERIES["dedup_span_runs"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "span-run query re-exploded the corpus"
     assert "CartesianProduct" not in plan
+
+
+def test_nn_descent_iterations_are_checkpointed(spark, sf_dir):
+    # each NN-Descent iteration references the previous graph 4x (two
+    # union legs + both sides of the local join): without lineage
+    # truncation the plan re-expands ~4x per level (the BPE pathology,
+    # docs/SCALE.md). The summary must read checkpointed RDD stagings,
+    # and candidate generation must be hash joins, never a cross product.
+    plan = _plan(plans.QUERIES["nn_descent_knn"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "summary re-derived the graph iterations"
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_audit_is_map_side(spark, sf_dir):
+    # file assignment is integer math on the Morton key — fixed key-range
+    # files, NOT an NTILE layout: no global-sort window may appear (a
+    # single-partition Window would be the 100TB killer)
+    plan = _plan(plans.QUERIES["zorder_layout_audit"](spark, sf_dir))
+    assert "Window" not in plan, "layout audit fell back to a global-sort window"
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_phash_census_shape(spark, sf_dir):
+    # Arrow-batch kernel (mapInPandas) feeding a plain hash census — no
+    # window, no cartesian, payloads never collected
+    df = plans.QUERIES["multimodal_image_phash"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0

@@ -191,6 +191,7 @@ _EMB_TEMPLATES = [
     L._sql_hard_negatives,
     L._sql_embed_threshold_sweep,
     L._sql_recall_vs_probes,
+    L._nnd_oracle,
 ]
 
 
@@ -244,6 +245,7 @@ _EVENT_QUERIES = [
     "json_extract_events",
     "window_running_sum",
     "asof_join_events_orders",
+    "zorder_layout_audit",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
