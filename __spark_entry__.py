@@ -75,6 +75,11 @@ _VERIFY_FIRST = [
     "zorder_layout_audit",
     "multimodal_image_phash",
     "multimodal_audio_real",
+    "events_scd2_history",
+    "dedup_graph_pagerank",
+    "ann_random_projection_recall",
+    "stream_scd2_monitor",
+    "text_ngram_novelty",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -87,6 +87,11 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "pack_bin_efficiency",
     "corpus_clean_funnel",
+    # round-4 continuation: SCD2 warehouse history and the near-dup-graph
+    # centrality pass (runs after the minhash consumers — its number is
+    # the incremental 4-round power iteration over the shared pair graph)
+    "events_scd2_history",
+    "dedup_graph_pagerank",
 ]
 
 

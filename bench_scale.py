@@ -99,6 +99,12 @@ QUERIES = [
     "zorder_layout_audit",
     "multimodal_image_phash",
     "multimodal_audio_real",
+    # round-4 continuation (3): SCD2 history, near-dup-graph centrality,
+    # and the JL-projection recall eval
+    "events_scd2_history",
+    "dedup_graph_pagerank",
+    "ann_random_projection_recall",
+    "text_ngram_novelty",
 ]
 
 

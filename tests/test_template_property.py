@@ -95,6 +95,7 @@ _TEMPLATES = [
     _sql_nb_classifier,
     _sql_span_runs,
     L._sql_epoch_plan,
+    L._sql_ngram_novelty,
 ]
 
 
@@ -192,6 +193,7 @@ _EMB_TEMPLATES = [
     L._sql_embed_threshold_sweep,
     L._sql_recall_vs_probes,
     L._nnd_oracle,
+    L._sql_rp_recall,
 ]
 
 
@@ -246,6 +248,7 @@ _EVENT_QUERIES = [
     "window_running_sum",
     "asof_join_events_orders",
     "zorder_layout_audit",
+    "events_scd2_history",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
