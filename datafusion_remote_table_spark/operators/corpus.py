@@ -162,3 +162,43 @@ def substring_span_stats(
         "dup_span_fraction",
         F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 5,
+) -> DataFrame:
+    """Per-doc novel n-gram rate: a shingle is novel at doc d when d is
+    the first (min id) doc containing it — the crawl saturation signal
+    (tunable twin of the registered ``text_ngram_novelty`` instance).
+
+    Shingles are carried as 60-bit md5 hashes like the minhash staging
+    (set identity is all first-seen needs). Scale: explode -> census on
+    uniform hash keys -> back-join on the same keys -> per-doc rollup.
+    """
+    sh = ngram_shingles(F.col(text_col), n=n_words)
+    hashed = F.transform(
+        sh, lambda s: F.conv(F.md5(s).substr(F.lit(1), F.lit(15)), 16, 10).cast("long")
+    )
+    grams = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(hashed).alias("gram"))
+        .where(F.col("gram").isNotNull())
+    )
+    firsts = grams.groupBy("gram").agg(F.min("__doc").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("__doc"), 1).otherwise(0)).cast("bigint")
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("__doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias("novelty_rate"),
+        )
+    )

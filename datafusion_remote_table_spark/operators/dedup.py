@@ -241,3 +241,59 @@ def containment_pairs(
             "partial_only",
         )
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 4,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Damped PageRank over an undirected pair graph (tunable twin of the
+    registered ``dedup_graph_pagerank`` instance).
+
+    All arithmetic is fixed-point BIGINT (scores in ``scale`` units,
+    floor division) so results are bit-identical regardless of
+    partitioning. Each power round is lineage-truncated
+    (localCheckpoint): the unrolled-CTE spelling re-executes every
+    earlier round inside each later one (measured 16 -> 189 s at
+    1x -> 16x in bench_scale before the split). Returns
+    (node, degree, score_fp, score).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    r = deg.select(
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("score")
+    ).localCheckpoint(eager=True)
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iters):
+        contrib = ew.join(r, ew.src == r.node).selectExpr("dst", "score DIV deg AS c")
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .selectExpr(
+                "dst AS node",
+                f"CAST({base} + ({damping_pct} * s) DIV 100 AS BIGINT) AS score",
+            )
+            .localCheckpoint(eager=True)
+        )
+    degrees = deg.select(F.col("src").alias("node"), F.col("deg").cast("long").alias("degree"))
+    return r.join(degrees, "node").select(
+        "node",
+        "degree",
+        F.col("score").alias("score_fp"),
+        F.round(F.col("score").cast("double") / F.lit(float(scale)), 6).alias("score"),
+    )

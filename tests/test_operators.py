@@ -476,3 +476,36 @@ def test_bloom_sizing_integer_parity_at_powers_of_two(spark):
         ).fetchone()[0]
         expected = 1 << (8 * n - 1).bit_length()  # smallest 2^p >= 8n
         assert got == want == expected, (n, got, want, expected)
+
+
+def test_pagerank_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.dedup import pagerank
+    from datafusion_remote_table_spark.plans.llm_data import _minhash_pairs
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    api_df = pagerank(pairs, a_col="doc_a", b_col="doc_b")
+    api = [
+        (r["node"], r["degree"], r["score_fp"], r["score"])
+        for r in api_df.orderBy(F.desc("score_fp"), "node").limit(20).collect()
+    ]
+    reg = [
+        (r["doc_id"], r["degree"], r["pagerank_fp"], r["pagerank"])
+        for r in plans.QUERIES["dedup_graph_pagerank"](spark, sf_dir).collect()
+    ]
+    assert api == reg and len(api) > 0
+
+
+def test_ngram_novelty_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import ngram_novelty
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = sorted(
+        (r["doc_id"], r["n_grams"], r["n_novel"], r["novelty_rate"])
+        for r in ngram_novelty(docs).collect()
+    )
+    reg = sorted(
+        (r["doc_id"], r["n_grams"], r["n_novel"], r["novelty_rate"])
+        for r in plans.QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
