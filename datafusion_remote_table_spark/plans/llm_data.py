@@ -5074,18 +5074,33 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench_scale before this split. The Spark runner iterates instead:
     # each power round is checkpointed (lineage truncated, same trade as
     # the BPE chain), so round k reads round k-1's ROWS, not its plan.
+    # _pr_ew_sql references pairs TWICE (both edge directions), and
+    # Spark 4.1's view-cache matching misses on the re-resolved temp view
+    # — the verify join replayed per reference (measured: the ew step
+    # alone was 5.2 s at sf0.1 for a 255-pair graph). Checkpoint the
+    # pair frame first so both references read rows.
     pairs = _minhash_pairs(spark, sf_dir)
-    view = f"pr_pairs_{_dataset_suffix(sf_dir)}"
-    pairs.createOrReplaceTempView(view)
-    ew = _checkpoint_view(spark, sf_dir, "pr_ew", spark.sql(_pr_ew_sql(view)))
-    r = _checkpoint_view(
-        spark,
-        sf_dir,
-        "pr_r0",
-        spark.sql(f"SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM {ew} e0"),
-    )
-    for k in range(1, 5):
-        r = _checkpoint_view(spark, sf_dir, f"pr_r{k}", spark.sql(_pr_round_sql(_Spark, ew, r)))
+    view = _checkpoint_view(spark, sf_dir, "pr_pairs", pairs)
+    # the graph is LSH output — orders of magnitude smaller than the
+    # corpus — so the 4 power rounds pin shuffle partitions to the graph's
+    # size (same discipline as operators/dedup.connected_components):
+    # 32-task scheduling per tiny round dominated the measured cost.
+    n_pairs = spark.table(view).count()
+    npart = max(1, min(spark.sparkContext.defaultParallelism, (4 * n_pairs) // 2_000_000 + 1))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        ew = _checkpoint_view(spark, sf_dir, "pr_ew", spark.sql(_pr_ew_sql(view)))
+        r = _checkpoint_view(
+            spark,
+            sf_dir,
+            "pr_r0",
+            spark.sql(f"SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM {ew} e0"),
+        )
+        for k in range(1, 5):
+            r = _checkpoint_view(spark, sf_dir, f"pr_r{k}", spark.sql(_pr_round_sql(_Spark, ew, r)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.sql(_pr_final_sql(ew, r))
 
 
