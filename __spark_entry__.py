@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "ann_random_projection_recall",
     "stream_scd2_monitor",
     "text_ngram_novelty",
+    "ann_graph_search_eval",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -105,6 +105,7 @@ QUERIES = [
     "dedup_graph_pagerank",
     "ann_random_projection_recall",
     "text_ngram_novelty",
+    "ann_graph_search_eval",
 ]
 
 

@@ -31,6 +31,11 @@ from . import ORACLE, QUERIES
 # -- per-engine SQL spellings ------------------------------------------------
 class _Spark:
     STR = "STRING"
+    # CTE materialization hint: Spark has no MATERIALIZED keyword (the
+    # registered runners checkpoint instead); DuckDB's inlines every CTE
+    # reference unless told otherwise, so multiply-referenced expensive
+    # CTEs in oracles re-execute per reference without it.
+    MAT = ""
     SIZE = "size"
     TRANSFORM = "transform"
     FILTER = "filter"
@@ -131,6 +136,7 @@ class _Spark:
 
 class _Duck:
     STR = "VARCHAR"
+    MAT = "MATERIALIZED "
     SIZE = "len"
     TRANSFORM = "list_transform"
     FILTER = "list_filter"
@@ -4796,6 +4802,14 @@ def nn_descent_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard distributed spelling (Spark's own ANN packages use
     exactly this local-join form); iterations are checkpointed so the
     lineage doesn't re-expand 4× per level (docs/SCALE.md)."""
+    emb_view, g0, g1, g2 = _nnd_graphs(spark, sf_dir)
+    return spark.sql(_nnd_summary_sql(_Spark, g0, g1, g2, src=emb_view))
+
+
+def _nnd_graphs(spark: SparkSession, sf_dir: str) -> tuple[str, str, str, str]:
+    """The checkpointed NN-Descent iteration views, shared by the
+    convergence report and the graph-search eval (built once per
+    session+sf_dir)."""
     emb_view = _spread_view(spark, sf_dir, "embeddings", "nnd_emb")
     key = ("nnd_g", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
@@ -4810,7 +4824,7 @@ def nn_descent_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _MINHASH_STAGE_CACHE[key] = (g0, g1, g2)
     g0, g1, g2 = _MINHASH_STAGE_CACHE[key]
-    return spark.sql(_nnd_summary_sql(_Spark, g0, g1, g2, src=emb_view))
+    return emb_view, g0, g1, g2
 
 
 def _nnd_oracle(E):
@@ -5204,3 +5218,133 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_ngram_novelty"] = text_ngram_novelty
 ORACLE["text_ngram_novelty"] = _sql_ngram_novelty(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# ann_graph_search_eval — navigability of the NN-Descent graph: greedy
+# best-first search (the HNSW layer-0 serving walk) from one fixed
+# md5-chosen entry node toward each query; per hop, move to the current
+# node's best-scoring out-neighbor if it improves, else stay. Reported as
+# the full trajectory table (hop 0..4 per query: node, cosine, whether
+# the exact top-1 was reached) — the readout that decides whether the
+# built graph can actually SERVE queries, complementing nn_descent_knn's
+# edge-recall convergence. Scale: each hop is two hash joins (frontier ⋈
+# graph ⋈ vectors) + a per-query top-1 window on k-bounded candidates;
+# frontier is query-block-sized; hops are checkpointed in Spark
+# (MATERIALIZED CTEs in the oracle) against the 2x/level re-expansion.
+_GS_HOPS = 4
+
+
+def _gs_q_sql(E, src):
+    return f"SELECT vec_id AS query_id, embedding FROM {src} WHERE vec_id < {_NND_QBLOCK}"
+
+
+def _gs_entry_sql(E, src):
+    return (
+        f"SELECT vec_id FROM {src} "
+        f"ORDER BY md5(CAST(vec_id AS {E.STR})), vec_id LIMIT 1"
+    )
+
+
+def _gs_s0_sql(E, src, q="q", entry="entry"):
+    return f"""
+    SELECT qq.query_id, e.vec_id AS node,
+           ROUND({E.dot('qq.embedding', 'b.embedding')}, 6) AS cosine
+    FROM {q} qq CROSS JOIN {entry} e JOIN {src} b ON b.vec_id = e.vec_id
+    """
+
+
+def _gs_step_sql(E, prev, g, src, q="q"):
+    return f"""
+    SELECT p.query_id,
+           CASE WHEN b.cosine > p.cosine THEN b.node ELSE p.node END AS node,
+           CASE WHEN b.cosine > p.cosine THEN b.cosine ELSE p.cosine END AS cosine
+    FROM {prev} p
+    LEFT JOIN (
+      SELECT query_id, node, cosine FROM (
+        SELECT sc.query_id, sc.node, sc.cosine,
+               ROW_NUMBER() OVER (PARTITION BY sc.query_id
+                                  ORDER BY sc.cosine DESC, sc.node) AS rn
+        FROM (
+          SELECT p2.query_id, g.dst AS node,
+                 ROUND({E.dot('qq.embedding', 'b.embedding')}, 6) AS cosine
+          FROM {prev} p2
+          JOIN {g} g ON g.src = p2.node AND g.dst <> p2.query_id
+          JOIN {q} qq ON qq.query_id = p2.query_id
+          JOIN {src} b ON b.vec_id = g.dst
+        ) sc
+      ) r WHERE rn = 1
+    ) b ON b.query_id = p.query_id
+    """
+
+
+def _gs_final_sql(E, hops, src):
+    # returns a CTE-list CONTINUATION ("traj AS (...), gt AS (...) SELECT
+    # ...") so the runner prefixes WITH and the oracle appends it after
+    # its graph/hop CTEs
+    cos = E.dot("q2.embedding", "c.embedding")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS hop, query_id, node, cosine FROM {name} t{i}" for i, name in hops
+    )
+    return f"""
+    traj AS (
+      {union}
+    ),
+    gt AS (
+      SELECT query_id, best_node, rn FROM (
+        SELECT q2.vec_id AS query_id, c.vec_id AS best_node,
+               ROUND({cos}, 6) AS best_cosine,
+               ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+                                  ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rn
+        FROM {src} q2 JOIN {src} c ON c.vec_id <> q2.vec_id
+        WHERE q2.vec_id < {_NND_QBLOCK}
+      ) x WHERE rn <= 10
+    )
+    SELECT CAST(t.hop AS INT) AS hop, t.query_id, t.node, t.cosine,
+           CAST(MAX(CASE WHEN g.rn = 1 THEN 1 ELSE 0 END) AS INT) AS reached_top1,
+           CAST(MAX(CASE WHEN g.rn IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS reached_top10
+    FROM traj t
+    LEFT JOIN gt g ON g.query_id = t.query_id AND g.best_node = t.node
+    GROUP BY t.hop, t.query_id, t.node, t.cosine
+    """
+
+
+def ann_graph_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_view, _g0, _g1, g2 = _nnd_graphs(spark, sf_dir)
+    q_view = _checkpoint_view(spark, sf_dir, "gs_q", spark.sql(_gs_q_sql(_Spark, emb_view)))
+    entry_view = _checkpoint_view(
+        spark, sf_dir, "gs_entry", spark.sql(_gs_entry_sql(_Spark, emb_view))
+    )
+    s = _checkpoint_view(
+        spark, sf_dir, "gs_s0",
+        spark.sql(_gs_s0_sql(_Spark, emb_view, q=q_view, entry=entry_view)),
+    )
+    hops = [(0, s)]
+    for h in range(1, _GS_HOPS + 1):
+        s = _checkpoint_view(
+            spark, sf_dir, f"gs_s{h}",
+            spark.sql(_gs_step_sql(_Spark, s, g2, emb_view, q=q_view)),
+        )
+        hops.append((h, s))
+    return spark.sql("WITH " + _gs_final_sql(_Spark, hops, emb_view))
+
+
+def _gs_oracle(E):
+    g0 = f"({_nnd_init_sql(E)})"
+    g1 = f"({_nnd_step_sql(E, g0)})"
+    steps = "".join(
+        f"    s{h} AS {E.MAT}({_gs_step_sql(E, f's{h - 1}', 'g2', 'embeddings')}),\n"
+        for h in range(1, _GS_HOPS + 1)
+    )
+    hops = [(h, f"s{h}") for h in range(_GS_HOPS + 1)]
+    return f"""
+    WITH g2 AS {E.MAT}({_nnd_step_sql(E, g1)}),
+    q AS {E.MAT}({_gs_q_sql(E, 'embeddings')}),
+    entry AS ({_gs_entry_sql(E, 'embeddings')}),
+    s0 AS {E.MAT}({_gs_s0_sql(E, 'embeddings')}),
+{steps}{_gs_final_sql(E, hops, 'embeddings')}
+    """
+
+
+QUERIES["ann_graph_search_eval"] = ann_graph_search_eval
+ORACLE["ann_graph_search_eval"] = _gs_oracle(_Duck)

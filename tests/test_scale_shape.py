@@ -384,3 +384,13 @@ def test_ngram_novelty_reuses_shingle_staging(spark, sf_dir):
     plan = _plan(plans.QUERIES["text_ngram_novelty"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_search_hops_are_checkpointed(spark, sf_dir):
+    # each greedy hop references the previous frontier twice (keep-or-move
+    # LEFT JOIN): without lineage truncation the plan re-expands 2x per
+    # hop on top of the NN-Descent chain. The final select must read
+    # checkpointed RDDs and never cross-join the corpus.
+    plan = _plan(plans.QUERIES["ann_graph_search_eval"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "hop frontier re-derived from lineage"
+    assert "CartesianProduct" not in plan

@@ -194,6 +194,11 @@ _EMB_TEMPLATES = [
     L._sql_recall_vs_probes,
     L._nnd_oracle,
     L._sql_rp_recall,
+    # L._gs_oracle is NOT fuzzed here: its template spelling (no
+    # checkpoints — that's the runner's job) re-expands the NN-Descent
+    # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
+    # per harness run on 8-row tables; the registered runner is
+    # checkpointed and driver-verified instead.
 ]
 
 
