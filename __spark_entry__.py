@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "stream_scd2_monitor",
     "text_ngram_novelty",
     "ann_graph_search_eval",
+    "events_concurrency_hourly",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -106,6 +106,7 @@ QUERIES = [
     "ann_random_projection_recall",
     "text_ngram_novelty",
     "ann_graph_search_eval",
+    "events_concurrency_hourly",
 ]
 
 

@@ -1983,3 +1983,72 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN seg_end IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
     FROM hist
     """)
+
+
+# --------------------------------------------------------------------------
+# events_concurrency_hourly — peak-load readout: how many sessions are
+# OPEN in each hour (capacity planning / connection sizing runs exactly
+# this sweep-line). Sessions come from the same 30-min-gap sessionizer;
+# each contributes +1 at its start hour and -1 at the hour AFTER its last
+# event, and the hourly running sum of deltas is the concurrency curve.
+# Scale: sessionization shuffles once on user_id; the sweep line runs
+# over the HOUR-grain census (bounded cardinality — 8.8k rows/year no
+# matter the corpus size), so the single ordered window at the end is
+# over a frame that never grows with data. One row per hour with any
+# session activity boundary.
+_CONCURRENCY_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN {gap_seconds} IS NULL OR {gap_seconds} > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    ),
+    bounds AS (
+      SELECT user_id, session_id,
+             date_trunc('hour', MIN(ts)) AS start_hour,
+             date_trunc('hour', MAX(ts)) + INTERVAL 1 HOUR AS end_hour
+      FROM sess GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT start_hour AS hr, 1 AS d FROM bounds b1
+      UNION ALL
+      SELECT end_hour AS hr, -1 AS d FROM bounds b2
+    ),
+    hourly AS (
+      SELECT hr, SUM(d) AS delta,
+             SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS n_starts
+      FROM deltas GROUP BY hr
+    )
+    SELECT {fmt_hour} AS hour,
+           CAST(n_starts AS BIGINT) AS sessions_started,
+           CAST(SUM(delta) OVER (ORDER BY hr
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS concurrent_sessions
+    FROM hourly
+"""
+
+
+@register(
+    "events_concurrency_hourly",
+    oracle=_CONCURRENCY_SQL.format(
+        gap_seconds="date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)",
+        fmt_hour="strftime(hr, '%Y-%m-%d %H:%M:%S')",
+    ),
+)
+def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _CONCURRENCY_SQL.format(
+            gap_seconds=(
+                "unix_timestamp(ts) - unix_timestamp(lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id))"
+            ),
+            fmt_hour="date_format(hr, 'yyyy-MM-dd HH:mm:ss')",
+        )
+    )

@@ -394,3 +394,16 @@ def test_graph_search_hops_are_checkpointed(spark, sf_dir):
     plan = _plan(plans.QUERIES["ann_graph_search_eval"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "hop frontier re-derived from lineage"
     assert "CartesianProduct" not in plan
+
+
+def test_concurrency_sweep_line_runs_on_hour_census(spark, sf_dir):
+    # the single-partition running sum must sit ABOVE the hour-grain
+    # aggregate (bounded rows), with the only events-sized shuffle keyed
+    # on user_id for sessionization
+    plan = _plan(plans.QUERIES["events_concurrency_hourly"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(user_id", plan)
+    # the global window's input is the post-census exchange
+    assert "Exchange SinglePartition" in plan

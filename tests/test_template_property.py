@@ -254,6 +254,7 @@ _EVENT_QUERIES = [
     "asof_join_events_orders",
     "zorder_layout_audit",
     "events_scd2_history",
+    "events_concurrency_hourly",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
