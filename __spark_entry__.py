@@ -82,6 +82,8 @@ _VERIFY_FIRST = [
     "text_ngram_novelty",
     "ann_graph_search_eval",
     "events_concurrency_hourly",
+    "basket_part_pairs",
+    "events_churn_features",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

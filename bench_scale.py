@@ -107,6 +107,7 @@ QUERIES = [
     "text_ngram_novelty",
     "ann_graph_search_eval",
     "events_concurrency_hourly",
+    "events_churn_features",
 ]
 
 

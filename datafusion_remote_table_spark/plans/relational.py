@@ -2052,3 +2052,95 @@ def events_concurrency_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_hour="date_format(hr, 'yyyy-MM-dd HH:mm:ss')",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# basket_part_pairs — market-basket association rules over orders: for
+# every part pair co-occurring in an order, exact support / confidence /
+# lift from integer co-occurrence counts; top 20 pairs by co-occurrence.
+# The frequent-itemset census behind recommendations and assortment
+# planning. Scale: pair generation is ORDER-LOCAL (items per order is
+# bounded ~O(10), so pairs per order are O(100) — never a corpus-wide
+# cross product); the pair census shuffles on (part_a, part_b) with
+# map-side partials; part counts broadcast back; top-20 is
+# TakeOrderedAndProject.
+_BASKET_SQL = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_count AS (
+      SELECT l_partkey, COUNT(*) AS n_one FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_ab AS BIGINT) AS n_both,
+           ROUND(CAST(p.n_ab AS DOUBLE) / n.n, 6) AS support,
+           ROUND(CAST(p.n_ab AS DOUBLE) / pa.n_one, 6) AS confidence_a_b,
+           ROUND((CAST(p.n_ab AS DOUBLE) * n.n) / (pa.n_one * pb.n_one), 6) AS lift
+    FROM pairs p
+    CROSS JOIN n_orders n
+    JOIN part_count pa ON pa.l_partkey = p.part_a
+    JOIN part_count pb ON pb.l_partkey = p.part_b
+    ORDER BY p.n_ab DESC, p.part_a, p.part_b
+    LIMIT 20
+"""
+
+
+@register("basket_part_pairs", oracle=_BASKET_SQL)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_BASKET_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_churn_features — churn-label + feature generation (the ML
+# training-table builder): per user, trailing-window activity counts and
+# value sums anchored at the corpus max timestamp, recency in whole
+# days, and the 7-day churn label. Scale: one scalar MAX (broadcast
+# literal-sized), then a single groupBy(user_id) with map-side partials
+# — the canonical feature-store shape.
+_CHURN_SQL = """
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events)
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.ts >= m.tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_events_7d,
+           CAST(SUM(CASE WHEN e.ts >= m.tmax - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_events_30d,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST({recency_intdiv} AS BIGINT) AS recency_days,
+           CAST(CASE WHEN MAX(e.ts) < m.tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS INT)
+             AS churned_7d
+    FROM events e CROSS JOIN mx m
+    GROUP BY e.user_id, m.tmax
+"""
+
+
+@register(
+    "events_churn_features",
+    oracle=_CHURN_SQL.format(
+        # integer FLOOR division: DuckDB's CAST(double AS BIGINT) rounds
+        # to nearest where Spark truncates, so the day count must never
+        # pass through a float
+        recency_intdiv=(
+            "((CAST(floor(epoch(m.tmax)) AS BIGINT)"
+            " - CAST(floor(epoch(MAX(e.ts))) AS BIGINT)) // 86400)"
+        ),
+    ),
+)
+def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _CHURN_SQL.format(
+            recency_intdiv=(
+                "((CAST(unix_timestamp(m.tmax) AS BIGINT)"
+                " - CAST(unix_timestamp(MAX(e.ts)) AS BIGINT)) DIV 86400)"
+            ),
+        )
+    )

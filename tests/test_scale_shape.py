@@ -407,3 +407,20 @@ def test_concurrency_sweep_line_runs_on_hour_census(spark, sf_dir):
     assert re.search(r"Exchange hashpartitioning\(user_id", plan)
     # the global window's input is the post-census exchange
     assert "Exchange SinglePartition" in plan
+
+
+def test_basket_pairs_no_cartesian_and_topk(spark, sf_dir):
+    # pair generation must be the order-key equi-join (order-local), the
+    # part-count back joins broadcastable, and the top-20 a
+    # TakeOrderedAndProject — never a global sort or cross product
+    plan = _plan(plans.QUERIES["basket_part_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_churn_features_single_user_shuffle(spark, sf_dir):
+    plan = _plan(plans.QUERIES["events_churn_features"](spark, sf_dir))
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(.*user_id", plan)

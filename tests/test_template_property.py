@@ -255,6 +255,7 @@ _EVENT_QUERIES = [
     "zorder_layout_audit",
     "events_scd2_history",
     "events_concurrency_hourly",
+    "events_churn_features",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
