@@ -84,6 +84,8 @@ _VERIFY_FIRST = [
     "events_concurrency_hourly",
     "basket_part_pairs",
     "events_churn_features",
+    "events_dau_mau",
+    "sample_coreset_kcenter",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

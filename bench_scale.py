@@ -108,6 +108,8 @@ QUERIES = [
     "ann_graph_search_eval",
     "events_concurrency_hourly",
     "events_churn_features",
+    "events_dau_mau",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -5348,3 +5348,122 @@ def _gs_oracle(E):
 
 QUERIES["ann_graph_search_eval"] = ann_graph_search_eval
 ORACLE["ann_graph_search_eval"] = _gs_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# sample_coreset_kcenter — greedy k-center (farthest-point-first) coreset
+# selection over embeddings: start from an md5-chosen seed, then
+# repeatedly pick the vector FARTHEST from every chosen center (the
+# 2-approximation of the k-center cover, and the diversity-first
+# data-selection pass used for active learning / dataset distillation).
+# Output: selection order, chosen vec_id, and its squared distance to
+# the prior centers at selection time — the decreasing radius curve that
+# says when diversity is exhausted. Scale: the running state is one
+# (vec_id, dmin) column over the corpus; each round is one map-side
+# LEAST update against a single broadcast center + one argmax
+# (TakeOrderedAndProject); rounds are checkpointed in Spark
+# (MATERIALIZED CTEs in the oracle) since each round reads the previous
+# state twice.
+_KC_K = 8
+
+
+def _kc_seed_sql(E, src):
+    return (
+        f"SELECT vec_id FROM {src} "
+        f"ORDER BY md5(CAST(vec_id AS {E.STR})), vec_id LIMIT 1"
+    )
+
+
+def _kc_d0_sql(E, src, c):
+    d = E.sqdist("e.embedding", "ce.embedding")
+    return f"""
+    SELECT e.vec_id, ROUND({d}, 6) AS dmin
+    FROM {src} e
+    CROSS JOIN (SELECT e2.embedding FROM {src} e2 JOIN {c} c0 ON e2.vec_id = c0.vec_id) ce
+    """
+
+
+def _kc_next_sql(E, d):
+    return f"SELECT vec_id, dmin FROM {d} dd ORDER BY dmin DESC, vec_id LIMIT 1"
+
+
+def _kc_update_sql(E, d, c, src):
+    dist = E.sqdist("e.embedding", "ce.embedding")
+    return f"""
+    SELECT d.vec_id, LEAST(d.dmin, ROUND({dist}, 6)) AS dmin
+    FROM {d} d
+    JOIN {src} e ON e.vec_id = d.vec_id
+    CROSS JOIN (SELECT e2.embedding FROM {src} e2 JOIN {c} cc ON e2.vec_id = cc.vec_id) ce
+    """
+
+
+def _kc_final_sql(selected):
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS sel_order, vec_id, {dist} AS dist_to_centers FROM {name} u{i}"
+        for i, (name, dist) in enumerate(selected, start=1)
+    )
+    return f"""
+    SELECT CAST(sel_order AS INT) AS sel_order, vec_id,
+           CAST(dist_to_centers AS DOUBLE) AS dist_to_centers
+    FROM ({union}) allsel
+    """
+
+
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark spelling: the chosen center is ONE row per round, so it is
+    # collected (bounded control plane — the kmeans inline-centroid
+    # precedent) and inlined as a literal vector; the distance state
+    # carries the embedding alongside dmin, making every update a pure
+    # MAP pass (zero joins, zero shuffles per round) and the argmax a
+    # TakeOrderedAndProject. The first CROSS-JOIN spelling multiplied
+    # partitions 32x per BroadcastNLJ round (32 -> 1024 -> 32768 tasks
+    # by round 3 at sf0.001) — collect-and-inline removes the join
+    # entirely. The oracle keeps the relational CROSS JOIN spelling.
+    src = _spread_view(spark, sf_dir, "embeddings", "kc_emb")
+    sq = _Spark.sqdist
+
+    def _lit(vec):
+        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec) + ")"
+
+    c1_id = spark.sql(_kc_seed_sql(_Spark, src)).collect()[0][0]
+    emb = spark.sql(f"SELECT embedding FROM {src} WHERE vec_id = {c1_id}").collect()[0][0]
+    d = _checkpoint_view(
+        spark, sf_dir, "kc_d1",
+        spark.sql(
+            f"SELECT vec_id, embedding, ROUND({sq('embedding', _lit(emb))}, 6) AS dmin FROM {src} e"
+        ),
+    )
+    selected = [(c1_id, "CAST(0.0 AS DOUBLE)")]
+    for k in range(2, _KC_K + 1):
+        cid, dist = spark.sql(_kc_next_sql(_Spark, d)).collect()[0]
+        selected.append((cid, f"CAST('{dist!r}' AS DOUBLE)"))
+        if k < _KC_K:
+            emb = spark.sql(f"SELECT embedding FROM {src} WHERE vec_id = {cid}").collect()[0][0]
+            d = _checkpoint_view(
+                spark, sf_dir, f"kc_d{k}",
+                spark.sql(
+                    f"SELECT vec_id, embedding, LEAST(dmin, ROUND({sq('embedding', _lit(emb))}, 6)) AS dmin FROM {d} d"
+                ),
+            )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS sel_order, CAST({cid} AS BIGINT) AS vec_id, {dist} AS dist_to_centers"
+        for i, (cid, dist) in enumerate(selected, start=1)
+    )
+    return spark.sql(rows)
+
+
+def _kc_oracle(E):
+    src = "embeddings"
+    ctes = [f"c1 AS ({_kc_seed_sql(E, src)})"]
+    ctes.append(f"d1 AS {E.MAT}({_kc_d0_sql(E, src, 'c1')})")
+    selected = [("c1", "CAST(0.0 AS DOUBLE)")]
+    for k in range(2, _KC_K + 1):
+        ctes.append(f"c{k} AS {E.MAT}({_kc_next_sql(E, f'd{k - 1}')})")
+        selected.append((f"c{k}", "dmin"))
+        if k < _KC_K:
+            ctes.append(f"d{k} AS {E.MAT}({_kc_update_sql(E, f'd{k - 1}', f'c{k}', src)})")
+    return "WITH " + ",\n    ".join(ctes) + _kc_final_sql(selected)
+
+
+QUERIES["sample_coreset_kcenter"] = sample_coreset_kcenter
+ORACLE["sample_coreset_kcenter"] = _kc_oracle(_Duck)

@@ -2144,3 +2144,43 @@ def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_dau_mau — growth-analytics actives table: per day, DAU plus
+# trailing-7-day (WAU) and trailing-30-day (MAU) distinct users and the
+# DAU/MAU stickiness ratio. Scale: events collapse FIRST to the
+# (day, user) census (one shuffle, map-side distinct partials); the
+# trailing windows are a range join of that census against the DAY axis
+# (bounded — 365 rows/year broadcast), so the expensive distinct-over-
+# window never touches raw events.
+_DAU_SQL = """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    actives AS (
+      SELECT dd.d,
+             COUNT(DISTINCT CASE WHEN du.d = dd.d THEN du.user_id END) AS dau,
+             COUNT(DISTINCT CASE WHEN du.d > dd.d - INTERVAL 7 DAY THEN du.user_id END) AS wau,
+             COUNT(DISTINCT du.user_id) AS mau
+      FROM days dd
+      JOIN du ON du.d > dd.d - INTERVAL 30 DAY AND du.d <= dd.d
+      GROUP BY dd.d
+    )
+    SELECT {fmt_day} AS day,
+           CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+    FROM actives
+"""
+
+
+@register(
+    "events_dau_mau",
+    oracle=_DAU_SQL.format(fmt_day="strftime(d, '%Y-%m-%d')"),
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(_DAU_SQL.format(fmt_day="date_format(d, 'yyyy-MM-dd')"))

@@ -424,3 +424,33 @@ def test_churn_features_single_user_shuffle(spark, sf_dir):
     import re
 
     assert re.search(r"Exchange hashpartitioning\(.*user_id", plan)
+
+
+def test_kcenter_updates_are_map_side(spark, sf_dir):
+    # the distance-state update against an inlined literal center must be
+    # a pure map pass over the checkpointed state: no Exchange at all
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    src = L._spread_view(spark, sf_dir, "embeddings", "kcshape_emb")
+    cid = spark.sql(L._kc_seed_sql(L._Spark, src)).collect()[0][0]
+    emb = spark.sql(f"SELECT embedding FROM {src} WHERE vec_id = {cid}").collect()[0][0]
+    lit = "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in emb) + ")"
+    d = L._checkpoint_view(
+        spark, sf_dir, "kcshape_d",
+        spark.sql(
+            f"SELECT vec_id, embedding, ROUND({L._Spark.sqdist('embedding', lit)}, 6) AS dmin FROM {src} e"
+        ),
+    )
+    upd = spark.sql(
+        f"SELECT vec_id, LEAST(dmin, ROUND({L._Spark.sqdist('embedding', lit)}, 6)) AS dmin FROM {d} d"
+    )
+    plan = _plan(upd)
+    assert "Exchange" not in plan, "k-center update is not map-side"
+
+
+def test_dau_mau_census_before_day_join(spark, sf_dir):
+    # the range join must be against the (day, user) census, never raw
+    # events, and no cartesian product may appear (the day axis is the
+    # broadcast NLJ side by construction)
+    plan = _plan(plans.QUERIES["events_dau_mau"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
