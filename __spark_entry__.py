@@ -86,6 +86,8 @@ _VERIFY_FIRST = [
     "events_churn_features",
     "events_dau_mau",
     "sample_coreset_kcenter",
+    "orders_seasonality",
+    "parts_abc_classification",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

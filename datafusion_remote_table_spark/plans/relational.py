@@ -2184,3 +2184,88 @@ _DAU_SQL = """
 def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir, ("events",))
     return spark.sql(_DAU_SQL.format(fmt_day="date_format(d, 'yyyy-MM-dd')"))
+
+
+# --------------------------------------------------------------------------
+# orders_seasonality — classical decomposition of monthly revenue:
+# per calendar month, total revenue, the 3-month centered moving average
+# (trend), and the seasonal index (month-of-year mean over the overall
+# monthly mean). Scale: everything after the one groupBy runs on the
+# MONTH-grain census (bounded — 12 rows/year), so the ordered moving-
+# average window never touches facts.
+_SEASONALITY_SQL = """
+    WITH monthly AS (
+      SELECT CAST({yr} AS INT) AS yr, CAST({mon} AS INT) AS mon,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders
+      GROUP BY {yr}, {mon}
+    ),
+    windowed AS (
+      SELECT yr, mon, CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(SUM(rev_dec) OVER (ORDER BY yr, mon
+                                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               / COUNT(*) OVER (ORDER BY yr, mon
+                                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS trend,
+             CAST(SUM(rev_dec) OVER (PARTITION BY mon) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY mon) AS month_mean,
+             CAST(SUM(rev_dec) OVER () AS DOUBLE) / COUNT(*) OVER () AS overall_mean
+      FROM monthly
+    )
+    SELECT yr, mon, revenue,
+           ROUND(trend, 2) AS trend_3mo,
+           ROUND(month_mean / overall_mean, 6) AS seasonal_index
+    FROM windowed
+"""
+
+
+@register(
+    "orders_seasonality",
+    oracle=_SEASONALITY_SQL.format(
+        yr="EXTRACT(year FROM o_orderdate)", mon="EXTRACT(month FROM o_orderdate)"
+    ),
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _SEASONALITY_SQL.format(yr="year(o_orderdate)", mon="month(o_orderdate)")
+    )
+
+
+# --------------------------------------------------------------------------
+# parts_abc_classification — ABC inventory analysis: parts ranked by
+# lineitem revenue; cumulative revenue share buckets them A (first 70%),
+# B (to 90%), C (tail). Scale: the fact scan collapses to the PART-grain
+# census (dimension-bounded) before the single ordered cumulative
+# window; revenue sums are exact DECIMAL. The window runs over parts,
+# never lineitem — at 100TB that is millions of rows once, not
+# billions.
+_ABC_SQL = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS revenue,
+             CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_rev,
+             CAST(SUM(rev_dec) OVER () AS DOUBLE) AS total_rev,
+             ROW_NUMBER() OVER (ORDER BY rev_dec DESC, l_partkey) AS rnk
+      FROM per_part
+    )
+    SELECT l_partkey, revenue,
+           CAST(rnk AS BIGINT) AS revenue_rank,
+           ROUND(cum_rev / total_rev, 6) AS cum_share,
+           CASE WHEN cum_rev / total_rev <= 0.7 THEN 'A'
+                WHEN cum_rev / total_rev <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+"""
+
+
+@register("parts_abc_classification", oracle=_ABC_SQL)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_ABC_SQL)

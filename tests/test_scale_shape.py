@@ -454,3 +454,18 @@ def test_dau_mau_census_before_day_join(spark, sf_dir):
     # broadcast NLJ side by construction)
     plan = _plan(plans.QUERIES["events_dau_mau"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_seasonality_windows_on_month_census(spark, sf_dir):
+    plan = _plan(plans.QUERIES["orders_seasonality"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_window_on_part_census(spark, sf_dir):
+    # the cumulative window's input must be the part-grain aggregate
+    # (one hashpartitioning on l_partkey below the single-partition sort)
+    plan = _plan(plans.QUERIES["parts_abc_classification"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(l_partkey", plan)
