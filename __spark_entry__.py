@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "sample_coreset_kcenter",
     "orders_seasonality",
     "parts_abc_classification",
+    "multimodal_video_real",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

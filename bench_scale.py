@@ -110,6 +110,7 @@ QUERIES = [
     "events_churn_features",
     "events_dau_mau",
     "sample_coreset_kcenter",
+    "multimodal_video_real",
 ]
 
 

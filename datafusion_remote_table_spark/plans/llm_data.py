@@ -5467,3 +5467,77 @@ def _kc_oracle(E):
 
 QUERIES["sample_coreset_kcenter"] = sample_coreset_kcenter
 ORACLE["sample_coreset_kcenter"] = _kc_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_video_real — the video leg with REAL bytes end to end: a
+# genuine YUV4MPEG2 stream (the uncompressed interchange container
+# ffmpeg/x264 consume — text signature, FRAME markers, planar 4:2:0) is
+# encoded per doc executor-side (3 frames of 4x2, planes from the md5
+# derivation), decoded by the strict y4m walker, and reduced to integer
+# stats: total luma and temporal motion (sum |Y_t − Y_{t−1}|). The
+# oracle recomputes both from the md5 byte math, so a wrong plane
+# offset, header parse, or frame stride diverges the hash. Compressed
+# video (mp4/h264) stays NotImplementedError — no ffmpeg here; the
+# container walk, Arrow batching, and plane math are the real 100TB
+# plumbing. Scale: map-side end to end, payloads never on the driver.
+_VID_FRAMES, _VID_W, _VID_H = 3, 4, 2
+
+
+def multimodal_video_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import encode_y4m, video_stats_real
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def encode_batch(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = str(int(doc_id))
+                frames = []
+                for k in range(_VID_FRAMES):
+                    d = hashlib.md5(f"{key}_f{k}".encode()).digest()
+                    frames.append((d[:8], d[8:10], d[10:12]))
+                payloads.append(encode_y4m(frames, _VID_W, _VID_H))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    vids = docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+    stats = video_stats_real(vids)
+    denom = float(_VID_FRAMES * _VID_W * _VID_H)
+    return stats.select(
+        "doc_id", "width", "height", "fps", "n_frames", "sum_luma", "motion",
+        F.round(F.col("sum_luma").cast("double") / F.lit(denom), 6).alias("mean_luma"),
+    )
+
+
+def _sql_video_oracle(E):
+    def byte(k, i):
+        h = f"md5(CAST(doc_id AS {E.STR}) || '_f{k}')"
+        return E.hex2int(f"substring({h}, {2 * i - 1}, 2)")
+
+    luma = " + ".join(byte(k, i) for k in range(_VID_FRAMES) for i in range(1, 9))
+    motion = " + ".join(
+        f"abs({byte(k, i)} - {byte(k - 1, i)})"
+        for k in range(1, _VID_FRAMES)
+        for i in range(1, 9)
+    )
+    denom = float(_VID_FRAMES * _VID_W * _VID_H)
+    return f"""
+    SELECT doc_id,
+           CAST({_VID_W} AS INT) AS width,
+           CAST({_VID_H} AS INT) AS height,
+           CAST(25 AS INT) AS fps,
+           CAST({_VID_FRAMES} AS INT) AS n_frames,
+           CAST({luma} AS BIGINT) AS sum_luma,
+           CAST({motion} AS BIGINT) AS motion,
+           ROUND(CAST({luma} AS DOUBLE) / {denom}, 6) AS mean_luma
+    FROM documents
+    """
+
+
+QUERIES["multimodal_video_real"] = multimodal_video_real
+ORACLE["multimodal_video_real"] = _sql_video_oracle(_Duck)

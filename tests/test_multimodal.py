@@ -155,3 +155,19 @@ def test_phash_bmp_ppm_agree():
     lumas = [pix[3 * i] + pix[3 * i + 1] + pix[3 * i + 2] for i in range(8)]
     total = sum(lumas)
     assert hb == sum(1 << i for i, l in enumerate(lumas) if 8 * l > total)
+
+
+def test_y4m_codec_roundtrip():
+    from datafusion_remote_table_spark.multimodal.decode import decode_y4m, encode_y4m
+
+    frames = [
+        (bytes(range(8)), b"\x01\x02", b"\x03\x04"),
+        (bytes(range(8, 16)), b"\x05\x06", b"\x07\x08"),
+    ]
+    w, h, fps, out = decode_y4m(encode_y4m(frames, 4, 2, fps=30))
+    assert (w, h, fps) == (4, 2, 30)
+    assert out == frames
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")

@@ -469,3 +469,12 @@ def test_abc_window_on_part_census(spark, sf_dir):
     import re
 
     assert re.search(r"Exchange hashpartitioning\(l_partkey", plan)
+
+
+def test_video_stats_map_side(spark, sf_dir):
+    # encode → decode → stats is a single mapInPandas chain: no shuffle,
+    # no cartesian, payloads never collected
+    df = plans.QUERIES["multimodal_video_real"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning" not in plan, "video stats picked up a shuffle"
