@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     "orders_seasonality",
     "parts_abc_classification",
     "multimodal_video_real",
+    "stream_media_stats_monitor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -288,3 +288,23 @@ ORACLE["stream_scd2_monitor"] = """
            CAST(n_events AS BIGINT) AS n_events
     FROM hist WHERE seg_end IS NOT NULL
 """
+
+
+from ..streaming.events import stream_media_stats_monitor  # noqa: E402
+from .llm_data import _sql_video_oracle as _vid_oracle  # noqa: E402
+
+QUERIES["stream_media_stats_monitor"] = stream_media_stats_monitor
+# Bounded stream converges to the per-source rollup of the batch video
+# md5 math (multimodal_video_real's oracle grouped by source).
+ORACLE["stream_media_stats_monitor"] = f"""
+    WITH per_doc AS (
+      SELECT d.source, v.sum_luma, v.motion
+      FROM ({_vid_oracle(_D)}) v JOIN documents d ON d.doc_id = v.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(sum_luma) AS BIGINT) AS sum_luma,
+           CAST(SUM(motion) AS BIGINT) AS sum_motion,
+           ROUND(CAST(SUM(sum_luma) AS DOUBLE) / (COUNT(*) * 24.0e0), 6) AS mean_luma
+    FROM per_doc GROUP BY source
+"""

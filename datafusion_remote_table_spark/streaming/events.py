@@ -552,3 +552,55 @@ def stream_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ips").cast("bigint").alias("n_ips"),
     )
     return _run_bounded(agg, "stream_pii_gate")
+
+
+def stream_media_stats_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTIMODAL ingest monitor: every arriving document's
+    media payload is encoded + decoded by the REAL y4m video codec
+    (the same Arrow-batch kernel as the batch multimodal_video_real —
+    stateless per row, works unchanged on a streaming DataFrame), and
+    the stream maintains per-source luma/motion sums. The live QA
+    dashboard a media-corpus ingest watches for dead cameras / black
+    frames. On bounded input the maintained sums equal the batch census,
+    so the oracle is the per-source rollup of the video md5 math.
+    Scale: streaming state is O(sources); decode is map-side per batch;
+    payloads never reach the driver."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import decode_y4m, encode_y4m
+
+    stream = _docs_stream(spark, sf_dir).select("doc_id", "source")
+
+    def stats_batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                key = str(int(doc_id))
+                frames = []
+                for k in range(3):
+                    d = hashlib.md5(f"{key}_f{k}".encode()).digest()
+                    frames.append((d[:8], d[8:10], d[10:12]))
+                _w, _h, _fps, decoded = decode_y4m(encode_y4m(frames, 4, 2))
+                luma = sum(sum(y) for y, _u, _v in decoded)
+                motion = sum(
+                    sum(abs(a - b) for a, b in zip(y0, y1))
+                    for (y0, _, _), (y1, _, _) in zip(decoded, decoded[1:])
+                )
+                rows.append((source, luma, motion))
+            yield pd.DataFrame(rows, columns=["source", "luma", "motion"])
+
+    per_doc = stream.mapInPandas(stats_batch, schema="source string, luma long, motion long")
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_media"),
+        F.sum("luma").cast("bigint").alias("sum_luma"),
+        F.sum("motion").cast("bigint").alias("sum_motion"),
+    )
+    bounded = _run_bounded(agg, "stream_media_stats_monitor")
+    return bounded.select(
+        "source", "n_media", "sum_luma", "sum_motion",
+        F.round(
+            F.col("sum_luma").cast("double") / (F.col("n_media").cast("double") * 24.0), 6
+        ).alias("mean_luma"),
+    )
