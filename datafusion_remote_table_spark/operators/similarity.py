@@ -105,3 +105,62 @@ def adaptive_lsh_buckets(df, target_bucket: int = 50, id_col: str = "vec_id", ve
     normalized.createOrReplaceTempView(view)
     sql = _lsh_adaptive(_Spark, src=view, target_bucket=target_bucket)
     return spark.sql(sql).withColumnRenamed("vec_id", id_col)
+
+
+def kcenter_coreset(
+    df,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Greedy k-center (farthest-point-first) coreset selection (tunable
+    twin of the registered ``sample_coreset_kcenter``). Returns
+    (sel_order, id, dist_to_centers) — the decreasing radius curve.
+
+    Each round collects the ONE chosen center (bounded control plane)
+    and inlines its vector as a literal, so the distance-state update is
+    a pure map pass with lineage truncated per round; the argmax is a
+    TakeOrderedAndProject. The CROSS-JOIN spelling multiplied partitions
+    32x per BroadcastNLJ round — see docs/SCALE.md.
+    """
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+
+    def lit_vec(vec):
+        return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vec) + ")"
+
+    def sqdist(a, b):
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    seed = (
+        src.selectExpr("__id", "md5(CAST(__id AS STRING)) AS __h")
+        .orderBy("__h", "__id")
+        .limit(1)
+        .collect()[0][0]
+    )
+    emb = src.where(F.col("__id") == seed).collect()[0][1]
+    d = src.selectExpr(
+        "__id", "__vec", f"ROUND({sqdist('__vec', lit_vec(emb))}, 6) AS __dmin"
+    ).localCheckpoint(eager=True)
+    selected = [(seed, 0.0)]
+    for i in range(2, k + 1):
+        cid, dist = (
+            d.orderBy(F.desc("__dmin"), "__id").limit(1).select("__id", "__dmin").collect()[0]
+        )
+        selected.append((cid, float(dist)))
+        if i < k:
+            emb = src.where(F.col("__id") == cid).collect()[0][1]
+            d = d.selectExpr(
+                "__id", "__vec",
+                f"LEAST(__dmin, ROUND({sqdist('__vec', lit_vec(emb))}, 6)) AS __dmin",
+            ).localCheckpoint(eager=True)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS sel_order, CAST({cid} AS BIGINT) AS {id_col}, "
+        f"CAST('{dist!r}' AS DOUBLE) AS dist_to_centers"
+        for i, (cid, dist) in enumerate(selected, start=1)
+    )
+    return spark.sql(rows)

@@ -99,3 +99,49 @@ def hourly_anomaly(
         .orderBy(F.abs(F.col("zscore")).desc(), "event_type", "hour_ts")
         .limit(top_k)
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    open_end: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log
+    (tunable twin of the registered ``events_scd2_history``): per key,
+    consecutive same-state runs collapse into validity intervals; the
+    last run per key stays open (``is_current``). Island detection —
+    LAG marks change points, a running SUM numbers segments, LEAD
+    closes each interval. All three windows share one shuffle on the
+    key column.
+    """
+    order = [F.col(ts_col), *(F.col(c) for c in order_cols)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    marked = df.withColumn(
+        "__chg",
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__seg",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    segs = marked.groupBy(key_col, state_col, "__seg").agg(
+        F.min(ts_col).alias("__start"), F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    ws = Window.partitionBy(key_col).orderBy("__seg")
+    hist = segs.withColumn("__end", F.lead("__start").over(ws))
+    return hist.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.date_format("__start", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(F.date_format("__end", "yyyy-MM-dd HH:mm:ss"), F.lit(open_end)).alias(
+            "valid_to"
+        ),
+        "n_events",
+        F.when(F.col("__end").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

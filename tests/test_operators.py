@@ -509,3 +509,31 @@ def test_ngram_novelty_api_matches_registered_query(spark, sf_dir):
         for r in plans.QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
     )
     assert api == reg and len(api) > 0
+
+
+def test_scd2_history_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.windows import scd2_history
+    from datafusion_remote_table_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    cols = ("user_id", "state", "valid_from", "valid_to", "n_events", "is_current")
+    api = sorted(tuple(r[c] for c in cols) for r in scd2_history(events).collect())
+    reg = sorted(
+        tuple(r[c] for c in cols)
+        for r in plans.QUERIES["events_scd2_history"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_kcenter_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.similarity import kcenter_coreset
+    from datafusion_remote_table_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    cols = ("sel_order", "vec_id", "dist_to_centers")
+    api = sorted(tuple(r[c] for c in cols) for r in kcenter_coreset(emb).collect())
+    reg = sorted(
+        tuple(r[c] for c in cols)
+        for r in plans.QUERIES["sample_coreset_kcenter"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
