@@ -90,6 +90,8 @@ _VERIFY_FIRST = [
     "parts_abc_classification",
     "multimodal_video_real",
     "stream_media_stats_monitor",
+    "events_ab_test",
+    "dedup_graph_triangles",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -5541,3 +5541,54 @@ def _sql_video_oracle(E):
 
 QUERIES["multimodal_video_real"] = multimodal_video_real
 ORACLE["multimodal_video_real"] = _sql_video_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_triangles — triangle census + global clustering coefficient
+# of the verified near-dup graph: triangles (a<b<c with all three edges)
+# are templates whose variants all near-match each other — the signal
+# separating boilerplate FAMILIES from chance pairwise collisions; the
+# clustering coefficient (3·triangles / wedges) says how clique-like the
+# duplicate neighborhoods are. Scale: the canonical ordered-edge triangle
+# join (two hash joins on node keys — the standard distributed algorithm)
+# over a graph that is LSH output; wedges come from the degree census.
+def _sql_graph_triangles(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    return f"""
+    WITH tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM {pairs} e1
+      JOIN {pairs} e2 ON e2.doc_a = e1.doc_b
+      JOIN {pairs} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT doc_a AS node FROM {pairs} p1
+        UNION ALL
+        SELECT doc_b AS node FROM {pairs} p2
+      ) both_dirs GROUP BY node
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg * (deg - 1)) AS BIGINT) AS wedges2
+      FROM deg
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {pairs} pe) AS n_edges,
+           a.n_nodes,
+           {E.intdiv('a.wedges2', '2')} AS n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN a.wedges2 = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(6.0e0 * t.n_triangles / a.wedges2, 6) END
+             AS clustering_coefficient
+    FROM tri t CROSS JOIN agg a
+    """
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = _checkpoint_view(spark, sf_dir, "tri_pairs", pairs)
+    return spark.sql(_sql_graph_triangles(_Spark, pairs_src=view))
+
+
+QUERIES["dedup_graph_triangles"] = dedup_graph_triangles
+ORACLE["dedup_graph_triangles"] = _sql_graph_triangles(_Duck)

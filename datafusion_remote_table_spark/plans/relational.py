@@ -2269,3 +2269,68 @@ _ABC_SQL = """
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem")
     return spark.sql(_ABC_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_ab_test — A/B experiment readout: users are deterministically
+# assigned a variant (md5(user) parity — exactly how production bucketing
+# works), conversion = a purchase at value >= 150; the report is per-variant
+# conversion plus the pooled two-proportion z statistic. sqrt is IEEE
+# correctly-rounded, so identical inputs give identical z in both
+# engines. Scale: one (user) census then constant-size per-variant
+# rollup; the z layer is driver-scale arithmetic on two rows.
+_ABTEST_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST({bucket} AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    ),
+    pooled AS (
+      SELECT n0, c0, n1, c1,
+             CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS p
+      FROM wide
+    )
+    SELECT a.variant, a.n_users, a.n_converted,
+           ROUND(CAST(a.n_converted AS DOUBLE) / a.n_users, 6) AS conversion_rate,
+           -- zero pooled variance (all or none converted) has no defined
+           -- z; emit 0.0 in BOTH engines (Spark ANSI raises on /0 where
+           -- DuckDB floats to NaN — neither may reach the output)
+           CASE WHEN w.p * (1 - w.p) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(
+                  (CAST(w.c1 AS DOUBLE) / w.n1 - CAST(w.c0 AS DOUBLE) / w.n0)
+                  / sqrt(w.p * (1 - w.p) * (1.0e0 / w.n0 + 1.0e0 / w.n1)),
+                  6)
+           END AS z_statistic
+    FROM arms a CROSS JOIN pooled w
+"""
+
+
+@register(
+    "events_ab_test",
+    oracle=_ABTEST_SQL.format(
+        bucket="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+    ),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        _ABTEST_SQL.format(
+            bucket="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+        )
+    )

@@ -478,3 +478,15 @@ def test_video_stats_map_side(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning" not in plan, "video stats picked up a shuffle"
+
+
+def test_ab_test_single_user_census(spark, sf_dir):
+    plan = _plan(plans.QUERIES["events_ab_test"](spark, sf_dir))
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(user_id", plan)
+
+
+def test_triangles_hash_joins_only(spark, sf_dir):
+    plan = _plan(plans.QUERIES["dedup_graph_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

@@ -256,6 +256,7 @@ _EVENT_QUERIES = [
     "events_scd2_history",
     "events_concurrency_hourly",
     "events_churn_features",
+    "events_ab_test",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
