@@ -92,6 +92,8 @@ _VERIFY_FIRST = [
     "stream_media_stats_monitor",
     "events_ab_test",
     "dedup_graph_triangles",
+    "shipping_latency_percentiles",
+    "stream_ab_monitor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

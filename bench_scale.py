@@ -111,6 +111,8 @@ QUERIES = [
     "events_dau_mau",
     "sample_coreset_kcenter",
     "multimodal_video_real",
+    "events_ab_test",
+    "dedup_graph_triangles",
 ]
 
 

@@ -2334,3 +2334,46 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# shipping_latency_percentiles — fulfillment SLA report: order-to-ship
+# latency in whole days (fact ⋈ fact on orderkey), exact interpolated
+# p50/p90/p99 per order priority plus the mean from exact integer sums.
+# Scale: the orders⋈lineitem join shuffles on the natural orderkey; the
+# percentile state is per priority group (5 groups) — Spark percentile
+# == DuckDB quantile_cont on identical integer inputs.
+_SHIPLAT_SQL = """
+    WITH lat AS (
+      SELECT o.o_orderpriority, {day_diff} AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND({p50}, 4) AS p50_days,
+           ROUND({p90}, 4) AS p90_days,
+           ROUND({p99}, 4) AS p99_days,
+           ROUND(CAST(SUM(CAST(days AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS mean_days
+    FROM lat GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "shipping_latency_percentiles",
+    oracle=_SHIPLAT_SQL.format(
+        day_diff="date_diff('day', o.o_orderdate, l.l_shipdate)",
+        p50="quantile_cont(days, 0.5)",
+        p90="quantile_cont(days, 0.9)",
+        p99="quantile_cont(days, 0.99)",
+    ),
+)
+def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        _SHIPLAT_SQL.format(
+            day_diff="datediff(l.l_shipdate, o.o_orderdate)",
+            p50="percentile(days, 0.5)",
+            p90="percentile(days, 0.9)",
+            p99="percentile(days, 0.99)",
+        )
+    )

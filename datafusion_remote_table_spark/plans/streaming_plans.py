@@ -308,3 +308,13 @@ ORACLE["stream_media_stats_monitor"] = f"""
            ROUND(CAST(SUM(sum_luma) AS DOUBLE) / (COUNT(*) * 24.0e0), 6) AS mean_luma
     FROM per_doc GROUP BY source
 """
+
+
+from ..streaming.events import stream_ab_monitor  # noqa: E402
+from .relational import _ABTEST_SQL as _ab_sql  # noqa: E402
+
+QUERIES["stream_ab_monitor"] = stream_ab_monitor
+# Converges to the batch A/B readout on bounded input.
+ORACLE["stream_ab_monitor"] = _ab_sql.format(
+    bucket="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+)

@@ -604,3 +604,56 @@ def stream_media_stats_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_luma").cast("double") / (F.col("n_media").cast("double") * 24.0), 6
         ).alias("mean_luma"),
     )
+
+
+def stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming A/B experiment monitor: the stream maintains the
+    per-user conversion census (one stateful agg, O(users) state — the
+    only stateful layer Spark allows before a second agg); the variant
+    bucketing (md5 parity — recomputable from the key), arm rollup, and
+    pooled two-proportion z statistic run batch over the converged
+    complete-mode table. The live experiment dashboard; converges to
+    events_ab_test's oracle on bounded input."""
+    stream = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    census = stream.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 150), 1).otherwise(0)
+        ).alias("converted")
+    )
+    bounded = _run_bounded(census, "stream_ab_monitor")
+    bounded.createOrReplaceTempView("stream_ab_census")
+    return spark.sql("""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2 AS INT)
+               AS variant,
+             converted
+      FROM stream_ab_census
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    ),
+    pooled AS (
+      SELECT n0, c0, n1, c1, CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS p FROM wide
+    )
+    SELECT a.variant, a.n_users, a.n_converted,
+           ROUND(CAST(a.n_converted AS DOUBLE) / a.n_users, 6) AS conversion_rate,
+           CASE WHEN w.p * (1 - w.p) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(
+                  (CAST(w.c1 AS DOUBLE) / w.n1 - CAST(w.c0 AS DOUBLE) / w.n0)
+                  / sqrt(w.p * (1 - w.p) * (1.0e0 / w.n0 + 1.0e0 / w.n1)),
+                  6)
+           END AS z_statistic
+    FROM arms a CROSS JOIN pooled w
+    """)
