@@ -94,6 +94,7 @@ _VERIFY_FIRST = [
     "dedup_graph_triangles",
     "shipping_latency_percentiles",
     "stream_ab_monitor",
+    "text_cooccurrence_lift",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

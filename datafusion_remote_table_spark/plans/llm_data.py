@@ -5592,3 +5592,49 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_graph_triangles"] = dedup_graph_triangles
 ORACLE["dedup_graph_triangles"] = _sql_graph_triangles(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# text_cooccurrence_lift — word-association mining over the corpus: for
+# the top-20 corpus words, count per-doc co-presence of each pair and
+# report lift = P(a,b) / (P(a)·P(b)) — the collocation/topic-coherence
+# signal (PMI without the log, so it stays division-exact across
+# engines). Scale: the vocabulary is capped at 20 (TakeOrdered census),
+# so per-doc pair generation is bounded at C(20,2)=190 — a broadcast
+# semi-join against the vocab then a doc-local explode, never a
+# corpus-wide pair step; the pair census keys are word pairs (≤190).
+def _sql_cooccurrence(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, {E.explode(f'{E.ADISTINCT}({words})', 'w')} FROM documents
+      ) x WHERE w IS NOT NULL AND w <> ''
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+      FROM doc_words GROUP BY w
+      ORDER BY COUNT(*) DESC, w LIMIT 20
+    ),
+    dv AS (
+      SELECT d.doc_id, d.w, v.df
+      FROM doc_words d JOIN vocab v ON v.w = d.w
+    ),
+    pairs AS (
+      SELECT a.w AS word_a, b.w AS word_b,
+             a.df AS df_a, b.df AS df_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w, a.df, b.df
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM doc_words)
+    SELECT word_a, word_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / nd.n, 6) AS support,
+           ROUND((CAST(n_both AS DOUBLE) * nd.n) / (df_a * df_b), 6) AS lift
+    FROM pairs CROSS JOIN nd
+    ORDER BY n_both DESC, word_a, word_b
+    LIMIT 20
+    """
+
+
+_register_pair("text_cooccurrence_lift", _sql_cooccurrence)

@@ -96,6 +96,7 @@ _TEMPLATES = [
     _sql_span_runs,
     L._sql_epoch_plan,
     L._sql_ngram_novelty,
+    L._sql_cooccurrence,
 ]
 
 
