@@ -95,6 +95,16 @@ _VERIFY_FIRST = [
     "shipping_latency_percentiles",
     "stream_ab_monitor",
     "text_cooccurrence_lift",
+    "orders_merge_upsert",
+    "orders_cdc_changelog",
+    "customer_rfm_segments",
+    "events_survival_curve",
+    "approx_distinct_hll",
+    "heavy_hitters_countmin",
+    "discount_elasticity_ols",
+    "text_readability",
+    "text_code_detect",
+    "stream_sketch_heavy_hitters",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

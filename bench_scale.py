@@ -113,6 +113,17 @@ QUERIES = [
     "multimodal_video_real",
     "events_ab_test",
     "dedup_graph_triangles",
+    # round-4 continuation (4): lakehouse maintenance (one full-outer
+    # shuffle join each) and census-grain analytics
+    "orders_merge_upsert",
+    "orders_cdc_changelog",
+    "customer_rfm_segments",
+    "events_survival_curve",
+    "approx_distinct_hll",
+    "heavy_hitters_countmin",
+    "discount_elasticity_ols",
+    "text_readability",
+    "text_code_detect",
 ]
 
 
@@ -122,6 +133,8 @@ def build_scaled(scale: int) -> str:
     out = os.path.join(tempfile.gettempdir(), f"dfrt_scale_{scale}x")
     _build_embeddings(out, scale)
     _build_events(out, scale)
+    _build_orders(out, scale)
+    _build_lineitem(out, scale)
     target = os.path.join(out, "documents.parquet")
     if os.path.exists(target):
         return out
@@ -182,6 +195,63 @@ def _build_embeddings(out: str, scale: int) -> None:
                  END AS embedding,
                  e.label
           FROM read_parquet('{src}') e
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
+
+
+def _build_orders(out: str, scale: int) -> None:
+    """Order replicas: copy k shifts o_orderkey and o_custkey — more
+    customers and orders with the same price/date distribution, the way
+    a bigger book of business looks (for the MERGE/CDC/RFM sweeps)."""
+    import duckdb
+
+    target = os.path.join(out, "orders.parquet")
+    if os.path.exists(target):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "orders.parquet")
+    no, nc = con.execute(
+        f"SELECT MAX(o_orderkey) + 1, MAX(o_custkey) + 1 FROM read_parquet('{src}')"
+    ).fetchone()
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.o_orderkey + k.k * {no} AS o_orderkey,
+                 o.o_custkey + k.k * {nc} AS o_custkey,
+                 o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority
+          FROM read_parquet('{src}') o
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
+
+
+def _build_lineitem(out: str, scale: int) -> None:
+    """Lineitem replicas: copy k shifts l_orderkey but keeps part/supp
+    keys — the fact table grows over a FIXED dimension, the way real
+    fact growth looks (part.parquet is copied verbatim alongside)."""
+    import duckdb
+    import shutil
+
+    target = os.path.join(out, "lineitem.parquet")
+    if os.path.exists(target):
+        return
+    os.makedirs(out, exist_ok=True)
+    shutil.copy(os.path.join(BASE, "part.parquet"), os.path.join(out, "part.parquet"))
+    con = duckdb.connect()
+    src = os.path.join(BASE, "lineitem.parquet")
+    no = con.execute(f"SELECT MAX(l_orderkey) + 1 FROM read_parquet('{src}')").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT l.l_orderkey + k.k * {no} AS l_orderkey,
+                 l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+                 l.l_extendedprice, l.l_discount, l.l_tax,
+                 l.l_returnflag, l.l_linestatus, l.l_shipdate
+          FROM read_parquet('{src}') l
           CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
         ) TO '{target}' (FORMAT PARQUET)
         """

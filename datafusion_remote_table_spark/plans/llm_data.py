@@ -5638,3 +5638,197 @@ def _sql_cooccurrence(E):
 
 
 _register_pair("text_cooccurrence_lift", _sql_cooccurrence)
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_hll — deterministic HyperLogLog distinct-word estimate
+# per source, reported against the exact count. The classic distributed
+# sketch: every word hashes map-side to (register, rank) where rank =
+# 1 + trailing-zero count of the hash remainder; registers MAX-merge
+# (associative/commutative — the whole sketch is one 256-row groupBy);
+# the register sum runs in INTEGER powers (SUM of 2^(53-m) as BIGINT,
+# exact) so the estimate is bit-identical across engines. Small-range
+# linear counting applies below 2.5m when empty registers remain, as in
+# Flajolet et al. Scale: at 100TB this is the canonical
+# approx_count_distinct shape — a map-side sketch per partition and a
+# 256-cell merge, no distinct shuffle of the raw words; the exact
+# COUNT(DISTINCT) column is the bounded oracle leg.
+def _sql_hll_distinct(E):
+    words = E.splitws("lower(text)")
+    h = E.hex2int("substring(md5(w), 1, 15)")
+    one = "CAST(1 AS BIGINT)"
+    rho = (
+        f"COALESCE({E.AMIN}({E.FILTER}({E.seq(1, 53)}, "
+        f"k -> (rest % {E.shl(one, 'k')}) <> 0)), 53)"
+    )
+    return f"""
+    WITH src_words AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, {E.explode(words, 'w')} FROM documents
+      ) x WHERE w IS NOT NULL AND w <> ''
+    ),
+    hashed AS (
+      SELECT source, w, ({h}) % 256 AS bucket, {E.intdiv(f'({h})', '256')} AS rest
+      FROM src_words
+    ),
+    ranked AS (
+      SELECT source, bucket, {rho} AS rho FROM hashed
+    ),
+    regs AS (
+      SELECT source, bucket, MAX(rho) AS m
+      FROM ranked GROUP BY source, bucket
+    ),
+    merged AS (
+      SELECT source,
+             CAST(SUM({E.shl(one, '(53 - m)')}) AS BIGINT) AS s_int,
+             CAST(256 - COUNT(*) AS BIGINT) AS n_zero_regs
+      FROM regs GROUP BY source
+    ),
+    est AS (
+      SELECT source, n_zero_regs,
+             (0.7213e0 / (1 + 1.079e0 / 256)) * 256 * 256
+               * CAST({E.shl(one, '53')} AS DOUBLE) / s_int AS raw_est
+      FROM merged
+    ),
+    exact AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+      FROM src_words GROUP BY source
+    )
+    SELECT x.source, x.exact_distinct, e.n_zero_regs,
+           ROUND(CASE WHEN e.raw_est <= 2.5e0 * 256 AND e.n_zero_regs > 0
+                      THEN 256 * ln(256.0e0 / e.n_zero_regs)
+                      ELSE e.raw_est END, 4) AS hll_estimate,
+           ROUND((CASE WHEN e.raw_est <= 2.5e0 * 256 AND e.n_zero_regs > 0
+                       THEN 256 * ln(256.0e0 / e.n_zero_regs)
+                       ELSE e.raw_est END - x.exact_distinct)
+                 / x.exact_distinct, 4) AS rel_error
+    FROM exact x JOIN est e ON e.source = x.source
+    ORDER BY x.source
+    """
+
+
+_register_pair("approx_distinct_hll", _sql_hll_distinct)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_countmin — count-min sketch word frequencies, audited
+# against true counts for the top-20 words. Sketch build is the
+# distributed textbook shape: the token census shuffles once on the
+# word, each word then feeds d=4 salted hash rows × w=1024 buckets and
+# the sketch collapses to 4096 integer cells (map-side partial SUMs —
+# at 100TB the sketch merge is constant-size regardless of corpus).
+# Estimates take the MIN over the 4 rows (always >= true count, the CM
+# guarantee); the audit join touches only the 20 candidates × 4 rows.
+def _sql_countmin(E):
+    words = E.splitws("lower(text)")
+    bkt = lambda r, w: (  # noqa: E731
+        f"{E.hex2int(f'substring(md5(CAST({r} AS {E.STR}) || chr(58) || {w}), 1, 8)')} % 1024"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT w FROM (
+        SELECT {E.explode(words, 'w')} FROM documents
+      ) x WHERE w IS NOT NULL AND w <> ''
+    ),
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    rows_d AS (SELECT CAST(r AS BIGINT) AS r FROM (SELECT {E.explode(E.seq(0, 3), 'r')}) t),
+    sketch AS (
+      SELECT rows_d.r, {bkt('rows_d.r', 'wc.w')} AS bkt,
+             CAST(SUM(wc.c) AS BIGINT) AS cell
+      FROM wc CROSS JOIN rows_d
+      GROUP BY rows_d.r, {bkt('rows_d.r', 'wc.w')}
+    ),
+    top20 AS (
+      SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20
+    ),
+    est AS (
+      SELECT t.w, t.c, MIN(s.cell) AS cm
+      FROM top20 t CROSS JOIN rows_d
+      JOIN sketch s ON s.r = rows_d.r AND s.bkt = {bkt('rows_d.r', 't.w')}
+      GROUP BY t.w, t.c
+    )
+    SELECT w AS word, c AS true_count, cm AS cm_estimate,
+           cm - c AS overcount
+    FROM est
+    ORDER BY true_count DESC, word
+    """
+
+
+_register_pair("heavy_hitters_countmin", _sql_countmin)
+
+
+# ---------------------------------------------------------------------------
+# text_readability — Flesch reading-ease + grade bucket per document:
+# words from the whitespace tokenizer, sentences from terminal-punct
+# runs (clamped >= 1), syllables from vowel-group runs per word
+# (clamped >= 1 — the standard heuristic). Entirely map-side: three
+# regexp passes per row, no shuffle, no UDF; integer counts make the
+# score deterministic across engines.
+def _sql_readability(E):
+    words = E.splitws("lower(text)")
+    syl = E.list_sum_int(
+        f"{E.TRANSFORM}({words}, w -> greatest(CAST(1 AS BIGINT), "
+        f"{E.regexp_count('w', '[aeiouy]+')}))"
+    )
+    return f"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST({E.SIZE}({words}) AS BIGINT) AS n_words,
+             greatest(CAST(1 AS BIGINT), {E.regexp_count('text', '[.!?]+')}) AS n_sents,
+             {syl} AS n_syllables
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id, n_words, n_sents, n_syllables,
+           ROUND(206.835e0
+                 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch_ease,
+           CASE WHEN 206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words) >= 70 THEN 'easy'
+                WHEN 206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sents)
+                     - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words) >= 50 THEN 'medium'
+                ELSE 'hard' END AS readability_band
+    FROM counted
+    """
+
+
+_register_pair("text_readability", _sql_readability)
+
+
+# ---------------------------------------------------------------------------
+# text_code_detect — code-vs-prose classification for corpus routing
+# (code gets its own dedup/quality lane in training pipelines). Signals
+# per doc: code-symbol density ({};()=<>), code-keyword hits
+# (def/class/import/return/function/var/const), and
+# statement-terminator density; the weighted score thresholds into a
+# flag. Entirely map-side regexp counts over each row — no shuffle, no
+# UDF, linear at any corpus size.
+def _sql_code_detect(E):
+    sym = E.regexp_count("text", "[{}();=<>]")
+    kw = E.regexp_count(
+        "lower(text)",
+        "\\\\b(def|class|import|return|function|var|const|void|int|println|printf)\\\\b"
+        if E is _Spark
+        else "\\b(def|class|import|return|function|var|const|void|int|println|printf)\\b",
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(greatest(n_chars, 1) AS BIGINT) AS n,
+             {sym} AS n_symbols,
+             {kw} AS n_keywords
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT doc_id, n_symbols, n_keywords,
+           ROUND(CAST(n_symbols AS DOUBLE) / n, 6) AS symbol_density,
+           ROUND(10.0e0 * n_symbols / n + 0.05e0 * n_keywords, 6) AS code_score,
+           CASE WHEN 10.0e0 * n_symbols / n + 0.05e0 * n_keywords >= 0.5e0
+                THEN 1 ELSE 0 END AS is_code
+    FROM sig
+    """
+
+
+_register_pair("text_code_detect", _sql_code_detect)

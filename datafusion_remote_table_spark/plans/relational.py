@@ -2377,3 +2377,258 @@ def shipping_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             p99="percentile(days, 0.99)",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_merge_upsert — Delta-style MERGE INTO (upsert) semantics, the
+# core table-maintenance op of every lakehouse pipeline. A deterministic
+# "existing table" (orderkeys not divisible by 7) receives an update
+# feed (even orderkeys, repriced +5%): matched keys take the update,
+# unmatched feed rows insert, untouched rows are kept. Repricing runs in
+# integer cents (cents*105+50 DIV 100) — DOUBLE→DECIMAL repricing hits
+# exact half-cent ties where Spark rounds HALF_UP and DuckDB half-even;
+# integer math is tie-free and engine-identical. Scale: ONE full-outer
+# shuffle join on the natural key — exactly the physical plan
+# Delta/Iceberg MERGE lowers to; no driver loop, no second pass. At
+# 100TB both sides hash-partition on o_orderkey and AQE coalesces the
+# (usually much smaller) update side.
+_MERGE_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    updates AS (
+      SELECT o_orderkey, 'P' AS o_orderstatus,
+             CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 105 + 50) {idiv} 100
+                  AS DOUBLE) / 100 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+                WHEN u.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_op
+    FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+"""
+
+
+@register("orders_merge_upsert", oracle=_MERGE_SQL.format(idiv="//"))
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_MERGE_SQL.format(idiv="DIV"))
+
+
+# --------------------------------------------------------------------------
+# orders_cdc_changelog — change-data-capture diff between two table
+# snapshots, emitted as a Flink/Debezium-style changelog (+I insert,
+# -D delete, -U/+U update retract pair). Deterministic snapshots: "old"
+# drops orderkeys divisible by 7, "new" drops those divisible by 5 and
+# reprices keys divisible by 3 (+10%, tie-free integer-cents math as in
+# orders_merge_upsert). Scale: ONE full-outer shuffle join on the key;
+# the up-to-two changelog rows per key come from exploding a per-row
+# literal array — a single pass, never one join per op type (a UNION ALL
+# spelling would re-execute the join three times in both engines).
+def _sql_cdc_changelog(mkrow, empty, unnest_from, idiv):
+    def row(op, price):
+        return mkrow.format(op=op, price=price)
+
+    return f"""
+    WITH old_snap AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN (CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50) {idiv} 100
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    joined AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.cents AS old_cents, n.cents AS new_cents,
+             o.o_orderkey IS NULL AS is_ins, n.o_orderkey IS NULL AS is_del
+      FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    ),
+    ops AS (
+      SELECT o_orderkey,
+             CASE WHEN is_ins THEN {row("'+I'", "new_cents")}
+                  WHEN is_del THEN {row("'-D'", "old_cents")}
+                  WHEN old_cents <> new_cents
+                    THEN {row("'-U'", "old_cents")} || {row("'+U'", "new_cents")}
+                  ELSE {empty} END AS changes
+      FROM joined
+    )
+    SELECT o_orderkey, c.op AS op, CAST(c.cents AS DOUBLE) / 100 AS price
+    FROM ({unnest_from}) x
+    """
+
+
+@register(
+    "orders_cdc_changelog",
+    oracle=_sql_cdc_changelog(
+        mkrow="[{{'op': {op}, 'cents': {price}}}]",
+        empty="CAST([] AS STRUCT(op VARCHAR, cents BIGINT)[])",
+        unnest_from="SELECT o_orderkey, unnest(changes) AS c FROM ops",
+        idiv="//",
+    ),
+)
+def orders_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _sql_cdc_changelog(
+            mkrow="array(named_struct('op', {op}, 'cents', {price}))",
+            empty="CAST(array() AS ARRAY<STRUCT<op: STRING, cents: BIGINT>>)",
+            unnest_from="SELECT o_orderkey, explode(changes) AS c FROM ops",
+            idiv="DIV",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_rfm_segments — classic RFM (recency / frequency / monetary)
+# customer segmentation: per-customer quintile scores with unique-key
+# tie-breaks, summed into named segments. Scale: the fact scan collapses
+# to the customer-grain census first; the three NTILE windows run over
+# customers (dimension-bounded — millions of rows at 100TB, one sort
+# pass each, never the fact table). Monetary sums are exact DECIMAL.
+_RFM_SQL = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monet_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    with_recency AS (
+      SELECT o_custkey, n_orders, monet_dec,
+             CAST({recency} AS BIGINT) AS recency_days
+      FROM per_cust
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, n_orders,
+             CAST(monet_dec AS DOUBLE) AS monetary,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY n_orders ASC, o_custkey) AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monet_dec ASC, o_custkey) AS BIGINT) AS m_score
+      FROM with_recency
+    )
+    SELECT o_custkey, recency_days, n_orders, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score + f_score + m_score >= 12 THEN 'champion'
+                WHEN r_score + f_score + m_score >= 9 THEN 'loyal'
+                WHEN r_score + f_score + m_score >= 6 THEN 'regular'
+                ELSE 'at_risk' END AS segment
+    FROM scored
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_SQL.format(recency="date_diff('day', last_order, MAX(last_order) OVER ())"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_RFM_SQL.format(recency="datediff(MAX(last_order) OVER (), last_order)"))
+
+
+# --------------------------------------------------------------------------
+# events_survival_curve — user-lifetime survival analysis (uncensored
+# Kaplan-Meier): lifetime = days between a user's first and last event;
+# for each day k the cohort at risk, the users churning exactly at k,
+# the discrete hazard, and the survivor fraction P(lifetime > k).
+# Scale: the event scan collapses to the user census, the census to the
+# LIFETIME HISTOGRAM (bounded by the day range) — the window runs over
+# the 15-row day spine, never users × days.
+_SURVIVAL_SQL = """
+    WITH per_user AS (
+      SELECT user_id, {lifetime} AS lifetime
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT lifetime, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_user GROUP BY lifetime
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user),
+    spine AS (SELECT CAST(k AS BIGINT) AS day_k FROM (SELECT {days}) s),
+    cum AS (
+      SELECT day_k, COALESCE(h.cnt, 0) AS n_churned,
+             SUM(COALESCE(h.cnt, 0)) OVER (ORDER BY day_k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le
+      FROM spine LEFT JOIN hist h ON h.lifetime = spine.day_k
+    )
+    SELECT day_k, n_churned,
+           (t.n - cum_le + n_churned) AS n_at_risk,
+           CASE WHEN t.n - cum_le + n_churned = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(CAST(n_churned AS DOUBLE) / (t.n - cum_le + n_churned), 6)
+           END AS hazard,
+           ROUND(CAST(t.n - cum_le AS DOUBLE) / t.n, 6) AS survival
+    FROM cum CROSS JOIN tot t
+    ORDER BY day_k
+"""
+
+
+@register(
+    "events_survival_curve",
+    oracle=_SURVIVAL_SQL.format(
+        lifetime="CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT)",
+        days="unnest(generate_series(0, 14)) AS k",
+    ),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _SURVIVAL_SQL.format(
+            lifetime="CAST(datediff(MAX(ts), MIN(ts)) AS BIGINT)",
+            days="explode(sequence(0, 14)) AS k",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# discount_elasticity_ols — closed-form distributed OLS: per part brand,
+# regress line-item quantity on discount (slope = demand response per
+# unit discount, with intercept and r²). The 100TB-correct shape for
+# regression: the fact scan reduces map-side to five moment sums per
+# group (n, Σx, Σy, Σxy, Σx², Σy²) — one shuffle of constant-size
+# state, no iteration. Determinism: x/y are quantized to exact integers
+# (basis points / hundredths), moments summed as DECIMAL(38,0) (exact,
+# order-independent), and the closed form evaluates on exact inputs.
+_OLS_SQL = """
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(ROUND(l.l_discount * 10000) AS BIGINT) AS x,
+             CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    mom AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100, 6)
+           END AS slope_qty_per_discount,
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(sy / (n * 100) - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           * sx / (n * 100), 6)
+           END AS intercept_qty,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r_squared
+    FROM mom
+    ORDER BY p_brand
+"""
+
+
+@register("discount_elasticity_ols", oracle=_OLS_SQL)
+def discount_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_OLS_SQL)

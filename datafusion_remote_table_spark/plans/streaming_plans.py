@@ -20,6 +20,7 @@ from ..streaming import (
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
+    stream_sketch_heavy_hitters,
     stream_trending_topk,
 )
 from . import ORACLE, QUERIES
@@ -176,6 +177,13 @@ ORACLE["stream_join_remote_dim"] = """
     GROUP BY n.n_name
 """
 
+
+QUERIES["stream_sketch_heavy_hitters"] = stream_sketch_heavy_hitters
+# The streamed sketch converges to the batch sketch cell-for-cell, so the
+# serving-layer estimates equal the batch count-min audit.
+from .llm_data import _Duck as _D, _sql_countmin as _cm  # noqa: E402
+
+ORACLE["stream_sketch_heavy_hitters"] = _cm(_D)
 
 QUERIES["stream_trending_topk"] = stream_trending_topk
 # Streaming hourly counts converge to the batch hourly counts on bounded

@@ -657,3 +657,65 @@ def stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS z_statistic
     FROM arms a CROSS JOIN pooled w
     """)
+
+
+def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the stream maintains the d=4 × w=1024
+    integer cell grid (each arriving doc's tokens hash map-side into 4
+    salted cells; state is the CONSTANT-SIZE sketch, never the word
+    census — the whole point of sketching a firehose). The serving
+    layer then answers "how hot are the top words?" from the converged
+    sketch alone (MIN over the 4 rows, the CM guarantee), audited
+    against the batch true counts. Converges to heavy_hitters_countmin's
+    batch answer on bounded input, which is the oracle. Scale: streaming
+    state is 4096 cells regardless of corpus size; the estimate join
+    touches 20 candidates × 4 rows."""
+    stream = _docs_stream(spark, sf_dir)
+    view = "stream_sketch_in"
+    stream.createOrReplaceTempView(view)
+    cells = spark.sql(
+        f"""
+        SELECT t.r,
+               CAST(conv(substring(md5(CAST(t.r AS STRING) || chr(58) || toks.w), 1, 8),
+                         16, 10) AS BIGINT) % 1024 AS bkt
+        FROM (
+          SELECT w FROM (
+            SELECT explode(split(trim(lower(text)), '\\\\s+')) AS w FROM {view}
+            WHERE text IS NOT NULL AND trim(text) <> ''
+          ) x WHERE w IS NOT NULL AND w <> ''
+        ) toks
+        LATERAL VIEW explode(sequence(0, 3)) t AS r
+        """
+    )
+    sketch = cells.groupBy("r", "bkt").agg(F.count(F.lit(1)).cast("bigint").alias("cell"))
+    bounded = _run_bounded(sketch, "stream_sketch_heavy_hitters")
+    bounded.createOrReplaceTempView("stream_cm_sketch")
+
+    from ..session import load_tables
+
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH wc AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT w FROM (
+              SELECT explode(split(trim(lower(text)), '\\\\s+')) AS w FROM documents
+            ) x WHERE w IS NOT NULL AND w <> ''
+          ) toks GROUP BY w
+        ),
+        top20 AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20),
+        rows_d AS (SELECT CAST(t.r AS BIGINT) AS r
+                   FROM (SELECT explode(sequence(0, 3)) AS r) t),
+        est AS (
+          SELECT t.w, t.c, MIN(s.cell) AS cm
+          FROM top20 t CROSS JOIN rows_d
+          JOIN stream_cm_sketch s
+            ON s.r = rows_d.r
+           AND s.bkt = CAST(conv(substring(md5(CAST(rows_d.r AS STRING) || chr(58) || t.w),
+                                           1, 8), 16, 10) AS BIGINT) % 1024
+          GROUP BY t.w, t.c
+        )
+        SELECT w AS word, c AS true_count, cm AS cm_estimate, cm - c AS overcount
+        FROM est ORDER BY true_count DESC, word
+        """
+    )

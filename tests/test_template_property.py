@@ -97,6 +97,10 @@ _TEMPLATES = [
     L._sql_epoch_plan,
     L._sql_ngram_novelty,
     L._sql_cooccurrence,
+    L._sql_hll_distinct,
+    L._sql_countmin,
+    L._sql_readability,
+    L._sql_code_detect,
 ]
 
 
