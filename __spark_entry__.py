@@ -105,6 +105,10 @@ _VERIFY_FIRST = [
     "text_readability",
     "text_code_detect",
     "stream_sketch_heavy_hitters",
+    "join_skew_audit",
+    "compaction_bin_plan",
+    "embedding_centroid_drift",
+    "dedup_graph_degree_powerlaw",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -124,6 +124,10 @@ QUERIES = [
     "discount_elasticity_ols",
     "text_readability",
     "text_code_detect",
+    "join_skew_audit",
+    "compaction_bin_plan",
+    "embedding_centroid_drift",
+    "dedup_graph_degree_powerlaw",
 ]
 
 

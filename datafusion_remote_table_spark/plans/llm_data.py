@@ -5832,3 +5832,162 @@ def _sql_code_detect(E):
 
 
 _register_pair("text_code_detect", _sql_code_detect)
+
+
+# ---------------------------------------------------------------------------
+# compaction_bin_plan — small-file compaction planning, the lakehouse
+# maintenance twin of pack_sequences: documents (standing in for data
+# files) bin-pack per source into 64KB target bins by running byte sum
+# — exactly how Iceberg/Delta rewriteDataFiles groups small files, and
+# how Spark's own maxPartitionBytes coalesces splits. A file straddling
+# a boundary belongs to the bin where it starts (running-sum binning).
+# Scale: one window per source partition over file metadata (not data);
+# at 100TB the metadata table is millions of rows, the window
+# partitions by source and never sees payload bytes.
+_BIN_BYTES = 65536
+
+
+def _sql_compaction_plan(E):
+    return f"""
+    WITH packed AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, {E.intdiv('(cum - n_chars)', str(_BIN_BYTES))} AS bin_id, n_chars
+      FROM packed
+    )
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / {_BIN_BYTES}, 6) AS fill_ratio
+    FROM binned
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """
+
+
+_register_pair("compaction_bin_plan", _sql_compaction_plan)
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_drift — distribution-drift monitor: vectors split
+# into two deterministic halves (md5(vec_id) parity — the stand-in for
+# "last week's corpus vs this week's"), per-label centroids computed for
+# each half, and the halves compared by L2 distance and cosine. The
+# embedding-pipeline regression test: a re-embedded or re-crawled corpus
+# whose centroids drift is flagged per label. Determinism: components
+# floor-quantized to 1e-6 and summed as DECIMAL (the dim_stats rule);
+# the cross-half comparison terms are ROUND(·,12)-quantized before the
+# per-label DECIMAL sum, so no float-order drift. Scale: explode to
+# (row × dim), aggregate on (label, half, dim) with map-side partials —
+# the comparison join runs on the labels × 64 centroid table.
+def _sql_centroid_drift(E):
+    val = f"CAST({E.idx('embedding', 'dims.d')} AS DOUBLE)"
+    fp = f"CAST(floor({val} * 1000000.0e0) AS BIGINT)"
+    half = f"{E.hex2int(f'substring(md5(CAST(vec_id AS {E.STR})), 1, 4)')} % 2"
+    qterm = lambda x: f"CAST(ROUND({x}, 12) AS DECIMAL(26,12))"  # noqa: E731
+    return f"""
+    WITH cells AS (
+      SELECT label, {half} AS half, dims.d AS dim, {fp} AS v_fp
+      FROM embeddings CROSS JOIN (SELECT {E.explode(E.seq(1, 64), 'd')}) dims
+    ),
+    cent AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(v_fp AS DECIMAL(38,0))) AS DOUBLE)
+               / (COUNT(*) * 1000000.0e0) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cells GROUP BY label, half, dim
+    ),
+    compared AS (
+      SELECT a.label,
+             MAX(a.n) AS n_half0, MAX(b.n) AS n_half1,
+             CAST(SUM({qterm('(a.m - b.m) * (a.m - b.m)')}) AS DOUBLE) AS dist2,
+             CAST(SUM({qterm('a.m * b.m')}) AS DOUBLE) AS dot_ab,
+             CAST(SUM({qterm('a.m * a.m')}) AS DOUBLE) AS sq_a,
+             CAST(SUM({qterm('b.m * b.m')}) AS DOUBLE) AS sq_b
+      FROM cent a JOIN cent b ON b.label = a.label AND b.dim = a.dim
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT label, n_half0, n_half1,
+           ROUND(sqrt(dist2), 6) AS l2_drift,
+           CASE WHEN sq_a * sq_b = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(dot_ab / (sqrt(sq_a) * sqrt(sq_b)), 6) END AS centroid_cosine
+    FROM compared
+    ORDER BY label
+    """
+
+
+_register_pair("embedding_centroid_drift", _sql_centroid_drift, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_degree_powerlaw — degree-distribution shape of the
+# verified near-dup graph: the histogram of node degrees, log-log OLS
+# fit (power-law exponent alpha, r²) from exact DECIMAL moment sums of
+# 1e-6-fixed-point ln values. Heavy-tailed degree distributions mean a
+# few template hubs dominate the dup graph — the signal that connected-
+# component dedup will produce giant components and keep-best needs a
+# hub guard. Scale: degrees come from the LSH pair output (bounded),
+# the histogram is degree-keyed, and the OLS runs over the handful of
+# histogram points.
+def _sql_degree_powerlaw(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    lnq = lambda x: f"CAST(ROUND(ln(CAST({x} AS DOUBLE)) * 1000000.0e0) AS BIGINT)"  # noqa: E731
+    return f"""
+    WITH deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_a AS node FROM {pairs} p1
+        UNION ALL
+        SELECT doc_b AS node FROM {pairs} p2
+      ) both_dirs GROUP BY node
+    ),
+    hist AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY k
+    ),
+    pts AS (
+      SELECT {lnq('k')} AS x, {lnq('n_nodes')} AS y FROM hist
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM pts
+    ),
+    stats AS (
+      SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+             CAST((SELECT MAX(k) FROM deg) AS BIGINT) AS max_degree
+    )
+    SELECT m.n AS n_degree_levels, s.n_nodes, s.max_degree,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(-(m.n * m.sxy - m.sx * m.sy)
+                           / (m.n * m.sxx - m.sx * m.sx), 6)
+           END AS alpha,
+           CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((m.sy + (m.n * m.sxy - m.sx * m.sy)
+                            / (m.n * m.sxx - m.sx * m.sx) * m.sx)
+                           / (m.n * 1000000.0e0), 6)
+           END AS intercept_ln,
+           CASE WHEN (m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND((m.n * m.sxy - m.sx * m.sy) * (m.n * m.sxy - m.sx * m.sy)
+                           / ((m.n * m.sxx - m.sx * m.sx) * (m.n * m.syy - m.sy * m.sy)), 6)
+           END AS r_squared
+    FROM mom m CROSS JOIN stats s
+    """
+
+
+def dedup_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = _checkpoint_view(spark, sf_dir, "pl_pairs", pairs)
+    return spark.sql(_sql_degree_powerlaw(_Spark, pairs_src=view))
+
+
+QUERIES["dedup_graph_degree_powerlaw"] = dedup_graph_degree_powerlaw
+ORACLE["dedup_graph_degree_powerlaw"] = _sql_degree_powerlaw(_Duck)

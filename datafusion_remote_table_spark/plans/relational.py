@@ -2632,3 +2632,38 @@ _OLS_SQL = """
 def discount_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem", "part")
     return spark.sql(_OLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# join_skew_audit — shuffle-planning diagnostic: the hottest join keys
+# on the fact table's l_partkey, each with its share of total rows and
+# the salt factor a skew-mitigating join would need (ceil of the key's
+# load vs the average 32-partition capacity). This is the query you run
+# BEFORE a big shuffle join at 100TB: AQE handles moderate skew, but
+# pathological keys need explicit salting and this report sizes it.
+# Scale: one map-side-combined census on the join key, then a top-20
+# TakeOrdered — the full census never sorts globally.
+_SKEW_SQL = """
+    WITH key_census AS (
+      SELECT l_partkey AS join_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM key_census
+    )
+    SELECT k.join_key, k.n_rows,
+           ROUND(CAST(k.n_rows AS DOUBLE) / t.total_rows, 6) AS row_share,
+           ROUND(CAST(k.n_rows AS DOUBLE) * t.n_keys / t.total_rows, 4) AS skew_vs_mean,
+           CAST(ceil(CAST(k.n_rows AS DOUBLE) * 32 / t.total_rows) AS BIGINT) AS salt_factor
+    FROM key_census k CROSS JOIN tot t
+    ORDER BY k.n_rows DESC, k.join_key
+    LIMIT 20
+"""
+
+
+@register("join_skew_audit", oracle=_SKEW_SQL)
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_SKEW_SQL)

@@ -101,6 +101,7 @@ _TEMPLATES = [
     L._sql_countmin,
     L._sql_readability,
     L._sql_code_detect,
+    L._sql_compaction_plan,
 ]
 
 
@@ -199,6 +200,7 @@ _EMB_TEMPLATES = [
     L._sql_recall_vs_probes,
     L._nnd_oracle,
     L._sql_rp_recall,
+    L._sql_centroid_drift,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
