@@ -537,3 +537,113 @@ def test_kcenter_api_matches_registered_query(spark, sf_dir):
         for r in plans.QUERIES["sample_coreset_kcenter"](spark, sf_dir).collect()
     )
     assert api == reg and len(api) > 0
+
+
+def test_merge_upsert_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.maintenance import merge_upsert
+    from datafusion_remote_table_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        (
+            F.expr("(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 105 + 50) DIV 100").cast(
+                "double"
+            )
+            / 100
+        ).alias("o_totalprice"),
+    )
+    cols = ("o_orderkey", "o_orderstatus", "o_totalprice", "merge_op")
+    api = sorted(
+        tuple(r[c] for c in cols)
+        for r in merge_upsert(base, updates, ("o_orderkey",)).collect()
+    )
+    reg = sorted(
+        tuple(r[c] for c in cols)
+        for r in plans.QUERIES["orders_merge_upsert"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_cdc_changelog_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.maintenance import cdc_changelog
+    from datafusion_remote_table_spark.session import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey", cents.alias("cents"))
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.expr("(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 110 + 50) DIV 100"),
+        )
+        .otherwise(cents)
+        .alias("cents"),
+    )
+    api_df = cdc_changelog(old, new, ("o_orderkey",), ("cents",)).select(
+        "o_orderkey", "op", (F.col("cents").cast("double") / 100).alias("price")
+    )
+    cols = ("o_orderkey", "op", "price")
+    api = sorted(tuple(r[c] for c in cols) for r in api_df.collect())
+    reg = sorted(
+        tuple(r[c] for c in cols)
+        for r in plans.QUERIES["orders_cdc_changelog"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_countmin_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = (
+        docs.select(F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w"))
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    sketch = countmin_sketch(toks, "w")
+    top20 = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(20)
+    )
+    api_df = countmin_estimate(sketch, top20, "w").join(top20, "w")
+    api = sorted(
+        (r["w"], r["c"], r["cm_estimate"]) for r in api_df.collect()
+    )
+    reg = sorted(
+        (r["word"], r["true_count"], r["cm_estimate"])
+        for r in plans.QUERIES["heavy_hitters_countmin"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_hll_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.sketches import hll_distinct
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    words = (
+        docs.select(
+            "source", F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w")
+        )
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    api = sorted(
+        (r["source"], r["n_zero_regs"], r["hll_estimate"])
+        for r in hll_distinct(words, "w", ("source",)).collect()
+    )
+    reg = sorted(
+        (r["source"], r["n_zero_regs"], r["hll_estimate"])
+        for r in plans.QUERIES["approx_distinct_hll"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
