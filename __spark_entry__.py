@@ -109,6 +109,9 @@ _VERIFY_FIRST = [
     "compaction_bin_plan",
     "embedding_centroid_drift",
     "dedup_graph_degree_powerlaw",
+    "quantile_sketch_orders",
+    "range_partition_plan",
+    "stream_quantile_monitor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -128,6 +128,8 @@ QUERIES = [
     "compaction_bin_plan",
     "embedding_centroid_drift",
     "dedup_graph_degree_powerlaw",
+    "quantile_sketch_orders",
+    "range_partition_plan",
 ]
 
 

@@ -2667,3 +2667,145 @@ _SKEW_SQL = """
 def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem")
     return spark.sql(_SKEW_SQL)
+
+
+# --------------------------------------------------------------------------
+# quantile_sketch_orders — distributed quantile estimation from a fixed
+# 256-bin histogram sketch (the deterministic stand-in for
+# t-digest/KLL: constant-size mergeable state, in-bin linear
+# interpolation), audited against the exact interpolated percentiles.
+# This is how approx_percentile works at 100TB: the histogram merges
+# map-side into 256 integer cells no matter the row count; only the
+# audit leg pays the exact global sort, and it's the part you drop in
+# production. Bin width is a FIXED constant ($2,500 in cents), not
+# data-dependent — merging sketches across partitions/days needs
+# identical grids. Integer cents + exact window sums keep the estimate
+# engine-identical.
+_QSKETCH_SQL = """
+    WITH vals AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    hist AS (
+      SELECT least({bin}, 255) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY least({bin}, 255)
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (SELECT {qlist}) t),
+    pick AS (
+      SELECT qs.q, MIN(c.bin) AS bin
+      FROM qs CROSS JOIN tot CROSS JOIN cum c
+      WHERE c.cum >= qs.q * tot.n
+      GROUP BY qs.q
+    ),
+    exact AS (
+      SELECT {p50} AS p50, {p90} AS p90, {p99} AS p99 FROM vals
+    )
+    SELECT p.q,
+           ROUND((c.bin * 250000 + 250000.0e0 * (p.q * t.n - (c.cum - c.cnt)) / c.cnt)
+                 / 100, 4) AS est_totalprice,
+           ROUND(CASE WHEN p.q = 0.5e0 THEN e.p50
+                      WHEN p.q = 0.9e0 THEN e.p90
+                      ELSE e.p99 END / 100, 4) AS exact_totalprice,
+           ROUND(ABS((c.bin * 250000 + 250000.0e0 * (p.q * t.n - (c.cum - c.cnt)) / c.cnt)
+                     - CASE WHEN p.q = 0.5e0 THEN e.p50
+                            WHEN p.q = 0.9e0 THEN e.p90
+                            ELSE e.p99 END)
+                 / (CASE WHEN p.q = 0.5e0 THEN e.p50
+                         WHEN p.q = 0.9e0 THEN e.p90
+                         ELSE e.p99 END), 6) AS rel_error
+    FROM pick p
+    JOIN cum c ON c.bin = p.bin
+    CROSS JOIN tot t CROSS JOIN exact e
+    ORDER BY p.q
+"""
+
+
+@register(
+    "quantile_sketch_orders",
+    oracle=_QSKETCH_SQL.format(
+        bin="(cents // 250000)",
+        qlist="unnest([0.5e0, 0.9e0, 0.99e0]) AS q",
+        p50="quantile_cont(cents, 0.5)",
+        p90="quantile_cont(cents, 0.9)",
+        p99="quantile_cont(cents, 0.99)",
+    ),
+)
+def quantile_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _QSKETCH_SQL.format(
+            bin="(cents DIV 250000)",
+            qlist="explode(array(0.5e0, 0.9e0, 0.99e0)) AS q",
+            p50="percentile(cents, 0.5)",
+            p90="percentile(cents, 0.9)",
+            p99="percentile(cents, 0.99)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# range_partition_plan — range-partitioner boundary planning, the
+# sampling step behind every distributed global sort (Spark's
+# RangePartitioner, TeraSort cut points): a deterministic ~1.6% md5
+# sample of order prices yields 31 NTILE boundaries for 32 ranges; the
+# full table then audits actual per-range loads against the ideal.
+# Scale: the sample is map-side filtered and tiny (the only globally
+# sorted thing); the audit assigns each row its range via a
+# SIZE(FILTER(boundary_array)) binary-search stand-in — O(32) per row
+# map-side, never a 32× row blowup join. Integer cents throughout.
+_RANGEPLAN_SQL = """
+    WITH vals AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    sampled AS (
+      SELECT cents FROM vals
+      WHERE {samp} < 4
+    ),
+    tiled AS (
+      SELECT cents, NTILE(32) OVER (ORDER BY cents) AS tile FROM sampled
+    ),
+    bounds AS (
+      SELECT {blist} AS barr
+      FROM (SELECT tile, MAX(cents) AS hi FROM tiled WHERE tile < 32 GROUP BY tile) b
+    ),
+    assigned AS (
+      SELECT CAST({bucket} AS BIGINT) AS range_id
+      FROM vals CROSS JOIN bounds
+    ),
+    loads AS (
+      SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY range_id
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM loads)
+    SELECT l.range_id, l.n_rows,
+           ROUND(CAST(l.n_rows AS DOUBLE) / t.total, 6) AS row_share,
+           ROUND(CAST(l.n_rows AS DOUBLE) * 32 / t.total, 4) AS skew_vs_ideal
+    FROM loads l CROSS JOIN tot t
+    ORDER BY l.range_id
+"""
+
+
+@register(
+    "range_partition_plan",
+    oracle=_RANGEPLAN_SQL.format(
+        samp="CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS BIGINT)",
+        blist="list_sort(list(b.hi))",
+        bucket="len(list_filter(bounds.barr, x -> x < vals.cents))",
+    ),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _RANGEPLAN_SQL.format(
+            samp="CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 2), 16, 10) AS BIGINT)",
+            blist="array_sort(collect_list(b.hi))",
+            bucket="size(filter(bounds.barr, x -> x < vals.cents))",
+        )
+    )

@@ -20,6 +20,7 @@ from ..streaming import (
     stream_remote_sink,
     stream_sliding_window,
     stream_stream_attribution,
+    stream_quantile_monitor,
     stream_sketch_heavy_hitters,
     stream_trending_topk,
 )
@@ -177,6 +178,48 @@ ORACLE["stream_join_remote_dim"] = """
     GROUP BY n.n_name
 """
 
+
+QUERIES["stream_quantile_monitor"] = stream_quantile_monitor
+# The streamed 256-bin histogram converges to the batch histogram, so the
+# interpolated estimates and the exact audit match the batch spelling.
+ORACLE["stream_quantile_monitor"] = """
+    WITH hist AS (
+      SELECT least((CAST(ROUND(value * 100) AS BIGINT) // 100), CAST(255 AS BIGINT)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q) t),
+    pick AS (
+      SELECT qs.q, MIN(c.bin) AS bin
+      FROM qs CROSS JOIN tot CROSS JOIN cum c
+      WHERE c.cum >= qs.q * tot.n
+      GROUP BY qs.q
+    ),
+    exact AS (
+      SELECT quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50,
+             quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS p90,
+             quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.99) AS p99
+      FROM events
+    )
+    SELECT p.q,
+           ROUND((c.bin * 100 + 100.0e0 * (p.q * t.n - (c.cum - c.cnt)) / c.cnt)
+                 / 100, 4) AS est_value,
+           ROUND(CASE WHEN p.q = 0.5e0 THEN e.p50
+                      WHEN p.q = 0.9e0 THEN e.p90
+                      ELSE e.p99 END / 100, 4) AS exact_value
+    FROM pick p
+    JOIN cum c ON c.bin = p.bin
+    CROSS JOIN tot t CROSS JOIN exact e
+    ORDER BY p.q
+"""
 
 QUERIES["stream_sketch_heavy_hitters"] = stream_sketch_heavy_hitters
 # The streamed sketch converges to the batch sketch cell-for-cell, so the

@@ -719,3 +719,65 @@ def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM est ORDER BY true_count DESC, word
         """
     )
+
+
+def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitor: the stream maintains a fixed 256-bin
+    integer histogram of event values (constant-size state — the
+    t-digest/KLL production shape; bins are a FIXED $1 grid so sketches
+    merge across restarts), and the serving layer reads p50/p90/p99
+    from the converged histogram by in-bin linear interpolation,
+    audited against the exact batch percentiles. Converges to the batch
+    histogram cell-for-cell on bounded input, which is the oracle.
+    Scale: streaming state is 256 cells regardless of event volume;
+    only the audit leg pays the exact sort, and it's the part you drop
+    in production."""
+    stream = _events_stream(spark, sf_dir)
+    hist = (
+        stream.selectExpr(
+            "least(CAST(ROUND(value * 100) AS BIGINT) DIV 100, CAST(255 AS BIGINT)) AS bin"
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bounded = _run_bounded(hist, "stream_quantile_monitor")
+    bounded.createOrReplaceTempView("stream_value_hist")
+
+    from ..session import load_tables
+
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH cum AS (
+          SELECT bin, cnt,
+                 SUM(cnt) OVER (ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM stream_value_hist
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM stream_value_hist),
+        qs AS (SELECT CAST(q AS DOUBLE) AS q
+               FROM (SELECT explode(array(0.5e0, 0.9e0, 0.99e0)) AS q) t),
+        pick AS (
+          SELECT qs.q, MIN(c.bin) AS bin
+          FROM qs CROSS JOIN tot CROSS JOIN cum c
+          WHERE c.cum >= qs.q * tot.n
+          GROUP BY qs.q
+        ),
+        exact AS (
+          SELECT percentile(CAST(ROUND(value * 100) AS BIGINT), 0.5) AS p50,
+                 percentile(CAST(ROUND(value * 100) AS BIGINT), 0.9) AS p90,
+                 percentile(CAST(ROUND(value * 100) AS BIGINT), 0.99) AS p99
+          FROM events
+        )
+        SELECT p.q,
+               ROUND((c.bin * 100 + 100.0e0 * (p.q * t.n - (c.cum - c.cnt)) / c.cnt)
+                     / 100, 4) AS est_value,
+               ROUND(CASE WHEN p.q = 0.5e0 THEN e.p50
+                          WHEN p.q = 0.9e0 THEN e.p90
+                          ELSE e.p99 END / 100, 4) AS exact_value
+        FROM pick p
+        JOIN cum c ON c.bin = p.bin
+        CROSS JOIN tot t CROSS JOIN exact e
+        ORDER BY p.q
+        """
+    )
