@@ -2776,7 +2776,9 @@ _RANGEPLAN_SQL = """
       FROM (SELECT tile, MAX(cents) AS hi FROM tiled WHERE tile < 32 GROUP BY tile) b
     ),
     assigned AS (
-      SELECT CAST({bucket} AS BIGINT) AS range_id
+      -- COALESCE guards the empty-sample edge: Spark collect_list gives
+      -- [] where DuckDB list() gives NULL (everything lands in range 0)
+      SELECT CAST(COALESCE({bucket}, 0) AS BIGINT) AS range_id
       FROM vals CROSS JOIN bounds
     ),
     loads AS (

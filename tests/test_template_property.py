@@ -264,6 +264,7 @@ _EVENT_QUERIES = [
     "events_concurrency_hourly",
     "events_churn_features",
     "events_ab_test",
+    "events_survival_curve",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -312,6 +313,83 @@ def test_event_queries_agree_on_random_tables(spark, events):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
             )
         for name in _EVENT_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# orders-table queries: the lakehouse/planning family — risky edges are
+# zero prices (zero cents), tiny tables (NTILE with fewer rows than
+# tiles, single-bin histograms), EMPTY md5 samples (range boundaries),
+# and snapshots where one merge/CDC side is empty
+_ORDER_QUERIES = [
+    "orders_merge_upsert",
+    "orders_cdc_changelog",
+    "customer_rfm_segments",
+    "quantile_sketch_orders",
+    "range_partition_plan",
+    "orders_seasonality",
+]
+
+_STATUSES = ["O", "F", "P"]
+_PRIOS = ["1-URGENT", "3-MEDIUM", "5-LOW"]
+
+
+@st.composite
+def _orders_table(draw):
+    n = draw(st.integers(min_value=3, max_value=25))
+    keys = draw(
+        st.lists(st.integers(min_value=1, max_value=400), min_size=n, max_size=n, unique=True)
+    )
+    base = pd.Timestamp("1995-01-01")
+    rows = []
+    for k in keys:
+        rows.append(
+            (
+                k,
+                draw(st.integers(min_value=1, max_value=5)),
+                draw(st.sampled_from(_STATUSES)),
+                draw(st.sampled_from([0.0, 0.01, 0.05, 999.99, 185.22, 123456.78])),
+                base + pd.Timedelta(days=draw(st.integers(min_value=0, max_value=900))),
+                draw(st.sampled_from(_PRIOS)),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    return df
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(orders=_orders_table())
+def test_order_queries_agree_on_random_tables(spark, orders):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_orders_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "orders.parquet"))
+        orders.to_parquet(os.path.join(tmp, "orders.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _ORDER_QUERIES:
             got = plans.QUERIES[name](spark, tmp).toPandas()
             want = con.execute(plans.ORACLE[name]).fetchdf()
             _compare(got, want, name)
