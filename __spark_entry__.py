@@ -112,6 +112,8 @@ _VERIFY_FIRST = [
     "quantile_sketch_orders",
     "range_partition_plan",
     "stream_quantile_monitor",
+    "table_profile_stats",
+    "join_strategy_advisor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -130,6 +130,7 @@ QUERIES = [
     "dedup_graph_degree_powerlaw",
     "quantile_sketch_orders",
     "range_partition_plan",
+    "table_profile_stats",
 ]
 
 

@@ -2811,3 +2811,103 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket="size(filter(bounds.barr, x -> x < vals.cents))",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# table_profile_stats — one-pass column profiling of the events table
+# (null counts, null fraction, distinct cardinality per column): the
+# data-quality report every ingestion pipeline runs before modeling.
+# Scale: ONE aggregate pass computes all per-column metrics (COUNT +
+# COUNT(col) + COUNT(DISTINCT col) — Spark's Expand handles the
+# multi-distinct in the same shuffle); the per-column rows then come
+# from joining the 1-row aggregate against a 6-row column spine with
+# CASE projection — never one scan per column.
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_sql(names_spine: str) -> str:
+    aggs = ", ".join(
+        f"COUNT({c}) AS nn_{c}, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}"
+        for c in _PROFILE_COLS
+    )
+    nn_case = " ".join(f"WHEN '{c}' THEN nn_{c}" for c in _PROFILE_COLS)
+    nd_case = " ".join(f"WHEN '{c}' THEN nd_{c}" for c in _PROFILE_COLS)
+    return f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {aggs} FROM events
+    ),
+    spine AS (SELECT column_name FROM ({names_spine}) s)
+    SELECT s.column_name, a.n_rows,
+           CAST(a.n_rows - (CASE s.column_name {nn_case} END) AS BIGINT) AS n_null,
+           ROUND(CAST(a.n_rows - (CASE s.column_name {nn_case} END) AS DOUBLE)
+                 / a.n_rows, 6) AS frac_null,
+           CAST(CASE s.column_name {nd_case} END AS BIGINT) AS n_distinct
+    FROM spine s CROSS JOIN agg a
+    ORDER BY s.column_name
+    """
+
+
+@register(
+    "table_profile_stats",
+    oracle=_profile_sql(
+        "SELECT unnest(['event_id','ts','user_id','event_type','value','props']) AS column_name"
+    ),
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _profile_sql(
+            "SELECT explode(array('event_id','ts','user_id','event_type','value','props'))"
+            " AS column_name"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_strategy_advisor — size-based join-strategy planning report: per
+# table, exact row count and an estimated in-memory size from typed
+# column widths (strings by actual length, numerics/timestamps 8 bytes),
+# recommending BROADCAST below the 10MB autoBroadcastJoinThreshold,
+# SHUFFLE_HASH below 64MB-per-partition working sets, SORT_MERGE above —
+# the decision Catalyst makes from statistics, surfaced as a query so a
+# pipeline can pin hints. Scale: one map-side width-sum pass per table;
+# nothing global but the 8-row report.
+_ADVISOR_TABLES: dict[str, str] = {
+    "region": "8 + length(r_name)",
+    "nation": "16 + length(n_name)",
+    "customer": "20 + length(c_name) + length(c_mktsegment)",
+    "supplier": "20 + length(s_name)",
+    "part": "20 + length(p_name) + length(p_brand) + length(p_type)",
+    "orders": "32 + length(o_orderstatus) + length(o_orderpriority)",
+    "lineitem": "60 + length(l_returnflag) + length(l_linestatus)",
+    "events": "32 + length(event_type) + COALESCE(length(props), 0)",
+}
+
+
+def _advisor_sql() -> str:
+    legs = "\n    UNION ALL\n".join(
+        f"""    SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({w} AS BIGINT)) AS BIGINT) AS est_bytes
+    FROM {t}"""
+        for t, w in _ADVISOR_TABLES.items()
+    )
+    return f"""
+    WITH stats AS (
+{legs}
+    )
+    SELECT table_name, n_rows, est_bytes,
+           CASE WHEN est_bytes <= 10485760 THEN 'broadcast'
+                WHEN est_bytes <= 67108864 THEN 'shuffle_hash'
+                ELSE 'sort_merge' END AS join_strategy
+    FROM stats
+    ORDER BY table_name
+    """
+
+
+@register("join_strategy_advisor", oracle=_advisor_sql())
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events",
+    )
+    return spark.sql(_advisor_sql())
