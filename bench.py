@@ -92,6 +92,14 @@ HEADLINE = [
     # the incremental 4-round power iteration over the shared pair graph)
     "events_scd2_history",
     "dedup_graph_pagerank",
+    # round-4 continuation: lakehouse maintenance (one full-outer join
+    # each), constant-state sketches, and the quantile/planning pair
+    "orders_merge_upsert",
+    "orders_cdc_changelog",
+    "approx_distinct_hll",
+    "heavy_hitters_countmin",
+    "quantile_sketch_orders",
+    "range_partition_plan",
 ]
 
 
