@@ -114,6 +114,7 @@ _VERIFY_FIRST = [
     "stream_quantile_monitor",
     "table_profile_stats",
     "join_strategy_advisor",
+    "events_late_arrival_audit",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

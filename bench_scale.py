@@ -131,6 +131,7 @@ QUERIES = [
     "quantile_sketch_orders",
     "range_partition_plan",
     "table_profile_stats",
+    "events_late_arrival_audit",
 ]
 
 

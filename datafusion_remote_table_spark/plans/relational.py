@@ -2911,3 +2911,55 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events",
     )
     return spark.sql(_advisor_sql())
+
+
+# --------------------------------------------------------------------------
+# events_late_arrival_audit — watermark configuration planning: treating
+# event_id as arrival order (the ingest sequence), each event's lateness
+# is how far it arrived behind the stream's running max event time; the
+# report says, for candidate watermarks (1h/2h/4h/8h), how many events a
+# streaming job would DROP and the surviving fraction — the number you
+# need before setting withWatermark on a real feed. Scale: one window
+# over arrival order (the same sort the ingest log already has), then a
+# constant 4-row rollup; at 100TB the audit runs per ingest partition
+# and the rollup merges.
+_LATE_AUDIT_SQL = """
+    WITH arrival AS (
+      SELECT {epoch_ts} AS ts_sec,
+             MAX({epoch_ts}) OVER (ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_watermark
+      FROM events
+    ),
+    lateness AS (
+      SELECT CAST(high_watermark - ts_sec AS BIGINT) AS late_sec FROM arrival
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lateness),
+    wm AS (SELECT CAST(w AS BIGINT) AS watermark_sec FROM ({wlist}) t)
+    SELECT w.watermark_sec,
+           CAST(SUM(CASE WHEN l.late_sec > w.watermark_sec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           ROUND(1.0e0 - CAST(SUM(CASE WHEN l.late_sec > w.watermark_sec THEN 1 ELSE 0 END)
+                              AS DOUBLE) / t.n, 6) AS keep_fraction,
+           CAST(MAX(l.late_sec) AS BIGINT) AS max_late_sec
+    FROM wm w CROSS JOIN lateness l CROSS JOIN tot t
+    GROUP BY w.watermark_sec, t.n
+    ORDER BY w.watermark_sec
+"""
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle=_LATE_AUDIT_SQL.format(
+        epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
+        wlist="SELECT unnest([3600, 7200, 14400, 28800]) AS w",
+    ),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _LATE_AUDIT_SQL.format(
+            epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)",
+            wlist="SELECT explode(array(3600, 7200, 14400, 28800)) AS w",
+        )
+    )

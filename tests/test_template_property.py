@@ -265,6 +265,7 @@ _EVENT_QUERIES = [
     "events_churn_features",
     "events_ab_test",
     "events_survival_curve",
+    "events_late_arrival_audit",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
