@@ -115,6 +115,7 @@ _VERIFY_FIRST = [
     "table_profile_stats",
     "join_strategy_advisor",
     "events_late_arrival_audit",
+    "multimodal_audio_fingerprint",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

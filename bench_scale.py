@@ -132,6 +132,7 @@ QUERIES = [
     "range_partition_plan",
     "table_profile_stats",
     "events_late_arrival_audit",
+    "multimodal_audio_fingerprint",
 ]
 
 

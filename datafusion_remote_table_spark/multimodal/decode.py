@@ -507,3 +507,42 @@ def video_stats_real(
             "n_frames int, sum_luma long, motion long"
         ),
     )
+
+
+def audio_fingerprint_real(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", frame: int = 4
+) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded PCM (the chromaprint shape
+    without an FFT — no scipy here): the waveform splits into fixed
+    frames, each frame reduces to integer energy (sum of squared
+    deviations from the u8 midpoint), and bit i of the fingerprint is 1
+    when frame i's energy exceeds frame i+1's — the energy-contour
+    sign-delta code used for audio dedup bucketing. All-integer, so the
+    hash is deterministic down to the byte walk."""
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ns, fps, tops = [], [], []
+            for b in pdf[payload_col]:
+                _rate, samples = decode_wav(bytes(b))
+                d = np.frombuffer(samples, dtype=np.uint8).astype(np.int64) - 128
+                nf = len(d) // frame
+                e = (d[: nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+                fp = sum(1 << i for i in range(nf - 1) if e[i] > e[i + 1])
+                ns.append(nf)
+                fps.append(int(fp))
+                tops.append(int(np.argmax(e)) if nf else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_frames": pd.Series(ns, dtype="int32"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                    "top_frame": pd.Series(tops, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches, schema=f"{id_col} long, n_frames int, fingerprint long, top_frame long"
+    )

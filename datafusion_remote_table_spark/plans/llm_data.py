@@ -5991,3 +5991,91 @@ def dedup_graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_graph_degree_powerlaw"] = dedup_graph_degree_powerlaw
 ORACLE["dedup_graph_degree_powerlaw"] = _sql_degree_powerlaw(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_fingerprint — audio near-dup bucketing over the REAL
+# WAV decode path: the same RIFF-decoded PCM as multimodal_audio_real
+# reduces per doc to a 5-bit energy-contour fingerprint (frame energies,
+# sign-delta bits — the chromaprint shape without an FFT), and docs
+# bucket by fingerprint for dedup candidate generation. The oracle
+# recomputes frame energies and the argmax from the md5 byte math, so a
+# wrong frame stride, reshape, or bit order diverges. Scale: Arrow-batch
+# map end to end; the bucket census groups on ≤32 fingerprint values.
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import audio_fingerprint_real, encode_wav
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def encode_batch(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = str(int(doc_id))
+                samples = bytes.fromhex(
+                    hashlib.md5(key.encode()).hexdigest()
+                    + hashlib.md5((key + "x").encode()).hexdigest()
+                )[:24]
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+    fps = audio_fingerprint_real(wavs)
+    fps.createOrReplaceTempView("audio_fps")
+    return spark.sql(
+        """
+        WITH buckets AS (
+          SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS bucket_size
+          FROM audio_fps GROUP BY fingerprint
+        )
+        SELECT f.doc_id, f.n_frames, f.fingerprint, f.top_frame, b.bucket_size
+        FROM audio_fps f JOIN buckets b ON b.fingerprint = f.fingerprint
+        """
+    )
+
+
+def _sql_audio_fp_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def dev(i):
+        return f"({E.hex2int(f'substring(h, {2 * i - 1}, 2)')} - 128)"
+
+    def energy(k):  # frames of 4 samples, 24 samples -> 6 frames
+        return "(" + " + ".join(f"{dev(4 * k + j)} * {dev(4 * k + j)}" for j in range(1, 5)) + ")"
+
+    fp = " + ".join(
+        f"(CASE WHEN {energy(i)} > {energy(i + 1)} THEN {1 << i} ELSE 0 END)" for i in range(5)
+    )
+    # argmax with lowest-index tie-break: count of earlier-or-equal frames
+    # strictly greater than e_k == 0 exactly for the first maximum
+    top = (
+        "CASE "
+        + " ".join(
+            f"WHEN {' AND '.join(f'{energy(k)} >= {energy(j)}' for j in range(6) if j != k)} THEN {k}"
+            for k in range(6)
+        )
+        + " END"
+    )
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents),
+    fps AS (
+      SELECT doc_id, CAST(6 AS INT) AS n_frames,
+             CAST({fp} AS BIGINT) AS fingerprint,
+             CAST({top} AS BIGINT) AS top_frame
+      FROM hx
+    ),
+    buckets AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS bucket_size
+      FROM fps GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.n_frames, f.fingerprint, f.top_frame, b.bucket_size
+    FROM fps f JOIN buckets b ON b.fingerprint = f.fingerprint
+    """
+
+
+QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
+ORACLE["multimodal_audio_fingerprint"] = _sql_audio_fp_oracle(_Duck)
