@@ -116,6 +116,16 @@ _VERIFY_FIRST = [
     "join_strategy_advisor",
     "events_late_arrival_audit",
     "multimodal_audio_fingerprint",
+    "split_leakage_audit",
+    "events_bot_score",
+    "orders_dq_rules_audit",
+    "feature_drift_psi",
+    "orders_benford_audit",
+    "kanonymity_audit",
+    "cardinality_qerror_audit",
+    "events_hourly_acf",
+    "pii_subject_access_report",
+    "text_zipf_audit",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

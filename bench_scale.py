@@ -133,6 +133,18 @@ QUERIES = [
     "table_profile_stats",
     "events_late_arrival_audit",
     "multimodal_audio_fingerprint",
+    # round-4 continuation (5): governance/monitoring family — all
+    # census-then-constant-rollup shapes that must stay linear in rows
+    "split_leakage_audit",
+    "events_bot_score",
+    "orders_dq_rules_audit",
+    "feature_drift_psi",
+    "orders_benford_audit",
+    "kanonymity_audit",
+    "cardinality_qerror_audit",
+    "events_hourly_acf",
+    "pii_subject_access_report",
+    "text_zipf_audit",
 ]
 
 

@@ -6079,3 +6079,114 @@ def _sql_audio_fp_oracle(E):
 
 QUERIES["multimodal_audio_fingerprint"] = multimodal_audio_fingerprint
 ORACLE["multimodal_audio_fingerprint"] = _sql_audio_fp_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit — train/eval contamination comparison: the same
+# corpus split two ways (by ROW — md5(doc_id), the wrong way — and by
+# GROUP — md5(source), the right way), then for each scheme the
+# min-shingle (winnow) fingerprints appearing on BOTH sides of the
+# boundary are counted — near-duplicate docs whose 8-gram content
+# collides across the train/eval line. The audit that justifies
+# group-aware splitting. Scale: map-side fingerprint + two-bit presence
+# flags per (scheme, fingerprint) — one shuffle on the fingerprint key.
+def _sql_split_leakage(E):
+    words = E.splitws("lower(text)")
+    shingles = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 7, 1)')}, i -> md5(array_join({E.slice(words, 'i', 8)}, ' ')))"
+    if E is _Duck:
+        shingles = shingles.replace("array_join", "array_to_string")
+    row_b = f"{E.hex2int(f'substring(md5(CAST(doc_id AS {E.STR})), 1, 4)')} % 10"
+    grp_b = f"{E.hex2int('substring(md5(source), 1, 4)')} % 10"
+    return f"""
+    WITH fps AS (
+      SELECT {E.AMIN}({shingles}) AS fp,
+             CASE WHEN {row_b} < 8 THEN 'train' ELSE 'eval' END AS row_split,
+             CASE WHEN {grp_b} < 8 THEN 'train' ELSE 'eval' END AS grp_split
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    schemes AS (
+      SELECT CASE WHEN s = 0 THEN 'by_row' ELSE 'by_group' END AS scheme
+      FROM (SELECT {E.explode(E.seq(0, 1), 's')}) t
+    ),
+    tagged AS (
+      SELECT s.scheme, f.fp,
+             CASE WHEN s.scheme = 'by_row' THEN f.row_split ELSE f.grp_split END AS split
+      FROM fps f CROSS JOIN schemes s
+    ),
+    presence AS (
+      SELECT scheme, fp,
+             MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS in_eval
+      FROM tagged GROUP BY scheme, fp
+    )
+    SELECT scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(in_eval) AS BIGINT) AS n_eval_fingerprints,
+           CAST(SUM(in_train * in_eval) AS BIGINT) AS n_leaked,
+           CASE WHEN SUM(in_eval) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(CAST(SUM(in_train * in_eval) AS DOUBLE) / SUM(in_eval), 6)
+           END AS leak_rate
+    FROM presence
+    GROUP BY scheme
+    ORDER BY scheme
+    """
+
+
+_register_pair("split_leakage_audit", _sql_split_leakage)
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_audit — corpus-health check: does the word-frequency
+# distribution follow Zipf's law? OLS fit of ln(freq) ~ ln(rank) over
+# the top-500 tokens (freq-desc, token tie-break) gives the slope
+# (healthy natural-language corpora sit near -1), intercept, and R² —
+# a cheap screen for template spam / synthetic floods, which flatten or
+# kink the rank curve. Scale: the word census is the only corpus-sized
+# shuffle (uniform keys, map-side partials); the top-500 is a bounded
+# TakeOrderedAndProject and the regression runs over those 500 rows.
+# Each ln-term product is quantized to 1e-9 and DECIMAL-summed (the
+# docs/SCALE.md float-SUM discipline), so the moment sums are
+# bit-identical across engines before the closed-form OLS arithmetic.
+def _sql_zipf(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH uni AS (
+      SELECT {E.explode(words, 'w')} FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    census AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM uni GROUP BY w
+    ),
+    top500 AS (
+      SELECT w, freq FROM census ORDER BY freq DESC, w LIMIT 500
+    ),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rnk, freq
+      FROM top500
+    ),
+    pts AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT n AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept,
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      ELSE 0.0e0 END, 6) AS r2
+    FROM agg
+    """
+
+
+_register_pair("text_zipf_audit", _sql_zipf)

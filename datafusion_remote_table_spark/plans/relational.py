@@ -2963,3 +2963,468 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             wlist="SELECT explode(array(3600, 7200, 14400, 28800)) AS w",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_bot_score — behavioral bot/abuse heuristics per user: volume
+# (events per active hour), burstiness (max events in one hour), and
+# gap regularity (exact p10/p90 of inter-event seconds — scripted
+# traffic has near-constant gaps, humans don't). The data-cleaning gate
+# a pipeline runs before behavioral analytics. Scale: one LAG window
+# and one aggregate, both on the user_id shuffle; gap percentiles are
+# per-user state over integer gaps.
+_BOT_SQL = """
+    WITH ordered AS (
+      SELECT user_id, {epoch_ts} AS ts_sec, {hour_t} AS hr
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts_sec, hr,
+             ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, hr) AS gap_sec
+      FROM ordered
+    ),
+    hourly AS (
+      SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n_in_hour
+      FROM ordered GROUP BY user_id, hr
+    ),
+    per_user AS (
+      SELECT g.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {p10} AS gap_p10,
+             {p90} AS gap_p90
+      FROM gaps g GROUP BY g.user_id
+    ),
+    bursts AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS active_hours,
+             CAST(MAX(n_in_hour) AS BIGINT) AS max_per_hour
+      FROM hourly GROUP BY user_id
+    )
+    SELECT u.user_id, u.n_events, b.active_hours, b.max_per_hour,
+           ROUND(CAST(u.n_events AS DOUBLE) / b.active_hours, 4) AS events_per_active_hour,
+           ROUND(u.gap_p10, 4) AS gap_p10_sec,
+           ROUND(u.gap_p90, 4) AS gap_p90_sec,
+           CASE WHEN u.n_events >= 20
+                     AND (b.max_per_hour >= 10
+                          OR (u.gap_p90 IS NOT NULL AND u.gap_p90 - u.gap_p10 <= 60))
+                THEN 1 ELSE 0 END AS bot_flag
+    FROM per_user u JOIN bursts b ON b.user_id = u.user_id
+"""
+
+
+@register(
+    "events_bot_score",
+    oracle=_BOT_SQL.format(
+        epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
+        hour_t="date_trunc('hour', ts)",
+        p10="quantile_cont(g.gap_sec, 0.1)",
+        p90="quantile_cont(g.gap_sec, 0.9)",
+    ),
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _BOT_SQL.format(
+            epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)",
+            hour_t="date_trunc('hour', ts)",
+            p10="percentile(g.gap_sec, 0.1)",
+            p90="percentile(g.gap_sec, 0.9)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_dq_rules_audit — declarative data-quality rule evaluation (the
+# dbt-tests / Deequ shape): five rules checked in ONE aggregate pass
+# (CASE sums + a distinct-key count), unpivoted to a per-rule report via
+# the column spine join — never one scan per rule. Scale: map-side
+# partials for everything; the duplicate-key rule rides the same
+# aggregate via COUNT vs COUNT(DISTINCT).
+_DQ_SQL = """
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price_positive,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                            OR o_orderdate > TIMESTAMP '1998-12-31 23:59:59'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_date_range,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_custkey_not_null,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_key_unique
+      FROM orders
+    ),
+    spine AS (SELECT rule_name FROM ({rules}) r)
+    SELECT s.rule_name, a.n_rows,
+           CAST(CASE s.rule_name
+                WHEN 'price_positive' THEN a.v_price_positive
+                WHEN 'status_domain' THEN a.v_status_domain
+                WHEN 'date_range' THEN a.v_date_range
+                WHEN 'custkey_not_null' THEN a.v_custkey_not_null
+                ELSE a.v_key_unique END AS BIGINT) AS n_violations,
+           ROUND(CAST(CASE s.rule_name
+                WHEN 'price_positive' THEN a.v_price_positive
+                WHEN 'status_domain' THEN a.v_status_domain
+                WHEN 'date_range' THEN a.v_date_range
+                WHEN 'custkey_not_null' THEN a.v_custkey_not_null
+                ELSE a.v_key_unique END AS DOUBLE) / a.n_rows, 6) AS violation_rate
+    FROM spine s CROSS JOIN agg a
+    ORDER BY s.rule_name
+"""
+
+
+@register(
+    "orders_dq_rules_audit",
+    oracle=_DQ_SQL.format(
+        rules="SELECT unnest(['price_positive','status_domain','date_range',"
+        "'custkey_not_null','key_unique']) AS rule_name"
+    ),
+)
+def orders_dq_rules_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _DQ_SQL.format(
+            rules="SELECT explode(array('price_positive','status_domain','date_range',"
+            "'custkey_not_null','key_unique')) AS rule_name"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# feature_drift_psi — population-stability-index drift report between the
+# first and second time-half of the events feed: `value` is histogrammed
+# into 10 equal-width bins over its global range, `event_type` is its own
+# categorical binning, and PSI = Σ (p−q)·ln(p/q) (smoothed) says whether
+# the recent distribution moved — the monitor a training pipeline runs
+# before trusting fresh features. Scale: one pass builds the tiny
+# (vbin × event_type × half) cube (≤100 cells regardless of row count;
+# map-side partials), and both feature legs unpivot from that cube, so
+# Spark's ReuseExchange dedups the underlying scan-agg; each PSI term is
+# quantized to 1e-9 and summed as DECIMAL (the docs/SCALE.md float-SUM
+# discipline).
+_PSI_SQL = """
+    WITH base AS (
+      SELECT {epoch_ts} AS ts_sec, value, event_type FROM events
+    ),
+    bounds AS (
+      SELECT MIN(ts_sec) AS lo, MAX(ts_sec) AS hi,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM base
+    ),
+    tagged AS (
+      SELECT CASE WHEN b.ts_sec * 2 <= d.lo + d.hi THEN 'ref' ELSE 'cur' END AS half,
+             CASE WHEN b.value IS NULL THEN CAST(-1 AS BIGINT)
+                  WHEN d.vmax > d.vmin THEN least(
+                    CAST(floor((b.value - d.vmin) * 10.0e0 / (d.vmax - d.vmin)) AS BIGINT),
+                    CAST(9 AS BIGINT))
+                  ELSE CAST(0 AS BIGINT) END AS vbin,
+             b.event_type
+      FROM base b CROSS JOIN bounds d
+    ),
+    cube0 AS (
+      SELECT vbin, event_type, half, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY vbin, event_type, half
+    ),
+    legs AS (
+      SELECT 'value' AS feature, CAST(vbin AS {STR}) AS bin, half, n FROM cube0
+      UNION ALL
+      SELECT 'event_type' AS feature, event_type AS bin, half, n FROM cube0
+    ),
+    cells AS (
+      SELECT feature, bin,
+             CAST(SUM(CASE WHEN half = 'ref' THEN n ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN half = 'cur' THEN n ELSE 0 END) AS BIGINT) AS n_cur
+      FROM legs GROUP BY feature, bin
+    ),
+    tot AS (
+      SELECT feature, CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM cells GROUP BY feature
+    ),
+    terms AS (
+      SELECT c.feature, t.n_bins, t.t_ref, t.t_cur,
+             (CAST(c.n_ref AS DOUBLE) + 0.5e0) / (t.t_ref + 0.5e0 * t.n_bins) AS p,
+             (CAST(c.n_cur AS DOUBLE) + 0.5e0) / (t.t_cur + 0.5e0 * t.n_bins) AS q
+      FROM cells c JOIN tot t ON t.feature = c.feature
+    )
+    SELECT feature, n_bins, t_ref AS n_rows_ref, t_cur AS n_rows_cur,
+           ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q), 9) AS DECIMAL(28, 9)))
+                      AS DOUBLE), 6) AS psi
+    FROM terms
+    GROUP BY feature, n_bins, t_ref, t_cur
+    ORDER BY feature
+"""
+
+
+@register(
+    "feature_drift_psi",
+    oracle=_PSI_SQL.format(
+        epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)", STR="VARCHAR",
+    ),
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _PSI_SQL.format(
+            epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)", STR="STRING",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_benford_audit — Benford's-law first-digit test over order
+# totals, the classic fraud/data-quality screen: observed first-digit
+# frequencies vs log10(1 + 1/d). The digit comes from the exact integer
+# cents (floor(price·100 + 0.5) → string), never from float log10/pow,
+# so both engines bin identically at digit boundaries. Scale: one scan,
+# 9-group aggregate, constant-size spine join.
+_BENFORD_SQL = """
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                                 AS {STR}), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs),
+    spine AS (SELECT CAST(d AS BIGINT) AS digit FROM ({dspine}) s)
+    SELECT s.digit,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n_obs,
+           ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / t.t, 6) AS p_obs,
+           ROUND(ln(1.0e0 + 1.0e0 / s.digit) / ln(10.0e0), 6) AS p_benford,
+           ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / t.t
+                 - ln(1.0e0 + 1.0e0 / s.digit) / ln(10.0e0), 6) AS deviation
+    FROM spine s LEFT JOIN obs o ON o.d = s.digit CROSS JOIN tot t
+    ORDER BY s.digit
+"""
+
+
+@register(
+    "orders_benford_audit",
+    oracle=_BENFORD_SQL.format(
+        STR="VARCHAR", dspine="SELECT unnest(generate_series(1, 9)) AS d",
+    ),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _BENFORD_SQL.format(
+            STR="STRING", dspine="SELECT explode(sequence(1, 9)) AS d",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# kanonymity_audit — k-anonymity re-identification risk over the
+# customer quasi-identifiers (nation, market segment, account-balance
+# band): equivalence-class sizes, then for each candidate k threshold
+# the classes and row fraction below it — the privacy gate run before a
+# table is shared for training. The band uses floor(x/1000), never a
+# float→int CAST (DuckDB rounds where Spark truncates). Scale: one
+# groupBy on the QI tuple (map-side partials), then a constant 4×classes
+# rollup — at 100TB the class census is the only shuffle.
+_KANON_SQL = """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0e0) AS BIGINT)
+    ),
+    tot AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(k) AS BIGINT) AS min_k
+      FROM classes
+    ),
+    thr AS (SELECT CAST(t AS BIGINT) AS threshold FROM ({tspine}) s)
+    SELECT t.threshold, x.n_rows, x.n_classes, x.min_k,
+           CAST(SUM(CASE WHEN c.k < t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(SUM(CASE WHEN c.k < t.threshold THEN c.k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN c.k < t.threshold THEN c.k ELSE 0 END) AS DOUBLE)
+                 / x.n_rows, 6) AS frac_rows_at_risk
+    FROM thr t CROSS JOIN classes c CROSS JOIN tot x
+    GROUP BY t.threshold, x.n_rows, x.n_classes, x.min_k
+    ORDER BY t.threshold
+"""
+
+
+@register(
+    "kanonymity_audit",
+    oracle=_KANON_SQL.format(tspine="SELECT unnest([2, 5, 10, 20]) AS t"),
+)
+def kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer")
+    return spark.sql(
+        _KANON_SQL.format(tspine="SELECT explode(array(2, 5, 10, 20)) AS t")
+    )
+
+
+# --------------------------------------------------------------------------
+# cardinality_qerror_audit — optimizer-statistics accuracy study: for
+# every observed (orderstatus × orderpriority) conjunction, the row
+# count a cost model would ESTIMATE under the attribute-independence
+# assumption (n·sel(status)·sel(priority)) vs the ACTUAL count, and the
+# q-error = max(est/act, act/est) — the standard metric from the
+# cardinality-estimation literature, surfaced as a query so a pipeline
+# can decide where independence lies. Scale: ONE scan builds the 15-cell
+# pair census; the marginals and total are window sums over those 15
+# rows — no second pass, no join.
+_QERROR_SQL = """
+    WITH act AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_act
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    est AS (
+      SELECT o_orderstatus, o_orderpriority, n_act,
+             CAST(SUM(n_act) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+               * SUM(n_act) OVER (PARTITION BY o_orderpriority)
+               / SUM(n_act) OVER () AS est_rows
+      FROM act
+    )
+    SELECT o_orderstatus, o_orderpriority, n_act,
+           ROUND(est_rows, 4) AS est_rows,
+           ROUND(greatest(est_rows / n_act, n_act / est_rows), 6) AS q_error
+    FROM est
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("cardinality_qerror_audit", oracle=_QERROR_SQL)
+def cardinality_qerror_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_QERROR_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_hourly_acf — autocorrelation of the hourly event-count series
+# at lags 1..12h: the seasonality detector behind anomaly thresholds and
+# capacity planning (a strong lag-24 would say "daily rhythm"; lag-1
+# says bursts persist). Missing hours count as ZERO via a dense hour
+# spine, which is what makes the ACF honest on sparse feeds. Scale: the
+# hour census is bounded by the time span (720 rows/month) no matter the
+# row count, so everything after the first groupBy is constant-size;
+# centered products are quantized 1e-9 and DECIMAL-summed.
+_ACF_SQL = """
+    WITH hrs AS (
+      SELECT {hr_expr} AS hr FROM events
+    ),
+    counts0 AS (SELECT hr, CAST(COUNT(*) AS BIGINT) AS c FROM hrs GROUP BY hr),
+    bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM counts0),
+    spine AS (SELECT {hspine} FROM bounds),
+    series AS (
+      SELECT s.hr, CAST(COALESCE(c0.c, 0) AS BIGINT) AS c
+      FROM spine s LEFT JOIN counts0 c0 ON c0.hr = s.hr
+    ),
+    mstat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS m
+      FROM series
+    ),
+    denom AS (
+      SELECT CAST(SUM(CAST(ROUND((s.c - t.m) * (s.c - t.m), 9) AS DECIMAL(28, 9)))
+                  AS DOUBLE) AS ss
+      FROM series s CROSS JOIN mstat t
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag FROM ({kspine}) t),
+    num AS (
+      SELECT l.lag,
+             CAST(SUM(CAST(ROUND((a.c - t.m) * (b.c - t.m), 9) AS DECIMAL(28, 9)))
+                  AS DOUBLE) AS sp,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lags l
+      CROSS JOIN mstat t
+      CROSS JOIN series a
+      JOIN series b ON b.hr = a.hr + l.lag
+      GROUP BY l.lag
+    )
+    SELECT n.lag, n.n_pairs, ROUND(n.sp / d.ss, 6) AS acf
+    FROM num n CROSS JOIN denom d
+    ORDER BY n.lag
+"""
+
+
+@register(
+    "events_hourly_acf",
+    oracle=_ACF_SQL.format(
+        hr_expr="(CAST(floor(epoch(ts)) AS BIGINT) // 3600)",
+        hspine="unnest(generate_series(lo, hi)) AS hr",
+        kspine="SELECT unnest(generate_series(1, 12)) AS k",
+    ),
+)
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _ACF_SQL.format(
+            hr_expr="(CAST(unix_timestamp(ts) AS BIGINT) DIV 3600)",
+            hspine="explode(sequence(lo, hi)) AS hr",
+            kspine="SELECT explode(sequence(1, 12)) AS k",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_subject_access_report — GDPR/CCPA subject-access footprint: for
+# the five heaviest customers (order count, custkey tie-break), how many
+# rows reference them across orders, lineitem (via the order join), and
+# events, plus spend and first/last activity — the fan-out a
+# right-to-be-forgotten delete would have to touch. Scale: the subject
+# list is a 5-row frame, so every per-table leg is a broadcast semi-join
+# against its scan; at 100TB the only full shuffle is the initial
+# per-customer order census (in production, checkpoint the subject list
+# once instead of re-deriving per leg as the single-statement spelling
+# does).
+_SAR_SQL = """
+    WITH subjects AS (
+      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+      ORDER BY n_orders DESC, custkey LIMIT 5
+    ),
+    order_fp AS (
+      SELECT s.custkey, s.n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_spend,
+             {fmt_min} AS first_order_at,
+             {fmt_max} AS last_order_at
+      FROM subjects s JOIN orders o ON o.o_custkey = s.custkey
+      GROUP BY s.custkey, s.n_orders
+    ),
+    li AS (
+      SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN subjects s ON s.custkey = o.o_custkey
+      GROUP BY o.o_custkey
+    ),
+    ev AS (
+      SELECT e.user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events e JOIN subjects s ON s.custkey = e.user_id
+      GROUP BY e.user_id
+    )
+    SELECT f.custkey, c.c_name, f.n_orders,
+           CAST(COALESCE(li.n_lineitems, 0) AS BIGINT) AS n_lineitems,
+           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           f.total_spend, f.first_order_at, f.last_order_at
+    FROM order_fp f
+    JOIN customer c ON c.c_custkey = f.custkey
+    LEFT JOIN li ON li.custkey = f.custkey
+    LEFT JOIN ev ON ev.custkey = f.custkey
+    ORDER BY f.custkey
+"""
+
+
+@register(
+    "pii_subject_access_report",
+    oracle=_SAR_SQL.format(
+        fmt_min="strftime(MIN(o.o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        fmt_max="strftime(MAX(o.o_orderdate), '%Y-%m-%d %H:%M:%S')",
+    ),
+)
+def pii_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "lineitem", "events", "customer")
+    return spark.sql(
+        _SAR_SQL.format(
+            fmt_min="date_format(MIN(o.o_orderdate), 'yyyy-MM-dd HH:mm:ss')",
+            fmt_max="date_format(MAX(o.o_orderdate), 'yyyy-MM-dd HH:mm:ss')",
+        )
+    )

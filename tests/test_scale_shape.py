@@ -490,3 +490,32 @@ def test_ab_test_single_user_census(spark, sf_dir):
 def test_triangles_hash_joins_only(spark, sf_dir):
     plan = _plan(plans.QUERIES["dedup_graph_triangles"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_top500_is_take_ordered(spark, sf_dir):
+    # the rank window must run over the bounded top-500, never the full
+    # word census: the census→500 cut is a TakeOrderedAndProject
+    plan = _plan(plans.QUERIES["text_zipf_audit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_cube_partial_agg(spark, sf_dir):
+    # the (vbin, event_type, half) cube combines map-side before its
+    # shuffle; everything downstream is constant-size
+    plan = _plan(plans.QUERIES["feature_drift_psi"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_subject_access_legs_broadcast_subjects(spark, sf_dir):
+    # the 5-row subject list must reach each per-table leg as a
+    # broadcast join, never a shuffle of the fact tables on custkey
+    plan = _plan(plans.QUERIES["pii_subject_access_report"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_benford_digit_census_partial_agg(spark, sf_dir):
+    plan = _plan(plans.QUERIES["orders_benford_audit"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
