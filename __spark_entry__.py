@@ -126,6 +126,13 @@ _VERIFY_FIRST = [
     "events_hourly_acf",
     "pii_subject_access_report",
     "text_zipf_audit",
+    "ivm_incremental_agg",
+    "file_skipping_stats",
+    "join_fanout_audit",
+    "events_cusum_changepoint",
+    "orders_theilsen_trend",
+    "sample_weighted_aes",
+    "stream_drift_monitor",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -100,6 +100,14 @@ HEADLINE = [
     "heavy_hitters_countmin",
     "quantile_sketch_orders",
     "range_partition_plan",
+    # round-4 continuation: governance/monitoring family + incremental
+    # maintenance (all census-then-constant-rollup shapes)
+    "feature_drift_psi",
+    "orders_dq_rules_audit",
+    "events_bot_score",
+    "split_leakage_audit",
+    "ivm_incremental_agg",
+    "text_zipf_audit",
 ]
 
 

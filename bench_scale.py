@@ -145,6 +145,13 @@ QUERIES = [
     "events_hourly_acf",
     "pii_subject_access_report",
     "text_zipf_audit",
+    # round-4 continuation (6): incremental maintenance + planning audits
+    "ivm_incremental_agg",
+    "file_skipping_stats",
+    "join_fanout_audit",
+    "events_cusum_changepoint",
+    "orders_theilsen_trend",
+    "sample_weighted_aes",
 ]
 
 

@@ -6190,3 +6190,34 @@ def _sql_zipf(E):
 
 
 _register_pair("text_zipf_audit", _sql_zipf)
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_aes — distributed weighted sampling WITHOUT
+# replacement (Efraimidis–Spirakis A-ES): each doc draws a deterministic
+# uniform u from md5(doc_id) (52 mantissa bits) and the k docs with the
+# smallest key = −ln(u)/w (weight = doc length) are the sample — the
+# one-pass top-k spelling that makes weighted reservoir sampling
+# shuffle-free at any scale (each partition keeps its local top-k; the
+# driver merges k·P candidates). Companions: sample_stratified /
+# sample_temperature_mix reweight by group; A-ES weights by row. Scale:
+# map-side key computation + TakeOrderedAndProject, no full sort.
+def _sql_weighted_aes(E):
+    u = (
+        f"(CAST({E.hex2int(f'substring(md5(CAST(doc_id AS {E.STR})), 1, 13)')} AS DOUBLE)"
+        f" + 1.0e0) / 4503599627370496.0e0"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+             -ln({u}) / greatest(n_chars, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, weight, ROUND(k, 6) AS aes_key
+    FROM keyed
+    ORDER BY k, doc_id LIMIT 20
+    """
+
+
+_register_pair("sample_weighted_aes", _sql_weighted_aes)

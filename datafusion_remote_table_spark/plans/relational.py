@@ -3428,3 +3428,258 @@ def pii_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_max="date_format(MAX(o.o_orderdate), 'yyyy-MM-dd HH:mm:ss')",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ivm_incremental_agg — incremental view maintenance: a maintained
+# aggregate (orders by priority) is refreshed by merging the staged
+# base aggregate with the aggregate of only the DELTA rows (simulated
+# as the orderkey%10==0 tenth of the table) through a FULL OUTER JOIN —
+# the classic IVM plan that touches delta-sized data instead of
+# recomputing the world. The ORACLE is the plain full recompute, so the
+# driver check proves the incremental plan equals the from-scratch
+# answer. Scale: the base aggregate is group-cardinality-sized state;
+# the refresh shuffles only the delta.
+_IVM_SPARK_SQL = """
+    WITH base AS (
+      SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS s
+      FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY o_orderpriority
+    ),
+    delta AS (
+      SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS s
+      FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderpriority
+    )
+    SELECT COALESCE(b.pr, d.pr) AS o_orderpriority,
+           CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(b.s, CAST(0 AS DECIMAL(18, 2)))
+                + COALESCE(d.s, CAST(0 AS DECIMAL(18, 2))) AS DOUBLE) AS total_price
+    FROM base b FULL OUTER JOIN delta d ON d.pr = b.pr
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_IVM_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# file_skipping_stats — data-skipping effectiveness report: orders is
+# bucketed into synthetic "files" of 1024 contiguous orderkeys, per-file
+# min/max zone maps are built for orderdate/totalprice/orderkey, and for
+# each candidate predicate the report says how many files a zone-map
+# reader would SCAN vs SKIP and the true row selectivity — the Parquet
+# row-group / Iceberg manifest pruning readout (companion to
+# zorder_layout_audit: unsorted columns show ~0 skipping, the clustered
+# key shows real pruning). Scale: one scan builds the file census; the
+# predicate evaluation runs over files, not rows.
+_FSKIP_SQL = """
+    WITH files AS (
+      SELECT ({fid}) AS file_id,
+             MIN(o_orderdate) AS d_lo, MAX(o_orderdate) AS d_hi,
+             MIN(o_totalprice) AS p_lo, MAX(o_totalprice) AS p_hi,
+             MIN(o_orderkey) AS k_lo, MAX(o_orderkey) AS k_hi,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY ({fid})
+    ),
+    rowstats AS (
+      SELECT CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m_date,
+             CAST(SUM(CASE WHEN o_totalprice >= 250000.0e0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m_price,
+             CAST(SUM(CASE WHEN o_orderkey >= 12000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS m_key,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM orders
+    ),
+    per_pred AS (
+      SELECT 'date_recent' AS predicate,
+             CAST(SUM(CASE WHEN d_hi >= TIMESTAMP '1999-01-01 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+             CAST(COUNT(*) AS BIGINT) AS files_total
+      FROM files
+      UNION ALL
+      SELECT 'price_high',
+             CAST(SUM(CASE WHEN p_hi >= 250000.0e0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM files
+      UNION ALL
+      SELECT 'key_tail',
+             CAST(SUM(CASE WHEN k_hi >= 12000 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM files
+    )
+    SELECT p.predicate, p.files_total, p.files_scanned,
+           ROUND(1.0e0 - CAST(p.files_scanned AS DOUBLE) / p.files_total, 6)
+             AS file_skip_fraction,
+           CAST(CASE p.predicate WHEN 'date_recent' THEN r.m_date
+                WHEN 'price_high' THEN r.m_price ELSE r.m_key END AS BIGINT)
+             AS rows_matched,
+           ROUND(CAST(CASE p.predicate WHEN 'date_recent' THEN r.m_date
+                      WHEN 'price_high' THEN r.m_price ELSE r.m_key END AS DOUBLE)
+                 / r.n_total, 6) AS row_selectivity
+    FROM per_pred p CROSS JOIN rowstats r
+    ORDER BY p.predicate
+"""
+
+
+@register(
+    "file_skipping_stats",
+    oracle=_FSKIP_SQL.format(fid="o_orderkey // 1024"),
+)
+def file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_FSKIP_SQL.format(fid="o_orderkey DIV 1024"))
+
+
+# --------------------------------------------------------------------------
+# join_fanout_audit — join-amplification planning report for the
+# orders⋈lineitem key: per-key match-count distribution (avg/p50/p90/
+# p99/max lineitems per order) and the exact join output cardinality —
+# the number that says whether a downstream join explodes and whether
+# its skew needs salting. lineitem's orderkeys are a foreign key into
+# orders (each key matches exactly one order row), so SUM(per-key count)
+# IS the join output size. Scale: one groupBy census on the join key;
+# percentiles run over per-key counts, exact on integers in both
+# engines.
+_FANOUT_SQL = """
+    WITH fan AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+           CAST(SUM(n) AS BIGINT) AS join_output_rows,
+           CAST(MAX(n) AS BIGINT) AS max_fanout,
+           ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 4) AS avg_fanout,
+           ROUND({p50}, 4) AS p50_fanout,
+           ROUND({p90}, 4) AS p90_fanout,
+           ROUND({p99}, 4) AS p99_fanout
+    FROM fan
+"""
+
+
+@register(
+    "join_fanout_audit",
+    oracle=_FANOUT_SQL.format(
+        p50="quantile_cont(n, 0.5)", p90="quantile_cont(n, 0.9)",
+        p99="quantile_cont(n, 0.99)",
+    ),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _FANOUT_SQL.format(
+            p50="percentile(n, 0.5e0)", p90="percentile(n, 0.9e0)",
+            p99="percentile(n, 0.99e0)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_cusum_changepoint — CUSUM level-shift detection over the daily
+# event-count series: S_t = Σ(x_i − mean), peak |S_t| marks the most
+# likely changepoint. Computed ENTIRELY in integers by scaling by the
+# day count (S_t·T = T·Σx_i − t·total), so both engines agree exactly —
+# no float mean enters the running sum. Scale: everything after the
+# daily census (bounded by the time span) is constant-size; the ordered
+# window runs over days, never events.
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT ({day_num}) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY ({day_num})
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(n) AS BIGINT) AS total FROM daily
+    ),
+    cus AS (
+      SELECT d.d, d.n,
+             CAST(SUM(d.n) OVER (ORDER BY d.d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * t.t
+                  - ROW_NUMBER() OVER (ORDER BY d.d) * t.total AS BIGINT)
+               AS cusum_scaled
+      FROM daily d CROSS JOIN tot t
+    ),
+    peak AS (
+      SELECT d FROM cus ORDER BY abs(cusum_scaled) DESC, d LIMIT 1
+    )
+    SELECT c.d AS day_num, c.n AS n_events, c.cusum_scaled,
+           CASE WHEN c.d = p.d THEN 1 ELSE 0 END AS is_changepoint
+    FROM cus c CROSS JOIN peak p
+    ORDER BY c.d
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle=_CUSUM_SQL.format(day_num="CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _CUSUM_SQL.format(day_num="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_theilsen_trend — robust (Theil–Sen) revenue trend: the slope is
+# the LOWER MEDIAN of all pairwise slopes between monthly revenue
+# points, immune to outlier months where OLS isn't
+# (discount_elasticity_ols is the companion). The median is an ORDER
+# STATISTIC (ROW_NUMBER cut, slope/month tie-break), never an
+# interpolated percentile — interpolation arithmetic differs across
+# engines on doubles, order statistics cannot. Scale: the month census
+# is bounded by the calendar, so the O(months²) pair join is constant
+# work regardless of row count.
+_THEILSEN_SQL = """
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS r
+      FROM orders GROUP BY (year(o_orderdate) * 12 + month(o_orderdate))
+    ),
+    pairs AS (
+      SELECT a.m AS mi, b.m AS mj, (b.r - a.r) / (b.m - a.m) AS slope
+      FROM monthly a JOIN monthly b ON b.m > a.m
+    ),
+    ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, mi, mj) AS rn,
+             COUNT(*) OVER () AS np
+      FROM pairs
+    ),
+    fit AS (
+      SELECT slope AS ts_slope, CAST(np AS BIGINT) AS n_pairs
+      FROM ranked WHERE rn = ({half})
+    ),
+    resid AS (
+      SELECT m.r - f.ts_slope * m.m AS b0, f.ts_slope, f.n_pairs,
+             ROW_NUMBER() OVER (ORDER BY m.r - f.ts_slope * m.m, m.m) AS rn,
+             COUNT(*) OVER () AS nm
+      FROM monthly m CROSS JOIN fit f
+    )
+    SELECT CAST(nm AS BIGINT) AS n_months, n_pairs,
+           ROUND(ts_slope, 6) AS theilsen_slope,
+           ROUND(b0, 6) AS theilsen_intercept
+    FROM resid WHERE rn = ({mhalf})
+"""
+
+
+@register(
+    "orders_theilsen_trend",
+    oracle=_THEILSEN_SQL.format(half="(np + 1) // 2", mhalf="(nm + 1) // 2"),
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _THEILSEN_SQL.format(half="(np + 1) DIV 2", mhalf="(nm + 1) DIV 2")
+    )

@@ -369,3 +369,21 @@ QUERIES["stream_ab_monitor"] = stream_ab_monitor
 ORACLE["stream_ab_monitor"] = _ab_sql.format(
     bucket="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
 )
+
+from ..streaming.events import stream_drift_monitor  # noqa: E402
+from ..streaming.events import DRIFT_PSI_SQL  # noqa: E402
+
+QUERIES["stream_drift_monitor"] = stream_drift_monitor
+# Converges to the batch PSI over the same fixed $50 grid and day split;
+# the oracle reuses the streaming serving-layer SQL with the cube spelled
+# directly over events.
+ORACLE["stream_drift_monitor"] = DRIFT_PSI_SQL.format(
+    cube="""
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_num,
+             CASE WHEN value IS NULL THEN CAST(-1 AS BIGINT)
+                  ELSE least(CAST(floor(value / 50.0e0) AS BIGINT), CAST(9 AS BIGINT))
+             END AS vbin,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    """
+)

@@ -781,3 +781,72 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.q
         """
     )
+
+
+# Serving-layer PSI over a converged (day_num, vbin) count cube; the
+# DuckDB oracle (plans/streaming_plans.py) reuses this template with the
+# batch cube spelled directly over events, so the streaming job and the
+# oracle share one PSI definition.
+DRIFT_PSI_SQL = """
+    WITH cube0 AS ({cube}),
+    bounds AS (SELECT MIN(day_num) AS lo, MAX(day_num) AS hi FROM cube0),
+    cells AS (
+      SELECT vbin,
+             CAST(SUM(CASE WHEN c0.day_num * 2 <= b.lo + b.hi THEN c ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN c0.day_num * 2 > b.lo + b.hi THEN c ELSE 0 END)
+                  AS BIGINT) AS n_cur
+      FROM cube0 c0 CROSS JOIN bounds b GROUP BY vbin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref, CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM cells
+    ),
+    terms AS (
+      SELECT c.vbin, t.nb, t.t_ref, t.t_cur,
+             (CAST(c.n_ref AS DOUBLE) + 0.5e0) / (t.t_ref + 0.5e0 * t.nb) AS p,
+             (CAST(c.n_cur AS DOUBLE) + 0.5e0) / (t.t_cur + 0.5e0 * t.nb) AS q
+      FROM cells c CROSS JOIN tot t
+    ),
+    psi AS (
+      SELECT nb, t_ref, t_cur,
+             ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q), 9) AS DECIMAL(28, 9)))
+                        AS DOUBLE), 6) AS psi
+      FROM terms GROUP BY nb, t_ref, t_cur
+    ),
+    top AS (
+      SELECT vbin FROM terms ORDER BY abs((p - q) * ln(p / q)) DESC, vbin LIMIT 1
+    )
+    SELECT p.nb AS n_bins, p.t_ref AS n_rows_ref, p.t_cur AS n_rows_cur, p.psi,
+           CAST(t.vbin AS BIGINT) AS top_drift_bin
+    FROM psi p CROSS JOIN top t
+"""
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feature-drift monitor (the stream twin of the batch
+    feature_drift_psi): the streaming job maintains only the
+    (day, fixed-$50-value-bin) count cube — bounded state: days in the
+    retention window × 10 bins, regardless of event volume — and the
+    serving layer computes the first-half-vs-second-half PSI from the
+    converged cube. The bins are a FIXED grid (like
+    stream_quantile_monitor's histogram) so cubes merge across restarts
+    and re-partitions; converges to the same PSI the batch computes
+    from events directly, which is the oracle. Scale: streaming state
+    is the cube, the PSI layer reads the cube, never the firehose."""
+    stream = _events_stream(spark, sf_dir)
+    cube = (
+        stream.selectExpr(
+            "CAST(unix_timestamp(ts) AS BIGINT) DIV 86400 AS day_num",
+            "CASE WHEN value IS NULL THEN CAST(-1 AS BIGINT) "
+            "ELSE least(CAST(floor(value / 50.0e0) AS BIGINT), CAST(9 AS BIGINT)) END AS vbin",
+        )
+        .groupBy("day_num", "vbin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounded = _run_bounded(cube, "stream_drift_monitor_cube")
+    bounded.createOrReplaceTempView("stream_drift_cube")
+    return spark.sql(
+        DRIFT_PSI_SQL.format(cube="SELECT day_num, vbin, c FROM stream_drift_cube")
+    )

@@ -519,3 +519,16 @@ def test_benford_digit_census_partial_agg(spark, sf_dir):
     plan = _plan(plans.QUERIES["orders_benford_audit"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_aes_is_take_ordered(spark, sf_dir):
+    # A-ES top-k must be map-side keys + TakeOrderedAndProject, no sort
+    plan = _plan(plans.QUERIES["sample_weighted_aes"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fanout_audit_partial_agg(spark, sf_dir):
+    # the join-key census combines map-side before its shuffle
+    plan = _plan(plans.QUERIES["join_fanout_audit"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
