@@ -133,6 +133,9 @@ _VERIFY_FIRST = [
     "orders_theilsen_trend",
     "sample_weighted_aes",
     "stream_drift_monitor",
+    "referential_integrity_audit",
+    "events_forecast_ewma",
+    "documents_contract_audit",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

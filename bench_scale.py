@@ -152,7 +152,48 @@ QUERIES = [
     "events_cusum_changepoint",
     "orders_theilsen_trend",
     "sample_weighted_aes",
+    "referential_integrity_audit",
+    "events_forecast_ewma",
+    "documents_contract_audit",
 ]
+
+
+def _build_customer(out: str, scale: int) -> None:
+    """Customer replicas shifted exactly like the orders copies shift
+    o_custkey, so referential integrity holds at every scale (the RI /
+    k-anonymity / subject-access sweeps need real parents)."""
+    import duckdb
+
+    target = os.path.join(out, "customer.parquet")
+    if os.path.exists(target):
+        return
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    src = os.path.join(BASE, "customer.parquet")
+    osrc = os.path.join(BASE, "orders.parquet")
+    nc = con.execute(
+        f"SELECT MAX(o_custkey) + 1 FROM read_parquet('{osrc}')"
+    ).fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT c.c_custkey + k.k * {nc} AS c_custkey,
+                 c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+          FROM read_parquet('{src}') c
+          CROSS JOIN (SELECT unnest(generate_series(0, {scale - 1})) AS k) k
+        ) TO '{target}' (FORMAT PARQUET)
+        """
+    )
+
+
+def _copy_static(out: str, names: tuple) -> None:
+    """Dimension tables the sweep doesn't scale: link them in unchanged."""
+    os.makedirs(out, exist_ok=True)
+    for name in names:
+        target = os.path.join(out, f"{name}.parquet")
+        src = os.path.join(BASE, f"{name}.parquet")
+        if not os.path.exists(target) and os.path.exists(src):
+            os.symlink(src, target)
 
 
 def build_scaled(scale: int) -> str:
@@ -163,6 +204,8 @@ def build_scaled(scale: int) -> str:
     _build_events(out, scale)
     _build_orders(out, scale)
     _build_lineitem(out, scale)
+    _build_customer(out, scale)
+    _copy_static(out, ("nation", "region", "supplier", "part"))
     target = os.path.join(out, "documents.parquet")
     if os.path.exists(target):
         return out

@@ -6221,3 +6221,57 @@ def _sql_weighted_aes(E):
 
 
 _register_pair("sample_weighted_aes", _sql_weighted_aes)
+
+
+# ---------------------------------------------------------------------------
+# documents_contract_audit — data-contract validation for the corpus
+# table (the ingest-side twin of orders_dq_rules_audit): five contract
+# rules — text present, lang in the agreed domain, source present,
+# n_chars consistent with the actual text length, doc_id unique —
+# evaluated in ONE aggregate pass and unpivoted to a per-rule report
+# via the spine join, never one scan per rule. Scale: map-side CASE
+# sums + a single COUNT(DISTINCT); the report is 5 rows.
+def _sql_doc_contract(E):
+    spine = (
+        "SELECT unnest(['doc_id_unique','lang_domain','n_chars_consistent',"
+        "'source_present','text_present']) AS rule_name"
+        if E is _Duck
+        else "SELECT explode(array('doc_id_unique','lang_domain','n_chars_consistent',"
+        "'source_present','text_present')) AS rule_name"
+    )
+    return f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_text,
+             CAST(SUM(CASE WHEN lang IS NULL
+                            OR lang NOT IN ('de', 'en', 'es', 'fr', 'zh')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+             CAST(SUM(CASE WHEN n_chars IS NULL OR text IS NULL
+                            OR n_chars <> length(text) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_nchars,
+             CAST(SUM(CASE WHEN source IS NULL OR trim(source) = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v_source,
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS v_key
+      FROM documents
+    ),
+    spine AS (SELECT rule_name FROM ({spine}) s)
+    SELECT s.rule_name, a.n_rows,
+           CAST(CASE s.rule_name
+                WHEN 'text_present' THEN a.v_text
+                WHEN 'lang_domain' THEN a.v_lang
+                WHEN 'n_chars_consistent' THEN a.v_nchars
+                WHEN 'source_present' THEN a.v_source
+                ELSE a.v_key END AS BIGINT) AS n_violations,
+           ROUND(CAST(CASE s.rule_name
+                WHEN 'text_present' THEN a.v_text
+                WHEN 'lang_domain' THEN a.v_lang
+                WHEN 'n_chars_consistent' THEN a.v_nchars
+                WHEN 'source_present' THEN a.v_source
+                ELSE a.v_key END AS DOUBLE) / a.n_rows, 6) AS violation_rate
+    FROM spine s CROSS JOIN agg a
+    ORDER BY s.rule_name
+    """
+
+
+_register_pair("documents_contract_audit", _sql_doc_contract)

@@ -3683,3 +3683,94 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _THEILSEN_SQL.format(half="(np + 1) DIV 2", mhalf="(nm + 1) DIV 2")
     )
+
+
+# --------------------------------------------------------------------------
+# referential_integrity_audit — foreign-key health check across the
+# warehouse: for each declared relationship, child row count, orphan
+# count (children whose parent key does not exist — NOT EXISTS anti
+# join, which Catalyst plans as a broadcast anti join when the parent
+# is a dimension), and the orphan rate. The audit a pipeline runs
+# before trusting inner joins to not silently drop rows. Scale: each
+# leg is one scan + an anti join on the key; no windows, no collects.
+_RI_SQL = """
+    WITH rels AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'events.user_id -> customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+    )
+    SELECT relationship, n_child, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM rels
+    ORDER BY relationship
+"""
+
+
+@register("referential_integrity_audit", oracle=_RI_SQL)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "orders", "customer", "events", "nation")
+    return spark.sql(_RI_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_forecast_ewma — exponentially-weighted forecast backtest over
+# daily event counts with α = 1/2: every weight is a power of two, so
+# each term x_i/2^k is EXACT in doubles and both engines' sums are
+# bit-identical no matter the order — the trick that makes a recursive
+# smoother deterministic cross-engine. The forecast for day t is the
+# EWMA through t−1; the report carries per-day absolute percent error
+# (the backtest behind alert thresholds). Scale: the O(days²) pair join
+# runs on the calendar-bounded day census, never on events.
+_EWMA_SQL = """
+    WITH daily AS (
+      SELECT ({day_num}) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY ({day_num})
+    ),
+    idx AS (
+      SELECT d, n, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t FROM daily
+    ),
+    ewma AS (
+      SELECT b.t, b.d, b.n,
+             SUM(a.n / pow(2.0e0, b.t - a.t
+                           + CASE WHEN a.t = 1 THEN 0 ELSE 1 END)) AS v
+      FROM idx b JOIN idx a ON a.t <= b.t
+      GROUP BY b.t, b.d, b.n
+    )
+    SELECT e.d AS day_num, e.n AS n_events,
+           ROUND(e.v, 6) AS ewma,
+           ROUND(f.v, 6) AS forecast,
+           ROUND(abs(e.n - f.v) / e.n, 6) AS abs_pct_err
+    FROM ewma e JOIN ewma f ON f.t = e.t - 1
+    ORDER BY e.d
+"""
+
+
+@register(
+    "events_forecast_ewma",
+    oracle=_EWMA_SQL.format(day_num="CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+)
+def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _EWMA_SQL.format(day_num="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
+    )

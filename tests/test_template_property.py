@@ -102,6 +102,11 @@ _TEMPLATES = [
     L._sql_readability,
     L._sql_code_detect,
     L._sql_compaction_plan,
+    # round-4 sixth/seventh continuations: governance + sampling
+    L._sql_zipf,
+    L._sql_split_leakage,
+    L._sql_doc_contract,
+    L._sql_weighted_aes,
 ]
 
 
@@ -266,6 +271,13 @@ _EVENT_QUERIES = [
     "events_ab_test",
     "events_survival_curve",
     "events_late_arrival_audit",
+    # round-4 continuations: monitoring family (same-timestamp ties, NULL
+    # values, single-hour/day series are exactly their risky edges)
+    "events_bot_score",
+    "feature_drift_psi",
+    "events_hourly_acf",
+    "events_cusum_changepoint",
+    "events_forecast_ewma",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -332,6 +344,16 @@ _ORDER_QUERIES = [
     "quantile_sketch_orders",
     "range_partition_plan",
     "orders_seasonality",
+    # round-4 continuations: DQ/planning audits (all-zero prices, single
+    # months, empty delta/base IVM sides, one-file zone maps)
+    "orders_benford_audit",
+    "orders_dq_rules_audit",
+    "cardinality_qerror_audit",
+    "orders_theilsen_trend",
+    "ivm_incremental_agg",
+    "file_skipping_stats",
+    "pii_subject_access_report",
+    "referential_integrity_audit",
 ]
 
 _STATUSES = ["O", "F", "P"]
