@@ -9,4 +9,5 @@ from .dedup import containment_pairs, exact_dedup, minhash_lsh_pairs, simhash_si
 from .similarity import adaptive_lsh_buckets, brute_force_topk, lsh_buckets  # noqa: F401
 from .windows import hourly_anomaly, markov_transitions, sessionize, tumbling_window  # noqa: F401
 from .maintenance import cdc_changelog, merge_upsert  # noqa: F401
+from .governance import dq_audit, kanonymity, psi_drift, referential_integrity  # noqa: F401
 from .sketches import countmin_estimate, countmin_sketch, hll_distinct  # noqa: F401

@@ -647,3 +647,88 @@ def test_hll_api_matches_registered_query(spark, sf_dir):
         for r in plans.QUERIES["approx_distinct_hll"](spark, sf_dir).collect()
     )
     assert api == reg and len(api) > 0
+
+
+# ---- governance APIs must agree with the registered SQL instances ----
+
+
+def _pdf_eq(a, b):
+    import pandas as pd
+
+    a = a.toPandas().reindex(sorted(a.columns), axis=1).reset_index(drop=True)
+    b = b.toPandas().reindex(sorted(b.columns), axis=1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9, rtol=1e-9)
+
+
+def test_dq_audit_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.governance import dq_audit
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    api = dq_audit(
+        orders,
+        {
+            "price_positive": "o_totalprice IS NULL OR o_totalprice <= 0",
+            "status_domain": "o_orderstatus NOT IN ('O', 'F', 'P')",
+            "date_range": "o_orderdate < TIMESTAMP '1992-01-01 00:00:00'"
+            " OR o_orderdate > TIMESTAMP '1998-12-31 23:59:59'",
+            "custkey_not_null": "o_custkey IS NULL",
+        },
+        unique_key="o_orderkey",
+    ).withColumn(
+        "rule_name",
+        F.when(F.col("rule_name") == "o_orderkey_unique", "key_unique").otherwise(
+            F.col("rule_name")
+        ),
+    ).orderBy("rule_name")
+    reg = plans.QUERIES["orders_dq_rules_audit"](spark, sf_dir)
+    _pdf_eq(api, reg)
+
+
+def test_psi_drift_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.governance import psi_drift
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lo, hi = events.agg(
+        F.min(F.unix_timestamp("ts").cast("bigint")),
+        F.max(F.unix_timestamp("ts").cast("bigint")),
+    ).collect()[0]
+    api = psi_drift(
+        events,
+        f"CAST(unix_timestamp(ts) AS BIGINT) * 2 <= {lo + hi}",
+        numeric_cols=("value",),
+        categorical_cols=("event_type",),
+    )
+    reg = plans.QUERIES["feature_drift_psi"](spark, sf_dir).withColumn(
+        "feature", F.when(F.col("feature") == "value", "value").otherwise("event_type")
+    )
+    _pdf_eq(api, reg)
+
+
+def test_referential_integrity_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.governance import referential_integrity
+
+    t = {
+        n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        for n in ("lineitem", "orders", "customer", "events", "nation")
+    }
+    api = referential_integrity(
+        {
+            "lineitem.l_orderkey -> orders": (t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+            "orders.o_custkey -> customer": (t["orders"], "o_custkey", t["customer"], "c_custkey"),
+            "events.user_id -> customer": (t["events"], "user_id", t["customer"], "c_custkey"),
+            "customer.c_nationkey -> nation": (t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        }
+    )
+    reg = plans.QUERIES["referential_integrity_audit"](spark, sf_dir)
+    _pdf_eq(api, reg)
+
+
+def test_kanonymity_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.governance import kanonymity
+
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).withColumn(
+        "acctbal_band", F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    )
+    api = kanonymity(customer, ("c_nationkey", "c_mktsegment", "acctbal_band"))
+    reg = plans.QUERIES["kanonymity_audit"](spark, sf_dir)
+    _pdf_eq(api, reg)
