@@ -2334,8 +2334,23 @@ def _line_dedup_stage(spark: SparkSession, sf_dir: str) -> str:
     return _MINHASH_STAGE_CACHE[key]
 
 
+def _boiler_doc_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed per-doc boilerplate frame (doc_id, n_segments,
+    n_boilerplate, retained_ratio) — the OUTPUT of the boilerplate rule,
+    shared by the standalone query and corpus_clean_pipeline's boiler
+    leg so the assembly never re-pays the census+rollup aggregation
+    (~1.4 s at sf0.1 even with the segment staging warm)."""
+    key = ("boiler_doc", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        segs = _line_dedup_stage(spark, sf_dir)
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "boiler_doc", spark.sql(_sql_line_dedup(_Spark, segs_src=segs))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
 def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_sql_line_dedup(_Spark, segs_src=_line_dedup_stage(spark, sf_dir)))
+    return spark.table(_boiler_doc_stage(spark, sf_dir))
 
 
 line_dedup_boilerplate.__name__ = "line_dedup_boilerplate"
@@ -2400,8 +2415,22 @@ def _decon_stage(spark: SparkSession, sf_dir: str) -> str:
     return _MINHASH_STAGE_CACHE[key]
 
 
+def _decon_doc_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed per-doc contamination frame (doc_id, n_overlap,
+    contaminated) — the OUTPUT of the decontamination rule, shared by
+    the standalone query and corpus_clean_pipeline's decon leg (the
+    probe join re-ran per consumer otherwise, ~1.2 s at sf0.1)."""
+    key = ("decon_doc", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        sh = _decon_stage(spark, sf_dir)
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "decon_doc", spark.sql(_sql_decontaminate(_Spark, sh_src=sh))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_sql_decontaminate(_Spark, sh_src=_decon_stage(spark, sf_dir)))
+    return spark.table(_decon_doc_stage(spark, sf_dir))
 
 
 QUERIES["decontaminate_ngram_overlap"] = decontaminate_ngram_overlap
@@ -2575,7 +2604,16 @@ _register_pair("corpus_mix_report", _sql_corpus_mix)
 # (_minhash_pairs) — inlining the pair CTE re-evaluates the signature
 # stage once per reference (Spark re-evaluates CTEs; measured 18.5 s vs
 # ~3 s at sf0.1); the DuckDB oracle inlines it (DuckDB materializes CTEs).
-def _sql_corpus_clean(E, near_pairs_src=None, segs_src=None, sh_src=None, fps_src=None):
+def _sql_corpus_clean(
+    E,
+    near_pairs_src=None,
+    segs_src=None,
+    sh_src=None,
+    fps_src=None,
+    boiler_src=None,
+    decon_src=None,
+    neardup_src=None,
+):
     near_pairs = near_pairs_src or f"({_sql_minhash_oracle(E)})"
     fps = fps_src or "fps"
     fps_cte = (
@@ -2583,15 +2621,31 @@ def _sql_corpus_clean(E, near_pairs_src=None, segs_src=None, sh_src=None, fps_sr
         if fps_src
         else f"fps AS (\n      SELECT doc_id, md5({E.collapse_ws('lower(text)')}) AS fp FROM documents\n    ),\n    "
     )
+    # each rule leg can arrive as a PRE-AGGREGATED per-doc staging view
+    # (the Spark runner shares these with the standalone rule queries —
+    # re-running a leg's aggregation inside the assembly was measured at
+    # ~1.0-1.4 s each at sf0.1 even with the token-level stagings warm);
+    # the oracle inlines the full leg SQL (DuckDB materializes CTEs).
+    boiler_body = (
+        f"SELECT * FROM {boiler_src}" if boiler_src else _sql_line_dedup(E, segs_src=segs_src)
+    )
+    decon_body = (
+        f"SELECT * FROM {decon_src}" if decon_src else _sql_decontaminate(E, sh_src=sh_src)
+    )
+    neardup_body = (
+        f"SELECT * FROM {neardup_src}"
+        if neardup_src
+        else f"SELECT DISTINCT doc_b AS doc_id FROM {near_pairs} np"
+    )
     return f"""
     WITH {fps_cte}keepers AS (
       SELECT fp, MIN(doc_id) AS keeper FROM {fps} GROUP BY fp
     ),
     gopher AS ({_sql_quality_filter(E)}),
-    boiler AS ({_sql_line_dedup(E, segs_src=segs_src)}),
-    decon AS ({_sql_decontaminate(E, sh_src=sh_src)}),
+    boiler AS ({boiler_body}),
+    decon AS ({decon_body}),
     near_dups AS (
-      SELECT DISTINCT doc_b AS doc_id FROM {near_pairs} np
+      {neardup_body}
     )
     SELECT f.doc_id,
            CASE
@@ -2646,17 +2700,19 @@ def _clean_decisions_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("clean_decisions", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         pairs = _minhash_pairs(spark, sf_dir)
-        view = f"cc_near_pairs_{_dataset_suffix(sf_dir)}"
-        pairs.createOrReplaceTempView(view)
+        nd_view = f"cc_neardup_doc_{_dataset_suffix(sf_dir)}"
+        pairs.selectExpr("doc_b AS doc_id").distinct().localCheckpoint(
+            eager=True
+        ).createOrReplaceTempView(nd_view)
         dfs = load_tables(spark, sf_dir, ("documents",))
         _repartition_views(spark, dfs)
         df = spark.sql(
             _sql_corpus_clean(
                 _Spark,
-                near_pairs_src=view,
-                segs_src=_line_dedup_stage(spark, sf_dir),
-                sh_src=_decon_stage(spark, sf_dir),
                 fps_src=_fps_stage(spark, sf_dir),
+                boiler_src=_boiler_doc_stage(spark, sf_dir),
+                decon_src=_decon_doc_stage(spark, sf_dir),
+                neardup_src=nd_view,
             )
         )
         _MINHASH_STAGE_CACHE[key] = df.localCheckpoint(eager=True)
