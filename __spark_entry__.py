@@ -136,6 +136,10 @@ _VERIFY_FIRST = [
     "referential_integrity_audit",
     "events_forecast_ewma",
     "documents_contract_audit",
+    "window_range_trailing",
+    "agg_grouping_sets",
+    "corpus_budget_waterfill",
+    "interval_attribution_join",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

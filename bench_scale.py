@@ -155,6 +155,10 @@ QUERIES = [
     "referential_integrity_audit",
     "events_forecast_ewma",
     "documents_contract_audit",
+    "window_range_trailing",
+    "agg_grouping_sets",
+    "corpus_budget_waterfill",
+    "interval_attribution_join",
 ]
 
 

@@ -6331,3 +6331,61 @@ def _sql_doc_contract(E):
 
 
 _register_pair("documents_contract_audit", _sql_doc_contract)
+
+
+# ---------------------------------------------------------------------------
+# corpus_budget_waterfill — max-min fair token-budget allocation across
+# sources (the waterfilling algorithm from network fair-share, applied
+# to corpus mixing): given a training budget of half the corpus tokens,
+# every source gets min(its tokens, L) where the water level L is
+# chosen so allocations sum to the budget — small sources are taken
+# whole, large sources are capped at a common level (the
+# equal-opportunity alternative to sample_temperature_mix's power-law
+# reweighting). The level search is closed-form over the source census
+# sorted by size: for each candidate cut k, L = (B − prefix_k)/(n − k),
+# valid where it lands between the neighboring source sizes. Scale: the
+# only corpus pass is the per-source token census; the level search and
+# allocation run over the handful of sources.
+def _sql_waterfill(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH perdoc AS (
+      SELECT source, CAST({E.SIZE}({words}) AS BIGINT) AS tokens
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    src AS (
+      SELECT source, CAST(SUM(tokens) AS BIGINT) AS t
+      FROM perdoc GROUP BY source
+    ),
+    ordered AS (
+      SELECT source, t,
+             CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS rn,
+             CAST(SUM(t) OVER (ORDER BY t, source
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pk,
+             CAST(LAG(t, 1, 0) OVER (ORDER BY t, source) AS BIGINT) AS prev_t,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(t) OVER () AS BIGINT) AS total
+      FROM src
+    ),
+    candidates AS (
+      SELECT rn, t, prev_t,
+             (CAST({E.intdiv('total', '2')} AS DOUBLE) - (pk - t)) / (n - rn + 1) AS lvl
+      FROM ordered
+    ),
+    level AS (
+      SELECT lvl FROM candidates
+      WHERE lvl <= t AND lvl >= prev_t
+      ORDER BY rn LIMIT 1
+    )
+    SELECT o.source, o.t AS n_tokens,
+           CAST(o.total AS BIGINT) AS corpus_tokens,
+           CAST({E.intdiv('o.total', '2')} AS BIGINT) AS budget_tokens,
+           ROUND(least(CAST(o.t AS DOUBLE), l.lvl), 4) AS alloc_tokens,
+           ROUND(least(CAST(o.t AS DOUBLE), l.lvl) / o.t, 6) AS alloc_frac
+    FROM ordered o CROSS JOIN level l
+    ORDER BY o.source
+    """
+
+
+_register_pair("corpus_budget_waterfill", _sql_waterfill)

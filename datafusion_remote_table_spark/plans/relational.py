@@ -3774,3 +3774,136 @@ def events_forecast_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _EWMA_SQL.format(day_num="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# window_range_trailing — RANGE-frame windows (the value-based frame the
+# reference's SQL surface gets from DataFusion): per order, the
+# customer's trailing-30-day revenue and order count via RANGE BETWEEN
+# 30 PRECEDING on the epoch-day axis — a frame that follows event-time
+# gaps, not row counts (ROWS frames are wrong when activity is bursty).
+# The window SUM runs over DECIMAL (double window aggregation is
+# association-order-dependent across engines: segment trees vs running
+# sums). Scale: one shuffle on o_custkey; frames are per-customer state.
+_RANGE_TRAIL_SQL = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             ({day_num}) AS d,
+             CAST(o_totalprice AS DECIMAL(18, 2)) AS price
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS day_num,
+           CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY d
+                                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d_revenue,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_orders
+    FROM base
+"""
+
+
+@register(
+    "window_range_trailing",
+    oracle=_RANGE_TRAIL_SQL.format(
+        day_num="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"
+    ),
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _RANGE_TRAIL_SQL.format(
+            day_num="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS with GROUPING() flags (the
+# third grouping form next to agg_rollup / agg_cube): revenue at
+# (status, priority), (status), and grand-total granularities in one
+# pass, with per-column GROUPING() indicators so consumers can
+# distinguish "NULL key" from "aggregated over". Scale: Spark expands
+# grouping sets into one shuffle keyed by (keys, grouping-id) — map-side
+# partials per set, never one scan per granularity.
+_GSETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# interval_attribution_join — interval join via time-bucketing (the
+# scale path for a join Spark has no native operator for): for every
+# purchase event, how many OTHER events the same user produced in the
+# following hour. The Spark spelling expands each 1-hour window to its
+# ≤2 covering hour buckets and equi-joins on (user, hour-bucket) before
+# the exact inequality filter — a shuffle join on uniform keys instead
+# of the quadratic per-user inequality join the naive spelling (and the
+# DuckDB ORACLE, which is exactly that naive inequality join) would
+# run. Each candidate pair matches on exactly one bucket (the event's
+# own hour), so no post-join dedup is needed. Companion to
+# asof_join_events_orders / range_join_price_bands.
+_IVAL_SPARK_SQL = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(unix_timestamp(ts) AS BIGINT) AS sec,
+             CAST(unix_timestamp(ts) AS BIGINT) DIV 3600 AS hr
+      FROM events
+    ),
+    purchases AS (
+      SELECT event_id, user_id, sec FROM ev WHERE event_type = 'purchase'
+    ),
+    expanded AS (
+      SELECT p.event_id, p.user_id, p.sec,
+             explode(array(p.sec DIV 3600, p.sec DIV 3600 + 1)) AS bucket
+      FROM purchases p
+    ),
+    hits AS (
+      SELECT x.event_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM expanded x
+      JOIN ev e ON e.user_id = x.user_id AND e.hr = x.bucket
+      WHERE e.sec > x.sec AND e.sec < x.sec + 3600
+      GROUP BY x.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_followup_1h
+    FROM purchases p LEFT JOIN hits h ON h.event_id = p.event_id
+"""
+
+
+@register(
+    "interval_attribution_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    purchases AS (
+      SELECT event_id, user_id, sec FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(SUM(CASE WHEN e.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_followup_1h
+    FROM purchases p
+    LEFT JOIN ev e ON e.user_id = p.user_id
+                  AND e.sec > p.sec AND e.sec < p.sec + 3600
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def interval_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_IVAL_SPARK_SQL)

@@ -107,6 +107,7 @@ _TEMPLATES = [
     L._sql_split_leakage,
     L._sql_doc_contract,
     L._sql_weighted_aes,
+    L._sql_waterfill,
 ]
 
 
@@ -278,6 +279,7 @@ _EVENT_QUERIES = [
     "events_hourly_acf",
     "events_cusum_changepoint",
     "events_forecast_ewma",
+    "interval_attribution_join",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -354,6 +356,8 @@ _ORDER_QUERIES = [
     "file_skipping_stats",
     "pii_subject_access_report",
     "referential_integrity_audit",
+    "window_range_trailing",
+    "agg_grouping_sets",
 ]
 
 _STATUSES = ["O", "F", "P"]
