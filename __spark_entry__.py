@@ -140,6 +140,9 @@ _VERIFY_FIRST = [
     "agg_grouping_sets",
     "corpus_budget_waterfill",
     "interval_attribution_join",
+    "agg_max_by",
+    "events_mad_anomaly",
+    "dedup_editdistance_verify",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

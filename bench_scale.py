@@ -159,6 +159,9 @@ QUERIES = [
     "agg_grouping_sets",
     "corpus_budget_waterfill",
     "interval_attribution_join",
+    "agg_max_by",
+    "events_mad_anomaly",
+    "dedup_editdistance_verify",
 ]
 
 

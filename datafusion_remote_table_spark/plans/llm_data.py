@@ -6389,3 +6389,51 @@ def _sql_waterfill(E):
 
 
 _register_pair("corpus_budget_waterfill", _sql_waterfill)
+
+
+# ---------------------------------------------------------------------------
+# dedup_editdistance_verify — character-level confirmation of the LSH
+# candidate pairs: each verified minhash pair (jaccard ≥ 0.8 on word
+# shingles) is re-scored with exact Levenshtein distance on the
+# normalized text and a length-normalized edit similarity — the
+# second-stage verifier a production dedup pipeline runs before
+# deleting, since shingle Jaccard can pass on reordered text that edit
+# distance rejects. Scale: Levenshtein is O(len²) PER PAIR, which is
+# exactly why it only ever runs on the LSH-bucketed candidate pairs
+# (bounded by the near-dup rate), never all-pairs; the Spark runner
+# reads the persisted shared pair staging.
+def _sql_editdistance(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    norm = lambda col: E.collapse_ws(f"lower({col})")  # noqa: E731
+    return f"""
+    WITH cand AS (
+      SELECT doc_a, doc_b, jaccard FROM {pairs} p
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b, c.jaccard,
+             CAST(levenshtein({norm('da.text')}, {norm('db.text')}) AS BIGINT) AS lev,
+             CAST(greatest(length({norm('da.text')}), length({norm('db.text')}), 1)
+                  AS BIGINT) AS max_len
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard, lev,
+           ROUND(1.0e0 - CAST(lev AS DOUBLE) / max_len, 6) AS edit_sim,
+           CAST(CASE WHEN 1.0e0 - CAST(lev AS DOUBLE) / max_len >= 0.8e0
+                THEN 1 ELSE 0 END AS INT) AS confirmed
+    FROM scored
+    """
+
+
+def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"ed_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_editdistance(_Spark, pairs_src=view))
+
+
+QUERIES["dedup_editdistance_verify"] = dedup_editdistance_verify
+ORACLE["dedup_editdistance_verify"] = _sql_editdistance(_Duck)

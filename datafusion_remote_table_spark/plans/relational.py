@@ -3907,3 +3907,99 @@ _IVAL_SPARK_SQL = """
 def interval_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_IVAL_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# agg_max_by — MAX_BY / MIN_BY aggregate surface (DuckDB arg_max /
+# arg_min): per (status, priority) cell, the orderkey of the most- and
+# least-expensive order in ONE aggregate pass — the "top row per group
+# without a window" spelling. Ties are broken by folding the unique
+# orderkey into the ordering key (exact integer cents · 10^5 + key), so
+# both engines pick the same row where raw MAX_BY would be
+# nondeterministic. Scale: one shuffle on the 15-cell key, map-side
+# partials; no window, no second scan.
+_MAXBY_SQL = """
+    WITH keyed AS (
+      SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice,
+             CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) * 100000
+               + o_orderkey AS ord_key
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST({maxby}(o_orderkey, ord_key) AS BIGINT) AS top_orderkey,
+           CAST({minby}(o_orderkey, ord_key) AS BIGINT) AS bottom_orderkey,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS max_price,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS min_price
+    FROM keyed
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "agg_max_by",
+    oracle=_MAXBY_SQL.format(maxby="arg_max", minby="arg_min"),
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_MAXBY_SQL.format(maxby="max_by", minby="min_by"))
+
+
+# --------------------------------------------------------------------------
+# events_mad_anomaly — robust burst detection via median absolute
+# deviation (the heavy-tail-safe twin of events_hourly_anomaly's
+# mean/std z-score, which a single huge burst can mask): per event type,
+# hourly counts scored by (c − median) / max(MAD, 1). Median and MAD
+# are LOWER-MEDIAN ORDER STATISTICS over integer counts — integers in,
+# integers out, so both engines agree exactly with no interpolation or
+# float-sum discipline needed. Scale: everything after the hourly
+# census (bounded by the time span × types) is constant-size; windows
+# run per type over hours, never events.
+_MAD_SQL = """
+    WITH hourly AS (
+      SELECT event_type, ({hr}) AS hr, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, ({hr})
+    ),
+    ranked AS (
+      SELECT event_type, hr, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, hr) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nh
+      FROM hourly
+    ),
+    med AS (
+      SELECT event_type, c AS med_c FROM ranked WHERE rn = ((nh + 1) {div} 2)
+    ),
+    devs AS (
+      SELECT h.event_type, h.hr, h.c, m.med_c,
+             abs(h.c - m.med_c) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                ORDER BY abs(h.c - m.med_c), h.hr) AS rn,
+             COUNT(*) OVER (PARTITION BY h.event_type) AS nh
+      FROM hourly h JOIN med m ON m.event_type = h.event_type
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad_c FROM devs WHERE rn = ((nh + 1) {div} 2)
+    )
+    SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr,
+           h.c AS n_events, m.med_c AS median_n, d.mad_c AS mad_n,
+           ROUND(CAST(h.c - m.med_c AS DOUBLE) / greatest(d.mad_c, 1), 4)
+             AS robust_z
+    FROM hourly h
+    JOIN med m ON m.event_type = h.event_type
+    JOIN mad d ON d.event_type = h.event_type
+    ORDER BY abs(ROUND(CAST(h.c - m.med_c AS DOUBLE) / greatest(d.mad_c, 1), 4)) DESC,
+             h.event_type, h.hr
+    LIMIT 20
+"""
+
+
+@register(
+    "events_mad_anomaly",
+    oracle=_MAD_SQL.format(hr="CAST(floor(epoch(ts)) AS BIGINT) // 3600", div="//"),
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _MAD_SQL.format(hr="CAST(unix_timestamp(ts) AS BIGINT) DIV 3600", div="DIV")
+    )

@@ -108,6 +108,7 @@ _TEMPLATES = [
     L._sql_doc_contract,
     L._sql_weighted_aes,
     L._sql_waterfill,
+    L._sql_editdistance,
 ]
 
 
@@ -280,6 +281,7 @@ _EVENT_QUERIES = [
     "events_cusum_changepoint",
     "events_forecast_ewma",
     "interval_attribution_join",
+    "events_mad_anomaly",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -353,6 +355,7 @@ _ORDER_QUERIES = [
     "cardinality_qerror_audit",
     "orders_theilsen_trend",
     "ivm_incremental_agg",
+    "agg_max_by",
     "file_skipping_stats",
     "pii_subject_access_report",
     "referential_integrity_audit",
