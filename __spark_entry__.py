@@ -143,6 +143,10 @@ _VERIFY_FIRST = [
     "agg_max_by",
     "events_mad_anomaly",
     "dedup_editdistance_verify",
+    "events_sessionize_capped",
+    "events_funnel_latency",
+    "embedding_isotropy_probe",
+    "shard_balance_audit",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

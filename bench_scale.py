@@ -162,6 +162,10 @@ QUERIES = [
     "agg_max_by",
     "events_mad_anomaly",
     "dedup_editdistance_verify",
+    "events_sessionize_capped",
+    "events_funnel_latency",
+    "embedding_isotropy_probe",
+    "shard_balance_audit",
 ]
 
 

@@ -6437,3 +6437,101 @@ def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_editdistance_verify"] = dedup_editdistance_verify
 ORACLE["dedup_editdistance_verify"] = _sql_editdistance(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# embedding_isotropy_probe — embedding-space health diagnostic: mean
+# cosine similarity over 200 DETERMINISTIC random pairs (md5-derived
+# indices, both engines draw the same pairs). Anisotropic ("collapsed")
+# embedding spaces — a classic failure of contrastive training and of
+# mean-pooled transformer features — show a large positive mean cosine
+# between UNRELATED items, which silently breaks cosine thresholds used
+# by the dedup/ANN family. Report: pair count, mean cosine (quantized
+# DECIMAL sum), and the fraction above 0.5 / 0.8. Scale: the probe is a
+# constant 200-pair broadcast join against the vector table, one scan.
+def _sql_isotropy(E):
+    h = lambda tag, k: E.hex2int(f"substring(md5('{tag}' || CAST({k} AS {E.STR})), 1, 8)")  # noqa: E731
+    cos = (
+        f"CASE WHEN {E.list_sum('list_a2')} > 0 AND {E.list_sum('list_b2')} > 0 "
+        f"THEN {E.list_sum('list_ab')} / (sqrt({E.list_sum('list_a2')}) * sqrt({E.list_sum('list_b2')})) "
+        f"ELSE 0.0e0 END"
+    )
+    zw_ab = (
+        "zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        if E is _Spark
+        else "list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST((a.embedding)[i] AS DOUBLE) * CAST((b.embedding)[i] AS DOUBLE))"
+    )
+    zw_sq = lambda side: (  # noqa: E731
+        f"{E.TRANSFORM}({side}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv, CAST(MIN(vec_id) AS BIGINT) AS lo
+               FROM embeddings),
+    draws AS (
+      SELECT k, ({h('pa', 'k')}) % n.nv + n.lo AS ia,
+             ({h('pb', 'k')}) % n.nv + n.lo AS ib
+      FROM (SELECT {E.explode(E.seq(1, 200), 'k')}) t CROSS JOIN n
+    ),
+    pairs AS (SELECT k, ia, ib FROM draws WHERE ia <> ib),
+    scored AS (
+      SELECT p.k,
+             {cos} AS cos_sim
+      FROM (
+        SELECT p.k, {zw_ab} AS list_ab,
+               {zw_sq('a')} AS list_a2, {zw_sq('b')} AS list_b2
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.ia
+        JOIN embeddings b ON b.vec_id = p.ib
+      ) p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(cos_sim, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos,
+           ROUND(CAST(SUM(CASE WHEN cos_sim > 0.5e0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_above_05,
+           ROUND(CAST(SUM(CASE WHEN cos_sim > 0.8e0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_above_08
+    FROM scored
+    """
+
+
+_register_pair("embedding_isotropy_probe", _sql_isotropy, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# shard_balance_audit — did the global shuffle balance? Per-shard doc
+# and token counts from the same md5 shard assignment
+# global_shuffle_shards writes, rolled into min/max/avg and the
+# max/min imbalance ratio — the audit that catches a bad hash or a
+# pathological key before 1000 executors discover it as one straggler
+# task. Scale: one map-side shard assignment + an 8-key census.
+def _sql_shard_balance(E):
+    key = f"md5(CAST(doc_id AS {E.STR}))"
+    shard = f"{E.hex2int(f'substring({key}, 1, 4)')} % 8"
+    words = E.splitws("lower(text)")
+    toks = f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 ELSE {E.SIZE}({words}) END"
+    return f"""
+    WITH sharded AS (
+      SELECT CAST({shard} AS BIGINT) AS shard,
+             CAST({toks} AS BIGINT) AS tokens
+      FROM documents
+    ),
+    per_shard AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(MIN(n_docs) AS BIGINT) AS min_docs,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(CAST(MAX(n_tokens) AS DOUBLE) / greatest(MIN(n_tokens), 1), 4)
+             AS token_imbalance_ratio
+    FROM per_shard
+    """
+
+
+_register_pair("shard_balance_audit", _sql_shard_balance)

@@ -4003,3 +4003,228 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _MAD_SQL.format(hr="CAST(unix_timestamp(ts) AS BIGINT) DIV 3600", div="DIV")
     )
+
+
+# --------------------------------------------------------------------------
+# events_sessionize_capped — gap-based sessions with a MAX-DURATION cap
+# (the production variant of events_sessionize: a 30-min inactivity gap
+# starts a new session, and any session is additionally split at 4-hour
+# boundaries so a scripted always-on client can't produce unbounded
+# sessions). Pure window composition: island detection (LAG + running
+# SUM) then an integer sub-session key from the island start — no
+# iteration, everything on the one user_id shuffle; all arithmetic is
+# integer so both engines agree exactly.
+_SESS_CAP_SQL = """
+    WITH ordered AS (
+      SELECT user_id, event_id, ({epoch}) AS sec FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - LAG(sec) OVER (PARTITION BY user_id
+                                            ORDER BY sec, event_id) > 1800
+                   OR LAG(sec) OVER (PARTITION BY user_id
+                                     ORDER BY sec, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, event_id, sec,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM flagged
+    ),
+    capped AS (
+      SELECT user_id, island, sec,
+             CAST((sec - MIN(sec) OVER (PARTITION BY user_id, island)) {div} 14400
+                  AS BIGINT) AS segment
+      FROM islands
+    )
+    SELECT user_id, island, segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(sec) AS BIGINT) AS start_sec,
+           CAST(MAX(sec) AS BIGINT) AS end_sec,
+           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec,
+           CAST(CASE WHEN segment > 0 THEN 1 ELSE 0 END AS INT) AS is_cap_split
+    FROM capped
+    GROUP BY user_id, island, segment
+    ORDER BY user_id, island, segment
+"""
+
+
+@register(
+    "events_sessionize_capped",
+    oracle=_SESS_CAP_SQL.format(epoch="CAST(floor(epoch(ts)) AS BIGINT)", div="//"),
+)
+def events_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _SESS_CAP_SQL.format(epoch="CAST(unix_timestamp(ts) AS BIGINT)", div="DIV")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_latency — time-to-convert distribution for the
+# signup→purchase funnel: per user, first signup and first purchase AT
+# OR AFTER it; the report is conversion rate plus p50/p90 latency as
+# ORDER STATISTICS over integer seconds (ceil-index formula in integer
+# math — no percentile interpolation, exact across engines). The
+# product-analytics companion to events_funnel, which counts stage
+# survivors but not how long conversion took. Scale: two user-keyed
+# aggregates; the latency ranking runs over converted users only.
+_FUNNEL_LAT_SQL = """
+    WITH s AS (
+      SELECT user_id, MIN({epoch}) AS s_sec
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN({epoch}) AS p_sec
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND ({epoch}) >= s.s_sec
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT s.user_id, CAST(p.p_sec - s.s_sec AS BIGINT) AS latency_sec
+      FROM s JOIN p ON p.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT latency_sec,
+             ROW_NUMBER() OVER (ORDER BY latency_sec, user_id) AS rn,
+             COUNT(*) OVER () AS nc
+      FROM lat
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM s)
+    SELECT t.n_signups,
+           CAST(MAX(r.nc) AS BIGINT) AS n_converted,
+           ROUND(CAST(MAX(r.nc) AS DOUBLE) / t.n_signups, 6) AS conversion_rate,
+           CAST(MAX(CASE WHEN r.rn = ((r.nc + 1) {div} 2)
+                         THEN r.latency_sec END) AS BIGINT) AS p50_latency_sec,
+           CAST(MAX(CASE WHEN r.rn = ((9 * r.nc + 9) {div} 10)
+                         THEN r.latency_sec END) AS BIGINT) AS p90_latency_sec
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n_signups
+"""
+
+
+@register(
+    "events_funnel_latency",
+    oracle=_FUNNEL_LAT_SQL.format(epoch="CAST(floor(epoch(ts)) AS BIGINT)", div="//"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _FUNNEL_LAT_SQL.format(epoch="CAST(unix_timestamp(ts) AS BIGINT)", div="DIV")
+    )
+
+
+# --------------------------------------------------------------------------
+# customer_spend_gini — revenue-concentration (inequality) report: the
+# exact Gini coefficient of per-customer spend via the rank formula
+# G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n over the sorted spend census.
+# Spend is exact integer cents; the rank-weighted sum accumulates as
+# DECIMAL(38,0) (each i·cents term fits BIGINT, their sum does not).
+# Scale: the ordered window runs over the CUSTOMER-GRAIN census
+# (dimension-bounded, the parts_abc_classification pattern), never
+# order rows.
+_GINI_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE) / 100.0e0
+                AS DOUBLE) AS total_spend,
+           ROUND(2.0e0 * CAST(SUM(CAST(i * cents AS DECIMAL(38, 0))) AS DOUBLE)
+                 / (MAX(n) * CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE))
+                 - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+    FROM ranked
+"""
+
+
+@register("customer_spend_gini", oracle=_GINI_SQL)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_GINI_SQL)
+
+
+# --------------------------------------------------------------------------
+# bloom_semijoin_prune — runtime-filter effectiveness audit: a 4096-bit
+# Bloom filter (3 md5 hashes) is built over the BUILDING-segment
+# customer keys and probed by every order; the report compares
+# bloom-pass counts against exact semi-join membership to give the
+# false-positive rate — the measurement behind sizing Spark's own
+# runtime row-level filters (and the reason a too-small filter makes a
+# "pruned" join scan almost everything anyway). The position set is
+# tiny and broadcasts; each probe is a 3-row expansion + broadcast
+# join, so the fact side never shuffles. Companion to
+# dedup_bloom_incremental (which uses the bitset for dedup state).
+_BLOOM_PRUNE_SQL = """
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    positions AS (
+      SELECT DISTINCT ({h}) % 4096 AS pos
+      FROM keys CROSS JOIN ({jspine}) j
+    ),
+    probes AS (
+      SELECT o.o_orderkey, o.o_custkey, j.j,
+             ({hp}) % 4096 AS pos
+      FROM orders o CROSS JOIN ({jspine}) j
+    ),
+    pass AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(SUM(CASE WHEN p2.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+      FROM probes p LEFT JOIN positions p2 ON p2.pos = p.pos
+      GROUP BY o_orderkey, o_custkey
+    ),
+    flags AS (
+      SELECT ps.o_orderkey,
+             CAST(CASE WHEN ps.n_hit = 3 THEN 1 ELSE 0 END AS INT) AS bloom_pass,
+             CAST(CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS is_member
+      FROM pass ps LEFT JOIN keys k ON k.c_custkey = ps.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / greatest(COUNT(*) - SUM(is_member), 1), 6) AS false_pos_rate,
+           ROUND(1.0e0 - CAST(SUM(bloom_pass) AS DOUBLE) / COUNT(*), 6)
+             AS prune_fraction
+    FROM flags
+"""
+
+
+def _bloom_prune_sql(hash_expr_key: str, hash_expr_probe: str, jspine: str) -> str:
+    return _BLOOM_PRUNE_SQL.format(h=hash_expr_key, hp=hash_expr_probe, jspine=jspine)
+
+
+@register(
+    "bloom_semijoin_prune",
+    oracle=_bloom_prune_sql(
+        "CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)",
+        "CAST('0x' || substring(md5(CAST(o.o_custkey AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)",
+        "SELECT unnest(generate_series(1, 3)) AS j",
+    ),
+)
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        _bloom_prune_sql(
+            "CAST(conv(substring(md5(CAST(c_custkey AS STRING) || '_' || CAST(j.j AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+            "CAST(conv(substring(md5(CAST(o.o_custkey AS STRING) || '_' || CAST(j.j AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+            "SELECT explode(sequence(1, 3)) AS j",
+        )
+    )

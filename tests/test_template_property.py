@@ -109,6 +109,7 @@ _TEMPLATES = [
     L._sql_weighted_aes,
     L._sql_waterfill,
     L._sql_editdistance,
+    L._sql_shard_balance,
 ]
 
 
@@ -208,6 +209,7 @@ _EMB_TEMPLATES = [
     L._nnd_oracle,
     L._sql_rp_recall,
     L._sql_centroid_drift,
+    L._sql_isotropy,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
@@ -282,6 +284,8 @@ _EVENT_QUERIES = [
     "events_forecast_ewma",
     "interval_attribution_join",
     "events_mad_anomaly",
+    "events_sessionize_capped",
+    "events_funnel_latency",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
