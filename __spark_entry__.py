@@ -147,6 +147,8 @@ _VERIFY_FIRST = [
     "events_funnel_latency",
     "embedding_isotropy_probe",
     "shard_balance_audit",
+    "customer_spend_gini",
+    "bloom_semijoin_prune",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -166,6 +166,8 @@ QUERIES = [
     "events_funnel_latency",
     "embedding_isotropy_probe",
     "shard_balance_audit",
+    "customer_spend_gini",
+    "bloom_semijoin_prune",
 ]
 
 

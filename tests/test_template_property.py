@@ -360,6 +360,8 @@ _ORDER_QUERIES = [
     "orders_theilsen_trend",
     "ivm_incremental_agg",
     "agg_max_by",
+    "customer_spend_gini",
+    "bloom_semijoin_prune",
     "file_skipping_stats",
     "pii_subject_access_report",
     "referential_integrity_audit",
