@@ -149,6 +149,9 @@ _VERIFY_FIRST = [
     "shard_balance_audit",
     "customer_spend_gini",
     "bloom_semijoin_prune",
+    "sample_reservoir_per_group",
+    "column_histogram_report",
+    "stream_funnel_latency",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -168,6 +168,8 @@ QUERIES = [
     "shard_balance_audit",
     "customer_spend_gini",
     "bloom_semijoin_prune",
+    "sample_reservoir_per_group",
+    "column_histogram_report",
 ]
 
 

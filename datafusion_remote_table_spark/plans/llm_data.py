@@ -6234,9 +6234,13 @@ def _sql_zipf(E):
       FROM pts
     )
     SELECT n AS n_ranks,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS zipf_intercept,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      ELSE 0.0e0 END, 6) AS zipf_slope,
+           ROUND(CASE WHEN n > 0 AND (n * sxx - sx * sx) > 0
+                      THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                      WHEN n > 0 THEN sy / n
+                      ELSE 0.0e0 END, 6) AS zipf_intercept,
            ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
                       THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
@@ -6535,3 +6539,33 @@ def _sql_shard_balance(E):
 
 
 _register_pair("shard_balance_audit", _sql_shard_balance)
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_per_group — per-stratum reservoir sampling without
+# replacement (k=3 docs per source): the per-group twin of
+# sample_weighted_aes — every doc draws a deterministic md5 uniform and
+# each source keeps its 3 smallest keys via a rank window, the
+# distributed spelling of "reservoir per key" (each partition keeps
+# local candidates; the window merges per group). Unweighted here
+# (uniform within stratum); the stratified/temperature samplers cover
+# reweighting. Scale: map-side key + one window partitioned by source —
+# thousands of groups at 100TB means healthy window parallelism.
+def _sql_reservoir_group(E):
+    u = f"{E.hex2int(f'substring(md5(CAST(doc_id AS {E.STR}) || chr(95) || source), 1, 13)')}"
+    return f"""
+    WITH keyed AS (
+      SELECT source, doc_id, ({u}) AS rkey FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, rkey,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY rkey, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(rkey AS BIGINT) AS reservoir_key,
+           CAST(rn AS BIGINT) AS draw_order
+    FROM ranked WHERE rn <= 3
+    """
+
+
+_register_pair("sample_reservoir_per_group", _sql_reservoir_group)

@@ -3339,7 +3339,8 @@ _ACF_SQL = """
       JOIN series b ON b.hr = a.hr + l.lag
       GROUP BY l.lag
     )
-    SELECT n.lag, n.n_pairs, ROUND(n.sp / d.ss, 6) AS acf
+    SELECT n.lag, n.n_pairs,
+           ROUND(CASE WHEN d.ss > 0 THEN n.sp / d.ss ELSE 0.0e0 END, 6) AS acf
     FROM num n CROSS JOIN denom d
     ORDER BY n.lag
 """
@@ -4142,9 +4143,11 @@ _GINI_SQL = """
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
            CAST(CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE) / 100.0e0
                 AS DOUBLE) AS total_spend,
-           ROUND(2.0e0 * CAST(SUM(CAST(i * cents AS DECIMAL(38, 0))) AS DOUBLE)
-                 / (MAX(n) * CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE))
-                 - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n), 6) AS gini
+           ROUND(CASE WHEN SUM(CAST(cents AS DECIMAL(38, 0))) > 0
+                      THEN 2.0e0 * CAST(SUM(CAST(i * cents AS DECIMAL(38, 0))) AS DOUBLE)
+                           / (MAX(n) * CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE))
+                           - CAST(MAX(n) + 1 AS DOUBLE) / MAX(n)
+                      ELSE 0.0e0 END, 6) AS gini
     FROM ranked
 """
 
@@ -4228,3 +4231,54 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT explode(sequence(1, 3)) AS j",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# column_histogram_report — optimizer-statistics histograms: 8 equal-
+# width bins for each numeric events column (value, user_id) from one
+# bounds pass + one cube pass, unpivoted per column — the equi-width
+# companion to table_profile_stats (null/distinct) and
+# quantile_sketch_orders (equi-depth). Bin edges derive from global
+# min/max with identical float ops in both engines; the -1 bin carries
+# NULLs. Scale: two scans total (bounds, cube), map-side partials, the
+# report is columns × 9 rows.
+_COLHIST_SQL = """
+    WITH bounds AS (
+      SELECT MIN(value) AS v_lo, MAX(value) AS v_hi,
+             CAST(MIN(user_id) AS DOUBLE) AS u_lo, CAST(MAX(user_id) AS DOUBLE) AS u_hi
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN e.value IS NULL THEN CAST(-1 AS BIGINT)
+                  WHEN b.v_hi > b.v_lo THEN least(
+                    CAST(floor((e.value - b.v_lo) * 8.0e0 / (b.v_hi - b.v_lo)) AS BIGINT),
+                    CAST(7 AS BIGINT))
+                  ELSE CAST(0 AS BIGINT) END AS vbin,
+             CASE WHEN e.user_id IS NULL THEN CAST(-1 AS BIGINT)
+                  WHEN b.u_hi > b.u_lo THEN least(
+                    CAST(floor((e.user_id - b.u_lo) * 8.0e0 / (b.u_hi - b.u_lo)) AS BIGINT),
+                    CAST(7 AS BIGINT))
+                  ELSE CAST(0 AS BIGINT) END AS ubin
+      FROM events e CROSS JOIN bounds b
+    ),
+    cube0 AS (
+      SELECT vbin, ubin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY vbin, ubin
+    ),
+    legs AS (
+      SELECT 'value' AS column_name, vbin AS bin, n FROM cube0
+      UNION ALL
+      SELECT 'user_id', ubin, n FROM cube0
+    )
+    SELECT column_name, CAST(bin AS BIGINT) AS bin,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM legs
+    GROUP BY column_name, bin
+    ORDER BY column_name, bin
+"""
+
+
+@register("column_histogram_report", oracle=_COLHIST_SQL)
+def column_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_COLHIST_SQL)

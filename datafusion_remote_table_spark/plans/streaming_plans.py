@@ -387,3 +387,42 @@ ORACLE["stream_drift_monitor"] = DRIFT_PSI_SQL.format(
       FROM events GROUP BY 1, 2
     """
 )
+
+from ..streaming.events import stream_funnel_latency  # noqa: E402
+
+QUERIES["stream_funnel_latency"] = stream_funnel_latency
+# Converges to the batch signup→purchase latency report (the
+# events_funnel_latency oracle verbatim — same census semantics).
+ORACLE["stream_funnel_latency"] = """
+    WITH s AS (
+      SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS s_sec
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS p_sec
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(floor(epoch(ts)) AS BIGINT) >= s.s_sec
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT s.user_id, CAST(p.p_sec - s.s_sec AS BIGINT) AS latency_sec
+      FROM s JOIN p ON p.user_id = s.user_id
+    ),
+    ranked AS (
+      SELECT latency_sec,
+             ROW_NUMBER() OVER (ORDER BY latency_sec, user_id) AS rn,
+             COUNT(*) OVER () AS nc
+      FROM lat
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM s)
+    SELECT t.n_signups,
+           CAST(MAX(r.nc) AS BIGINT) AS n_converted,
+           ROUND(CAST(MAX(r.nc) AS DOUBLE) / t.n_signups, 6) AS conversion_rate,
+           CAST(MAX(CASE WHEN r.rn = ((r.nc + 1) // 2)
+                         THEN r.latency_sec END) AS BIGINT) AS p50_latency_sec,
+           CAST(MAX(CASE WHEN r.rn = ((9 * r.nc + 9) // 10)
+                         THEN r.latency_sec END) AS BIGINT) AS p90_latency_sec
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n_signups
+"""

@@ -850,3 +850,62 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         DRIFT_PSI_SQL.format(cube="SELECT day_num, vbin, c FROM stream_drift_cube")
     )
+
+
+def stream_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion-latency monitor (the stream twin of the
+    batch events_funnel_latency): the streaming job maintains one state
+    row per user — MIN(signup ts) plus the sorted purchase-ts list —
+    and the serving layer derives conversion rate and p50/p90 latency
+    order statistics from the converged census. The purchase LIST (not
+    just a min) is what makes out-of-order arrival exact: the earliest
+    purchase AT OR AFTER the signup is selected serving-side, so a
+    pre-signup purchase can never undercount latency. State is
+    O(purchases per user) — in production the watermark/retention
+    window bounds it; the cheap O(1) variant (conditional min) is wrong
+    exactly when signup events arrive late. Scale: the latency ranking
+    runs over the converged user census, never the stream."""
+    stream = _events_stream(spark, sf_dir)
+    census = (
+        stream.selectExpr(
+            "user_id",
+            "CASE WHEN event_type = 'signup' THEN CAST(unix_timestamp(ts) AS BIGINT) END AS s_sec",
+            "CASE WHEN event_type = 'purchase' THEN CAST(unix_timestamp(ts) AS BIGINT) END AS p_sec",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("s_sec").alias("first_signup"),
+            F.expr("sort_array(collect_list(p_sec))").alias("purchase_secs"),
+        )
+    )
+    bounded = _run_bounded(census, "stream_funnel_latency_census")
+    bounded.createOrReplaceTempView("stream_funnel_census")
+    return spark.sql("""
+    WITH lat AS (
+      SELECT user_id,
+             CAST(element_at(filter(purchase_secs, p -> p >= first_signup), 1)
+                  - first_signup AS BIGINT) AS latency_sec
+      FROM stream_funnel_census
+      WHERE first_signup IS NOT NULL
+        AND size(filter(purchase_secs, p -> p >= first_signup)) > 0
+    ),
+    ranked AS (
+      SELECT latency_sec,
+             ROW_NUMBER() OVER (ORDER BY latency_sec, user_id) AS rn,
+             COUNT(*) OVER () AS nc
+      FROM lat
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signups
+      FROM stream_funnel_census WHERE first_signup IS NOT NULL
+    )
+    SELECT t.n_signups,
+           CAST(MAX(r.nc) AS BIGINT) AS n_converted,
+           ROUND(CAST(MAX(r.nc) AS DOUBLE) / t.n_signups, 6) AS conversion_rate,
+           CAST(MAX(CASE WHEN r.rn = ((r.nc + 1) DIV 2)
+                         THEN r.latency_sec END) AS BIGINT) AS p50_latency_sec,
+           CAST(MAX(CASE WHEN r.rn = ((9 * r.nc + 9) DIV 10)
+                         THEN r.latency_sec END) AS BIGINT) AS p90_latency_sec
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n_signups
+    """)

@@ -110,6 +110,7 @@ _TEMPLATES = [
     L._sql_waterfill,
     L._sql_editdistance,
     L._sql_shard_balance,
+    L._sql_reservoir_group,
 ]
 
 
@@ -286,6 +287,7 @@ _EVENT_QUERIES = [
     "events_mad_anomaly",
     "events_sessionize_capped",
     "events_funnel_latency",
+    "column_histogram_report",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
