@@ -152,6 +152,8 @@ _VERIFY_FIRST = [
     "sample_reservoir_per_group",
     "column_histogram_report",
     "stream_funnel_latency",
+    "orders_duplicate_payment_audit",
+    "orders_backlog_aging",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

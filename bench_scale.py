@@ -170,6 +170,8 @@ QUERIES = [
     "bloom_semijoin_prune",
     "sample_reservoir_per_group",
     "column_histogram_report",
+    "orders_duplicate_payment_audit",
+    "orders_backlog_aging",
 ]
 
 

@@ -4282,3 +4282,99 @@ _COLHIST_SQL = """
 def column_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_COLHIST_SQL)
+
+
+# --------------------------------------------------------------------------
+# orders_duplicate_payment_audit — duplicate/suspicious-payment screen
+# (the classic AP-audit query): orders by the SAME customer in the SAME
+# $100 amount band are sequenced per (customer, band) and every
+# adjacent pair is reported with its day gap and a severity flag
+# (within 30 days = review, within 7 = urgent). Banding is exact
+# integer math (floor of cents/10000), so both engines bucket
+# identically. Scale: one groupable window on the (custkey, band) key —
+# no self-join; pairs come from LAG on the already-sorted group.
+_DUP_PAY_SQL = """
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) {div} 10000
+               AS amount_band,
+             ({day}) AS d
+      FROM orders
+    ),
+    seq AS (
+      SELECT o_orderkey, o_custkey, amount_band, o_totalprice, d,
+             LAG(o_orderkey) OVER (PARTITION BY o_custkey, amount_band
+                                   ORDER BY d, o_orderkey) AS prev_key,
+             LAG(d) OVER (PARTITION BY o_custkey, amount_band
+                          ORDER BY d, o_orderkey) AS prev_d
+      FROM keyed
+    )
+    SELECT o_custkey, amount_band,
+           prev_key AS first_orderkey, o_orderkey AS second_orderkey,
+           CAST(d - prev_d AS BIGINT) AS gap_days,
+           CAST(CASE WHEN d - prev_d <= 7 THEN 2
+                     WHEN d - prev_d <= 30 THEN 1 ELSE 0 END AS INT) AS severity
+    FROM seq
+    WHERE prev_key IS NOT NULL
+    ORDER BY o_custkey, amount_band, second_orderkey
+"""
+
+
+@register(
+    "orders_duplicate_payment_audit",
+    oracle=_DUP_PAY_SQL.format(
+        div="//", day="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"
+    ),
+)
+def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _DUP_PAY_SQL.format(
+            div="DIV", day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_backlog_aging — open-order backlog aging report: orders still
+# in status 'O' bucketed by age (days since order date, as of the
+# corpus max date) into 0-30 / 31-90 / 91-365 / 365+ bands, with counts
+# and value at risk — the operations dashboard every warehouse runs.
+# Scale: one scan + a constant-size rollup; the anchor date is a scalar
+# aggregate, never a driver collect.
+_BACKLOG_SQL = """
+    WITH anchor AS (SELECT MAX({day}) AS today FROM orders),
+    open_orders AS (
+      SELECT CAST(a.today - ({day}) AS BIGINT) AS age_days,
+             CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN anchor a
+      WHERE o_orderstatus = 'O'
+    ),
+    bucketed AS (
+      SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                  WHEN age_days <= 90 THEN '31-90'
+                  WHEN age_days <= 365 THEN '91-365'
+                  ELSE '365+' END AS age_bucket,
+             age_days, cents
+      FROM open_orders
+    )
+    SELECT age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(cents AS DECIMAL(38, 0))) AS DOUBLE) / 100.0e0
+                AS DOUBLE) AS open_value,
+           CAST(MAX(age_days) AS BIGINT) AS max_age_days
+    FROM bucketed
+    GROUP BY age_bucket
+    ORDER BY age_bucket
+"""
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=_BACKLOG_SQL.format(day="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"),
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _BACKLOG_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
+    )

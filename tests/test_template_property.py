@@ -364,6 +364,8 @@ _ORDER_QUERIES = [
     "agg_max_by",
     "customer_spend_gini",
     "bloom_semijoin_prune",
+    "orders_duplicate_payment_audit",
+    "orders_backlog_aging",
     "file_skipping_stats",
     "pii_subject_access_report",
     "referential_integrity_audit",
