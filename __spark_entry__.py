@@ -154,6 +154,9 @@ _VERIFY_FIRST = [
     "stream_funnel_latency",
     "orders_duplicate_payment_audit",
     "orders_backlog_aging",
+    "events_decayed_popularity",
+    "orders_perfect_rate",
+    "dedup_graph_assortativity",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

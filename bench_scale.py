@@ -172,6 +172,9 @@ QUERIES = [
     "column_histogram_report",
     "orders_duplicate_payment_audit",
     "orders_backlog_aging",
+    "events_decayed_popularity",
+    "orders_perfect_rate",
+    "dedup_graph_assortativity",
 ]
 
 

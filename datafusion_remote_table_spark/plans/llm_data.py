@@ -6569,3 +6569,57 @@ def _sql_reservoir_group(E):
 
 
 _register_pair("sample_reservoir_per_group", _sql_reservoir_group)
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_assortativity — degree assortativity of the near-dup
+# graph: the Pearson correlation of endpoint degrees across (directed
+# symmetric) edges. Positive r = big duplicate hubs link to other hubs
+# (template families referencing each other — expect cluster blowups);
+# negative r = hubs link to leaves (one canonical page with many
+# variants). Completes the graph-shape family (degree power law,
+# triangles, PageRank) over the SAME persisted pair staging. Moment
+# sums are exact integers accumulated as DECIMAL(38,0), so the only
+# float op is the final correlation arithmetic; degenerate variance
+# (a perfect regular graph) guards to 0 in both engines.
+def _sql_assortativity(E, pairs_src=None):
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    return f"""
+    WITH edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM {pairs} p
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM {pairs} p2
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    joined AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM edges e
+      JOIN deg da ON da.node = e.u
+      JOIN deg db ON db.node = e.v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(dx AS DECIMAL(38, 0))) AS DOUBLE) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(dy AS DECIMAL(38, 0))) AS DOUBLE) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(dx * dy AS DECIMAL(38, 0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(dx * dx AS DECIMAL(38, 0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(dy * dy AS DECIMAL(38, 0))) AS DOUBLE) AS syy
+      FROM joined
+    )
+    SELECT n AS n_directed_edges,
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      ELSE 0.0e0 END, 6) AS assortativity
+    FROM m
+    """
+
+
+def dedup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = _checkpoint_view(spark, sf_dir, "as_pairs", pairs)
+    return spark.sql(_sql_assortativity(_Spark, pairs_src=view))
+
+
+QUERIES["dedup_graph_assortativity"] = dedup_graph_assortativity
+ORACLE["dedup_graph_assortativity"] = _sql_assortativity(_Duck)

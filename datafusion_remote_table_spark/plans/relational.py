@@ -4378,3 +4378,87 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _BACKLOG_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# events_decayed_popularity — exponentially time-decayed popularity per
+# event type (half-life 7 days, anchored at the corpus max day): the
+# ranking a recommender/trending surface actually serves, where last
+# week counts double this month. Each weight 2^(−age/7) is quantized to
+# 1e-9 and DECIMAL-summed (the docs/SCALE.md float discipline — pow is
+# transcendental, so raw double sums would drift across engines).
+# Scale: weights are map-side; one shuffle on the 5-value type key.
+_DECAY_SQL = """
+    WITH anchor AS (SELECT MAX({day}) AS today FROM events),
+    weighted AS (
+      SELECT e.event_type,
+             CAST(ROUND(pow(2.0e0, -CAST(a.today - ({day}) AS DOUBLE) / 7.0e0), 9)
+                  AS DECIMAL(28, 9)) AS w
+      FROM events e CROSS JOIN anchor a
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY SUM(w) DESC, event_type) AS BIGINT)
+             AS decayed_rank
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY decayed_rank
+"""
+
+
+@register(
+    "events_decayed_popularity",
+    oracle=_DECAY_SQL.format(day="CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+)
+def events_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _DECAY_SQL.format(day="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_perfect_rate — perfect-order KPI per priority: an order is
+# "perfect" when every lineitem shipped within 30 days of the order
+# date and nothing was returned — the composite supply-chain metric
+# built from per-order min/max over the lineitem join (one orderkey
+# shuffle, map-side partials), then a constant-size priority rollup.
+# Day math is integer (epoch-day subtraction), never a float date diff.
+_PERFECT_SQL = """
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             MAX(({l_day}) - ({o_day})) AS max_ship_days,
+             MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_return
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN max_ship_days <= 30 AND any_return = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_perfect,
+           ROUND(CAST(SUM(CASE WHEN max_ship_days <= 30 AND any_return = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS perfect_rate,
+           CAST(MAX(max_ship_days) AS BIGINT) AS worst_ship_days
+    FROM per_order
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_perfect_rate",
+    oracle=_PERFECT_SQL.format(
+        l_day="CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400",
+        o_day="CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400",
+    ),
+)
+def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        _PERFECT_SQL.format(
+            l_day="CAST(unix_timestamp(l.l_shipdate) AS BIGINT) DIV 86400",
+            o_day="CAST(unix_timestamp(o.o_orderdate) AS BIGINT) DIV 86400",
+        )
+    )

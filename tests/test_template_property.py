@@ -111,6 +111,7 @@ _TEMPLATES = [
     L._sql_editdistance,
     L._sql_shard_balance,
     L._sql_reservoir_group,
+    L._sql_assortativity,
 ]
 
 
@@ -288,6 +289,7 @@ _EVENT_QUERIES = [
     "events_sessionize_capped",
     "events_funnel_latency",
     "column_histogram_report",
+    "events_decayed_popularity",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
