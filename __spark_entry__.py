@@ -157,6 +157,8 @@ _VERIFY_FIRST = [
     "events_decayed_popularity",
     "orders_perfect_rate",
     "dedup_graph_assortativity",
+    "hilbert_layout_audit",
+    "int8_recall_eval",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -175,6 +175,8 @@ QUERIES = [
     "events_decayed_popularity",
     "orders_perfect_rate",
     "dedup_graph_assortativity",
+    "hilbert_layout_audit",
+    "int8_recall_eval",
 ]
 
 

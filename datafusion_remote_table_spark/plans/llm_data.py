@@ -6623,3 +6623,147 @@ def dedup_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_graph_assortativity"] = dedup_graph_assortativity
 ORACLE["dedup_graph_assortativity"] = _sql_assortativity(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# hilbert_layout_audit — the Z-vs-Hilbert lakehouse design question,
+# answered with data: the same (user, time) grid as zorder_layout_audit
+# keyed by a TRUE 2-D Hilbert curve (the xy→d transform unrolled into 8
+# integer rounds — rotation/reflection state carried through chained
+# CTEs, each referenced once so neither engine re-expands), laid out
+# into the same 32 files, and measured with the same expected-files-
+# touched-per-point-query metric. Hilbert preserves locality strictly
+# better than Morton (no diagonal jumps), which shows up as a lower
+# expected-files number on the non-leading dimension. All arithmetic is
+# integer, so both engines agree bit-for-bit.
+def _sql_hilbert_audit(E):
+    ep = E.epoch("e.ts")
+    # unrolled Hilbert xy2d: per round k (s = 2^k), compute (rx, ry),
+    # accumulate d += s*s*((3*rx) XOR ry), then rotate/reflect the frame
+    rounds = []
+    prev = "base"
+    for k in range(7, -1, -1):
+        s = 1 << k
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        step = E.xor(f"(3 * {rx})", ry)
+        rounds.append(f"""
+    r{k} AS (
+      SELECT event_id,
+             CASE WHEN {ry} = 1 THEN x
+                  WHEN {rx} = 1 THEN {s - 1} - y
+                  ELSE y END AS x,
+             CASE WHEN {ry} = 1 THEN y
+                  WHEN {rx} = 1 THEN {s - 1} - x
+                  ELSE x END AS y,
+             d + {s * s} * ({step}) AS d
+      FROM {prev}
+    )""")
+        prev = f"r{k}"
+    rounds_sql = ",".join(rounds)
+    zterms = []
+    for i in range(8):
+        ubit = "(" + E.shr("u8", i) + " & 1)"
+        tbit = "(" + E.shr("t8", i) + " & 1)"
+        zterms.append(f"({E.shl(ubit, 2 * i + 1)} + {E.shl(tbit, 2 * i)})")
+    zbits = " + ".join(zterms)
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(user_id) AS mu, MAX(user_id) AS xu,
+             MIN({E.epoch('ts')}) AS mt, MAX({E.epoch('ts')}) AS xt
+      FROM events
+    ),
+    grid AS (
+      SELECT e.event_id,
+             {E.intdiv('256 * (e.user_id - b.mu)', '(b.xu - b.mu + 1)')} AS u8,
+             {E.intdiv(f'256 * ({ep} - b.mt)', '(b.xt - b.mt + 1)')} AS t8
+      FROM events e CROSS JOIN bounds b
+    ),
+    base AS (
+      SELECT event_id, CAST(u8 AS BIGINT) AS x, CAST(t8 AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM grid
+    ),{rounds_sql},
+    keyed AS (
+      SELECT g.event_id, g.u8, g.t8, h.d AS hkey, ({zbits}) AS zkey
+      FROM grid g JOIN r0 h ON h.event_id = g.event_id
+    ),
+    files AS (
+      SELECT 'hilbert' AS layout, {E.intdiv('hkey', 65536 // _Z_FILES)} AS f, u8, t8
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, {E.intdiv('zkey', 65536 // _Z_FILES)} AS f, u8, t8
+      FROM keyed
+    ),
+    fstat AS (
+      SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(u8) - MIN(u8) + 1 AS uspan, MAX(t8) - MIN(t8) + 1 AS tspan
+      FROM files GROUP BY layout, f
+    )
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+           ROUND(CAST(SUM(uspan) AS DOUBLE) / 256.0e0, 6) AS exp_files_user_point,
+           ROUND(CAST(SUM(tspan) AS DOUBLE) / 256.0e0, 6) AS exp_files_ts_point,
+           ROUND(CAST(MAX(n_rows) AS DOUBLE) * COUNT(*) / CAST(SUM(n_rows) AS DOUBLE), 6)
+             AS max_file_skew
+    FROM fstat GROUP BY layout
+    ORDER BY layout
+    """
+
+
+_register_pair("hilbert_layout_audit", _sql_hilbert_audit, tables=("events",))
+
+
+# ---------------------------------------------------------------------------
+# int8_recall_eval — retrieval quality of the int8-quantized vectors
+# (the eval embedding_quantize_int8 was missing — every other
+# compression path has one: PQ→pq_recall_eval, truncation→matryoshka,
+# JL→rp_recall): per query, recall@5 of the top-5 computed from
+# per-vector-dequantized int8 codes against the exact float ground
+# truth. Dequantization (mn + code·range/255) is applied on BOTH sides
+# of the dot product with identical float ops, so both engines rank
+# identically. Scale shape: the same bounded-query-block map-side score
+# as ann_cosine_topk — codes add no shuffle.
+def _sql_int8_recall(E):
+    def deq(side):
+        v = f"CAST({E.idx(f'{side}.embedding', 'i')} AS DOUBLE)"
+        scale = f"greatest({side}.mx - {side}.mn, 1e-12)"
+        code = f"CAST(floor(({v} - {side}.mn) * 255.0e0 / {scale}) AS BIGINT)"
+        return f"({side}.mn + {code} * ({side}.mx - {side}.mn) / 255.0e0)"
+
+    mn = f"{E.AMIN}({E.TRANSFORM}(embedding, v -> CAST(v AS DOUBLE)))"
+    mx = f"(0.0 - {E.AMIN}({E.TRANSFORM}(embedding, v -> 0.0 - CAST(v AS DOUBLE))))"
+    dot8 = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {deq('q')} * {deq('c')})")
+    dot_f = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH ranges AS (
+      SELECT vec_id, embedding, {mn} AS mn, {mx} AS mx FROM embeddings
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND({dot_f}, 6) DESC, c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) t WHERE rn <= 5
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND({dot8}, 6) DESC, c.vec_id) AS rn
+        FROM ranges q JOIN ranges c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) t WHERE rn <= 5
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """
+
+
+_register_pair("int8_recall_eval", _sql_int8_recall, tables=("embeddings",))

@@ -212,6 +212,7 @@ _EMB_TEMPLATES = [
     L._sql_rp_recall,
     L._sql_centroid_drift,
     L._sql_isotropy,
+    L._sql_int8_recall,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
@@ -290,6 +291,7 @@ _EVENT_QUERIES = [
     "events_funnel_latency",
     "column_histogram_report",
     "events_decayed_popularity",
+    "hilbert_layout_audit",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
