@@ -159,6 +159,8 @@ _VERIFY_FIRST = [
     "dedup_graph_assortativity",
     "hilbert_layout_audit",
     "int8_recall_eval",
+    "text_lang_mixing_audit",
+    "stream_mad_anomaly",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -177,6 +177,7 @@ QUERIES = [
     "dedup_graph_assortativity",
     "hilbert_layout_audit",
     "int8_recall_eval",
+    "text_lang_mixing_audit",
 ]
 
 

@@ -6767,3 +6767,64 @@ def _sql_int8_recall(E):
 
 
 _register_pair("int8_recall_eval", _sql_int8_recall, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# text_lang_mixing_audit — code-switching / mixed-language detection:
+# each doc's word sequence is split in half and the same marker-argmax
+# language detector (text_langid's LEAST-encoded argmax — one pass, no
+# union of per-language scans) runs on each half; a doc is "mixed" when
+# the halves disagree AND both halves actually hit markers (a silent
+# half is unknown, not evidence). Report: per-source doc counts, mixed
+# counts, and the mixing rate — the filter that catches concatenation
+# artifacts (two articles glued together) that single-label langid
+# scores as clean. Scale: pure map-side per-row work + a source-keyed
+# rollup.
+def _sql_lang_mixing(E):
+    def argmax_key(wcol):
+        keys = ", ".join(
+            f"lpad(CAST(999999 - CAST({E.SIZE}({E.FILTER}(wcol, w -> w IN {markers})) AS BIGINT)"
+            f" AS {E.STR}), 6, '0') || '{lang}'".replace("wcol", wcol)
+            for lang, markers in sorted(_LANG_MARKERS.items())
+        )
+        return f"LEAST({keys})"
+
+    words = E.splitws("text")
+    sz = f"{E.SIZE}(words)"
+    h = E.intdiv(sz, "2")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {words} AS words FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    halves AS (
+      SELECT doc_id, source,
+             {E.slice('words', '1', h)} AS w1,
+             {E.slice('words', f'({h}) + 1', f'({sz}) - ({h})')} AS w2
+      FROM toks WHERE {sz} >= 2
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             {argmax_key('w1')} AS k1,
+             {argmax_key('w2')} AS k2
+      FROM halves
+    ),
+    flagged AS (
+      SELECT source,
+             CASE WHEN substring(k1, 7, 2) <> substring(k2, 7, 2)
+                   AND CAST(substring(k1, 1, 6) AS BIGINT) < 999999
+                   AND CAST(substring(k2, 1, 6) AS BIGINT) < 999999
+                  THEN 1 ELSE 0 END AS mixed
+      FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(mixed) AS BIGINT) AS n_mixed,
+           ROUND(CAST(SUM(mixed) AS DOUBLE) / COUNT(*), 6) AS mixed_rate
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+_register_pair("text_lang_mixing_audit", _sql_lang_mixing)

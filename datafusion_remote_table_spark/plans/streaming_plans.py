@@ -426,3 +426,13 @@ ORACLE["stream_funnel_latency"] = """
     FROM ranked r CROSS JOIN tot t
     GROUP BY t.n_signups
 """
+
+from ..streaming.events import stream_mad_anomaly  # noqa: E402
+from .relational import _MAD_SQL  # noqa: E402
+
+QUERIES["stream_mad_anomaly"] = stream_mad_anomaly
+# Converges to the batch MAD detector (identical serving-layer SQL over
+# the maintained hourly rollup).
+ORACLE["stream_mad_anomaly"] = _MAD_SQL.format(
+    hr="CAST(floor(epoch(ts)) AS BIGINT) // 3600", div="//"
+)

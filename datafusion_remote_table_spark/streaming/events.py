@@ -909,3 +909,63 @@ def stream_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r CROSS JOIN tot t
     GROUP BY t.n_signups
     """)
+
+
+def stream_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROBUST burst detector (the MAD twin of
+    stream_hourly_anomaly, whose mean/std layer a single huge burst can
+    mask): the streaming job maintains the same hourly per-type counts
+    (watermark-bounded state); the alert layer computes median and MAD
+    as lower-median ORDER STATISTICS over the converged rollup —
+    integers in, integers out, exact across engines. Converges to
+    events_mad_anomaly's batch answer, which is the oracle. Scale:
+    state is O(active windows × types); the ranking runs over the
+    rollup, never the firehose."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")).cast("bigint") / F.lit(3600))
+            .cast("bigint")
+            .alias("hr"),
+            "event_type",
+            "c",
+        )
+    )
+    bounded = _run_bounded(agg, "stream_mad_anomaly_counts")
+    bounded.createOrReplaceTempView("stream_mad_counts")
+    return spark.sql("""
+    WITH hourly AS (SELECT event_type, hr, c FROM stream_mad_counts),
+    ranked AS (
+      SELECT event_type, hr, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, hr) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nh
+      FROM hourly
+    ),
+    med AS (
+      SELECT event_type, c AS med_c FROM ranked WHERE rn = ((nh + 1) DIV 2)
+    ),
+    devs AS (
+      SELECT h.event_type, h.hr, h.c, m.med_c,
+             abs(h.c - m.med_c) AS dev,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                ORDER BY abs(h.c - m.med_c), h.hr) AS rn,
+             COUNT(*) OVER (PARTITION BY h.event_type) AS nh
+      FROM hourly h JOIN med m ON m.event_type = h.event_type
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad_c FROM devs WHERE rn = ((nh + 1) DIV 2)
+    )
+    SELECT h.event_type, CAST(h.hr AS BIGINT) AS hr,
+           h.c AS n_events, m.med_c AS median_n, d.mad_c AS mad_n,
+           ROUND(CAST(h.c - m.med_c AS DOUBLE) / greatest(d.mad_c, 1), 4)
+             AS robust_z
+    FROM hourly h
+    JOIN med m ON m.event_type = h.event_type
+    JOIN mad d ON d.event_type = h.event_type
+    ORDER BY abs(ROUND(CAST(h.c - m.med_c AS DOUBLE) / greatest(d.mad_c, 1), 4)) DESC,
+             h.event_type, h.hr
+    LIMIT 20
+    """)

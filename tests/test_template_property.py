@@ -112,6 +112,7 @@ _TEMPLATES = [
     L._sql_shard_balance,
     L._sql_reservoir_group,
     L._sql_assortativity,
+    L._sql_lang_mixing,
 ]
 
 
