@@ -161,6 +161,8 @@ _VERIFY_FIRST = [
     "int8_recall_eval",
     "text_lang_mixing_audit",
     "stream_mad_anomaly",
+    "events_anova_value",
+    "events_ks_test",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -178,6 +178,8 @@ QUERIES = [
     "hilbert_layout_audit",
     "int8_recall_eval",
     "text_lang_mixing_audit",
+    "events_anova_value",
+    "events_ks_test",
 ]
 
 

@@ -4462,3 +4462,102 @@ def orders_perfect_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             o_day="CAST(unix_timestamp(o.o_orderdate) AS BIGINT) DIV 86400",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_anova_value — one-way ANOVA of event value across event types:
+# between-group vs within-group variance and the F statistic. Values
+# are cents-exact integers (floor(v·100+0.5)), so every sufficient
+# statistic (n, Σx, Σx²) is an exact DECIMAL(38,0) integer and both
+# engines produce bit-identical F from identical double arithmetic —
+# no float-sum discipline needed at all. Scale: one pass of map-side
+# partials into a 5-group rollup.
+_ANOVA_SQL = """
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(c AS DECIMAL(38, 0))) AS s,
+             SUM(CAST(c * c AS DECIMAL(38, 0))) AS ss
+      FROM cents GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS DOUBLE) AS st, CAST(SUM(ss) AS DOUBLE) AS sst,
+             CAST(SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / n, 9) AS DECIMAL(38, 9))) AS DOUBLE) AS sum_sq_over_n
+      FROM g
+    )
+    SELECT nt AS n_rows, k AS n_groups,
+           ROUND((sum_sq_over_n - st * st / nt) / 10000.0e0, 4) AS ss_between,
+           ROUND((sst - sum_sq_over_n) / 10000.0e0, 4) AS ss_within,
+           ROUND(CASE WHEN k > 1 AND nt > k AND (sst - sum_sq_over_n) > 0
+                      THEN ((sum_sq_over_n - st * st / nt) / (k - 1))
+                           / ((sst - sum_sq_over_n) / (nt - k))
+                      ELSE 0.0e0 END, 6) AS f_stat
+    FROM tot
+"""
+
+
+@register("events_anova_value", oracle=_ANOVA_SQL)
+def events_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_ANOVA_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_ks_test — exact two-sample Kolmogorov–Smirnov distance between
+# the purchase and view value distributions: D = max |F₁ − F₂| computed
+# ENTIRELY in integers (cumulative counts cross-multiplied by the other
+# sample's size as DECIMAL(38,0) — no float enters until the final
+# division), so both engines agree exactly; the asymptotic p-value is
+# the single transcendental at the end. Scale: the ordered window runs
+# over the VALUE-CENTS census (bounded by the price grid, ~49k cells
+# regardless of row count), never over events.
+_KS_SQL = """
+    WITH vals AS (
+      SELECT event_type, CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    census AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM vals GROUP BY c
+    ),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM census),
+    cum AS (
+      SELECT c,
+             CAST(SUM(a) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cb
+      FROM census
+    ),
+    d AS (
+      SELECT CAST(MAX(abs(CAST(cm.ca AS DECIMAL(38, 0)) * t.nb
+                          - CAST(cm.cb AS DECIMAL(38, 0)) * t.na)) AS DOUBLE) AS dscaled,
+             MAX(t.na) AS na, MAX(t.nb) AS nb
+      FROM cum cm CROSS JOIN tot t
+    )
+    SELECT CAST(na AS BIGINT) AS n_purchase, CAST(nb AS BIGINT) AS n_view,
+           ROUND(CASE WHEN na > 0 AND nb > 0
+                      THEN dscaled / (CAST(na AS DOUBLE) * nb) ELSE 0.0e0 END, 6) AS ks_d,
+           ROUND(CASE WHEN na > 0 AND nb > 0
+                      THEN least(2.0e0 * exp(-2.0e0
+                           * pow(dscaled / (CAST(na AS DOUBLE) * nb), 2)
+                           * (CAST(na AS DOUBLE) * nb) / (na + nb)), 1.0e0)
+                      ELSE 1.0e0 END, 6) AS p_asymptotic
+    FROM d
+"""
+
+
+@register("events_ks_test", oracle=_KS_SQL)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_KS_SQL)

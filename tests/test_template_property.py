@@ -293,6 +293,8 @@ _EVENT_QUERIES = [
     "column_histogram_report",
     "events_decayed_popularity",
     "hilbert_layout_audit",
+    "events_anova_value",
+    "events_ks_test",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
