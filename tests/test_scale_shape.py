@@ -532,3 +532,32 @@ def test_fanout_audit_partial_agg(spark, sf_dir):
     plan = _plan(plans.QUERIES["join_fanout_audit"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    # the bucketized spelling must plan as a hash equi-join on
+    # (user, bucket), never a cartesian/NLJ over per-user inequality
+    plan = _plan(plans.QUERIES["interval_attribution_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hilbert_audit_no_cartesian(spark, sf_dir):
+    # 8 chained rounds must stay a linear plan: no re-expansion blowup,
+    # no cartesian joins
+    plan = _plan(plans.QUERIES["hilbert_layout_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_census_partial_agg(spark, sf_dir):
+    # the value-cents census combines map-side before its shuffle
+    plan = _plan(plans.QUERIES["events_ks_test"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prune_positions_broadcast(spark, sf_dir):
+    # the distinct-positions set is tiny and must broadcast to the
+    # probe side; the orders scan never shuffles on custkey
+    plan = _plan(plans.QUERIES["bloom_semijoin_prune"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
