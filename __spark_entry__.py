@@ -163,6 +163,9 @@ _VERIFY_FIRST = [
     "stream_mad_anomaly",
     "events_anova_value",
     "events_ks_test",
+    "supplier_scorecard",
+    "part_price_dispersion",
+    "events_user_predictability",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

@@ -180,6 +180,9 @@ QUERIES = [
     "text_lang_mixing_audit",
     "events_anova_value",
     "events_ks_test",
+    "supplier_scorecard",
+    "part_price_dispersion",
+    "events_user_predictability",
 ]
 
 

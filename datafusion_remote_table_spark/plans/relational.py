@@ -4561,3 +4561,156 @@ _KS_SQL = """
 def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_KS_SQL)
+
+
+# --------------------------------------------------------------------------
+# supplier_scorecard — composite supplier-performance table: per
+# supplier, shipped volume, revenue, return rate, and late-shipment
+# rate (shipped >30 days after order), rolled into a 0-100 score
+# (60% on-time + 40% return-free, integer-weighted before the final
+# divide so both engines agree). The vendor-management readout built
+# from one lineitem⋈orders fact join (orderkey shuffle) + a broadcast
+# supplier dim join. Top-20 worst suppliers by score, key tie-break.
+_SCORECARD_SQL = """
+    WITH li AS (
+      SELECT l.l_suppkey,
+             CAST(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS BIGINT) AS ret,
+             CAST(CASE WHEN ({l_day}) - ({o_day}) > 30 THEN 1 ELSE 0 END AS BIGINT)
+               AS late,
+             CAST(l.l_extendedprice AS DECIMAL(18, 2)) AS price
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_supp AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+             CAST(SUM(ret) AS BIGINT) AS n_returns,
+             CAST(SUM(late) AS BIGINT) AS n_late,
+             CAST(SUM(price) AS DOUBLE) AS revenue
+      FROM li GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, p.n_lineitems, p.n_returns, p.n_late,
+           ROUND(p.revenue, 2) AS revenue,
+           ROUND(CAST(p.n_returns AS DOUBLE) / p.n_lineitems, 6) AS return_rate,
+           ROUND(CAST(p.n_late AS DOUBLE) / p.n_lineitems, 6) AS late_rate,
+           ROUND(CAST(60 * (p.n_lineitems - p.n_late)
+                      + 40 * (p.n_lineitems - p.n_returns) AS DOUBLE)
+                 / p.n_lineitems, 4) AS score
+    FROM per_supp p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    ORDER BY score, s.s_suppkey
+    LIMIT 20
+"""
+
+
+@register(
+    "supplier_scorecard",
+    oracle=_SCORECARD_SQL.format(
+        l_day="CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400",
+        o_day="CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400",
+    ),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    return spark.sql(
+        _SCORECARD_SQL.format(
+            l_day="CAST(unix_timestamp(l.l_shipdate) AS BIGINT) DIV 86400",
+            o_day="CAST(unix_timestamp(o.o_orderdate) AS BIGINT) DIV 86400",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# part_price_dispersion — sourcing-opportunity report: per part TYPE,
+# how widely retail prices disperse across brands (min / lower-median /
+# max in exact cents, max/min ratio, brand count). High dispersion =
+# renegotiation or substitution opportunity. The median is an order
+# statistic over the type's parts (exact integers, no interpolation).
+# Scale: one groupBy on p_type with a per-type rank window over the
+# dimension-sized part table.
+_DISPERSION_SQL = """
+    WITH priced AS (
+      SELECT p_type, p_partkey, p_brand,
+             CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM part
+    ),
+    ranked AS (
+      SELECT p_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY cents, p_partkey) AS rn,
+             COUNT(*) OVER (PARTITION BY p_type) AS np
+      FROM priced
+    ),
+    med AS (
+      SELECT p_type, cents AS med_cents FROM ranked WHERE rn = ((np + 1) {div} 2)
+    ),
+    stats AS (
+      SELECT p_type,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+             CAST(MIN(cents) AS BIGINT) AS min_c,
+             CAST(MAX(cents) AS BIGINT) AS max_c
+      FROM priced GROUP BY p_type
+    )
+    SELECT s.p_type, s.n_parts, s.n_brands,
+           ROUND(CAST(s.min_c AS DOUBLE) / 100.0e0, 2) AS min_price,
+           ROUND(CAST(m.med_cents AS DOUBLE) / 100.0e0, 2) AS median_price,
+           ROUND(CAST(s.max_c AS DOUBLE) / 100.0e0, 2) AS max_price,
+           ROUND(CAST(s.max_c AS DOUBLE) / greatest(s.min_c, 1), 4)
+             AS dispersion_ratio
+    FROM stats s JOIN med m ON m.p_type = s.p_type
+    ORDER BY s.p_type
+"""
+
+
+@register(
+    "part_price_dispersion",
+    oracle=_DISPERSION_SQL.format(div="//"),
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part")
+    return spark.sql(_DISPERSION_SQL.format(div="DIV"))
+
+
+# --------------------------------------------------------------------------
+# events_user_predictability — behavioral predictability score: the
+# Shannon entropy of each user's event-type TRANSITION distribution
+# (LAG pairs, like events_markov_transitions but per user): near-zero
+# entropy = scripted/looping behavior (the complement of
+# events_bot_score's timing signals), high entropy = diverse organic
+# use. Integer transition counts with the c·ln(c) terms quantized to
+# 1e-9 and DECIMAL-summed (the text_entropy_score discipline). Scale:
+# one LAG window + one (user, pair) census on the user_id shuffle.
+_PREDICT_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT user_id, prev_type, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY user_id, prev_type, event_type
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_transitions,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs,
+             CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                           AS DECIMAL(28, 9))) AS DOUBLE) AS clogc
+      FROM pairs GROUP BY user_id
+    )
+    SELECT user_id, n_transitions, n_distinct_pairs,
+           ROUND((ln(CAST(n_transitions AS DOUBLE)) - clogc / n_transitions)
+                 / ln(2.0e0), 6) AS transition_entropy_bits,
+           CAST(CASE WHEN n_transitions >= 20
+                      AND (ln(CAST(n_transitions AS DOUBLE)) - clogc / n_transitions)
+                          / ln(2.0e0) < 1.0e0
+                     THEN 1 ELSE 0 END AS INT) AS low_entropy_flag
+    FROM agg
+"""
+
+
+@register("events_user_predictability", oracle=_PREDICT_SQL)
+def events_user_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_PREDICT_SQL)

@@ -295,6 +295,7 @@ _EVENT_QUERIES = [
     "hilbert_layout_audit",
     "events_anova_value",
     "events_ks_test",
+    "events_user_predictability",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
