@@ -166,6 +166,8 @@ _VERIFY_FIRST = [
     "supplier_scorecard",
     "part_price_dispersion",
     "events_user_predictability",
+    "dedup_method_agreement",
+    "customer_credit_exposure",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

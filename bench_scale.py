@@ -183,6 +183,8 @@ QUERIES = [
     "supplier_scorecard",
     "part_price_dispersion",
     "events_user_predictability",
+    "dedup_method_agreement",
+    "customer_credit_exposure",
 ]
 
 

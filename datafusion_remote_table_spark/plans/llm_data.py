@@ -6828,3 +6828,54 @@ def _sql_lang_mixing(E):
 
 
 _register_pair("text_lang_mixing_audit", _sql_lang_mixing)
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_agreement — cross-method consistency of the two
+# independent near-dup detectors: the minhash-LSH verified pair set
+# (word-shingle Jaccard ≥ 0.8) vs the simhash banded pair set (60-bit
+# Hamming ≤ 3), compared as SETS (intersection, per-method exclusives,
+# pair-set Jaccard). Two methods agreeing is the cheap confidence
+# signal a pipeline uses before destructive dedup; systematic
+# divergence localizes which signature family is lying. Scale: both
+# pair sets are bucket-bounded (the all-pairs step never exists);
+# the comparison joins two small pair tables on the canonical key.
+def _sql_method_agreement(E, mh_src=None, sh_src=None):
+    mh = mh_src or f"({_sql_minhash_oracle(E)})"
+    sh = sh_src or f"({_sql_simhash(E)})"
+    return f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM {mh} m),
+    sh AS (SELECT doc_a, doc_b FROM {sh} s WHERE hamming <= 3),
+    both_sets AS (
+      SELECT m.doc_a FROM mh m JOIN sh s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_minhash,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_simhash,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM both_sets) AS n_both
+    )
+    SELECT n_minhash, n_simhash, n_both,
+           CAST(n_minhash - n_both AS BIGINT) AS minhash_only,
+           CAST(n_simhash - n_both AS BIGINT) AS simhash_only,
+           ROUND(CASE WHEN n_minhash + n_simhash - n_both > 0
+                      THEN CAST(n_both AS DOUBLE) / (n_minhash + n_simhash - n_both)
+                      ELSE 1.0e0 END, 6) AS pair_set_jaccard
+    FROM stats
+    """
+
+
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both pair sets arrive as CHECKPOINTED stagings: the template
+    # spelling references each set three times (two scalar counts + the
+    # intersection join) and Spark re-expands CTEs, re-running the full
+    # minhash AND simhash signature chains per reference (measured
+    # 16 s -> 142 s at 16x before this runner; ~2 s after)
+    mh_view = _checkpoint_view(spark, sf_dir, "ma_mh", _minhash_pairs(spark, sf_dir))
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    sh_view = _checkpoint_view(spark, sf_dir, "ma_sh", spark.sql(_sql_simhash(_Spark)))
+    return spark.sql(_sql_method_agreement(_Spark, mh_src=mh_view, sh_src=sh_view))
+
+
+QUERIES["dedup_method_agreement"] = dedup_method_agreement
+ORACLE["dedup_method_agreement"] = _sql_method_agreement(_Duck)

@@ -4714,3 +4714,37 @@ _PREDICT_SQL = """
 def events_user_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_PREDICT_SQL)
+
+
+# --------------------------------------------------------------------------
+# customer_credit_exposure — credit-risk rollup: customers with a
+# NEGATIVE account balance who still have OPEN ('O') orders, aggregated
+# per nation — exposed customer count, their open-order value, and the
+# worst single balance. The receivables report finance runs weekly.
+# Scale: a filtered customer dim (broadcast) semi-joins the open-order
+# scan; one nation-keyed rollup.
+_CREDIT_SQL = """
+    WITH risky AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_acctbal < 0
+    ),
+    exposure AS (
+      SELECT r.c_nationkey, r.c_custkey, r.c_acctbal,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS open_value
+      FROM risky r JOIN orders o ON o.o_custkey = r.c_custkey
+      WHERE o.o_orderstatus = 'O'
+      GROUP BY r.c_nationkey, r.c_custkey, r.c_acctbal
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_exposed_customers,
+           CAST(SUM(e.open_value) AS DOUBLE) AS open_order_value,
+           ROUND(MIN(e.c_acctbal), 2) AS worst_balance
+    FROM exposure e JOIN nation n ON n.n_nationkey = e.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@register("customer_credit_exposure", oracle=_CREDIT_SQL)
+def customer_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(_CREDIT_SQL)

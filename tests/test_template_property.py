@@ -113,6 +113,7 @@ _TEMPLATES = [
     L._sql_reservoir_group,
     L._sql_assortativity,
     L._sql_lang_mixing,
+    L._sql_method_agreement,
 ]
 
 
