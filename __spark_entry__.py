@@ -168,6 +168,8 @@ _VERIFY_FIRST = [
     "events_user_predictability",
     "dedup_method_agreement",
     "customer_credit_exposure",
+    "events_weekday_profile",
+    "heaps_law_audit",
 ]
 
 # Oldest greens (round-1 rows only): refresh these before re-running the

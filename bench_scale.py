@@ -185,6 +185,8 @@ QUERIES = [
     "events_user_predictability",
     "dedup_method_agreement",
     "customer_credit_exposure",
+    "events_weekday_profile",
+    "heaps_law_audit",
 ]
 
 

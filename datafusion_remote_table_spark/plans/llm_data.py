@@ -6879,3 +6879,76 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_method_agreement"] = dedup_method_agreement
 ORACLE["dedup_method_agreement"] = _sql_method_agreement(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# heaps_law_audit — vocabulary-growth (Heaps' law) check: V(n) ≈ K·n^β
+# fitted over five corpus-prefix checkpoints. The distributed trick:
+# vocabulary size at a cutoff needs NO per-checkpoint distinct pass —
+# each word's FIRST-SEEN doc (MIN(doc_id) per word, one census) gives
+# every checkpoint's vocab by a count over first-seen values; token
+# counts per checkpoint come from the same single pass over per-doc
+# token counts. β far from ~0.5 flags template floods (β→0: vocabulary
+# saturates) or ID-like noise (β→1: every doc mints new "words"). The
+# log-log OLS runs over 5 points with the quantized-DECIMAL moment
+# discipline; degenerate denominators guard to 0 (Spark ANSI raises on
+# double /0).
+def _sql_heaps(E, ispine=None):
+    ispine = ispine or (
+        "SELECT unnest(generate_series(1, 5)) AS i"
+        if E is _Duck
+        else "SELECT explode(sequence(1, 5)) AS i"
+    )
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {words} AS w FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    first_seen AS (
+      SELECT w, MIN(doc_id) AS fs
+      FROM (SELECT doc_id, {E.explode('w', 'w')} FROM toks) u
+      GROUP BY w
+    ),
+    doc_tokens AS (
+      SELECT doc_id, CAST({E.SIZE}(w) AS BIGINT) AS nt FROM toks
+    ),
+    mx AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS mid FROM doc_tokens),
+    cuts AS (
+      SELECT CAST(i AS BIGINT) AS i,
+             {E.intdiv('(m.mid + 1) * i', '5')} AS cutoff
+      FROM ({ispine}) s CROSS JOIN mx m
+    ),
+    points AS (
+      SELECT c.i,
+             (SELECT CAST(SUM(nt) AS BIGINT) FROM doc_tokens d
+              WHERE d.doc_id < c.cutoff) AS n_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM first_seen f
+              WHERE f.fs < c.cutoff) AS vocab
+      FROM cuts c
+    ),
+    pts AS (
+      SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+      FROM points WHERE n_tokens > 0 AND vocab > 0
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28, 9))) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           ROUND(CASE WHEN (n * sxx - sx * sx) > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      ELSE 0.0e0 END, 6) AS heaps_beta,
+           ROUND(CASE WHEN n > 0 AND (n * sxx - sx * sx) > 0
+                      THEN exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n)
+                      WHEN n > 0 THEN exp(sy / n)
+                      ELSE 0.0e0 END, 4) AS heaps_k
+    FROM agg
+    """
+
+
+_register_pair("heaps_law_audit", _sql_heaps)

@@ -4748,3 +4748,42 @@ _CREDIT_SQL = """
 def customer_credit_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer", "orders", "nation")
     return spark.sql(_CREDIT_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_weekday_profile — day-of-week × activity profile: counts, mean
+# value (cents-exact), and share of weekly traffic per weekday, with
+# the weekday from pure integer epoch-day arithmetic ((d + 4) % 7 maps
+# 1970-01-01 Thursday → 0=Monday identically in both engines — never a
+# locale-dependent DAYOFWEEK). The staffing/capacity profile behind
+# weekly seasonality. Scale: one scan into a 7-key rollup.
+_WEEKDAY_SQL = """
+    WITH base AS (
+      SELECT (({day}) + 3) % 7 AS dow,
+             CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    per_dow AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(cents AS DECIMAL(38, 0))) AS s
+      FROM base GROUP BY dow
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS nt FROM per_dow)
+    SELECT CAST(p.dow AS BIGINT) AS weekday,
+           p.n_events,
+           ROUND(CAST(p.s AS DOUBLE) / 100.0e0 / p.n_events, 4) AS avg_value,
+           ROUND(CAST(p.n_events AS DOUBLE) / t.nt, 6) AS traffic_share
+    FROM per_dow p CROSS JOIN tot t
+    ORDER BY weekday
+"""
+
+
+@register(
+    "events_weekday_profile",
+    oracle=_WEEKDAY_SQL.format(day="CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _WEEKDAY_SQL.format(day="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
+    )

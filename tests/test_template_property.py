@@ -114,6 +114,7 @@ _TEMPLATES = [
     L._sql_assortativity,
     L._sql_lang_mixing,
     L._sql_method_agreement,
+    L._sql_heaps,
 ]
 
 
@@ -297,6 +298,7 @@ _EVENT_QUERIES = [
     "events_anova_value",
     "events_ks_test",
     "events_user_predictability",
+    "events_weekday_profile",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
