@@ -21,60 +21,10 @@ from datafusion_remote_table_spark import plans
 # next so every §2 item accumulates at least one green row; then the
 # oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # stale r2 FAIL rows (timestamp-unit bug fixed at HEAD, pytest-green;
-    # need a green driver row to clear the record)
-    "stream_events_windowed",
-    "stream_sliding_window",
-    "stream_sessionize_stateful",
-    # §2.C — never driver-verified (registered round 2/3)
-    "train_test_split_group",
-    "doc_chunk_tokens",
-    "quality_filter_gopher",
-    "quality_repetition_signals",
-    "sample_temperature_mix",
-    "kmeans_embeddings",
-    "cluster_balanced_sample",
-    "global_shuffle_shards",
-    "text_pii_redact",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "line_dedup_boilerplate",
-    "decontaminate_ngram_overlap",
-    "text_bigram_score",
-    "pack_sequences",
-    "corpus_mix_report",
-    "corpus_clean_pipeline",
-    "semdedup_embedding",
-    "minhash_accuracy_eval",
-    "multimodal_frame_sample",
-    # new in round 4
-    "multimodal_decode_real",
-    "stream_trending_topk",
-    "ann_matryoshka_recall",
-    "dedup_rate_by_source",
-    "embedding_dedup_threshold_sweep",
-    "quality_signal_correlation",
-    "knn_label_consistency",
-    "sample_hard_negatives",
-    "dedup_cluster_size_histogram",
-    "bpe_vocab_coverage",
-    "pack_bin_efficiency",
-    "corpus_clean_funnel",
-    "stream_hourly_anomaly",
-    "minhash_band_scurve",
-    "ann_recall_vs_probes",
-    "stream_corpus_mix_monitor",
-    "remote_postgres_scan",
-    "stream_pii_gate",
-    "dsir_importance_weights",
-    "nb_lang_classifier",
-    "dedup_span_runs",
-    "corpus_epoch_plan",
-    "multimodal_resize_real",
-    "nn_descent_knn",
-    "zorder_layout_audit",
-    "multimodal_image_phash",
-    "multimodal_audio_real",
+    # Round-5 rotation (VERDICT r4 item 1): the 95 queries below have NO
+    # driver CORRECTNESS row in any round (they pass the local sweep).
+    # The ~50-query budget lands entirely on never-checked names; the
+    # previously-green prefix moved to _VERIFY_SECOND as refresh.
     "events_scd2_history",
     "dedup_graph_pagerank",
     "ann_random_projection_recall",
@@ -172,9 +122,8 @@ _VERIFY_FIRST = [
     "heaps_law_audit",
 ]
 
-# Oldest greens (round-1 rows only): refresh these before re-running the
-# round-2/3 greens. 3 + 20 priority slots leave ~27 refresh slots in a
-# 50-query budget.
+# Previously driver-green (r1–r4 rows): refresh rotation once the
+# never-verified backlog above is cleared. Oldest rows first.
 _VERIFY_SECOND = [
     "null_handling",
     "window_lead_lag",
