@@ -29,6 +29,131 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 # --------------------------------------------------------------------------
+# Distributed exact global rank (the RangePartitioner two-pass), used by
+# the entity-grain census queries (ABC classification, Gini, RFM) whose
+# naive spelling is a single ordered window over ALL parts/customers —
+# milliseconds at sf0.1, but one task serializing a 20B-row dimension at
+# 100TB. The classic fix (TeraSort / Spark's own RangePartitioner):
+#   1. census persisted; n = count()  (one scalar job)
+#   2. deterministic md5 sample sized n_buckets*64 rows MAX regardless of
+#      n (adaptive fraction — the collect is bounded control-plane)
+#   3. driver sorts the sample, picks n_buckets-1 composite cut tuples
+#      (key, uid) — uid is a unique tie-break so ranges respect the
+#      total order even through duplicate keys
+#   4. map-side bucket assignment: a 31-term CASE chain counting cuts
+#      that precede the row (no join, no shuffle)
+#   5. per-bucket counts (+ exact DECIMAL sums) collected (<= n_buckets
+#      rows) -> cumulative offsets inlined as literals
+#   6. ROW_NUMBER / running SUM windows PARTITIONED BY bucket + offset
+# Ranks are exact (buckets are order-consistent ranges); DECIMAL sums are
+# associative so offset + local running sum is bit-identical to the
+# single-partition spelling. DuckDB oracles keep the plain window SQL.
+_RANK_STAGE_CACHE: dict = {}
+
+
+def _exact_rank_stage(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    census: DataFrame,
+    key: str,
+    uid: str,
+    *,
+    desc: bool,
+    sum_col: str | None = None,
+    n_buckets: int = 32,
+):
+    """Return (ranked_df, n, total_sum): census columns plus `_rank`
+    (exact global BIGINT rank by key {DESC|ASC}, uid ASC) and, when
+    ``sum_col`` is given, `_cum` (exact DECIMAL running sum in rank
+    order). No unpartitioned window anywhere in the plan."""
+    import os as _os
+    from decimal import Decimal
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql.window import Window
+
+    ck = (prefix, id(spark), _os.path.abspath(sf_dir))
+    if ck in _RANK_STAGE_CACHE:
+        return _RANK_STAGE_CACHE[ck]
+
+    census = census.persist()
+    n = census.count()
+    target = n_buckets * 64
+    frac = min(1.0, target / max(n, 1))
+    thresh = int(frac * 0xFFFFFFFF)
+    hsh = F.conv(F.substring(F.md5(F.col(uid).cast("string")), 1, 8), 16, 10).cast("bigint")
+    sample = [
+        (r[0], r[1])
+        for r in census.select(key, uid).where(hsh <= F.lit(thresh)).collect()
+    ]
+    # stable two-pass sort = (key DESC|ASC, uid ASC)
+    sample.sort(key=lambda t: t[1])
+    sample.sort(key=lambda t: t[0], reverse=desc)
+    cuts: list = []
+    if sample:
+        for j in range(1, n_buckets):
+            c = sample[j * len(sample) // n_buckets]
+            if not cuts or cuts[-1] != c:
+                cuts.append(c)
+
+    def _cut_le_row(ck_, cu_):  # cut precedes-or-equals row in sort order
+        k, u = F.col(key), F.col(uid)
+        if desc:
+            return (k < F.lit(ck_)) | ((k == F.lit(ck_)) & (u >= F.lit(cu_)))
+        return (k > F.lit(ck_)) | ((k == F.lit(ck_)) & (u >= F.lit(cu_)))
+
+    bkt = (
+        reduce(add, [F.when(_cut_le_row(ck_, cu_), 1).otherwise(0) for ck_, cu_ in cuts])
+        if cuts
+        else F.lit(0)
+    ).cast("int")
+    bucketed = census.withColumn("_bkt", bkt).persist()
+
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    if sum_col is not None:
+        aggs.append(F.sum(F.col(sum_col)).alias("_s"))
+    agg_df = bucketed.groupBy("_bkt").agg(*aggs)
+    # SUM(decimal(p,s)) -> decimal(min(38,p+10),s); offset literals must
+    # carry the SAME type (F.lit(Decimal) would infer DECIMAL(38,18))
+    sum_dtype = agg_df.schema["_s"].dataType.simpleString() if sum_col is not None else None
+    parts = sorted(agg_df.collect(), key=lambda r: r["_bkt"])
+    off_cnt: dict[int, int] = {}
+    off_sum: dict[int, Decimal] = {}
+    run_c, run_s = 0, Decimal(0)
+    for r in parts:
+        off_cnt[r["_bkt"]] = run_c
+        run_c += r["_c"]
+        if sum_col is not None:
+            off_sum[r["_bkt"]] = run_s
+            run_s += r["_s"] if r["_s"] is not None else Decimal(0)
+    total_sum = run_s if sum_col is not None else None
+
+    def _case_chain(mapping, zero, dtype=None):
+        def _l(v):
+            return F.lit(v).cast(dtype) if dtype else F.lit(v)
+
+        expr = _l(zero)
+        for b, v in mapping.items():
+            expr = F.when(F.col("_bkt") == b, _l(v)).otherwise(expr)
+        return expr
+
+    order = [F.col(key).desc() if desc else F.col(key).asc(), F.col(uid).asc()]
+    w = Window.partitionBy("_bkt").orderBy(*order)
+    out = bucketed.withColumn(
+        "_rank", (_case_chain(off_cnt, 0) + F.row_number().over(w)).cast("bigint")
+    )
+    if sum_col is not None:
+        local = F.sum(F.col(sum_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn("_cum", _case_chain(off_sum, Decimal(0)) + local)
+    _RANK_STAGE_CACHE[ck] = (out, n, total_sum)
+    return _RANK_STAGE_CACHE[ck]
+
+
+# --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 shape (flagship).
 # Scale: single scan + one shuffle on a 6-value grouping key; partial aggs
 # map-side; the date filter reaches the parquet scan.
@@ -2267,8 +2392,34 @@ _ABC_SQL = """
 
 @register("parts_abc_classification", oracle=_ABC_SQL)
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem")
-    return spark.sql(_ABC_SQL)
+    # Spark side: distributed exact rank/prefix-sum (see _exact_rank_stage)
+    # instead of the oracle's single-partition ordered window — the part
+    # census is ~20B rows at 100TB and must never serialize through one
+    # task. DECIMAL sums are associative, so offset + local running sum is
+    # bit-identical to the global-window spelling the oracle keeps.
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount").cast(DEC))
+            ).alias("rev_dec")
+        )
+    )
+    ranked, _n, total = _exact_rank_stage(
+        spark, sf_dir, "abc_rank", per_part, "rev_dec", "l_partkey",
+        desc=True, sum_col="rev_dec",
+    )
+    total_dbl = F.lit(float(total))
+    share = F.col("_cum").cast("double") / total_dbl
+    return ranked.select(
+        F.col("l_partkey"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.col("_rank").alias("revenue_rank"),
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2523,13 +2674,75 @@ _RFM_SQL = """
 """
 
 
+def _ntile_from_rank(n: int, k: int = 5):
+    """Map an exact global rank (column `_rank`) to its NTILE(k) bucket:
+    the first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
+    Spark's and DuckDB's shared NTILE semantics, computed map-side from
+    the distributed rank instead of a single-partition NTILE window."""
+    q, r = divmod(n, k)
+    if q == 0:
+        return F.expr("CAST(_rank AS BIGINT)")
+    boundary = (q + 1) * r
+    return F.expr(
+        f"CAST(CASE WHEN _rank <= {boundary} THEN (_rank + {q}) DIV {q + 1} "
+        f"ELSE {r} + (_rank - {boundary} + {q - 1}) DIV {q} END AS BIGINT)"
+    )
+
+
 @register(
     "customer_rfm_segments",
     oracle=_RFM_SQL.format(recency="date_diff('day', last_order, MAX(last_order) OVER ())"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders")
-    return spark.sql(_RFM_SQL.format(recency="datediff(MAX(last_order) OVER (), last_order)"))
+    # Spark side: three distributed rank passes (_exact_rank_stage) feed
+    # the NTILE arithmetic map-side — the oracle's three NTILE windows and
+    # its MAX() OVER () would each serialize the customer census through
+    # one task at 100TB. The global max date is a 1-row scalar collect.
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("monet_dec"),
+        )
+        .persist()
+    )
+    max_last = per_cust.agg(F.max("last_order")).collect()[0][0]
+    census = per_cust.withColumn(
+        "recency_days", F.datediff(F.lit(max_last), F.col("last_order")).cast("bigint")
+    ).persist()
+    rk_r, n, _ = _exact_rank_stage(
+        spark, sf_dir, "rfm_r", census, "recency_days", "o_custkey", desc=True
+    )
+    rk_f, _, _ = _exact_rank_stage(
+        spark, sf_dir, "rfm_f", census, "n_orders", "o_custkey", desc=False
+    )
+    rk_m, _, _ = _exact_rank_stage(
+        spark, sf_dir, "rfm_m", census, "monet_dec", "o_custkey", desc=False
+    )
+    r_s = rk_r.select("o_custkey", _ntile_from_rank(n).alias("r_score"))
+    f_s = rk_f.select("o_custkey", _ntile_from_rank(n).alias("f_score"))
+    m_s = rk_m.select("o_custkey", _ntile_from_rank(n).alias("m_score"))
+    scored = (
+        census.select(
+            "o_custkey", "recency_days", "n_orders",
+            F.col("monet_dec").cast("double").alias("monetary"),
+        )
+        .join(r_s, "o_custkey")
+        .join(f_s, "o_custkey")
+        .join(m_s, "o_custkey")
+    )
+    total = F.col("r_score") + F.col("f_score") + F.col("m_score")
+    return scored.select(
+        "o_custkey", "recency_days", "n_orders", "monetary",
+        "r_score", "f_score", "m_score",
+        F.when(total >= 12, "champion")
+        .when(total >= 9, "loyal")
+        .when(total >= 6, "regular")
+        .otherwise("at_risk")
+        .alias("segment"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4154,8 +4367,34 @@ _GINI_SQL = """
 
 @register("customer_spend_gini", oracle=_GINI_SQL)
 def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "orders")
-    return spark.sql(_GINI_SQL)
+    # Spark side: the rank i in the Gini rank formula comes from the
+    # distributed two-pass (_exact_rank_stage), never a single-partition
+    # ROW_NUMBER over the whole customer census. The i*cents moments are
+    # integer-exact, so bucketed ranks + one aggregate reproduce the
+    # oracle's global-window spelling bit for bit.
+    (orders,) = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n, _ = _exact_rank_stage(
+        spark, sf_dir, "gini_rank", spend, "cents", "o_custkey", desc=False
+    )
+    sum_c = F.sum(F.col("cents").cast("decimal(38,0)"))
+    sum_ic = F.sum((F.col("_rank") * F.col("cents")).cast("decimal(38,0)"))
+    return ranked.agg(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        (sum_c.cast("double") / F.lit(100.0)).cast("double").alias("total_spend"),
+        F.round(
+            F.when(
+                sum_c > 0,
+                F.lit(2.0) * sum_ic.cast("double") / (F.lit(n) * sum_c.cast("double"))
+                - (F.lit(n) + F.lit(1)).cast("double") / F.lit(n),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("gini"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -461,14 +461,45 @@ def test_seasonality_windows_on_month_census(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def _assert_windows_bucket_partitioned(plan: str):
+    """Every Window operator must be partitioned by the range-bucket
+    column (_exact_rank_stage) — an unpartitioned Window would serialize
+    the entity census through ONE task at 100TB."""
+    import re
+
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow \[", l)]
+    assert wins, "expected at least one (bucketed) window"
+    for w in wins:
+        assert "_bkt" in w, f"unpartitioned window survives:\n{w[:200]}"
+
+
 def test_abc_window_on_part_census(spark, sf_dir):
-    # the cumulative window's input must be the part-grain aggregate
-    # (one hashpartitioning on l_partkey below the single-partition sort)
+    # the cumulative rank/prefix-sum must run bucket-partitioned over the
+    # part-grain aggregate (hashpartitioning on l_partkey below it) —
+    # never a global ordered window over all parts
     plan = _plan(plans.QUERIES["parts_abc_classification"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     import re
 
     assert re.search(r"Exchange hashpartitioning\(l_partkey", plan)
+    _assert_windows_bucket_partitioned(plan)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_gini_rank_is_bucket_partitioned(spark, sf_dir):
+    # the Gini rank formula's ROW_NUMBER runs bucket-partitioned; the only
+    # SinglePartition exchange is the final 1-row aggregate
+    plan = _plan(plans.QUERIES["customer_spend_gini"](spark, sf_dir))
+    _assert_windows_bucket_partitioned(plan)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_rfm_ntile_is_bucket_partitioned(spark, sf_dir):
+    # all three quintile scores derive from bucket-partitioned ranks +
+    # map-side NTILE arithmetic — no global NTILE window, no MAX() OVER ()
+    plan = _plan(plans.QUERIES["customer_rfm_segments"](spark, sf_dir))
+    _assert_windows_bucket_partitioned(plan)
+    assert "Exchange SinglePartition" not in plan
 
 
 def test_video_stats_map_side(spark, sf_dir):
