@@ -5709,23 +5709,30 @@ _register_pair("text_cooccurrence_lift", _sql_cooccurrence)
 # approx_count_distinct shape — a map-side sketch per partition and a
 # 256-cell merge, no distinct shuffle of the raw words; the exact
 # COUNT(DISTINCT) column is the bounded oracle leg.
-def _sql_hll_distinct(E):
+def _sql_hll_words(E):
     words = E.splitws("lower(text)")
+    return f"""SELECT DISTINCT source, w FROM (
+        SELECT source, {E.explode(words, 'w')} FROM documents
+      ) x WHERE w IS NOT NULL AND w <> ''"""
+
+
+def _sql_hll_distinct(E, srcrel: str | None = None):
+    # src_words is referenced TWICE (sketch leg + exact-audit leg): the
+    # Spark runner stages it through _checkpoint_view and passes the view
+    # name as ``srcrel`` (one tokenize + one distinct shuffle total); the
+    # DuckDB oracle materializes the CTE for the same reason.
     h = E.hex2int("substring(md5(w), 1, 15)")
     one = "CAST(1 AS BIGINT)"
     rho = (
         f"COALESCE({E.AMIN}({E.FILTER}({E.seq(1, 53)}, "
         f"k -> (rest % {E.shl(one, 'k')}) <> 0)), 53)"
     )
+    rel = srcrel or "src_words"
+    prelude = f"src_words AS {E.MAT}({_sql_hll_words(E)}),\n    " if srcrel is None else ""
     return f"""
-    WITH src_words AS (
-      SELECT DISTINCT source, w FROM (
-        SELECT source, {E.explode(words, 'w')} FROM documents
-      ) x WHERE w IS NOT NULL AND w <> ''
-    ),
-    hashed AS (
+    WITH {prelude}hashed AS (
       SELECT source, w, ({h}) % 256 AS bucket, {E.intdiv(f'({h})', '256')} AS rest
-      FROM src_words
+      FROM {rel}
     ),
     ranked AS (
       SELECT source, bucket, {rho} AS rho FROM hashed
@@ -5748,7 +5755,7 @@ def _sql_hll_distinct(E):
     ),
     exact AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
-      FROM src_words GROUP BY source
+      FROM {rel} GROUP BY source
     )
     SELECT x.source, x.exact_distinct, e.n_zero_regs,
            ROUND(CASE WHEN e.raw_est <= 2.5e0 * 256 AND e.n_zero_regs > 0
@@ -5763,7 +5770,27 @@ def _sql_hll_distinct(E):
     """
 
 
-_register_pair("approx_distinct_hll", _sql_hll_distinct)
+def _hll_words_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed DISTINCT (source, word) frame shared by the sketch and
+    exact-audit legs — one tokenize + one distinct shuffle per dataset
+    (lineage-truncated so view re-registration cannot uncache it)."""
+    key = ("hll_words", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        dfs = load_tables(spark, sf_dir, ("documents",))
+        _repartition_views(spark, dfs)
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "hll_words", spark.sql(_sql_hll_words(_Spark))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _hll_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sql_hll_distinct(_Spark, srcrel=_hll_words_stage(spark, sf_dir)))
+
+
+_hll_runner.__name__ = "approx_distinct_hll"
+QUERIES["approx_distinct_hll"] = _hll_runner
+ORACLE["approx_distinct_hll"] = _sql_hll_distinct(_Duck)
 
 
 # ---------------------------------------------------------------------------
