@@ -785,3 +785,39 @@ def remote_postgres_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.join(region, df.n_regionkey == region.r_regionkey).select(
         F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name", "r_name"
     )
+
+
+@register(
+    "remote_predicate_pushdown",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderstatus, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 50000)
+       OR (o_orderpriority LIKE '1-%' AND o_totalprice > 150000)
+    """,
+)
+def remote_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit predicate pushdown (the transform.rs:52-86 parity gap):
+    a q19-style OR-of-conjunctions with BETWEEN and LIKE cannot reach the
+    remote through Catalyst's atomic-conjunct filter API, so
+    ``RemoteTable.read(predicate=...)`` parses/validates it and composes
+    it into the remote SQL — the WHOLE disjunction runs on the remote DB
+    and Spark streams only matching rows (at 100TB of remote fact data
+    this is the difference between shipping the table and shipping the
+    answer)."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders"])
+    df = t.read(
+        spark,
+        predicate=(
+            "(o_orderstatus = 'F' AND o_totalprice BETWEEN 1000 AND 50000) "
+            "OR (o_orderpriority LIKE '1-%' AND o_totalprice > 150000)"
+        ),
+    )
+    return df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

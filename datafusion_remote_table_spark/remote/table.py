@@ -94,17 +94,39 @@ class RemoteTable:
         limit: int | None = None,
         partition_column: str | None = None,
         fetch_partitions: int = 1,
+        predicate: str | None = None,
     ) -> DataFrame:
         """Load as a DataFrame. Catalyst filter pushdown is automatic
         (reader.pushFilters); projection and limit push down through the
         explicit arguments (the Python DataSource API has no column/limit
-        pushdown channel yet — scan.rs covers these inside the exec)."""
+        pushdown channel yet — scan.rs covers these inside the exec).
+
+        ``predicate`` is the explicit pushdown escape hatch for
+        expressions Catalyst's Python filter API cannot deliver —
+        OR-disjunctions, BETWEEN, arithmetic (the shapes the reference
+        unparses in transform.rs:52-86): a SQL boolean expression over
+        the remote columns, parsed + validated here (unknown columns and
+        scalar functions are rejected) and rendered in the remote
+        dialect, composed into the remote query alongside any
+        Catalyst-pushed filters."""
         _register_datasource(spark)
+        pushed: list[str] = []
+        if predicate is not None:
+            from .predicate import render_predicate
+
+            pushed = [
+                render_predicate(
+                    predicate,
+                    self.spec().dialect,
+                    columns=[f.name for f in self.schema.fields],
+                )
+            ]
         spec = self.spec(
             columns=columns,
             limit=limit,
             partition_column=partition_column,
             fetch_partitions=fetch_partitions,
+            pushed_filters=pushed,
         )
         schema = self.schema
         if columns:
