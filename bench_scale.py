@@ -118,6 +118,7 @@ QUERIES = [
     "orders_merge_upsert",
     "orders_cdc_changelog",
     "customer_rfm_segments",
+    "parts_abc_classification",
     "events_survival_curve",
     "approx_distinct_hll",
     "heavy_hitters_countmin",
