@@ -119,6 +119,9 @@ QUERIES = [
     "orders_cdc_changelog",
     "customer_rfm_segments",
     "parts_abc_classification",
+    "orders_snapshot_asof",
+    "supplier_herfindahl",
+    "orders_keyspace_gap_audit",
     "events_survival_curve",
     "approx_distinct_hll",
     "heavy_hitters_countmin",

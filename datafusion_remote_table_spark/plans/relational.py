@@ -5026,3 +5026,170 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _WEEKDAY_SQL.format(day="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_snapshot_asof — lakehouse time travel: reconstruct the table
+# state AS OF a cutoff day from a versioned change history (the read
+# side of Delta/Iceberg snapshot queries, consuming the
+# orders_cdc_changelog shape). Deterministic synthetic history from ONE
+# scan: v1 at the orderdate; keys divisible by 3 gain a +10% repricing
+# 30 days later; keys divisible by 7 a delete 60 days later — built as
+# a per-row version ARRAY and exploded (never one scan per version).
+# Scale: latest-version-per-key is a window PARTITIONED BY orderkey
+# (the natural shuffle key); no global window, no self-join.
+def _sql_snapshot_asof(mkrow, empty, unnest_from, idiv, day):
+    def row(ver, dday, op, cents):
+        return mkrow.format(ver=ver, dday=dday, op=op, cents=cents)
+
+    asof = day.format(x="DATE '1996-06-01'")
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             {day.format(x='o_orderdate')} AS d0,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    history AS (
+      SELECT o_orderkey,
+             {row(1, 'd0', "'U'", 'cents')}
+             || CASE WHEN o_orderkey % 3 = 0
+                     THEN {row(2, 'd0 + 30', "'U'", f'(cents * 110 + 50) {idiv} 100')}
+                     ELSE {empty} END
+             || CASE WHEN o_orderkey % 7 = 0
+                     THEN {row(3, 'd0 + 60', "'D'", '0')}
+                     ELSE {empty} END AS versions
+      FROM base
+    ),
+    exploded AS (
+      SELECT o_orderkey, v.ver AS ver, v.vday AS vday, v.op AS op, v.cents AS cents
+      FROM ({unnest_from}) x
+    ),
+    visible AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY vday DESC, ver DESC) AS rn
+      FROM exploded WHERE vday <= {asof}
+    )
+    SELECT o_orderkey,
+           CAST(ver AS BIGINT) AS version,
+           CAST(vday AS BIGINT) AS valid_day,
+           CAST(cents AS DOUBLE) / 100 AS price
+    FROM visible
+    WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@register(
+    "orders_snapshot_asof",
+    oracle=_sql_snapshot_asof(
+        mkrow="[{{'ver': {ver}, 'vday': {dday}, 'op': {op}, 'cents': {cents}}}]",
+        empty="CAST([] AS STRUCT(ver INT, vday BIGINT, op VARCHAR, cents BIGINT)[])",
+        unnest_from="SELECT o_orderkey, unnest(versions) AS v FROM history",
+        idiv="//",
+        day="date_diff('day', DATE '1970-01-01', CAST({x} AS DATE))",
+    ),
+)
+def orders_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _sql_snapshot_asof(
+            mkrow="array(named_struct('ver', {ver}, 'vday', {dday}, 'op', {op}, 'cents', {cents}))",
+            empty="CAST(array() AS ARRAY<STRUCT<ver: INT, vday: BIGINT, op: STRING, cents: BIGINT>>)",
+            unnest_from="SELECT o_orderkey, explode(versions) AS v FROM history",
+            idiv="DIV",
+            day="CAST(datediff(CAST({x} AS DATE), DATE '1970-01-01') AS BIGINT)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# supplier_herfindahl — market-concentration audit: the Herfindahl-
+# Hirschman index of supplier revenue share within each part brand (the
+# metric competition authorities and sourcing teams use — is any brand
+# supplied by a near-monopoly?). Scale: the fact scan collapses to the
+# (brand, supplier) revenue census via ONE partkey shuffle join (the
+# TPC-H q14/q19 join shape) + one census groupBy; the HHI rollup runs
+# over the bounded brand×supplier grid. Share-squared terms are
+# ROUND-quantized then DECIMAL-summed (double SUM order varies per
+# engine; quantized decimal sums are associative — CLAUDE.md rule).
+_HHI_SQL = """
+    WITH cell AS (
+      SELECT p.p_brand, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    brand AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(rev_dec) AS brand_rev
+      FROM cell GROUP BY p_brand
+    ),
+    terms AS (
+      SELECT c.p_brand,
+             CAST(ROUND(
+               (CAST(c.rev_dec AS DOUBLE) / CAST(b.brand_rev AS DOUBLE))
+               * (CAST(c.rev_dec AS DOUBLE) / CAST(b.brand_rev AS DOUBLE))
+               * 10000, 8) AS DECIMAL(24,8)) AS hhi_term
+      FROM cell c JOIN brand b ON c.p_brand = b.p_brand
+    )
+    SELECT b.p_brand,
+           b.n_suppliers,
+           CAST(b.brand_rev AS DOUBLE) AS brand_revenue,
+           CAST(SUM(t.hhi_term) AS DOUBLE) AS hhi,
+           CASE WHEN CAST(SUM(t.hhi_term) AS DOUBLE) < 1500 THEN 'competitive'
+                WHEN CAST(SUM(t.hhi_term) AS DOUBLE) < 2500 THEN 'moderate'
+                ELSE 'concentrated' END AS concentration
+    FROM brand b JOIN terms t ON t.p_brand = b.p_brand
+    GROUP BY b.p_brand, b.n_suppliers, b.brand_rev
+    ORDER BY b.p_brand
+"""
+
+
+@register("supplier_herfindahl", oracle=_HHI_SQL)
+def supplier_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_HHI_SQL)
+
+
+# --------------------------------------------------------------------------
+# orders_keyspace_gap_audit — missing-key detection over a surrogate-key
+# space (the DQ check behind "did the extractor drop a chunk?"): keys
+# bucket into fixed 1000-wide ranges MAP-SIDE; per bucket the row count
+# vs the observed span exposes holes, and the report lists the sparsest
+# buckets. Audited relation: the CDC new-snapshot view (keys divisible
+# by 5 removed, as in orders_cdc_changelog) — the audit must FIND that
+# deletion pattern; the raw testdata keyspace is dense, which would
+# make a gap report vacuous. Scale: a pure integer-bucket census (one
+# groupBy on a synthetic bounded key), no window, no join, no sort
+# beyond the top-20 cut.
+_KEYGAP_SQL = """
+    WITH snap AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    buckets AS (
+      SELECT {bucket} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1 AS BIGINT) AS span
+      FROM snap
+      GROUP BY {bucket}
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           n_keys, span,
+           CAST(span - n_keys AS BIGINT) AS missing,
+           ROUND(CAST(n_keys AS DOUBLE) / span, 6) AS density
+    FROM buckets
+    WHERE span > n_keys
+    ORDER BY missing DESC, bucket
+    LIMIT 20
+"""
+
+
+@register(
+    "orders_keyspace_gap_audit",
+    oracle=_KEYGAP_SQL.format(bucket="o_orderkey // 1000"),
+)
+def orders_keyspace_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_KEYGAP_SQL.format(bucket="o_orderkey DIV 1000"))

@@ -382,6 +382,10 @@ _ORDER_QUERIES = [
     "referential_integrity_audit",
     "window_range_trailing",
     "agg_grouping_sets",
+    # round-5: time travel over a versioned history (empty version legs,
+    # all-future cutoffs) and the keyspace gap census (tiny/sparse keys)
+    "orders_snapshot_asof",
+    "orders_keyspace_gap_audit",
 ]
 
 _STATUSES = ["O", "F", "P"]
