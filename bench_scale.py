@@ -122,6 +122,10 @@ QUERIES = [
     "orders_snapshot_asof",
     "supplier_herfindahl",
     "orders_keyspace_gap_audit",
+    "query_expansion_prf",
+    "curriculum_phase_plan",
+    "sample_label_balance",
+    "embedding_margin_audit",
     "events_survival_curve",
     "approx_distinct_hll",
     "heavy_hitters_countmin",

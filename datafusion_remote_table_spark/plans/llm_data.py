@@ -6979,3 +6979,271 @@ def _sql_heaps(E, ispine=None):
 
 
 _register_pair("heaps_law_audit", _sql_heaps)
+
+
+# ---------------------------------------------------------------------------
+# query_expansion_prf — pseudo-relevance-feedback retrieval (Rocchio-
+# style): BM25 with the seed terms retrieves a top-10, the 3 highest
+# summed-tf-idf terms of those docs (minus seeds, len>=4) expand the
+# query, and the expanded BM25 re-retrieves a top-20 flagged by whether
+# each doc was already in the seed round. The targeted-corpus-mining
+# move when the seed keywords under-recall. Scale: the per-doc-term tf
+# census (the inverted index) is STAGED once and re-aggregated for
+# doclen/df/both retrieval rounds (5 CTE references — the re-expansion
+# trap, so Spark checkpoints and DuckDB materializes); both top-k cuts
+# are bounded (10 / 20) and every score addend is ROUND-quantized then
+# DECIMAL-summed (order-independent).
+def _sql_prf_tf(E):
+    words = E.splitws("lower(text)")
+    return f"""SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) x
+      WHERE w IS NOT NULL AND w <> ''
+      GROUP BY doc_id, w"""
+
+
+def _sql_query_expansion(E, tfrel: str | None = None):
+    seeds = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    seed_rows = " UNION ALL ".join(f"SELECT '{t}' AS w" for t in _BM25_TERMS)
+    idf = "ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
+    tf_norm = (
+        "(t.tf * (1.2e0 + 1.0e0)) / "
+        "(t.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * l.dl / s.avgdl))"
+    )
+    rel = tfrel or "tf"
+    prelude = f"tf AS {E.MAT}({_sql_prf_tf(E)}),\n    " if tfrel is None else ""
+    return f"""
+    WITH {prelude}doclen AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM doclen
+    ),
+    df AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM {rel} GROUP BY w
+    ),
+    r1 AS (
+      SELECT {E.bhint('d', 's')}t.doc_id,
+             SUM(CAST({idf} * {tf_norm} AS DECIMAL(18, 9))) AS score
+      FROM {rel} t
+      JOIN df d ON t.w = d.w
+      JOIN doclen l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      WHERE t.w IN ({seeds})
+      GROUP BY t.doc_id
+      ORDER BY score DESC, t.doc_id
+      LIMIT 10
+    ),
+    cand AS (
+      SELECT {E.bhint('r1', 'd', 's')}t.w,
+             SUM(CAST(ROUND(t.tf * (ln((1.0e0 + s.n_docs) / (1.0e0 + d.df)) + 1.0e0), 6)
+                      AS DECIMAL(18, 6))) AS escore
+      FROM {rel} t
+      JOIN r1 ON t.doc_id = r1.doc_id
+      JOIN df d ON t.w = d.w
+      CROSS JOIN stats s
+      WHERE t.w NOT IN ({seeds}) AND length(t.w) >= 4
+      GROUP BY t.w
+      ORDER BY escore DESC, t.w
+      LIMIT 3
+    ),
+    terms2 AS (
+      {seed_rows} UNION ALL SELECT w FROM cand
+    ),
+    r2 AS (
+      SELECT {E.bhint('q2', 'd', 's')}t.doc_id,
+             SUM(CAST({idf} * {tf_norm} AS DECIMAL(18, 9))) AS score
+      FROM {rel} t
+      JOIN terms2 q2 ON t.w = q2.w
+      JOIN df d ON t.w = d.w
+      JOIN doclen l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT r2.doc_id,
+           ROUND(CAST(r2.score AS DOUBLE), 6) AS bm25_expanded,
+           CAST(CASE WHEN r1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS in_seed_top10
+    FROM r2 LEFT JOIN r1 ON r2.doc_id = r1.doc_id
+    ORDER BY r2.score DESC, r2.doc_id
+    LIMIT 20
+    """
+
+
+def _prf_tf_stage(spark: SparkSession, sf_dir: str) -> str:
+    key = ("prf_tf", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        dfs = load_tables(spark, sf_dir, ("documents",))
+        _repartition_views(spark, dfs)
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "prf_tf", spark.sql(_sql_prf_tf(_Spark))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _prf_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sql_query_expansion(_Spark, tfrel=_prf_tf_stage(spark, sf_dir)))
+
+
+_prf_runner.__name__ = "query_expansion_prf"
+QUERIES["query_expansion_prf"] = _prf_runner
+ORACLE["query_expansion_prf"] = _sql_query_expansion(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# curriculum_phase_plan — curriculum-learning phase assignment: an
+# integer difficulty score per doc (avg chars per token ×100 — longer
+# words read harder), exact quartile cut points from the BOUNDED value
+# histogram (difficulty is a ratio, its distinct values don't grow with
+# corpus size), and a per-phase report. The pipeline step that orders
+# pretraining data easy→hard. Scale: one doc-grain map pass + a
+# histogram census; the cumulative window runs over the bounded value
+# grid (the events_ks_test pattern), never over docs; phase assignment
+# is a map-side CASE against the 3 broadcast cut points. All integers.
+def _sql_curriculum(E, idiv):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+             CAST({E.SIZE}({words}) AS BIGINT) AS nt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    diff AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt > 0 THEN (nc * 100) {idiv} nt ELSE 0 END AS dcents
+      FROM tok
+    ),
+    hist AS (
+      SELECT dcents, CAST(COUNT(*) AS BIGINT) AS c FROM diff GROUP BY dcents
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+    cum AS (
+      SELECT dcents,
+             SUM(c) OVER (ORDER BY dcents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+      FROM hist
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN cr * 4 >= t.n THEN dcents END) AS q1,
+             MIN(CASE WHEN cr * 2 >= t.n THEN dcents END) AS q2,
+             MIN(CASE WHEN cr * 4 >= 3 * t.n THEN dcents END) AS q3
+      FROM cum CROSS JOIN tot t
+    ),
+    phased AS (
+      SELECT d.doc_id, d.nt, d.dcents,
+             CASE WHEN d.dcents <= k.q1 THEN 1
+                  WHEN d.dcents <= k.q2 THEN 2
+                  WHEN d.dcents <= k.q3 THEN 3
+                  ELSE 4 END AS phase
+      FROM diff d CROSS JOIN cuts k
+    )
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(dcents) AS BIGINT) AS min_difficulty,
+           CAST(MAX(dcents) AS BIGINT) AS max_difficulty,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM phased
+    GROUP BY phase
+    ORDER BY phase
+    """
+
+
+QUERIES["curriculum_phase_plan"] = lambda spark, sf_dir: (
+    _repartition_views(spark, load_tables(spark, sf_dir, ("documents",))),
+    spark.sql(_sql_curriculum(_Spark, "DIV")),
+)[1]
+QUERIES["curriculum_phase_plan"].__name__ = "curriculum_phase_plan"
+ORACLE["curriculum_phase_plan"] = _sql_curriculum(_Duck, "//")
+
+
+# ---------------------------------------------------------------------------
+# sample_label_balance — class-balanced downsampling of a labeled
+# embedding set: every label keeps exactly min-class-count rows, chosen
+# by deterministic md5 order (reproducible across runs and engines).
+# The step before training a classifier head on skewed labels. Scale:
+# one label census (bounded), one rank window PARTITIONED BY label
+# (never global), map-side keep decision; the checksum column proves
+# both engines kept the SAME rows, not just the same counts.
+def _sql_label_balance(E):
+    h = f"md5(CAST(vec_id AS {E.STR}))"
+    return f"""
+    WITH census AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM embeddings GROUP BY label
+    ),
+    target AS (SELECT MIN(n_total) AS t FROM census),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY {h}, vec_id) AS rn
+      FROM embeddings
+    ),
+    kept AS (
+      SELECT r.label, r.vec_id
+      FROM ranked r CROSS JOIN target g
+      WHERE r.rn <= g.t
+    )
+    SELECT c.label,
+           c.n_total,
+           CAST(COUNT(k.vec_id) AS BIGINT) AS n_kept,
+           ROUND(CAST(COUNT(k.vec_id) AS DOUBLE) / c.n_total, 6) AS keep_rate,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_checksum
+    FROM census c JOIN kept k ON k.label = c.label
+    GROUP BY c.label, c.n_total
+    ORDER BY c.label
+    """
+
+
+_register_pair("sample_label_balance", _sql_label_balance, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# embedding_margin_audit — retrieval-confidence audit: for each query
+# vector of the bounded audit block, the cosine margin between its best
+# and second-best corpus neighbour. Small margins mark ambiguous
+# retrievals (duplicates, boundary docs) — the eval a serving team runs
+# before trusting top-1 answers. Scale shape: block × corpus candidate
+# join exactly like knn_label_consistency (broadcast NLJ over the
+# bounded block; at corpus scale the candidates come from the IVF probe
+# staging instead); the rank window partitions per query vector.
+def _sql_margin_audit(E):
+    # zero-vector guard: Spark ANSI raises DIVIDE_BY_ZERO on double /
+    # where DuckDB floats to NaN (property-harness find, round 4) —
+    # neither may reach the output
+    denom = (
+        f"(sqrt({E.dot('q.embedding', 'q.embedding')})"
+        f" * sqrt({E.dot('c.embedding', 'c.embedding')}))"
+    )
+    cos = (
+        f"CASE WHEN {denom} > 0 THEN {E.dot('q.embedding', 'c.embedding')} / {denom} "
+        f"ELSE 0.0e0 END"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+    ),
+    scored AS (
+      SELECT q.vec_id, c.vec_id AS nid, ROUND({cos}, 6) AS cosv,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rn
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    top2 AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN nid END) AS top1_id,
+             MAX(CASE WHEN rn = 1 THEN cosv END) AS c1,
+             MAX(CASE WHEN rn = 2 THEN cosv END) AS c2
+      FROM scored WHERE rn <= 2
+      GROUP BY vec_id
+    )
+    SELECT vec_id, CAST(top1_id AS BIGINT) AS top1_id,
+           c1 AS top1_cos,
+           ROUND(c1 - c2, 6) AS margin,
+           CAST(CASE WHEN c1 - c2 >= 0.05e0 THEN 1 ELSE 0 END AS INT)
+             AS is_confident
+    FROM top2
+    ORDER BY vec_id
+    """
+
+
+_register_pair("embedding_margin_audit", _sql_margin_audit, tables=("embeddings",))

@@ -68,6 +68,10 @@ def _sql_span_runs(E):
     return L._span_runs_select(E, f"({L._span_pos_sql(E)})")
 
 
+def _sql_curriculum_phases(E):
+    return L._sql_curriculum(E, "DIV" if E is L._Spark else "//")
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -115,6 +119,10 @@ _TEMPLATES = [
     L._sql_lang_mixing,
     L._sql_method_agreement,
     L._sql_heaps,
+    # round-5: PRF retrieval (empty seed hits, all-short vocab) and the
+    # curriculum quartiles (single-value histograms, zero-token docs)
+    L._sql_query_expansion,
+    _sql_curriculum_phases,
 ]
 
 
@@ -216,6 +224,10 @@ _EMB_TEMPLATES = [
     L._sql_centroid_drift,
     L._sql_isotropy,
     L._sql_int8_recall,
+    # round-5: balanced downsampling (n < #labels) and the top1/top2
+    # margin (duplicate vectors -> zero margin, zero-vector guard)
+    L._sql_label_balance,
+    L._sql_margin_audit,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
