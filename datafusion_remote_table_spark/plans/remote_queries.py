@@ -821,3 +821,46 @@ def remote_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@register(
+    "remote_insert_select",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 200000 OR (o_orderstatus = 'P' AND o_totalprice BETWEEN 50000 AND 100000)
+    """,
+)
+def remote_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side pushdown (ELT composition): INSERT INTO … SELECT runs
+    ENTIRELY on the remote DB — the disjunctive filter goes through the
+    predicate parse/validate/render path and the rows never cross the
+    wire until the final federated read-back. The reference's insert.rs
+    always streams rows through the engine; at 100TB of remote fact
+    data, pushing the transform to the data is the difference between
+    an ELT statement and a two-way bulk transfer."""
+    path = ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("DROP TABLE IF EXISTS big_orders")
+        con.execute(
+            "CREATE TABLE big_orders (o_orderkey, o_orderstatus, o_totalprice)"
+        )
+        con.commit()
+    finally:
+        con.close()
+    t = RemoteTable(_sqlite_opts(sf_dir), ["big_orders"])
+    t.insert_select(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+        predicate=(
+            "o_totalprice > 200000 "
+            "OR (o_orderstatus = 'P' AND o_totalprice BETWEEN 50000 AND 100000)"
+        ),
+    )
+    return t.read(spark).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

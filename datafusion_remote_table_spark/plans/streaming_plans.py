@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ..streaming import (
     stream_corpus_mix_monitor,
+    stream_decayed_popularity,
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,
@@ -436,3 +437,29 @@ QUERIES["stream_mad_anomaly"] = stream_mad_anomaly
 ORACLE["stream_mad_anomaly"] = _MAD_SQL.format(
     hr="CAST(floor(epoch(ts)) AS BIGINT) // 3600", div="//"
 )
+
+
+QUERIES["stream_decayed_popularity"] = stream_decayed_popularity
+# The stream maintains the (event_type, day) count grid; the decay/rank
+# serving layer re-weights cells, which is exactly the per-event decayed
+# sum (the weight depends only on the day). Converges to
+# events_decayed_popularity, whose oracle this is.
+ORACLE["stream_decayed_popularity"] = """
+    WITH anchor AS (
+      SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS today FROM events
+    ),
+    weighted AS (
+      SELECT e.event_type,
+             CAST(ROUND(pow(2.0e0, -CAST(a.today - (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS DOUBLE) / 7.0e0), 9)
+                  AS DECIMAL(28, 9)) AS w
+      FROM events e CROSS JOIN anchor a
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY SUM(w) DESC, event_type) AS BIGINT)
+             AS decayed_rank
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY decayed_rank
+"""

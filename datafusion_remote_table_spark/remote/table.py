@@ -385,6 +385,44 @@ class RemoteTable:
         return [(str(r[1]), int(r[0])) for r in sorted(rows, key=lambda r: int(r[0]))]
 
     # -- write path ---------------------------------------------------------
+    def insert_select(
+        self,
+        source_sql: str,
+        columns: list[str] | None = None,
+        predicate: str | None = None,
+    ) -> int:
+        """Remote ``INSERT INTO … SELECT`` — the write-side pushdown:
+        the rows never leave the remote DB (ELT/CTAS composition; the
+        reference's insert.rs always routes rows through the engine,
+        so this is parity-plus). ``source_sql`` runs on the remote;
+        ``predicate`` goes through the same parse/validate/render path
+        as read(predicate=...) before composing into the WHERE clause.
+        Returns the inserted row count."""
+        if self.table is None:
+            raise ValueError("insert_select requires a table target, not a query")
+        from .connection import connect_writable
+
+        d = self.spec().dialect
+        sql = f"SELECT * FROM {d.wrap_subquery(source_sql)}"
+        if columns:
+            col_list = ", ".join(d.quote_ident(c) for c in columns)
+            sql = f"SELECT {col_list} FROM {d.wrap_subquery(source_sql)}"
+        if predicate is not None:
+            from .predicate import render_predicate
+
+            sql = f"{sql} WHERE {render_predicate(predicate, d)}"
+        target = d.table_ref(self.table)
+        cols = f" ({', '.join(d.quote_ident(c) for c in columns)})" if columns else ""
+        conn = connect_writable(self.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(f"INSERT INTO {target}{cols} {sql}")
+            n = cur.rowcount
+            conn.commit()
+            return int(n if n is not None else -1)
+        finally:
+            conn.close()
+
     def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
         """Insert a DataFrame into the remote table (insert.rs parity).
 

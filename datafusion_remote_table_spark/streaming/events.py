@@ -969,3 +969,49 @@ def stream_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              h.event_type, h.hr
     LIMIT 20
     """)
+
+
+def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half-life-decayed trending: the stream maintains the
+    per (event_type, day) count grid (state is O(types × days in the
+    horizon), never the event firehose), and the decay/rank layer runs
+    batch over the converged rollup — re-weighting CELLS is exact
+    because the decay weight depends only on the day: summing c copies
+    of the same 1e-9-quantized DECIMAL weight equals multiplying it by
+    c. Identical output to events_decayed_popularity on bounded input,
+    which is the oracle. This is how a serving stack actually ages
+    popularity: the ranker re-reads the maintained rollup with fresh
+    decay at query time instead of re-scanning history."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounded = _run_bounded(agg, "stream_decayed_popularity")
+    bounded.createOrReplaceTempView("stream_decay_cells")
+    return spark.sql("""
+    WITH cells AS (SELECT event_type, day, CAST(c AS DECIMAL(10,0)) AS c
+                   FROM stream_decay_cells),
+    anchor AS (SELECT MAX(day) AS today FROM cells),
+    weighted AS (
+      -- c(10,0) * w(18,9) -> DECIMAL(29,9): inside precision 38, so the
+      -- product is EXACT (a 19,0 x 28,9 spelling overflowed 38 and Spark
+      -- silently reduced scale, rounding the products)
+      SELECT x.event_type, x.c,
+             CAST(ROUND(pow(2.0e0, -CAST(a.today - x.day AS DOUBLE) / 7.0e0), 9)
+                  AS DECIMAL(18, 9)) AS w
+      FROM cells x CROSS JOIN anchor a
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(c * w) AS DOUBLE), 6) AS decayed_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY SUM(c * w) DESC, event_type) AS BIGINT)
+             AS decayed_rank
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY decayed_rank
+    """)

@@ -143,3 +143,34 @@ def test_live_sqlite_predicate_rows_match(spark, sf_dir):
     spec = t.spec(pushed_filters=[rp(pred, t.spec().dialect)])
     sql = spec.remote_sql()
     assert "OR" in sql and "BETWEEN" in sql and sql.startswith("SELECT * FROM")
+
+
+def test_insert_select_runs_remotely_and_validates(spark, sf_dir):
+    import sqlite3
+
+    from datafusion_remote_table_spark.plans import remote_queries as RQ
+    from datafusion_remote_table_spark.remote import RemoteTable
+
+    path = RQ.ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    con.execute("DROP TABLE IF EXISTS t_isel")
+    con.execute("CREATE TABLE t_isel (o_orderkey, o_totalprice)")
+    con.commit()
+    con.close()
+    t = RemoteTable(RQ._sqlite_opts(sf_dir), ["t_isel"])
+    n = t.insert_select(
+        "SELECT o_orderkey, o_totalprice FROM orders",
+        predicate="o_totalprice BETWEEN 1000 AND 2000",
+    )
+    got = t.read(spark).count()
+    assert got > 0 and (n == got or n == -1)
+    # malformed predicates must fail BEFORE touching the remote
+    from datafusion_remote_table_spark.remote.predicate import PredicateError
+    import pytest as _pytest
+
+    with _pytest.raises(PredicateError):
+        t.insert_select("SELECT 1", predicate="o_totalprice ; DROP TABLE t_isel")
+    # a query-source RemoteTable refuses (insert.rs contract)
+    q = RemoteTable(RQ._sqlite_opts(sf_dir), "SELECT 1 AS x")
+    with _pytest.raises(ValueError):
+        q.insert_select("SELECT 1")
