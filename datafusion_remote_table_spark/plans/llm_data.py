@@ -40,6 +40,7 @@ class _Spark:
     TRANSFORM = "transform"
     FILTER = "filter"
     AMIN = "array_min"
+    AMAX = "array_max"
     ADISTINCT = "array_distinct"
     AINTERSECT = "array_intersect"
 
@@ -141,6 +142,7 @@ class _Duck:
     TRANSFORM = "list_transform"
     FILTER = "list_filter"
     AMIN = "list_min"
+    AMAX = "list_max"
     ADISTINCT = "list_distinct"
     AINTERSECT = "list_intersect"
 
@@ -7247,3 +7249,134 @@ def _sql_margin_audit(E):
 
 
 _register_pair("embedding_margin_audit", _sql_margin_audit, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility_audit — per-language tokenizer fertility: BPE
+# tokens per whitespace word and characters per BPE token, from the
+# trained-vocabulary apply pass. THE metric a tokenizer team tracks per
+# language (high fertility = the vocab under-serves that language and
+# its docs burn context window). Scale: rides the SAME checkpointed
+# 6-level merge chain as tokenize_bpe_apply (one corpus word explode
+# joined to the vocabulary-sized segmentation table); the rollup is
+# language-bounded. All ratios are exact-integer-sum quotients.
+def _fertility_select(E, src, vocab):
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM({E.SIZE}({E.splitws('v.s')})) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM({E.SIZE}({E.splitws('v.s')})) AS DOUBLE) / COUNT(*), 6)
+             AS fertility,
+           ROUND(CAST(SUM(length(d.w)) AS DOUBLE)
+                 / SUM({E.SIZE}({E.splitws('v.s')})), 6) AS chars_per_token
+    FROM (SELECT doc_id, lang, {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) d
+    JOIN {vocab} v ON d.w = v.word
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+def _sql_fertility(E, src="documents"):
+    parts = [f"words0 AS ({_bpe_words0(E, src)})"]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
+        parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
+        parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {_fertility_select(E, src, f'words{_BPE_MERGES}')}
+    """
+
+
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bests, vocab_view = _bpe_stage(spark, sf_dir)
+    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
+    return spark.sql(_fertility_select(_Spark, doc_view, vocab_view))
+
+
+QUERIES["tokenizer_fertility_audit"] = tokenizer_fertility_audit
+ORACLE["tokenizer_fertility_audit"] = _sql_fertility(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# ann_sq8_rerank_eval — the production two-stage serving split: a cheap
+# int8 (symmetric per-vector scalar quantization) integer-dot coarse
+# pass keeps the top-50 per query, an exact float cosine rerank keeps
+# the top-10, and recall@10 vs exact ground truth prices the speedup —
+# the SQ8+rerank layout Faiss/Lucene ship as the default dense index.
+# Scale shape: quantization is map-side; the coarse candidate join is
+# the bounded audit block exactly like knn_label_consistency (at corpus
+# scale the IVF probe staging feeds it); rerank touches 50 rows per
+# query. Exactness: integer dots are exact; coarse ranking multiplies
+# the int dot by the candidate's scale (same doubles both engines,
+# ROUND 6 + vec_id tie-break); the zero-vector guard keeps Spark's ANSI
+# double-division error out.
+def _sql_sq8_rerank(E):
+    def absmax(col):
+        return f"{E.AMAX}({E.TRANSFORM}({col}, x -> abs(CAST(x AS DOUBLE))))"
+
+    def quant(col):
+        mx = absmax(col)
+        return (
+            f"CASE WHEN {mx} > 0 THEN "
+            f"{E.TRANSFORM}({E.seq(1, 64)}, i -> "
+            f"CAST(ROUND(127.0e0 * CAST({E.idx(col, 'i')} AS DOUBLE) / {mx}) AS BIGINT)) "
+            f"ELSE {E.TRANSFORM}({E.seq(1, 64)}, i -> CAST(0 AS BIGINT)) END"
+        )
+
+    def cos(a, b):
+        denom = f"(sqrt({E.dot(a, a)}) * sqrt({E.dot(b, b)}))"
+        return f"CASE WHEN {denom} > 0 THEN {E.dot(a, b)} / {denom} ELSE 0.0e0 END"
+
+    intdot = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {E.idx('q.qa', 'i')} * {E.idx('c.qa', 'i')})"
+    )
+    return f"""
+    WITH qv AS {E.MAT}(
+      SELECT vec_id, embedding,
+             {quant('embedding')} AS qa,
+             {absmax('embedding')} AS mx
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             c.embedding AS c_emb, q.embedding AS q_emb,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(c.mx * {intdot}, 6) DESC, c.vec_id) AS crank
+      FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 50
+    ),
+    rerank AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND({cos('q_emb', 'c_emb')}, 6) DESC, cand_id) AS rrank
+      FROM coarse WHERE crank <= 50
+    ),
+    truth AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({cos('q.embedding', 'c.embedding')}, 6) DESC, c.vec_id)
+               AS trank
+      FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 50
+    )
+    SELECT t.query_id,
+           CAST(COUNT(r.cand_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(r.cand_id) AS DOUBLE) / 10.0e0, 2) AS recall_at10,
+           CAST(MAX(CASE WHEN t.trank = 1 AND COALESCE(r.rrank, 0) = 1
+                         THEN 1 ELSE 0 END) AS INT) AS top1_match
+    FROM truth t
+    LEFT JOIN (SELECT query_id, cand_id, rrank FROM rerank WHERE rrank <= 10) r
+      ON r.query_id = t.query_id AND r.cand_id = t.cand_id
+    WHERE t.trank <= 10
+    GROUP BY t.query_id
+    ORDER BY t.query_id
+    """
+
+
+_register_pair("ann_sq8_rerank_eval", _sql_sq8_rerank, tables=("embeddings",))

@@ -5193,3 +5193,51 @@ _KEYGAP_SQL = """
 def orders_keyspace_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders")
     return spark.sql(_KEYGAP_SQL.format(bucket="o_orderkey DIV 1000"))
+
+
+# --------------------------------------------------------------------------
+# lineitem_reorder_point — inventory reorder points per part: monthly
+# demand mean/std (zero months included ALGEBRAICALLY — sufficient
+# statistics over observed (part, month) cells divided by the global
+# month count, so no part×month dense spine ever materializes) and the
+# 95%-service-level reorder point mean + 1.645·std. Scale: one shuffle
+# to the (part, month) census, one to the part grain; the month count
+# is a scalar. Quantities are exact integers, so the doubles derive
+# from identical sums in both engines.
+_REORDER_SQL = """
+    WITH cells AS (
+      SELECT l_partkey,
+             ({yr} - 1992) * 12 + ({mon} - 1) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem
+      GROUP BY l_partkey, ({yr} - 1992) * 12 + ({mon} - 1)
+    ),
+    mcount AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS nm FROM cells),
+    stats AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_active_months,
+             CAST(SUM(q) AS BIGINT) AS total_qty,
+             CAST(SUM(q * q) AS BIGINT) AS sq
+      FROM cells GROUP BY l_partkey
+    )
+    SELECT s.l_partkey, s.n_active_months, s.total_qty,
+           ROUND(CAST(s.total_qty AS DOUBLE) / c.nm, 6) AS mean_monthly,
+           ROUND(CAST(s.total_qty AS DOUBLE) / c.nm
+                 + 1.645e0 * sqrt(greatest(
+                     CAST(s.sq AS DOUBLE) / c.nm
+                     - (CAST(s.total_qty AS DOUBLE) / c.nm)
+                       * (CAST(s.total_qty AS DOUBLE) / c.nm), 0.0e0)), 2)
+             AS reorder_point
+    FROM stats s CROSS JOIN mcount c
+"""
+
+
+@register(
+    "lineitem_reorder_point",
+    oracle=_REORDER_SQL.format(
+        yr="EXTRACT(year FROM l_shipdate)", mon="EXTRACT(month FROM l_shipdate)"
+    ),
+)
+def lineitem_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_REORDER_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)"))

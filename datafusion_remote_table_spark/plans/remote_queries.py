@@ -864,3 +864,68 @@ def remote_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+def _copy_orders_table(sf_dir: str, name: str) -> None:
+    path = ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM orders")
+        con.commit()
+    finally:
+        con.close()
+
+
+@register(
+    "remote_delete_pushdown",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 50000)
+    """,
+)
+def remote_delete_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side DELETE pushdown: the disjunctive predicate is parsed,
+    validated against the remote schema, rendered in the remote dialect,
+    and the DELETE runs entirely on the remote DB — retention/GDPR-style
+    purges never pull rows through the engine. Runs on a private copy
+    table so the shared stand-in DB stays pristine."""
+    _copy_orders_table(sf_dir, "orders_delpush")
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders_delpush"])
+    t.delete_where("o_orderstatus = 'F' OR o_totalprice < 50000")
+    return t.read(spark).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+@register(
+    "remote_update_pushdown",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+           CAST(CASE WHEN o_orderpriority LIKE '1-%'
+                     THEN o_totalprice * 1.1e0 + 5
+                     ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+    FROM orders
+    """,
+)
+def remote_update_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side UPDATE pushdown: the SET expression (arithmetic over
+    remote columns) and the WHERE predicate both go through the parse/
+    validate/render path — the repricing runs where the data lives.
+    Float math is IEEE on both sides (the expression renders 1.1 as
+    1.1e0, forcing DOUBLE in every dialect)."""
+    _copy_orders_table(sf_dir, "orders_updpush")
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders_updpush"])
+    t.update_where(
+        {"o_totalprice": "o_totalprice * 1.1 + 5"},
+        predicate="o_orderpriority LIKE '1-%'",
+    )
+    return t.read(spark).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

@@ -293,3 +293,16 @@ def render_predicate(
     dialect cannot render."""
     ast = _Parser(_tokenize(text), set(columns) if columns is not None else None).parse()
     return _render(ast, dialect)
+
+
+def render_expression(
+    text: str, dialect: Dialect, columns: Sequence[str] | None = None
+) -> str:
+    """Like render_predicate but for a scalar VALUE expression (an
+    UPDATE assignment right-hand side): arithmetic over columns and
+    literals — same validation, same per-dialect literal hooks."""
+    p = _Parser(_tokenize(text), set(columns) if columns is not None else None)
+    ast = p.additive()
+    if p.peek().kind != "end":
+        raise PredicateError(f"trailing input at {p.peek().value!r}")
+    return _render(ast, dialect)

@@ -423,6 +423,67 @@ class RemoteTable:
         finally:
             conn.close()
 
+    def delete_where(self, predicate: str) -> int:
+        """Remote ``DELETE FROM … WHERE`` — the predicate goes through
+        the same parse/validate/render path as read(predicate=...); a
+        bare delete-all is refused (pass an explicit TRUE comparison if
+        you really mean it). Returns the deleted row count where the
+        driver reports it."""
+        if self.table is None:
+            raise ValueError("delete_where requires a table target, not a query")
+        if not predicate or not predicate.strip():
+            raise ValueError("delete_where requires a predicate")
+        from .connection import connect_writable
+        from .predicate import render_predicate
+
+        d = self.spec().dialect
+        cols = [f.name for f in self.schema.fields]
+        where = render_predicate(predicate, d, columns=cols)
+        conn = connect_writable(self.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DELETE FROM {d.table_ref(self.table)} WHERE {where}")
+            n = cur.rowcount
+            conn.commit()
+            return int(n if n is not None else -1)
+        finally:
+            conn.close()
+
+    def update_where(self, assignments: dict[str, str], predicate: str | None = None) -> int:
+        """Remote ``UPDATE … SET … [WHERE …]``: each assignment value is
+        a scalar expression over the remote columns, parsed/validated/
+        rendered per dialect (scalar functions rejected — same rule as
+        pushdown filters). Returns the updated row count where the
+        driver reports it."""
+        if self.table is None:
+            raise ValueError("update_where requires a table target, not a query")
+        if not assignments:
+            raise ValueError("update_where requires at least one assignment")
+        from .connection import connect_writable
+        from .predicate import render_expression, render_predicate
+
+        d = self.spec().dialect
+        cols = [f.name for f in self.schema.fields]
+        sets = ", ".join(
+            f"{d.quote_ident(c)} = {render_expression(v, d, columns=cols)}"
+            for c, v in assignments.items()
+        )
+        for c in assignments:
+            if c not in cols:
+                raise ValueError(f"unknown assignment column {c!r}")
+        sql = f"UPDATE {d.table_ref(self.table)} SET {sets}"
+        if predicate is not None:
+            sql += f" WHERE {render_predicate(predicate, d, columns=cols)}"
+        conn = connect_writable(self.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            n = cur.rowcount
+            conn.commit()
+            return int(n if n is not None else -1)
+        finally:
+            conn.close()
+
     def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
         """Insert a DataFrame into the remote table (insert.rs parity).
 

@@ -174,3 +174,34 @@ def test_insert_select_runs_remotely_and_validates(spark, sf_dir):
     q = RemoteTable(RQ._sqlite_opts(sf_dir), "SELECT 1 AS x")
     with _pytest.raises(ValueError):
         q.insert_select("SELECT 1")
+
+
+def test_delete_update_validate_before_touching_remote(spark, sf_dir):
+    import sqlite3
+
+    from datafusion_remote_table_spark.plans import remote_queries as RQ
+    from datafusion_remote_table_spark.remote import RemoteTable
+    from datafusion_remote_table_spark.remote.predicate import PredicateError
+
+    path = RQ.ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    con.execute("DROP TABLE IF EXISTS t_dml")
+    con.execute("CREATE TABLE t_dml AS SELECT * FROM orders")
+    con.commit()
+    before = con.execute("SELECT COUNT(*) FROM t_dml").fetchone()[0]
+    con.close()
+    t = RemoteTable(RQ._sqlite_opts(sf_dir), ["t_dml"])
+    with pytest.raises(ValueError):
+        t.delete_where("")  # bare delete-all refused
+    with pytest.raises(PredicateError):
+        t.delete_where("no_such_col = 1")  # schema-validated
+    with pytest.raises(PredicateError):
+        t.update_where({"o_totalprice": "upper(o_orderstatus)"})  # scalar fn
+    with pytest.raises(ValueError):
+        t.update_where({"no_such_col": "1"})
+    con = sqlite3.connect(path)
+    after = con.execute("SELECT COUNT(*) FROM t_dml").fetchone()[0]
+    con.close()
+    assert after == before, "a rejected statement must not touch the remote"
+    n = t.delete_where("o_totalprice < 0")  # matches nothing, runs fine
+    assert n in (0, -1)
