@@ -732,3 +732,18 @@ def test_kanonymity_api_matches_registered_query(spark, sf_dir):
     api = kanonymity(customer, ("c_nationkey", "c_mktsegment", "acctbal_band"))
     reg = plans.QUERIES["kanonymity_audit"](spark, sf_dir)
     _pdf_eq(api, reg)
+
+
+def test_prf_api_matches_plan_instance(spark, sf_dir, docs):
+    from datafusion_remote_table_spark.operators.retrieval import prf_search
+    from datafusion_remote_table_spark.plans.llm_data import _BM25_TERMS
+
+    api = {
+        (r.doc_id, r.bm25_expanded, r.in_seed_top10)
+        for r in prf_search(docs, list(_BM25_TERMS)).collect()
+    }
+    plan = {
+        (r.doc_id, r.bm25_expanded, r.in_seed_top10)
+        for r in plans.QUERIES["query_expansion_prf"](spark, sf_dir).collect()
+    }
+    assert api == plan
