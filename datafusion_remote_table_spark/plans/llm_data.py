@@ -7380,3 +7380,173 @@ def _sql_sq8_rerank(E):
 
 
 _register_pair("ann_sq8_rerank_eval", _sql_sq8_rerank, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# ngram_crossval_perplexity — held-out LM evaluation: a Laplace-smoothed
+# bigram model trained on the EVEN doc_ids scores the ODD docs per
+# source (the generalization check text_bigram_score's self-scored
+# corpus LM can't give; KenLM-filter teams run exactly this split
+# before trusting fluency scores). Kept rational (no ln) with ROUND-
+# quantized DECIMAL sums; unseen history words hit the Laplace floor
+# via LEFT JOIN + COALESCE and are reported as the OOV-history rate.
+# Scale: model tables are vocabulary-sized (broadcast); corpus-scale
+# shuffles are the two gram censuses on uniform-ish keys.
+def _sql_crossval_ppl(E):
+    words = E.splitws("lower(text)")
+    gram = f"array_join({E.slice('words', 'i', 2)}, ' ')"
+    gram_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, i -> {gram})"
+    if E is _Duck:
+        gram_arr = gram_arr.replace("array_join", "array_to_string")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {words} AS words FROM documents
+    ),
+    train_uni AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT {E.explode('words', 'w1')} FROM toks WHERE doc_id % 2 = 0) u
+      GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM train_uni),
+    train_grams AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM (SELECT {E.explode(gram_arr, 'gram')} FROM toks WHERE doc_id % 2 = 0) g
+      GROUP BY gram
+    ),
+    eval_grams AS (
+      SELECT source, {E.explode(gram_arr, 'gram')}
+      FROM toks WHERE doc_id % 2 = 1 AND {E.SIZE}(words) >= 2
+    ),
+    scored AS (
+      SELECT {E.bhint('u')}e.source,
+             -- empty-train degenerate (V=0, unseen history): define p=1
+             -- (Spark ANSI raises on /0 where DuckDB floats to Inf)
+             CAST(CASE WHEN COALESCE(u.c1, 0) + vocab.v > 0
+                       THEN ROUND(CAST(COALESCE(g.c12, 0) + 1 AS DOUBLE)
+                                  / (COALESCE(u.c1, 0) + vocab.v), 9)
+                       ELSE 1.0e0 END AS DECIMAL(12, 9)) AS p,
+             CASE WHEN u.w1 IS NULL THEN 1 ELSE 0 END AS oov
+      FROM eval_grams e
+      LEFT JOIN train_grams g ON e.gram = g.gram
+      LEFT JOIN train_uni u ON split_part(e.gram, ' ', 1) = u.w1
+      CROSS JOIN vocab
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+           ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS heldout_avg_cond_prob,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_history_rate
+    FROM scored GROUP BY source
+    ORDER BY source
+    """
+
+
+_register_pair("ngram_crossval_perplexity", _sql_crossval_ppl)
+
+
+# ---------------------------------------------------------------------------
+# doc_language_entropy_by_source — how multilingual each source is:
+# Shannon entropy of the language mix plus the dominant-language share.
+# The mixing dashboard column that catches a "mostly-en" crawl quietly
+# turning 40% machine-translated. Scale: one (source, lang) census;
+# entropy terms are ROUND-quantized then DECIMAL-summed over the
+# bounded language set.
+def _sql_lang_entropy(E):
+    return f"""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+    ),
+    terms AS (
+      SELECT c.source,
+             CAST(ROUND((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n), 9) AS DECIMAL(18, 9)) AS h,
+             CAST(c.c AS DOUBLE) / t.n AS share
+      FROM cells c JOIN tot t ON c.source = t.source
+    )
+    SELECT t.source,
+           CAST(MAX(tt.n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(CAST(-SUM(t.h) AS DOUBLE), 6) AS lang_entropy,
+           ROUND(MAX(t.share), 6) AS dominant_share
+    FROM terms t JOIN tot tt ON t.source = tt.source
+    GROUP BY t.source
+    ORDER BY t.source
+    """
+
+
+_register_pair("doc_language_entropy_by_source", _sql_lang_entropy)
+
+
+# ---------------------------------------------------------------------------
+# context_window_utilization — what a 2048-token training window costs
+# per source: fit rate (docs needing no chunking), chunk counts, and the
+# padding-waste share of the chunked token budget — the planning readout
+# behind sequence-packing decisions (compare pack_bin_efficiency, which
+# audits the packer itself). Pure integer map-side math + one source
+# rollup.
+def _sql_ctx_window(E, idiv):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH tok AS (
+      SELECT source, CAST({E.SIZE}({words}) AS BIGINT) AS nt
+      FROM documents WHERE text IS NOT NULL
+    ),
+    per_doc AS (
+      SELECT source, nt,
+             CASE WHEN nt <= 2048 THEN 1 ELSE 0 END AS fits,
+             (nt + 2047) {idiv} 2048 AS chunks
+      FROM tok WHERE nt > 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(fits) AS DOUBLE) / COUNT(*), 6) AS fit_rate,
+           CAST(SUM(chunks) AS BIGINT) AS total_chunks,
+           ROUND(CAST(SUM(chunks * 2048 - nt) AS DOUBLE)
+                 / SUM(chunks * 2048), 6) AS padding_waste_rate
+    FROM per_doc GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES["context_window_utilization"] = lambda spark, sf_dir: (
+    _repartition_views(spark, load_tables(spark, sf_dir, ("documents",))),
+    spark.sql(_sql_ctx_window(_Spark, "DIV")),
+)[1]
+QUERIES["context_window_utilization"].__name__ = "context_window_utilization"
+ORACLE["context_window_utilization"] = _sql_ctx_window(_Duck, "//")
+
+
+# ---------------------------------------------------------------------------
+# corpus_dp_noisy_counts — differential-privacy-style noisy per-source
+# doc counts (Laplace mechanism, ε=1) with DETERMINISTIC noise: the
+# uniform comes from md5(source) (the repo's md5-keyed randomness rule,
+# so both engines draw the identical sample) and the Laplace value is
+# the inverse CDF. The privacy-report shape a data-governance team
+# publishes when exact per-slice counts would leak; the audit columns
+# (true count, abs error) exist because this is the mechanism's test
+# harness, not a release artifact. Scale: a source census + map-side
+# noise.
+def _sql_dp_counts(E):
+    h = E.hex2int("substring(md5('dp:' || source), 1, 5)")
+    u = f"(CAST({h} AS DOUBLE) + 0.5e0) / 1048576.0e0"
+    lap = (
+        f"(CASE WHEN ({u}) < 0.5e0 THEN 1.0e0 ELSE -1.0e0 END "
+        f"* ln(1.0e0 - 2.0e0 * abs(({u}) - 0.5e0)))"
+    )
+    return f"""
+    WITH census AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_true,
+           ROUND(n_true + {lap}, 4) AS noisy_count,
+           ROUND(abs({lap}), 4) AS abs_noise
+    FROM census
+    ORDER BY source
+    """
+
+
+_register_pair("corpus_dp_noisy_counts", _sql_dp_counts)

@@ -72,6 +72,10 @@ def _sql_curriculum_phases(E):
     return L._sql_curriculum(E, "DIV" if E is L._Spark else "//")
 
 
+def _sql_ctx_window(E):
+    return L._sql_ctx_window(E, "DIV" if E is L._Spark else "//")
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -123,6 +127,12 @@ _TEMPLATES = [
     # curriculum quartiles (single-value histograms, zero-token docs)
     L._sql_query_expansion,
     _sql_curriculum_phases,
+    # round-5 (2): held-out LM scoring (empty train/eval splits), the
+    # language-mix entropy, window utilization, and deterministic DP noise
+    L._sql_crossval_ppl,
+    L._sql_lang_entropy,
+    _sql_ctx_window,
+    L._sql_dp_counts,
 ]
 
 
