@@ -123,6 +123,16 @@ QUERIES = [
     "supplier_herfindahl",
     "orders_keyspace_gap_audit",
     "query_expansion_prf",
+    "ngram_crossval_perplexity",
+    "doc_language_entropy_by_source",
+    "context_window_utilization",
+    "corpus_dp_noisy_counts",
+    "tokenizer_fertility_audit",
+    "ann_sq8_rerank_eval",
+    "lineitem_reorder_point",
+    "embedding_cluster_purity",
+    "events_power_users_pareto",
+    "events_value_winsorized_stats",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -7550,3 +7550,59 @@ def _sql_dp_counts(E):
 
 
 _register_pair("corpus_dp_noisy_counts", _sql_dp_counts)
+
+
+# ---------------------------------------------------------------------------
+# embedding_cluster_purity — external clustering validation: each Lloyd
+# cluster's majority label, per-cluster purity, and the overall corpus
+# purity — the first sanity check that unsupervised structure agrees
+# with the labels before clusters drive sampling decisions
+# (cluster_balanced_sample). Rides the SAME persisted assignment as the
+# other Lloyd consumers; the (cluster, label) grid is k×|labels| cells,
+# so everything past the one join is constant-size. Ratios are exact
+# integer-count quotients.
+def _sql_km_purity(E, asrc=None, prefix=""):
+    asrc, prefix = _km_srcs(E, asrc, prefix)
+    lead = prefix.rstrip().rstrip(",") + "," if prefix else "WITH"
+    return f"""
+    {lead}
+    grid AS (
+      SELECT a.cent_id, e.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {asrc} a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY a.cent_id, e.label
+    ),
+    ranked AS (
+      SELECT cent_id, label, c,
+             ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY c DESC, label) AS rn
+      FROM grid
+    ),
+    best AS (
+      SELECT cent_id, label AS majority_label, c AS n_majority
+      FROM ranked WHERE rn = 1
+    ),
+    per AS (
+      SELECT cent_id, CAST(SUM(c) AS BIGINT) AS n_vecs FROM grid GROUP BY cent_id
+    ),
+    ov AS (
+      SELECT CAST(SUM(b.n_majority) AS BIGINT) AS m, CAST(SUM(p.n_vecs) AS BIGINT) AS n
+      FROM best b JOIN per p ON p.cent_id = b.cent_id
+    )
+    SELECT CAST(p.cent_id AS INT) AS cluster,
+           p.n_vecs,
+           CAST(b.majority_label AS INT) AS majority_label,
+           ROUND(CAST(b.n_majority AS DOUBLE) / p.n_vecs, 6) AS cluster_purity,
+           ROUND(CAST(o.m AS DOUBLE) / o.n, 6) AS overall_purity
+    FROM per p JOIN best b ON b.cent_id = p.cent_id CROSS JOIN ov o
+    ORDER BY cluster
+    """
+
+
+def _km_purity_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asrc = _km_stage(spark, sf_dir)
+    load_tables(spark, sf_dir, ("embeddings",))  # labels side of the join
+    return spark.sql(_sql_km_purity(_Spark, asrc))
+
+
+_km_purity_runner.__name__ = "embedding_cluster_purity"
+QUERIES["embedding_cluster_purity"] = _km_purity_runner
+ORACLE["embedding_cluster_purity"] = _sql_km_purity(_Duck)

@@ -66,7 +66,11 @@ def _exact_rank_stage(
     """Return (ranked_df, n, total_sum): census columns plus `_rank`
     (exact global BIGINT rank by key {DESC|ASC}, uid ASC) and, when
     ``sum_col`` is given, `_cum` (exact DECIMAL running sum in rank
-    order). No unpartitioned window anywhere in the plan."""
+    order). No unpartitioned window anywhere in the plan.
+
+    Contract: ``key`` must be non-NULL (engines disagree on NULL
+    ordering and the cut comparisons would go NULL) — COALESCE at the
+    census, as the callers do."""
     import os as _os
     from decimal import Decimal
     from functools import reduce
@@ -5241,3 +5245,134 @@ _REORDER_SQL = """
 def lineitem_reorder_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem")
     return spark.sql(_REORDER_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)"))
+
+
+# --------------------------------------------------------------------------
+# events_power_users_pareto — revenue concentration: the share of total
+# event value captured by the top 1% / 10% / 50% of users. The whale
+# curve behind every monetization/abuse decision. Spark side: the exact
+# global rank + running sum come from the distributed two-pass
+# (_exact_rank_stage — never a single-partition window over the user
+# census); the three segment rows are rank-point lookups against the
+# bucketed frame. Oracle keeps the plain window spelling.
+_PARETO_SQL = """
+    WITH spend AS (
+      -- COALESCE: an all-NULL-value user spent 0 cents (NULL ordering
+      -- differs across engines, so NULL keys may never reach the rank)
+      SELECT user_id,
+             CAST(COALESCE(SUM(CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)), 0)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS i,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS tot,
+             SUM(cents) OVER (ORDER BY cents DESC, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM spend
+    ),
+    pcts AS (SELECT 1 AS pct UNION ALL SELECT 10 UNION ALL SELECT 50)
+    SELECT 'top_' || CAST(p.pct AS {str_t}) || 'pct' AS segment,
+           CAST(r.i AS BIGINT) AS n_users,
+           CASE WHEN r.tot > 0 THEN ROUND(CAST(r.cum AS DOUBLE) / r.tot, 6)
+                ELSE 0.0e0 END AS value_share
+    FROM pcts p JOIN ranked r ON r.i = (r.n * p.pct + 99) {idiv} 100
+    ORDER BY p.pct
+"""
+
+
+@register(
+    "events_power_users_pareto",
+    oracle=_PARETO_SQL.format(str_t="VARCHAR", idiv="//"),
+)
+def events_power_users_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    spend = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n, total = _exact_rank_stage(
+        spark, sf_dir, "pareto_rank", spend, "cents", "user_id",
+        desc=True, sum_col="cents",
+    )
+    tot_dbl = float(total)
+    legs = []
+    for pct in (1, 10, 50):
+        k = (n * pct + 99) // 100
+        legs.append(
+            ranked.filter(F.col("_rank") == k).select(
+                F.lit(f"top_{pct}pct").alias("segment"),
+                F.lit(k).cast("bigint").alias("n_users"),
+                (
+                    F.round(F.col("_cum").cast("double") / F.lit(tot_dbl), 6)
+                    if tot_dbl > 0
+                    else F.lit(0.0)
+                ).alias("value_share"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out
+
+
+# --------------------------------------------------------------------------
+# events_value_winsorized_stats — robust per-type value statistics:
+# P5/P95 winsorization cut points from the bounded cents census
+# (cumulative window PARTITIONED BY event_type over census cells, the
+# events_ks_test pattern), then an exact integer winsorized mean and
+# clip counts. The metric-pipeline move when a few whale transactions
+# wreck a plain mean but MAD over-trims. All integer math until the
+# final division.
+_WINSOR_SQL = """
+    WITH vals AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY event_type, cents
+    ),
+    cum AS (
+      SELECT event_type, cents, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN cr * 20 >= n THEN cents END) AS lo,
+             MIN(CASE WHEN cr * 20 >= 19 * n THEN cents END) AS hi
+      FROM cum GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(k.lo AS BIGINT) AS p5_cents,
+           CAST(k.hi AS BIGINT) AS p95_cents,
+           ROUND(CAST(SUM(CASE WHEN v.cents < k.lo THEN k.lo
+                               WHEN v.cents > k.hi THEN k.hi
+                               ELSE v.cents END) AS DOUBLE) / 100.0e0 / COUNT(*), 6)
+             AS winsorized_mean,
+           CAST(SUM(CASE WHEN v.cents < k.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN v.cents > k.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
+    FROM vals v JOIN cuts k ON k.event_type = v.event_type
+    GROUP BY v.event_type, k.lo, k.hi
+    ORDER BY v.event_type
+"""
+
+
+@register("events_value_winsorized_stats", oracle=_WINSOR_SQL)
+def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_WINSOR_SQL)

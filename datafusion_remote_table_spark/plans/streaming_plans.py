@@ -10,6 +10,7 @@ from __future__ import annotations
 from ..streaming import (
     stream_corpus_mix_monitor,
     stream_decayed_popularity,
+    stream_lang_entropy_monitor,
     stream_dedup_stateful,
     stream_doc_quality_gate,
     stream_events_windowed,
@@ -463,3 +464,33 @@ ORACLE["stream_decayed_popularity"] = """
     GROUP BY event_type
     ORDER BY decayed_rank
 """
+
+
+QUERIES["stream_lang_entropy_monitor"] = stream_lang_entropy_monitor
+# Maintained (source, lang) grid + the batch entropy layer: converges to
+# doc_language_entropy_by_source (same oracle SQL, inlined because this
+# module registers before llm_data).
+ORACLE["stream_lang_entropy_monitor"] = """
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+    ),
+    terms AS (
+      SELECT c.source,
+             CAST(ROUND((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n), 9) AS DECIMAL(18, 9)) AS h,
+             CAST(c.c AS DOUBLE) / t.n AS share
+      FROM cells c JOIN tot t ON c.source = t.source
+    )
+    SELECT t.source,
+           CAST(MAX(tt.n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(CAST(-SUM(t.h) AS DOUBLE), 6) AS lang_entropy,
+           ROUND(MAX(t.share), 6) AS dominant_share
+    FROM terms t JOIN tot tt ON t.source = tt.source
+    GROUP BY t.source
+    ORDER BY t.source
+    """

@@ -1015,3 +1015,38 @@ def stream_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     ORDER BY decayed_rank
     """)
+
+
+def stream_lang_entropy_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language-mix monitor: the stream maintains the
+    (source, lang) doc-count grid (state bounded by sources × langs),
+    and the entropy/dominance layer — identical spelling to the batch
+    doc_language_entropy_by_source — runs over the converged rollup.
+    The live alarm for a crawl's language mix drifting mid-ingest.
+    Converges to the batch answer on bounded input, which is the
+    oracle."""
+    stream = _docs_stream(spark, sf_dir)
+    agg = stream.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    bounded = _run_bounded(agg, "stream_lang_entropy_monitor")
+    bounded.createOrReplaceTempView("stream_lang_cells")
+    return spark.sql("""
+    WITH cells AS (SELECT source, lang, CAST(c AS BIGINT) AS c FROM stream_lang_cells),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+    ),
+    terms AS (
+      SELECT c.source,
+             CAST(ROUND((CAST(c.c AS DOUBLE) / t.n)
+                        * ln(CAST(c.c AS DOUBLE) / t.n), 9) AS DECIMAL(18, 9)) AS h,
+             CAST(c.c AS DOUBLE) / t.n AS share
+      FROM cells c JOIN tot t ON c.source = t.source
+    )
+    SELECT t.source,
+           CAST(MAX(tt.n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(CAST(-SUM(t.h) AS DOUBLE), 6) AS lang_entropy,
+           ROUND(MAX(t.share), 6) AS dominant_share
+    FROM terms t JOIN tot tt ON t.source = tt.source
+    GROUP BY t.source
+    ORDER BY t.source
+    """)

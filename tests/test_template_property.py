@@ -321,6 +321,10 @@ _EVENT_QUERIES = [
     "events_ks_test",
     "events_user_predictability",
     "events_weekday_profile",
+    # round-5: whale-curve rank lookups (ties, tiny n) and winsorized
+    # robust stats (single-value censuses, all-identical values)
+    "events_power_users_pareto",
+    "events_value_winsorized_stats",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
