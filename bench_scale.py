@@ -133,6 +133,9 @@ QUERIES = [
     "embedding_cluster_purity",
     "events_power_users_pareto",
     "events_value_winsorized_stats",
+    "multimodal_phash_neardup",
+    "events_ab_srm_check",
+    "part_single_source_risk",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

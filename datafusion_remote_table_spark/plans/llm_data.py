@@ -7606,3 +7606,97 @@ def _km_purity_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
 _km_purity_runner.__name__ = "embedding_cluster_purity"
 QUERIES["embedding_cluster_purity"] = _km_purity_runner
 ORACLE["embedding_cluster_purity"] = _sql_km_purity(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_neardup — image near-duplicate neighborhoods over the
+# REAL decoded perceptual hashes: for every observed phash, how many
+# images share it exactly and how many sit at hamming distance 1 (the
+# single-bit-flip band probes — the image analogue of dedup_simhash's
+# banding; visually-near images differ in a pixel-vs-mean bit or two).
+# Scale: the probes run over the HASH CENSUS (≤2^bits rows), never per
+# image, so the join is constant-size regardless of corpus; the only
+# corpus-scale work is the Arrow-batch decode + one census shuffle.
+def _phash_bits() -> int:
+    return 8  # toy payloads are 8 pixels; a production phash is 64-bit
+
+
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import phash_media
+
+    ph = phash_media(_encoded_media_frame(spark, sf_dir))
+    census = ph.groupBy("phash").agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    flips = F.array(*[F.expr(f"CAST(phash ^ {1 << i} AS BIGINT)") for i in range(_phash_bits())])
+    probes = census.select(
+        F.col("phash").alias("base"), F.col("n_images").alias("n_base"),
+        F.explode(flips).alias("probe"),
+    )
+    neigh = (
+        probes.join(
+            census.select(F.col("phash").alias("probe"), F.col("n_images").alias("n_n")),
+            "probe",
+        )
+        .groupBy("base")
+        .agg(F.sum("n_n").cast("long").alias("n_h1"))
+    )
+    return (
+        census.join(neigh, census.phash == neigh.base, "left")
+        .select(
+            "phash",
+            "n_images",
+            F.coalesce(F.col("n_h1"), F.lit(0)).cast("long").alias("n_neighbors_h1"),
+            (F.col("n_images") + F.coalesce(F.col("n_h1"), F.lit(0)))
+            .cast("long")
+            .alias("cluster_size_h1"),
+            F.when(
+                F.col("n_images") + F.coalesce(F.col("n_h1"), F.lit(0)) > 1, 1
+            ).otherwise(0).cast("int").alias("is_dup_neighborhood"),
+        )
+    )
+
+
+def _sql_phash_neardup_oracle(E):
+    # recompute the per-doc phash from the md5 derivation (same CTEs as
+    # _sql_phash_oracle), then run the identical census + flip-probe join
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def byte_at(i):
+        return f"({E.hex2int(f'substring(h, {2 * i - 1}, 2)')})"
+
+    lumas = [f"({byte_at(3 * i + 1)} + {byte_at(3 * i + 2)} + {byte_at(3 * i + 3)})" for i in range(8)]
+    bits = " + ".join(
+        f"(CASE WHEN 8 * l{i} > lt THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    luma_cols = ", ".join(f"{l} AS l{i}" for i, l in enumerate(lumas))
+    flip_rows = " UNION ALL ".join(f"SELECT {1 << i} AS m" for i in range(_phash_bits()))
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents),
+    lum AS (SELECT doc_id, {luma_cols} FROM hx),
+    ph AS (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+      FROM (SELECT doc_id, l0, l1, l2, l3, l4, l5, l6, l7,
+                   (l0 + l1 + l2 + l3 + l4 + l5 + l6 + l7) AS lt
+            FROM lum) z
+    ),
+    census AS (
+      SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_images FROM ph GROUP BY phash
+    ),
+    masks AS ({flip_rows}),
+    neigh AS (
+      SELECT c.phash AS base, CAST(SUM(c2.n_images) AS BIGINT) AS n_h1
+      FROM census c
+      CROSS JOIN masks m
+      JOIN census c2 ON c2.phash = {E.xor('c.phash', 'm.m')}
+      GROUP BY c.phash
+    )
+    SELECT c.phash, c.n_images,
+           CAST(COALESCE(n.n_h1, 0) AS BIGINT) AS n_neighbors_h1,
+           CAST(c.n_images + COALESCE(n.n_h1, 0) AS BIGINT) AS cluster_size_h1,
+           CAST(CASE WHEN c.n_images + COALESCE(n.n_h1, 0) > 1 THEN 1 ELSE 0 END AS INT)
+             AS is_dup_neighborhood
+    FROM census c LEFT JOIN neigh n ON n.base = c.phash
+    """
+
+
+QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
+ORACLE["multimodal_phash_neardup"] = _sql_phash_neardup_oracle(_Duck)

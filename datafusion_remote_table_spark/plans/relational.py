@@ -5376,3 +5376,82 @@ _WINSOR_SQL = """
 def events_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_WINSOR_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_ab_srm_check — sample-ratio-mismatch guardrail: before reading
+# ANY experiment result, verify the md5 bucketing actually split users
+# ~50/50 (a skewed split means assignment is broken and every readout
+# is garbage). Chi-square statistic over the two arms from exact
+# integer counts; the 3.841 cut is the 95% chi-square(1) critical
+# value. Scale: one user census shuffle, then constant-size arithmetic.
+_SRM_SQL = """
+    WITH per_user AS (
+      SELECT user_id, CAST({bucket} AS INT) AS variant
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user GROUP BY variant
+    ),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n1
+      FROM arms
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           ROUND(CAST(n0 AS DOUBLE) / (n0 + n1), 6) AS control_share,
+           ROUND(CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1), 6)
+             AS chi_square,
+           CAST(CASE WHEN CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1) > 3.841e0
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM wide
+"""
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=_SRM_SQL.format(
+        bucket="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+    ),
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _SRM_SQL.format(
+            bucket="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# part_single_source_risk — dual-sourcing risk audit: per brand, how
+# many parts depend on a SINGLE supplier (the supply-chain fragility
+# census a sourcing team tracks next to supplier_herfindahl's revenue
+# concentration). One partkey-grain supplier-count census off the fact
+# table, then a bounded brand rollup.
+_SINGLESRC_SQL = """
+    WITH per_part AS (
+      SELECT l.l_partkey, p.p_brand,
+             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey, p.p_brand
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_single_sourced,
+           ROUND(CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS single_source_rate,
+           ROUND(CAST(SUM(n_suppliers) AS DOUBLE) / COUNT(*), 6)
+             AS avg_suppliers_per_part
+    FROM per_part
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+
+@register("part_single_source_risk", oracle=_SINGLESRC_SQL)
+def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SINGLESRC_SQL)

@@ -325,6 +325,7 @@ _EVENT_QUERIES = [
     # robust stats (single-value censuses, all-identical values)
     "events_power_users_pareto",
     "events_value_winsorized_stats",
+    "events_ab_srm_check",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
