@@ -136,6 +136,8 @@ QUERIES = [
     "multimodal_phash_neardup",
     "events_ab_srm_check",
     "part_single_source_risk",
+    "embedding_pq_codebook_balance",
+    "orders_cohort_ltv",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

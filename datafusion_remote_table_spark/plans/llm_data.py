@@ -7700,3 +7700,48 @@ def _sql_phash_neardup_oracle(E):
 
 QUERIES["multimodal_phash_neardup"] = multimodal_phash_neardup
 ORACLE["multimodal_phash_neardup"] = _sql_phash_neardup_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codebook_balance — PQ index-quality audit: per-subspace
+# codeword occupancy (how many of the 16 codewords are actually used,
+# the occupancy entropy, and the hottest codeword's share). A collapsed
+# codebook (few hot codewords) means the quantizer lost the subspace —
+# the check an index team runs after training, before recall pays for
+# it. Rides the SAME persisted codes as ann_pq_cosine; everything past
+# the census is 4×16 cells. Entropy terms quantized then DECIMAL-summed.
+def _sql_pq_balance_select(E, codes):
+    return f"""
+    WITH occ AS (
+      SELECT j, cent_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM {codes} GROUP BY j, cent_id
+    ),
+    tot AS (SELECT j, CAST(SUM(c) AS BIGINT) AS n FROM occ GROUP BY j),
+    terms AS (
+      SELECT o.j,
+             CAST(ROUND((CAST(o.c AS DOUBLE) / t.n)
+                        * ln(CAST(o.c AS DOUBLE) / t.n), 9) AS DECIMAL(18, 9)) AS h,
+             CAST(o.c AS DOUBLE) / t.n AS share
+      FROM occ o JOIN tot t ON t.j = o.j
+    )
+    SELECT CAST(t.j AS INT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_codewords_used,
+           ROUND(CAST(-SUM(t.h) AS DOUBLE), 6) AS occupancy_entropy,
+           ROUND(MAX(t.share), 6) AS max_codeword_share,
+           ROUND(MAX(t.share) * 16, 4) AS hot_vs_uniform
+    FROM terms t
+    GROUP BY t.j
+    ORDER BY subspace
+    """
+
+
+def _pq_balance_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, _cb, codes_view = _pq_stage(spark, sf_dir)
+    return spark.sql(_sql_pq_balance_select(_Spark, codes_view))
+
+
+_pq_balance_runner.__name__ = "embedding_pq_codebook_balance"
+QUERIES["embedding_pq_codebook_balance"] = _pq_balance_runner
+ORACLE["embedding_pq_codebook_balance"] = _sql_pq_balance_select(
+    _Duck, f"({_sql_pq_codes(_Duck, f'({_sql_pq_codebook(_Duck)})')})"
+)

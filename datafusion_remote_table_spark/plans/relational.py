@@ -5455,3 +5455,54 @@ _SINGLESRC_SQL = """
 def part_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem", "part")
     return spark.sql(_SINGLESRC_SQL)
+
+
+# --------------------------------------------------------------------------
+# orders_cohort_ltv — the LTV triangle: customers cohorted by first-
+# order month; each (cohort, age) cell reports active customers,
+# revenue, and cumulative-revenue-per-cohort-customer — the lifetime-
+# value matrix a growth team reads down the diagonal. Scale: one
+# custkey-grain cohort census, one (cohort, age) cell rollup (bounded
+# by months²); revenue is exact integer cents; the cumulative runs over
+# the bounded cell grid partitioned by cohort.
+_LTV_SQL = """
+    WITH per_order AS (
+      SELECT o_custkey,
+             ({yr} - 1992) * 12 + ({mon} - 1) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cohort AS (
+      SELECT o_custkey, MIN(m) AS m0 FROM per_order GROUP BY o_custkey
+    ),
+    csize AS (
+      SELECT m0, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY m0
+    ),
+    cells AS (
+      SELECT c.m0 AS cohort_month, p.m - c.m0 AS age,
+             CAST(COUNT(DISTINCT p.o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(p.cents) AS BIGINT) AS cents
+      FROM per_order p JOIN cohort c ON c.o_custkey = p.o_custkey
+      GROUP BY c.m0, p.m - c.m0
+    )
+    SELECT CAST(x.cohort_month AS BIGINT) AS cohort_month,
+           CAST(x.age AS BIGINT) AS age_months,
+           s.n_cohort, x.n_active,
+           CAST(x.cents AS DOUBLE) / 100 AS revenue,
+           ROUND(CAST(SUM(x.cents) OVER (PARTITION BY x.cohort_month ORDER BY x.age
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 100.0e0 / s.n_cohort, 6) AS cum_ltv_per_customer
+    FROM cells x JOIN csize s ON s.m0 = x.cohort_month
+    ORDER BY cohort_month, age_months
+"""
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=_LTV_SQL.format(
+        yr="EXTRACT(year FROM o_orderdate)", mon="EXTRACT(month FROM o_orderdate)"
+    ),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(_LTV_SQL.format(yr="year(o_orderdate)", mon="month(o_orderdate)"))

@@ -929,3 +929,95 @@ def remote_update_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@register(
+    "remote_schema_drift_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('o_custkey',      'ok'),
+      ('o_orderkey',     'ok'),
+      ('o_orderstatus',  'ok'),
+      ('o_totalprice',   'ok'),
+      ('o_comment',      'missing_remote'),
+      ('o_orderpriority','unexpected_remote')
+    ) AS t(col_name, status) ORDER BY status, col_name
+    """,
+)
+def remote_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation DQ: diff the remote table's LIVE catalog columns
+    (list_columns — the SourceCommand surface) against the contract the
+    pipeline expects. The audit that catches a remote DBA adding or
+    dropping a column before a scheduled scan silently breaks. The
+    expected list here deliberately includes a column the remote lacks
+    (o_comment) and omits one it has (o_orderpriority) so both drift
+    classes appear."""
+    ensure_sqlite_remote(sf_dir)
+    expected = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_comment"]
+    remote = [c for c, _pos in RemoteTable.list_columns(_sqlite_opts(sf_dir), "orders")]
+    rows = [(c, "ok" if c in remote else "missing_remote") for c in expected]
+    rows += [(c, "unexpected_remote") for c in remote if c not in expected]
+    df = spark.createDataFrame(rows, "col_name string, status string")
+    return df.orderBy("status", "col_name")
+
+
+@register(
+    "remote_partition_balance_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) + 1 AS hi FROM orders
+    ),
+    params AS (
+      SELECT lo, hi, GREATEST(1, (hi - lo + 7) // 8) AS step FROM bounds
+    ),
+    assigned AS (
+      SELECT (o.o_orderkey - p.lo) // p.step AS range_id
+      FROM orders o CROSS JOIN params p
+    ),
+    loads AS (
+      SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM assigned GROUP BY range_id
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_rows) AS BIGINT) AS total FROM loads)
+    SELECT CAST(l.range_id AS BIGINT) AS range_id, l.n_rows,
+           ROUND(CAST(l.n_rows AS DOUBLE) / nr.total, 6) AS row_share,
+           ROUND(CAST(l.n_rows AS DOUBLE) * nr.k / nr.total, 4) AS skew_vs_ideal
+    FROM loads l CROSS JOIN nr
+    ORDER BY range_id
+    """,
+)
+def remote_partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-fetch skew audit: plan the 8-way key-range split the
+    partitioned remote read uses (spec.partition_predicates — MIN/MAX
+    probe + half-open ranges), then push a COUNT per range to the
+    remote and report per-range load vs ideal. The pre-flight check
+    before fanning 1000 executor tasks at a remote table whose keyspace
+    might be lumpy. All work runs remotely; only 8 counts return."""
+    from ..remote.connection import connect
+
+    ensure_sqlite_remote(sf_dir)
+    spec = RemoteScanSpec(
+        options=_sqlite_opts(sf_dir),
+        table=["orders"],
+        partition_column="o_orderkey",
+        fetch_partitions=8,
+    )
+    preds = spec.partition_predicates()
+    conn = connect(spec.options)
+    try:
+        cur = conn.cursor()
+        counts = []
+        for i, pred in enumerate(preds):
+            sql = spec.dialect.compose(spec.table, filters=pred)
+            cur.execute(f"SELECT COUNT(*) FROM ({sql}) t")
+            counts.append((i, int(cur.fetchone()[0])))
+    finally:
+        conn.close()
+    total = sum(n for _, n in counts) or 1
+    k = len(counts)
+    rows = [
+        (i, n, round(n / total, 6), round(n * k / total, 4)) for i, n in counts
+    ]
+    return spark.createDataFrame(
+        rows, "range_id bigint, n_rows bigint, row_share double, skew_vs_ideal double"
+    )

@@ -413,6 +413,7 @@ _ORDER_QUERIES = [
     # all-future cutoffs) and the keyspace gap census (tiny/sparse keys)
     "orders_snapshot_asof",
     "orders_keyspace_gap_audit",
+    "orders_cohort_ltv",
 ]
 
 _STATUSES = ["O", "F", "P"]
