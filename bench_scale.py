@@ -138,6 +138,9 @@ QUERIES = [
     "part_single_source_risk",
     "embedding_pq_codebook_balance",
     "orders_cohort_ltv",
+    "dedup_mix_shift_report",
+    "lineitem_temporal_dq_audit",
+    "inventory_abc_xyz",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

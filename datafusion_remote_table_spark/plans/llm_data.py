@@ -7745,3 +7745,108 @@ QUERIES["embedding_pq_codebook_balance"] = _pq_balance_runner
 ORACLE["embedding_pq_codebook_balance"] = _sql_pq_balance_select(
     _Duck, f"({_sql_pq_codes(_Duck, f'({_sql_pq_codebook(_Duck)})')})"
 )
+
+
+# ---------------------------------------------------------------------------
+# dedup_mix_shift_report — what dedup DOES to the corpus mix: per-source
+# doc shares before vs after keep-best near-dup removal (keepers +
+# untouched docs survive), with the share shift. Dedup is never
+# mix-neutral — boilerplate-heavy sources shrink — and a training run
+# re-weights on the POST-dedup mix, so this report gates the sampling
+# config. Rides the SAME persisted CC members staging as dedup_clusters
+# / dedup_keep_best; everything past the keeper window is a
+# source-bounded census.
+def dedup_mix_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    docs = dfs["documents"].select("doc_id", "source", "n_chars")
+    members = _minhash_members(spark, sf_dir)
+    scored = members.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    kept = docs.join(members.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    ).union(docs.join(keepers, "doc_id", "left_semi").select("doc_id", "source"))
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    after = kept.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    tb = before.agg(F.sum("n_before").alias("tb")).collect()[0][0]
+    ta_row = after.agg(F.sum("n_after").alias("ta")).collect()[0][0]
+    ta = ta_row if ta_row else 1
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            F.round(F.col("n_before").cast("double") / F.lit(float(tb)), 6).alias("share_before"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0)).cast("double") / F.lit(float(ta)), 6
+            ).alias("share_after"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0)).cast("double") / F.lit(float(ta))
+                - F.col("n_before").cast("double") / F.lit(float(tb)),
+                6,
+            ).alias("share_shift"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_mix_shift_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src),
+    scored AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars
+      FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source FROM documents d
+      LEFT JOIN members m ON d.doc_id = m.doc_id WHERE m.doc_id IS NULL
+      UNION ALL
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN (SELECT doc_id FROM ranked WHERE rn = 1) k ON k.doc_id = d.doc_id
+    ),
+    before AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents GROUP BY source
+    ),
+    after AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after FROM kept GROUP BY source
+    ),
+    tots AS (
+      SELECT (SELECT CAST(SUM(n_before) AS DOUBLE) FROM before) AS tb,
+             (SELECT CAST(COALESCE(SUM(n_after), 1) AS DOUBLE) FROM after) AS ta
+    )
+    SELECT b.source, b.n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           ROUND(b.n_before / t.tb, 6) AS share_before,
+           ROUND(COALESCE(a.n_after, 0) / t.ta, 6) AS share_after,
+           ROUND(COALESCE(a.n_after, 0) / t.ta - b.n_before / t.tb, 6) AS share_shift
+    FROM before b LEFT JOIN after a ON a.source = b.source CROSS JOIN tots t
+    ORDER BY b.source
+    """
+
+
+QUERIES["dedup_mix_shift_report"] = dedup_mix_shift_report
+ORACLE["dedup_mix_shift_report"] = _sql_mix_shift_duck()

@@ -5506,3 +5506,161 @@ _LTV_SQL = """
 def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders")
     return spark.sql(_LTV_SQL.format(yr="year(o_orderdate)", mon="month(o_orderdate)"))
+
+
+# --------------------------------------------------------------------------
+# lineitem_temporal_dq_audit — cross-table temporal integrity: lineitems
+# that shipped BEFORE their order existed (impossible causality —
+# loader bugs, timezone mangling, backdated records), reported per
+# order month with the lag distribution. One orderkey shuffle join,
+# integer day math, bounded month rollup.
+_TEMPORAL_DQ_SQL = """
+    WITH joined AS (
+      SELECT ({yr}) * 100 + ({mon}) AS order_month,
+             ({l_day}) - ({o_day}) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(order_month AS BIGINT) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           ROUND(CAST(SUM(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS violation_rate,
+           CAST(MIN(lag_days) AS BIGINT) AS worst_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM joined
+    GROUP BY order_month
+    ORDER BY order_month
+"""
+
+
+@register(
+    "lineitem_temporal_dq_audit",
+    oracle=_TEMPORAL_DQ_SQL.format(
+        yr="EXTRACT(year FROM o.o_orderdate)",
+        mon="EXTRACT(month FROM o.o_orderdate)",
+        l_day="CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400",
+        o_day="CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400",
+    ),
+)
+def lineitem_temporal_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(
+        _TEMPORAL_DQ_SQL.format(
+            yr="year(o.o_orderdate)",
+            mon="month(o.o_orderdate)",
+            l_day="CAST(unix_timestamp(l.l_shipdate) AS BIGINT) DIV 86400",
+            o_day="CAST(unix_timestamp(o.o_orderdate) AS BIGINT) DIV 86400",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# inventory_abc_xyz — the ABC×XYZ inventory matrix: revenue class (A/B/C
+# from the distributed exact-rank cumulative share — the same
+# _exact_rank_stage census parts_abc_classification rides) crossed with
+# demand-variability class (X/Y/Z from the monthly-demand coefficient
+# of variation, zero months algebraic as in lineitem_reorder_point).
+# The 9-cell matrix that decides which parts get safety stock vs
+# just-in-time. Scale: two part-grain censuses, a part-grain join, a
+# 9-cell rollup; no global window anywhere on the Spark side.
+_ABCXYZ_ORACLE = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_dec,
+             CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+             CAST(SUM(rev_dec) OVER () AS DOUBLE) AS total_rev
+      FROM per_part
+    ),
+    abc AS (
+      SELECT l_partkey, rev_dec,
+             CASE WHEN cum_rev / total_rev <= 0.7 THEN 'A'
+                  WHEN cum_rev / total_rev <= 0.9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    ),
+    cells AS (
+      SELECT l_partkey,
+             (EXTRACT(year FROM l_shipdate) - 1992) * 12
+               + (EXTRACT(month FROM l_shipdate) - 1) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, m
+    ),
+    mcount AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS nm FROM cells),
+    xyz AS (
+      SELECT s.l_partkey,
+             CASE WHEN sqrt(greatest(CAST(s.sq AS DOUBLE) / c.nm
+                        - (CAST(s.s1 AS DOUBLE) / c.nm) * (CAST(s.s1 AS DOUBLE) / c.nm), 0.0e0))
+                       / (CAST(s.s1 AS DOUBLE) / c.nm) <= 0.5e0 THEN 'X'
+                  WHEN sqrt(greatest(CAST(s.sq AS DOUBLE) / c.nm
+                        - (CAST(s.s1 AS DOUBLE) / c.nm) * (CAST(s.s1 AS DOUBLE) / c.nm), 0.0e0))
+                       / (CAST(s.s1 AS DOUBLE) / c.nm) <= 1.0e0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS sq
+            FROM cells GROUP BY l_partkey) s
+      CROSS JOIN mcount c
+    ),
+    tot AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) AS t FROM per_part)
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(a.rev_dec) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(a.rev_dec) AS DOUBLE) / t.t, 6) AS revenue_share
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey CROSS JOIN tot t
+    GROUP BY a.abc_class, x.xyz_class, t.t
+    ORDER BY a.abc_class, x.xyz_class
+"""
+
+
+@register("inventory_abc_xyz", oracle=_ABCXYZ_ORACLE)
+def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1) - F.col("l_discount").cast(DEC))
+        ).alias("rev_dec")
+    )
+    ranked, _n, total = _exact_rank_stage(
+        spark, sf_dir, "abc_rank", per_part, "rev_dec", "l_partkey",
+        desc=True, sum_col="rev_dec",
+    )
+    share = F.col("_cum").cast("double") / F.lit(float(total))
+    abc = ranked.select(
+        "l_partkey", "rev_dec",
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias("abc_class"),
+    )
+    m = (F.year("l_shipdate") - F.lit(1992)) * F.lit(12) + (F.month("l_shipdate") - F.lit(1))
+    cells = lineitem.groupBy("l_partkey", m.alias("m")).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("q")
+    ).persist()
+    nm = cells.select("m").distinct().count()
+    stats = cells.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(float(nm))
+    cv = F.sqrt(
+        F.greatest(F.col("sq").cast("double") / F.lit(float(nm)) - mean * mean, F.lit(0.0))
+    ) / mean
+    xyz = stats.select(
+        "l_partkey",
+        F.when(cv <= 0.5, "X").when(cv <= 1.0, "Y").otherwise("Z").alias("xyz_class"),
+    )
+    tot_dbl = float(total)
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.round(F.sum("rev_dec").cast("double") / F.lit(tot_dbl), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

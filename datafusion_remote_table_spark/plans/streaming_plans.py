@@ -21,6 +21,7 @@ from ..streaming import (
     stream_pii_gate,
     stream_remote_sink,
     stream_sliding_window,
+    stream_srm_monitor,
     stream_stream_attribution,
     stream_quantile_monitor,
     stream_sketch_heavy_hitters,
@@ -494,3 +495,30 @@ ORACLE["stream_lang_entropy_monitor"] = """
     GROUP BY t.source
     ORDER BY t.source
     """
+
+
+QUERIES["stream_srm_monitor"] = stream_srm_monitor
+# Converges to events_ab_srm_check (same oracle SQL, inlined — this
+# module registers before relational.py).
+ORACLE["stream_srm_monitor"] = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2 AS INT) AS variant
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user GROUP BY variant
+    ),
+    wide AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n1
+      FROM arms
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           ROUND(CAST(n0 AS DOUBLE) / (n0 + n1), 6) AS control_share,
+           ROUND(CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1), 6) AS chi_square,
+           CAST(CASE WHEN CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1) > 3.841e0
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM wide
+"""

@@ -1050,3 +1050,39 @@ def stream_lang_entropy_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY t.source
     ORDER BY t.source
     """)
+
+
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sample-ratio-mismatch guardrail: the stream dedups
+    users (dropDuplicates on user_id — same state class as
+    stream_dedup_stateful; at production scale this is the
+    watermark-scoped "new users this horizon" census), maintains the
+    per-variant user counts, and the chi-square alarm layer runs batch
+    over the converged 2-row rollup — an experiment platform's live
+    assignment-health tile. Converges to events_ab_srm_check on bounded
+    input, which is the oracle."""
+    stream = _events_stream(spark, sf_dir)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+    ).cast("int")
+    arms = (
+        stream.dropDuplicates(["user_id"])
+        .select(bucket.alias("variant"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    bounded = _run_bounded(arms, "stream_srm_monitor")
+    bounded.createOrReplaceTempView("stream_srm_arms")
+    return spark.sql("""
+    WITH wide AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n1
+      FROM stream_srm_arms
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           ROUND(CAST(n0 AS DOUBLE) / (n0 + n1), 6) AS control_share,
+           ROUND(CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1), 6) AS chi_square,
+           CAST(CASE WHEN CAST((n0 - n1) AS DOUBLE) * (n0 - n1) / (n0 + n1) > 3.841e0
+                     THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM wide
+    """)
