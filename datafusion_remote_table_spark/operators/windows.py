@@ -145,3 +145,43 @@ def scd2_history(
         "n_events",
         F.when(F.col("__end").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    key_col: str,
+    uid_col: str,
+    *,
+    descending: bool = False,
+    cum_sum_col: str | None = None,
+    n_buckets: int = 32,
+    rank_col: str = "rank",
+    cum_col: str = "cum_sum",
+) -> DataFrame:
+    """Exact global rank (and optional exact running sum) WITHOUT a
+    single-partition window — the RangePartitioner two-pass behind
+    parts_abc_classification / customer_spend_gini /
+    customer_rfm_segments / events_power_users_pareto: a bounded
+    deterministic sample picks composite (key, uid) range cut points,
+    rows get buckets map-side, and ROW_NUMBER / running sums execute
+    partitioned by bucket with exact collected offsets inlined.
+
+    Contract: ``key_col`` must be non-NULL (COALESCE first — engines
+    and the cut comparisons disagree on NULL ordering); ``uid_col``
+    must be a unique tie-break. For exact running sums pass a DECIMAL
+    or integer ``cum_sum_col`` (float sums are order-dependent).
+    """
+    from ..plans.relational import _exact_rank_stage
+
+    spark = df.sparkSession
+    # private stage key: the operator API is parameterized, so cache by
+    # the physical arguments rather than a registered query name
+    prefix = f"oprank_{key_col}_{uid_col}_{int(descending)}_{cum_sum_col}_{n_buckets}"
+    ranked, _n, _tot = _exact_rank_stage(
+        spark, f"_op_{id(df)}", prefix, df, key_col, uid_col,
+        desc=descending, sum_col=cum_sum_col, n_buckets=n_buckets,
+    )
+    out = ranked.withColumnRenamed("_rank", rank_col)
+    if cum_sum_col is not None:
+        out = out.withColumnRenamed("_cum", cum_col)
+    return out.drop("_bkt")

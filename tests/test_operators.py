@@ -747,3 +747,24 @@ def test_prf_api_matches_plan_instance(spark, sf_dir, docs):
         for r in plans.QUERIES["query_expansion_prf"](spark, sf_dir).collect()
     }
     assert api == plan
+
+
+def test_global_rank_api_matches_window_spelling(spark):
+    from pyspark.sql import Window as W
+    from datafusion_remote_table_spark.operators.windows import global_rank
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    api = global_rank(df, "v", "id", descending=True, n_buckets=8)
+    got = {(r.id, r["rank"]) for r in api.collect()}
+    w = W.orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        (r.id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+    # every window in the API plan is bucket-partitioned
+    plan = api._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_bkt" in line

@@ -592,3 +592,44 @@ def test_bloom_prune_positions_broadcast(spark, sf_dir):
     # probe side; the orders scan never shuffles on custkey
     plan = _plan(plans.QUERIES["bloom_semijoin_prune"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pareto_rank_is_bucket_partitioned(spark, sf_dir):
+    # the whale-curve ranks come from the distributed two-pass: every
+    # window bucket-partitioned, no single-partition exchange
+    plan = _plan(plans.QUERIES["events_power_users_pareto"](spark, sf_dir))
+    _assert_windows_bucket_partitioned(plan)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_abcxyz_reuses_rank_stage_and_no_global_window(spark, sf_dir):
+    plan = _plan(plans.QUERIES["inventory_abc_xyz"](spark, sf_dir))
+    _assert_windows_bucket_partitioned(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_topk_cuts_are_bounded(spark, sf_dir):
+    # both retrieval cuts and the expansion cut are LIMIT-planned
+    # (GlobalLimit over bounded inputs), never a full-relation window
+    plan = _plan(plans.QUERIES["query_expansion_prf"](spark, sf_dir))
+    assert "Window" not in plan, "PRF fell back to a rank window"
+    assert "CartesianProduct" not in plan
+
+
+def test_sq8_windows_partition_per_query(spark, sf_dir):
+    # coarse/rerank/truth ranks all partition by the query vector
+    plan = _plan(plans.QUERIES["ann_sq8_rerank_eval"](spark, sf_dir))
+    import re
+
+    for line in plan.splitlines():
+        if re.search(r"\bWindow \[", line):
+            assert "vec_id" in line or "query_id" in line
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_neardup_probe_join_is_census_sized(spark, sf_dir):
+    # the flip probes explode the HASH CENSUS, not the image table: the
+    # probe join must be a broadcast hash join of census-size relations
+    plan = _plan(plans.QUERIES["multimodal_phash_neardup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
