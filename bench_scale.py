@@ -141,6 +141,8 @@ QUERIES = [
     "dedup_mix_shift_report",
     "lineitem_temporal_dq_audit",
     "inventory_abc_xyz",
+    "theta_sketch_set_ops",
+    "events_spectral_peaks",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -7850,3 +7850,83 @@ def _sql_mix_shift_duck():
 
 QUERIES["dedup_mix_shift_report"] = dedup_mix_shift_report
 ORACLE["dedup_mix_shift_report"] = _sql_mix_shift_duck()
+
+
+# ---------------------------------------------------------------------------
+# theta_sketch_set_ops — KMV/theta sketch SET OPERATIONS between two
+# source vocabularies: the k=64 smallest md5-uniform hashes per set
+# give (k-1)/theta distinct estimates for A, B, and A∪B, and
+# inclusion-exclusion prices |A∩B| — reported next to the exact audits.
+# The Datasketches workhorse for "how much do these crawls overlap?"
+# when the sets are too big to join (HLL can't intersect; theta can).
+# Scale: hashes ride the SAME checkpointed distinct-word staging as
+# approx_distinct_hll; the per-set k-smallest is a window partitioned
+# by source over the (Heaps-sublinear) vocabulary; the union cut is a
+# bounded ORDER BY + LIMIT (TakeOrdered). Sets smaller than k fall back
+# to exact counting, exactly as the production sketch does.
+_THETA_K = 64
+
+
+def _sql_theta_select(E, srcrel):
+    u = f"CAST({E.hex2int('substring(md5(w), 1, 13)')} AS DOUBLE) / 4503599627370496.0e0"
+    k = _THETA_K
+
+    def est(n, theta):
+        return (
+            f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) "
+            f"ELSE ({k} - 1) / {theta} END"
+        )
+
+    return f"""
+    WITH ab AS (
+      SELECT source, w, {u} AS u FROM {srcrel}
+      WHERE source IN ('src0', 'src1')
+    ),
+    per_set AS (
+      SELECT source, u,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, w) AS rn
+      FROM ab
+    ),
+    set_stats AS (
+      SELECT source,
+             CAST(MAX(rn) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN rn <= {k} THEN u END) AS theta
+      FROM per_set GROUP BY source
+    ),
+    uni AS (SELECT w, MAX(u) AS u FROM ab GROUP BY w),
+    uni_k AS (SELECT u FROM uni ORDER BY u, w LIMIT {k}),
+    uni_stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_exact,
+             (SELECT MAX(u) FROM uni_k) AS theta
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN source = 'src0' THEN n_exact END) AS na,
+             MAX(CASE WHEN source = 'src0' THEN theta END) AS ta,
+             MAX(CASE WHEN source = 'src1' THEN n_exact END) AS nb,
+             MAX(CASE WHEN source = 'src1' THEN theta END) AS tb
+      FROM set_stats
+    )
+    SELECT CAST({k} AS INT) AS k,
+           w.na AS exact_a, ROUND({est('w.na', 'w.ta')}, 4) AS est_a,
+           w.nb AS exact_b, ROUND({est('w.nb', 'w.tb')}, 4) AS est_b,
+           u.n_exact AS exact_union,
+           ROUND({est('u.n_exact', 'u.theta')}, 4) AS est_union,
+           CAST(w.na + w.nb - u.n_exact AS BIGINT) AS exact_intersection,
+           ROUND({est('w.na', 'w.ta')} + {est('w.nb', 'w.tb')}
+                 - {est('u.n_exact', 'u.theta')}, 4) AS est_intersection
+    FROM wide w CROSS JOIN uni_stats u
+    """
+
+
+def _theta_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_sql_theta_select(_Spark, _hll_words_stage(spark, sf_dir)))
+
+
+_theta_runner.__name__ = "theta_sketch_set_ops"
+QUERIES["theta_sketch_set_ops"] = _theta_runner
+ORACLE["theta_sketch_set_ops"] = (
+    f"WITH src_words AS MATERIALIZED ({_sql_hll_words(_Duck)})\n"
+    + _sql_theta_select(_Duck, "src_words").replace("WITH ab AS", ", ab AS", 1).replace(
+        "\n    WITH ", "\n    ", 1
+    )
+)

@@ -5664,3 +5664,69 @@ def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# --------------------------------------------------------------------------
+# events_spectral_peaks — periodicity detection in hourly traffic: the
+# discrete-Fourier power of the mean-removed hourly count series at the
+# candidate periods (6/8/12/24/168 hours) — how a monitoring stack
+# decides "this metric is daily-cyclic, alert on deviations from the
+# cycle" rather than eyeballing ACF lags (events_hourly_acf's
+# complement: ACF scans lags, this scores named frequencies). Missing
+# hours contribute zero to every sum, so the census needs NO dense
+# spine. cos/sin products are quantized then DECIMAL-summed (the pow/ln
+# discipline — transcendentals of identical doubles agree, float SUM
+# order would not). Scale: one hour census; 5 constant-size frequency
+# legs over it.
+_SPECTRAL_SQL = """
+    WITH hourly AS (
+      SELECT ({hour}) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY ({hour})
+    ),
+    base AS (
+      SELECT h - (SELECT MIN(h) FROM hourly) AS t, c FROM hourly
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu
+      FROM base
+    ),
+    periods AS (
+      SELECT CAST(p AS BIGINT) AS period FROM (
+        SELECT 6 AS p UNION ALL SELECT 8 UNION ALL SELECT 12
+        UNION ALL SELECT 24 UNION ALL SELECT 168
+      ) x
+    ),
+    terms AS (
+      SELECT p.period,
+             CAST(ROUND((b.c - s.mu) * cos(2 * pi() * b.t / p.period), 9)
+                  AS DECIMAL(28, 9)) AS re_t,
+             CAST(ROUND((b.c - s.mu) * sin(2 * pi() * b.t / p.period), 9)
+                  AS DECIMAL(28, 9)) AS im_t
+      FROM base b CROSS JOIN stats s CROSS JOIN periods p
+    ),
+    spectrum AS (
+      SELECT t.period,
+             CAST(SUM(t.re_t) AS DOUBLE) AS re,
+             CAST(SUM(t.im_t) AS DOUBLE) AS im
+      FROM terms t GROUP BY t.period
+    )
+    SELECT sp.period AS period_hours,
+           ROUND((sp.re * sp.re + sp.im * sp.im) / s.nh, 4) AS power,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+                ROUND((sp.re * sp.re + sp.im * sp.im) / s.nh, 4) DESC, sp.period)
+             AS BIGINT) AS power_rank
+    FROM spectrum sp CROSS JOIN stats s
+    ORDER BY period_hours
+"""
+
+
+@register(
+    "events_spectral_peaks",
+    oracle=_SPECTRAL_SQL.format(hour="CAST(floor(epoch(ts)) AS BIGINT) // 3600"),
+)
+def events_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _SPECTRAL_SQL.format(hour="CAST(unix_timestamp(ts) AS BIGINT) DIV 3600")
+    )

@@ -326,6 +326,7 @@ _EVENT_QUERIES = [
     "events_power_users_pareto",
     "events_value_winsorized_stats",
     "events_ab_srm_check",
+    "events_spectral_peaks",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
