@@ -143,6 +143,8 @@ QUERIES = [
     "inventory_abc_xyz",
     "theta_sketch_set_ops",
     "events_spectral_peaks",
+    "events_markov_stationary",
+    "events_ab_heterogeneity",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -5730,3 +5730,122 @@ def events_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SPECTRAL_SQL.format(hour="CAST(unix_timestamp(ts) AS BIGINT) DIV 3600")
     )
+
+
+# --------------------------------------------------------------------------
+# events_markov_stationary — the long-run behavioral mix: power-iterate
+# the user-transition matrix (events_markov_transitions' census) from a
+# uniform start for 16 steps and compare the stationary distribution
+# against the empirical state shares — "where does user behavior
+# settle vs where it is today". The state space is the bounded
+# event-type set, so every iteration is a tiny census join; each
+# step's products are ROUND-quantized then DECIMAL-summed, making the
+# whole iteration bit-identical across engines (the pow/ln
+# discipline applied to a fixpoint).
+def _sql_markov_stationary(n_iters: int = 16) -> str:
+    parts = ["""trans AS (
+      SELECT f, t, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY f) AS p
+      FROM (
+        SELECT prev AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+      ) x
+    )""", """states AS (SELECT f AS s FROM trans GROUP BY f)""", """pi0 AS (
+      SELECT s, CAST(1.0e0 AS DOUBLE) / (SELECT COUNT(*) FROM states) AS p
+      FROM states
+    )"""]
+    for k in range(1, n_iters + 1):
+        parts.append(f"""pi{k} AS (
+      SELECT t.t AS s,
+             CAST(CAST(SUM(CAST(ROUND(p.p * t.p, 9) AS DECIMAL(18, 9))) AS DECIMAL(18, 9))
+                  AS DOUBLE) AS p
+      FROM pi{k - 1} p JOIN trans t ON t.f = p.s
+      GROUP BY t.t
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    {ctes},
+    empirical AS (
+      SELECT event_type AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM events) AS emp_share
+      FROM events GROUP BY event_type
+    )
+    SELECT e.s AS event_type, e.n_events,
+           ROUND(e.emp_share, 6) AS empirical_share,
+           ROUND(COALESCE(f.p, 0.0e0), 6) AS stationary_prob,
+           ROUND(COALESCE(f.p, 0.0e0) - e.emp_share, 6) AS shift
+    FROM empirical e LEFT JOIN pi{n_iters} f ON f.s = e.s
+    ORDER BY e.s
+    """
+
+
+@register("events_markov_stationary", oracle=_sql_markov_stationary())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_sql_markov_stationary())
+
+
+# --------------------------------------------------------------------------
+# events_ab_heterogeneity — treatment-effect heterogeneity: the A/B
+# conversion readout (same md5 bucketing + conversion rule as
+# events_ab_test) split by customer market segment — a flat average
+# uplift routinely hides a segment where the treatment HURTS. One user
+# census, one broadcast dim join, a segment×variant rollup.
+_AB_HET_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST({bucket} AS INT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    seg AS (
+      SELECT p.variant, c.c_mktsegment AS segment, p.converted
+      FROM per_user p JOIN customer c ON c.c_custkey = p.user_id
+    ),
+    cells AS (
+      SELECT segment, variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM seg GROUP BY segment, variant
+    )
+    SELECT segment,
+           CAST(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n_treatment,
+           ROUND(CAST(SUM(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS DOUBLE)
+                 / greatest(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END), 1), 6)
+             AS cr_control,
+           ROUND(CAST(SUM(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS DOUBLE)
+                 / greatest(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END), 1), 6)
+             AS cr_treatment,
+           ROUND(CAST(SUM(CASE WHEN variant = 1 THEN n_conv ELSE 0 END) AS DOUBLE)
+                 / greatest(SUM(CASE WHEN variant = 1 THEN n_users ELSE 0 END), 1)
+                 - CAST(SUM(CASE WHEN variant = 0 THEN n_conv ELSE 0 END) AS DOUBLE)
+                 / greatest(SUM(CASE WHEN variant = 0 THEN n_users ELSE 0 END), 1), 6)
+             AS uplift
+    FROM cells
+    GROUP BY segment
+    ORDER BY segment
+"""
+
+
+@register(
+    "events_ab_heterogeneity",
+    oracle=_AB_HET_SQL.format(
+        bucket="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+    ),
+)
+def events_ab_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events", "customer")
+    return spark.sql(
+        _AB_HET_SQL.format(
+            bucket="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+        )
+    )

@@ -327,6 +327,7 @@ _EVENT_QUERIES = [
     "events_value_winsorized_stats",
     "events_ab_srm_check",
     "events_spectral_peaks",
+    "events_markov_stationary",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
