@@ -117,6 +117,14 @@ HEADLINE = [
     "split_leakage_audit",
     "ivm_incremental_agg",
     "text_zipf_audit",
+    # round 5: PRF retrieval + theta sketch ride shared stagings (their
+    # numbers are incremental); SQ8 rerank, fertility, and the dedup
+    # mix-shift report establish their own baselines
+    "query_expansion_prf",
+    "theta_sketch_set_ops",
+    "ann_sq8_rerank_eval",
+    "tokenizer_fertility_audit",
+    "dedup_mix_shift_report",
 ]
 
 

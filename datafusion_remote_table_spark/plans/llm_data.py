@@ -7930,3 +7930,45 @@ ORACLE["theta_sketch_set_ops"] = (
         "\n    WITH ", "\n    ", 1
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# vocab_cutoff_coverage — what a min-frequency vocabulary cutoff costs:
+# for thresholds 1/2/5/10, the surviving vocab size and the share of
+# corpus tokens still covered — the table a tokenizer design reads
+# before fixing min_frequency (too high → OOV explosion on the tail,
+# too low → vocab bloat). One word census; 4 constant-size threshold
+# legs over the (vocab-sized) census.
+def _sql_vocab_cutoff(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT {E.explode(words, 'w')} FROM documents) x
+      WHERE w IS NOT NULL AND w <> ''
+      GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM wc
+    ),
+    thresholds AS (
+      SELECT CAST(t AS BIGINT) AS min_freq FROM (
+        SELECT 1 AS t UNION ALL SELECT 2 UNION ALL SELECT 5 UNION ALL SELECT 10
+      ) x
+    )
+    SELECT th.min_freq,
+           CAST(SUM(CASE WHEN wc.c >= th.min_freq THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_size,
+           ROUND(CAST(SUM(CASE WHEN wc.c >= th.min_freq THEN 1 ELSE 0 END) AS DOUBLE)
+                 / MAX(t.n_types), 6) AS type_share,
+           ROUND(CAST(SUM(CASE WHEN wc.c >= th.min_freq THEN wc.c ELSE 0 END) AS DOUBLE)
+                 / MAX(t.n_tokens), 6) AS token_coverage
+    FROM thresholds th CROSS JOIN wc CROSS JOIN tot t
+    GROUP BY th.min_freq
+    ORDER BY th.min_freq
+    """
+
+
+_register_pair("vocab_cutoff_coverage", _sql_vocab_cutoff)

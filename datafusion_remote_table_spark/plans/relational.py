@@ -5849,3 +5849,51 @@ def events_ab_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_markov_heldout_accuracy — does the behavior model generalize?
+# Train the next-event predictor (argmax transition count, tie-break
+# alphabetical) on EVEN user_ids, score top-1 accuracy per history
+# state on the ODD users — the held-out eval that separates a real
+# behavioral regularity from memorized sequences (the LM-eval split
+# applied to the Markov family). All integer counts; one user-keyed
+# LAG window per half; the model table is states² and broadcasts.
+_MARKOV_HELDOUT_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    train AS (
+      SELECT prev AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL AND user_id % 2 = 0
+      GROUP BY prev, event_type
+    ),
+    model AS (
+      SELECT f, t AS predicted FROM (
+        SELECT f, t, ROW_NUMBER() OVER (PARTITION BY f ORDER BY c DESC, t) AS rn
+        FROM train
+      ) r WHERE rn = 1
+    ),
+    eval_pairs AS (
+      SELECT prev AS f, event_type AS actual
+      FROM seq WHERE prev IS NOT NULL AND user_id % 2 = 1
+    )
+    SELECT e.f AS history_state,
+           m.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN e.actual = m.predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN e.actual = m.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS top1_accuracy
+    FROM eval_pairs e JOIN model m ON m.f = e.f
+    GROUP BY e.f, m.predicted
+    ORDER BY e.f
+"""
+
+
+@register("events_markov_heldout_accuracy", oracle=_MARKOV_HELDOUT_SQL)
+def events_markov_heldout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_MARKOV_HELDOUT_SQL)
