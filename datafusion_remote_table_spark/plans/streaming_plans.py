@@ -522,3 +522,34 @@ ORACLE["stream_srm_monitor"] = """
                      THEN 1 ELSE 0 END AS INT) AS srm_flag
     FROM wide
 """
+
+from ..streaming import stream_theta_distinct_monitor  # noqa: E402
+from .llm_data import _sql_hll_words as _hll_words  # noqa: E402
+
+QUERIES["stream_theta_distinct_monitor"] = stream_theta_distinct_monitor
+# KMV merge is order-insensitive, so the converged per-source state
+# equals the batch sketch; the oracle recomputes it from the corpus.
+ORACLE["stream_theta_distinct_monitor"] = f"""
+    WITH src_words AS MATERIALIZED ({_hll_words(_D)}),
+    hashed AS (
+      SELECT source, CAST('0x' || substring(md5(w), 1, 13) AS BIGINT) AS h, w
+      FROM src_words
+    ),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, w) AS rn
+      FROM hashed
+    ),
+    stats AS (
+      SELECT source,
+             CAST(MAX(rn) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN rn <= 64 THEN h END) AS theta
+      FROM ranked GROUP BY source
+    )
+    SELECT source,
+           CAST(LEAST(n_exact, 64) AS BIGINT) AS n_sampled,
+           ROUND(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+                      ELSE 63 * 4503599627370496.0e0 / theta END, 4) AS est_distinct
+    FROM stats
+    ORDER BY source
+"""

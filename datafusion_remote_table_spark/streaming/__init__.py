@@ -1,3 +1,6 @@
+from .stateful import (  # noqa: F401
+    stream_theta_distinct_monitor,
+)
 from .events import (  # noqa: F401
     stream_corpus_mix_monitor,
     stream_decayed_popularity,

@@ -159,3 +159,78 @@ def stream_scd2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("stream_scd2_monitor")
+
+
+# ---------------------------------------------------------------------------
+# stream_theta_distinct_monitor — a KMV/theta sketch maintained as
+# CUSTOM STREAMING STATE: per source, the k=64 smallest distinct
+# md5-uniform word hashes ride applyInPandasWithState (state is k
+# BIGINTs per source — constant regardless of stream length), and each
+# microbatch emits the source's refreshed distinct-vocabulary estimate;
+# the serving layer keeps the latest emission per source. The live
+# "how big is each crawl's vocabulary" tile without ever holding a
+# vocabulary. KMV merge is order-insensitive (k smallest of a set), so
+# on bounded input the final state equals the batch sketch exactly —
+# the DuckDB oracle recomputes it from the corpus.
+_THETA_K = 64
+_THETA_OUT = "source string, n_seen bigint, n_sampled bigint, est_distinct double"
+_THETA_STATE = "vals array<bigint>, n_seen long"
+
+
+def _theta_source(key, pdf_iter, state: GroupState):
+    import hashlib
+    import re as _re
+
+    (source,) = key
+    vals = []
+    n_seen = 0
+    if state.exists:
+        stored_vals, stored_seen = state.get
+        vals = list(stored_vals)
+        n_seen = int(stored_seen)
+    hashes = set(vals)
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    for text in rows["text"]:
+        n_seen += 1
+        if text is None:
+            continue
+        for w in _re.split(r"\s+", str(text).strip().lower()):
+            if not w:
+                continue
+            h = int(hashlib.md5(w.encode()).hexdigest()[:13], 16)
+            hashes.add(h)
+    vals = sorted(hashes)[:_THETA_K]
+    state.update((vals, n_seen))
+    n_sampled = len(vals)
+    if n_sampled < _THETA_K:
+        est = float(n_sampled)
+    else:
+        est = (_THETA_K - 1) * 4503599627370496.0 / vals[-1]
+    yield pd.DataFrame(
+        [(source, n_seen, n_sampled, round(est, 4))],
+        columns=["source", "n_seen", "n_sampled", "est_distinct"],
+    )
+
+
+def stream_theta_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .events import _docs_stream, _run_bounded
+
+    stream = _docs_stream(spark, sf_dir).select("source", "text")
+    est = stream.groupBy("source").applyInPandasWithState(
+        _theta_source,
+        outputStructType=_THETA_OUT,
+        stateStructType=_THETA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    bounded = _run_bounded(est, "stream_theta_distinct_monitor", mode="append")
+    w = Window.partitionBy("source").orderBy(F.desc("n_seen"))
+    return (
+        bounded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_sampled", "est_distinct")
+        .orderBy("source")
+    )
