@@ -145,6 +145,11 @@ QUERIES = [
     "events_spectral_peaks",
     "events_markov_stationary",
     "events_ab_heterogeneity",
+    "embedding_exact_dup_census",
+    "events_linear_attribution",
+    "vocab_cutoff_coverage",
+    "events_markov_heldout_accuracy",
+    "stream_theta_distinct_monitor",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

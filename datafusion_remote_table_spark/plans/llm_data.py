@@ -7972,3 +7972,54 @@ def _sql_vocab_cutoff(E):
 
 
 _register_pair("vocab_cutoff_coverage", _sql_vocab_cutoff)
+
+
+# ---------------------------------------------------------------------------
+# embedding_exact_dup_census — exact duplicate VECTORS: identical
+# embeddings under 1e-6 quantization hash to one signature (integer
+# micros, never stringified doubles — engines disagree on scientific
+# notation) and group in one census shuffle. The degenerate-dup class
+# cosine near-dup ops over-pay for: identical rows should be
+# hash-grouped, not pairwise-scored — the embedding-table twin of
+# dedup_exact. Output: group-size histogram + share of redundant rows.
+def _sql_emb_exact_dup(E):
+    comp = f"CAST(CAST(ROUND(CAST({{x}} AS DOUBLE) * 1000000) AS BIGINT) AS {E.STR})"
+    if E is _Spark:
+        sig = (
+            "md5(array_join(transform(embedding, x -> "
+            + comp.format(x="x")
+            + "), chr(44)))"
+        )
+    else:
+        sig = (
+            "md5(array_to_string(list_transform(embedding, x -> "
+            + comp.format(x="x")
+            + "), chr(44)))"
+        )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, {sig} AS sig FROM embeddings
+    ),
+    groups AS (
+      SELECT sig, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(vec_id) AS BIGINT) AS keeper
+      FROM sigs GROUP BY sig
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+             CAST(SUM(n - 1) AS BIGINT) AS n_redundant,
+             CAST(MAX(n) AS BIGINT) AS max_group
+      FROM groups
+    )
+    SELECT g.n AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(g.keeper) AS BIGINT) AS example_keeper,
+           ROUND(CAST(MAX(t.n_redundant) AS DOUBLE) / MAX(t.n_vecs), 6)
+             AS corpus_redundancy,
+           CAST(MAX(t.max_group) AS BIGINT) AS largest_group
+    FROM groups g CROSS JOIN tot t
+    GROUP BY g.n
+    ORDER BY group_size
+    """
+
+
+_register_pair("embedding_exact_dup_census", _sql_emb_exact_dup, tables=("embeddings",))

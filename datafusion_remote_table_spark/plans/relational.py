@@ -5897,3 +5897,86 @@ _MARKOV_HELDOUT_SQL = """
 def events_markov_heldout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_MARKOV_HELDOUT_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_linear_attribution — multi-touch attribution: every purchase
+# splits one unit of credit LINEARLY across the event types the user
+# touched in the preceding 24 hours (purchase included as its own
+# touch) — the marketing-science counterpart of the last-touch
+# interval_attribution_join. The trailing-window touch counts are
+# conditional SUMs over a RANGE frame PARTITIONED BY user (bounded
+# range, natural key); credits are exact rationals quantized before
+# the DECIMAL rollup.
+_LINATTR_SQL = """
+    WITH ev AS (
+      SELECT user_id, event_type, {sec} AS s
+      FROM events
+    ),
+    windowed AS (
+      SELECT user_id, event_type, s,
+             {counts},
+             {total} AS n_touch
+      FROM ev
+    ),
+    credits AS (
+      SELECT user_id,
+             {credit_rows} AS credit_arr
+      FROM windowed WHERE event_type = 'purchase'
+    ),
+    exploded AS (
+      SELECT x.touch_type, x.credit FROM ({unnest}) u
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
+           ROUND(CAST(SUM(CAST(credit AS DECIMAL(18, 9))) AS DOUBLE), 4)
+             AS attributed_purchases
+    FROM exploded
+    WHERE credit > 0
+    GROUP BY touch_type
+    ORDER BY touch_type
+"""
+
+
+def _linattr_sql(engine: str) -> str:
+    types = ["browse", "click", "purchase", "search", "view"]
+    if engine == "spark":
+        sec = "CAST(unix_timestamp(ts) AS BIGINT)"
+    else:
+        sec = "CAST(floor(epoch(ts)) AS BIGINT)"
+    counts = ",\n             ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) OVER "
+        f"(PARTITION BY user_id ORDER BY s RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+        f" AS c_{t}" for t in types
+    )
+    total = " + ".join(f"c_{t}" for t in types).join(["(", ")"])
+    # per purchase: an array of (touch_type, credit) structs, exploded
+    if engine == "spark":
+        credit_rows = (
+            "array("
+            + ", ".join(
+                f"named_struct('touch_type', '{t}', 'credit', "
+                f"ROUND(CAST(c_{t} AS DOUBLE) / n_touch, 9))" for t in types
+            )
+            + ")"
+        )
+        unnest = "SELECT explode(credit_arr) AS x FROM credits"
+    else:
+        credit_rows = (
+            "["
+            + ", ".join(
+                f"{{'touch_type': '{t}', 'credit': "
+                f"ROUND(CAST(c_{t} AS DOUBLE) / n_touch, 9)}}" for t in types
+            )
+            + "]"
+        )
+        unnest = "SELECT unnest(credit_arr) AS x FROM credits"
+    return _LINATTR_SQL.format(
+        sec=sec, counts=counts, total=total, credit_rows=credit_rows, unnest=unnest
+    )
+
+
+@register("events_linear_attribution", oracle=_linattr_sql("duck"))
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_linattr_sql("spark"))

@@ -238,6 +238,7 @@ _EMB_TEMPLATES = [
     # margin (duplicate vectors -> zero margin, zero-vector guard)
     L._sql_label_balance,
     L._sql_margin_audit,
+    L._sql_emb_exact_dup,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
@@ -328,6 +329,8 @@ _EVENT_QUERIES = [
     "events_ab_srm_check",
     "events_spectral_peaks",
     "events_markov_stationary",
+    "events_linear_attribution",
+    "events_markov_heldout_accuracy",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
