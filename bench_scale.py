@@ -150,6 +150,8 @@ QUERIES = [
     "vocab_cutoff_coverage",
     "events_markov_heldout_accuracy",
     "stream_theta_distinct_monitor",
+    "events_engagement_fatigue",
+    "text_burstiness_dispersion",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -8023,3 +8023,48 @@ def _sql_emb_exact_dup(E):
 
 
 _register_pair("embedding_exact_dup_census", _sql_emb_exact_dup, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness_dispersion — word burstiness (Katz): for the top-20
+# corpus words, the variance-to-mean ratio of per-doc counts — content
+# words burst (VMR >> 1), function words spread evenly (VMR ≈ 1). The
+# signal separating topical vocabulary from glue, used by stopword
+# induction and TF weighting schemes. Zero-count docs enter
+# algebraically via the global doc count (no dense word×doc spine);
+# the top-20 cut is a TakeOrdered; per-word stats are exact integer
+# sufficient sums.
+def _sql_burstiness(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH percell AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) x
+      WHERE w IS NOT NULL AND w <> ''
+      GROUP BY doc_id, w
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+    top AS (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS total
+      FROM percell GROUP BY w
+      ORDER BY total DESC, w LIMIT 20
+    ),
+    stats AS (
+      SELECT p.w,
+             CAST(SUM(p.c) AS BIGINT) AS s1,
+             CAST(SUM(p.c * p.c) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_with
+      FROM percell p JOIN top t ON t.w = p.w
+      GROUP BY p.w
+    )
+    SELECT s.w AS word, t.total, s.n_docs_with,
+           ROUND(CAST(s.s1 AS DOUBLE) / d.n, 6) AS mean_per_doc,
+           ROUND((CAST(s.s2 AS DOUBLE) / d.n
+                  - (CAST(s.s1 AS DOUBLE) / d.n) * (CAST(s.s1 AS DOUBLE) / d.n))
+                 / (CAST(s.s1 AS DOUBLE) / d.n), 4) AS burstiness_vmr
+    FROM stats s JOIN top t ON t.w = s.w CROSS JOIN nd d
+    ORDER BY t.total DESC, s.w
+    """
+
+
+_register_pair("text_burstiness_dispersion", _sql_burstiness)

@@ -5980,3 +5980,45 @@ def _linattr_sql(engine: str) -> str:
 def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_linattr_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# events_engagement_fatigue — does the Nth interaction spend less? Each
+# user's events are numbered (user-partitioned window, natural key),
+# bucketed into visit ranks 1..9 and 10+, and each rank reports users
+# reaching it, mean value (exact integer cents / count), and retention
+# vs rank 1 — the engagement-decay curve a growth team reads before
+# believing a DAU number. One user shuffle; the rollup is 10 cells.
+_FATIGUE_SQL = """
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS visit_n
+      FROM events
+    ),
+    bucketed AS (
+      SELECT CASE WHEN visit_n >= 10 THEN 10 ELSE visit_n END AS visit_rank,
+             user_id,
+             CAST(floor(COALESCE(value, 0.0e0) * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM numbered
+    ),
+    cells AS (
+      SELECT visit_rank,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM bucketed GROUP BY visit_rank
+    ),
+    base AS (SELECT n_users AS u1 FROM cells WHERE visit_rank = 1)
+    SELECT CAST(c.visit_rank AS BIGINT) AS visit_rank,
+           c.n_users, c.n_events,
+           ROUND(CAST(c.cents AS DOUBLE) / 100.0e0 / c.n_events, 4) AS mean_value,
+           ROUND(CAST(c.n_users AS DOUBLE) / b.u1, 6) AS reach_vs_first
+    FROM cells c CROSS JOIN base b
+    ORDER BY visit_rank
+"""
+
+
+@register("events_engagement_fatigue", oracle=_FATIGUE_SQL)
+def events_engagement_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_FATIGUE_SQL)

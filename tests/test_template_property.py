@@ -133,6 +133,7 @@ _TEMPLATES = [
     L._sql_lang_entropy,
     _sql_ctx_window,
     L._sql_dp_counts,
+    L._sql_burstiness,
 ]
 
 
@@ -331,6 +332,7 @@ _EVENT_QUERIES = [
     "events_markov_stationary",
     "events_linear_attribution",
     "events_markov_heldout_accuracy",
+    "events_engagement_fatigue",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
