@@ -152,6 +152,8 @@ QUERIES = [
     "stream_theta_distinct_monitor",
     "events_engagement_fatigue",
     "text_burstiness_dispersion",
+    "ann_filtered_search_eval",
+    "demand_pattern_classification",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

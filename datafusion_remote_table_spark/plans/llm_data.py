@@ -8068,3 +8068,54 @@ def _sql_burstiness(E):
 
 
 _register_pair("text_burstiness_dispersion", _sql_burstiness)
+
+
+# ---------------------------------------------------------------------------
+# ann_filtered_search_eval — filtered vector search done two ways: for
+# each audit query, the label-constrained top-5 computed by
+# PRE-filtering (score only matching-label candidates — what a
+# filter-aware index does) vs POST-filtering (take the unfiltered
+# top-20, then keep label matches — what a naive stack bolts on). The
+# recall@5 of post-filter against the pre-filter truth prices the
+# design choice every vector DB documents. Scale: bounded audit block
+# (vec_id < 50) against the corpus, per-query windows; at corpus scale
+# the candidates come from the IVF staging.
+def _sql_filtered_search(E):
+    cos = E.dot("q.embedding", "c.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 50
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             c.vec_id AS cand_id, c.label AS c_label,
+             ROUND({cos}, 6) AS s
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+    ),
+    pre AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rn
+      FROM scored WHERE c_label = q_label
+    ),
+    unfiltered AS (
+      SELECT query_id, cand_id, c_label, q_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, cand_id) AS rn
+      FROM scored
+    ),
+    post AS (
+      SELECT query_id, cand_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rn) AS prn
+      FROM unfiltered WHERE rn <= 20 AND c_label = q_label
+    )
+    SELECT p.query_id,
+           CAST(COUNT(pp.cand_id) AS BIGINT) AS n_postfilter_hits,
+           ROUND(CAST(COUNT(pp.cand_id) AS DOUBLE) / 5.0e0, 2) AS postfilter_recall_at5
+    FROM (SELECT query_id, cand_id FROM pre WHERE rn <= 5) p
+    LEFT JOIN (SELECT query_id, cand_id FROM post WHERE prn <= 5) pp
+      ON pp.query_id = p.query_id AND pp.cand_id = p.cand_id
+    GROUP BY p.query_id
+    ORDER BY p.query_id
+    """
+
+
+_register_pair("ann_filtered_search_eval", _sql_filtered_search, tables=("embeddings",))

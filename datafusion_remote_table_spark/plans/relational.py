@@ -6022,3 +6022,75 @@ _FATIGUE_SQL = """
 def events_engagement_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_FATIGUE_SQL)
+
+
+# --------------------------------------------------------------------------
+# demand_pattern_classification — the Syntetos–Boylan demand quadrants:
+# each part classes by ADI (average inter-demand interval = months
+# observed / months with demand) and CV² of its NONZERO monthly demand
+# sizes into smooth / intermittent / erratic / lumpy — the
+# classification that decides which forecasting model
+# (Croston vs exponential smoothing) a part gets, companion to
+# lineitem_reorder_point and inventory_abc_xyz. Cut points: ADI 1.32,
+# CV² 0.49 (the published thresholds). All sufficient statistics are
+# exact integers; one (part, month) census, one part rollup, a 4-cell
+# report.
+_DEMAND_CLASS_SQL = """
+    WITH cells AS (
+      SELECT l_partkey,
+             ({yr} - 1992) * 12 + ({mon} - 1) AS m,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem
+      GROUP BY l_partkey, ({yr} - 1992) * 12 + ({mon} - 1)
+    ),
+    mcount AS (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS nm FROM cells),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2
+      FROM cells GROUP BY l_partkey
+    ),
+    classed AS (
+      SELECT p.l_partkey,
+             CAST(c.nm AS DOUBLE) / p.n_active AS adi,
+             (CAST(p.s2 AS DOUBLE) / p.n_active
+              - (CAST(p.s1 AS DOUBLE) / p.n_active) * (CAST(p.s1 AS DOUBLE) / p.n_active))
+             / ((CAST(p.s1 AS DOUBLE) / p.n_active) * (CAST(p.s1 AS DOUBLE) / p.n_active))
+               AS cv2
+      FROM per_part p CROSS JOIN mcount c
+    ),
+    labeled AS (
+      SELECT l_partkey,
+             CASE WHEN adi < 1.32e0 AND cv2 < 0.49e0 THEN 'smooth'
+                  WHEN adi >= 1.32e0 AND cv2 < 0.49e0 THEN 'intermittent'
+                  WHEN adi < 1.32e0 THEN 'erratic'
+                  ELSE 'lumpy' END AS demand_class,
+             adi, cv2
+      FROM classed
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labeled)
+    SELECT l.demand_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS part_share,
+           ROUND(CAST(SUM(CAST(ROUND(l.adi, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_adi,
+           ROUND(CAST(SUM(CAST(ROUND(l.cv2, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_cv2
+    FROM labeled l CROSS JOIN tot t
+    GROUP BY l.demand_class, t.n
+    ORDER BY l.demand_class
+"""
+
+
+@register(
+    "demand_pattern_classification",
+    oracle=_DEMAND_CLASS_SQL.format(
+        yr="EXTRACT(year FROM l_shipdate)", mon="EXTRACT(month FROM l_shipdate)"
+    ),
+)
+def demand_pattern_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _DEMAND_CLASS_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)")
+    )

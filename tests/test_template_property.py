@@ -240,6 +240,7 @@ _EMB_TEMPLATES = [
     L._sql_label_balance,
     L._sql_margin_audit,
     L._sql_emb_exact_dup,
+    L._sql_filtered_search,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
