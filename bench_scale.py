@@ -154,6 +154,8 @@ QUERIES = [
     "text_burstiness_dispersion",
     "ann_filtered_search_eval",
     "demand_pattern_classification",
+    "dedup_quality_interaction",
+    "sample_seed_stability",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -8119,3 +8119,124 @@ def _sql_filtered_search(E):
 
 
 _register_pair("ann_filtered_search_eval", _sql_filtered_search, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# dedup_quality_interaction — are duplicates lower quality? The 2×2
+# (near-dup member vs unique) × (Gopher keep vs drop) contingency table
+# with the dup→drop lift — the empirical check behind "dedup first or
+# filter first" pipeline ordering debates (if dups fail quality anyway,
+# dedup early saves the filter's compute; if not, order barely
+# matters). Spark rides the persisted CC members + one Gopher pass;
+# the oracle recomputes both chains.
+def _dedup_quality_cells(E, members_rel):
+    return f"""
+    SELECT CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+           q.keep,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ({_sql_quality_filter(E)}) q
+    LEFT JOIN {members_rel} m ON m.doc_id = q.doc_id
+    GROUP BY CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END, q.keep
+    """
+
+
+_DQI_REPORT = """
+    SELECT CAST(c.is_dup AS INT) AS is_dup,
+           CAST(c.keep AS INT) AS keep,
+           c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND((CAST(SUM(CASE WHEN c2.is_dup = 1 AND c2.keep = 0 THEN c2.n ELSE 0 END) AS DOUBLE)
+                  / greatest(SUM(CASE WHEN c2.is_dup = 1 THEN c2.n ELSE 0 END), 1))
+                 / greatest((CAST(SUM(CASE WHEN c2.is_dup = 0 AND c2.keep = 0 THEN c2.n ELSE 0 END) AS DOUBLE)
+                  / greatest(SUM(CASE WHEN c2.is_dup = 0 THEN c2.n ELSE 0 END), 1)), 1e-9), 4)
+             AS dup_drop_lift
+    FROM cells c
+    CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells) t
+    CROSS JOIN cells c2
+    GROUP BY c.is_dup, c.keep, c.n, t.total
+    ORDER BY is_dup, keep
+"""
+
+
+def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    members = _minhash_members(spark, sf_dir)
+    mv = _persist_view(spark, sf_dir, "dqi_members", members.select("doc_id"))
+    cells = spark.sql(_dedup_quality_cells(_Spark, mv))
+    cells.createOrReplaceTempView(f"dqi_cells_{_dataset_suffix(sf_dir)}")
+    return spark.sql(
+        "WITH cells AS (SELECT * FROM dqi_cells_" + _dataset_suffix(sf_dir) + ")" + _DQI_REPORT
+    )
+
+
+def _sql_dqi_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id FROM walk GROUP BY src),
+    cells AS ({_dedup_quality_cells(E, 'members')})
+    {_DQI_REPORT}
+    """
+
+
+QUERIES["dedup_quality_interaction"] = dedup_quality_interaction
+ORACLE["dedup_quality_interaction"] = _sql_dqi_duck()
+
+
+# ---------------------------------------------------------------------------
+# sample_seed_stability — how seed-dependent is the weighted sample? Two
+# independent A-ES draws (Efraimidis–Spirakis keys ln(u)/w from
+# different md5 salts, weight = n_chars) each take a top-200; the
+# report is the overlap and Jaccard between the two samples — the
+# reproducibility number a data team quotes when someone asks "would a
+# different seed have trained a different model?". High-weight docs
+# should appear under BOTH seeds; a tiny overlap means the weights are
+# too flat to matter. Scale: two map-side key computations + two
+# TakeOrdered cuts + one 200-row join.
+def _sql_seed_stability(E):
+    def key(salt):
+        h = E.hex2int(f"substring(md5('{salt}:' || CAST(doc_id AS {E.STR})), 1, 13)")
+        u = f"((CAST({h} AS DOUBLE) + 0.5e0) / 4503599627370496.0e0)"
+        return f"ln({u}) / n_chars"
+
+    return f"""
+    WITH pool AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+      WHERE n_chars > 0
+    ),
+    s1 AS (
+      SELECT doc_id FROM pool ORDER BY {key('seedA')} DESC, doc_id LIMIT 200
+    ),
+    s2 AS (
+      SELECT doc_id FROM pool ORDER BY {key('seedB')} DESC, doc_id LIMIT 200
+    ),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM s1 JOIN s2 ON s1.doc_id = s2.doc_id
+    ),
+    sizes AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS k1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS k2
+    )
+    SELECT z.k1 AS sample_size,
+           h.n_overlap,
+           -- empty pool (every doc zero-length) degenerates both ratios:
+           -- emit 0.0 in both engines (Spark ANSI raises on /0)
+           CASE WHEN z.k1 + z.k2 - h.n_overlap > 0
+                THEN ROUND(CAST(h.n_overlap AS DOUBLE) / (z.k1 + z.k2 - h.n_overlap), 6)
+                ELSE 0.0e0 END AS sample_jaccard,
+           CASE WHEN z.k1 > 0 THEN ROUND(CAST(h.n_overlap AS DOUBLE) / z.k1, 6)
+                ELSE 0.0e0 END AS overlap_rate
+    FROM hits h CROSS JOIN sizes z
+    """
+
+
+_register_pair("sample_seed_stability", _sql_seed_stability)

@@ -134,6 +134,7 @@ _TEMPLATES = [
     _sql_ctx_window,
     L._sql_dp_counts,
     L._sql_burstiness,
+    L._sql_seed_stability,
 ]
 
 
