@@ -156,6 +156,7 @@ QUERIES = [
     "demand_pattern_classification",
     "dedup_quality_interaction",
     "sample_seed_stability",
+    "multimodal_audio_silence_profile",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

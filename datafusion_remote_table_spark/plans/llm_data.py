@@ -8240,3 +8240,112 @@ def _sql_seed_stability(E):
 
 
 _register_pair("sample_seed_stability", _sql_seed_stability)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_silence_profile — silence structure over the REAL
+# RIFF/WAVE decode path: per clip, the leading/trailing silence run
+# lengths and the active-sample fraction at |dev| < 16 (the VAD-style
+# trim decision a speech pipeline makes before feature extraction),
+# rolled into a bounded histogram of active fractions. The kernel is
+# the same Arrow-batch decode as multimodal_audio_real with a
+# run-length pass; the oracle recomputes every sample from the md5
+# derivation, so an off-by-one in the chunk walker diverges the hash.
+def multimodal_audio_silence_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import decode_wav, encode_wav
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                key = str(int(doc_id))
+                samples = bytes.fromhex(
+                    hashlib.md5(key.encode()).hexdigest()
+                    + hashlib.md5((key + "x").encode()).hexdigest()
+                )[:24]
+                _rate, decoded = decode_wav(encode_wav(samples))
+                devs = [abs(b - 128) for b in decoded]
+                active = [d >= 16 for d in devs]
+                lead = 0
+                for a in active:
+                    if a:
+                        break
+                    lead += 1
+                trail = 0
+                for a in reversed(active):
+                    if a:
+                        break
+                    trail += 1
+                n_active = sum(1 for a in active if a)
+                rows.append((int(doc_id), lead, trail, n_active, len(devs)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lead", "trail", "n_active", "n"]
+            )
+
+    stats = docs.mapInPandas(
+        kernel, schema="doc_id long, lead long, trail long, n_active long, n long"
+    )
+    # bounded histogram: active fraction in 10% bins + mean run lengths
+    return (
+        stats.groupBy(
+            F.expr("CAST((n_active * 10) DIV n AS BIGINT)").alias("active_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.round(F.sum("lead").cast("double") / F.count(F.lit(1)), 4).alias("mean_lead_silence"),
+            F.round(F.sum("trail").cast("double") / F.count(F.lit(1)), 4).alias("mean_trail_silence"),
+        )
+        .orderBy("active_decile")
+    )
+
+
+def _sql_audio_silence_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def dev(i):
+        return f"abs({E.hex2int(f'substring(h, {2 * i - 1}, 2)')} - 128)"
+
+    def active(i):
+        return f"(CASE WHEN {dev(i)} >= 16 THEN 1 ELSE 0 END)"
+
+    n_active = " + ".join(active(i) for i in range(1, 25))
+    # leading silence = position of first active - 1 (24 if none)
+    lead = (
+        "COALESCE(" +
+        f"{E.AMIN}({E.FILTER}({E.seq(1, 24)}, i -> CASE i "
+        + " ".join(f"WHEN {i} THEN {active(i)} = 1" for i in range(1, 25))
+        + " END)) - 1, 24)"
+    )
+    trail = (
+        "COALESCE(24 - " +
+        f"{E.AMAX}({E.FILTER}({E.seq(1, 24)}, i -> CASE i "
+        + " ".join(f"WHEN {i} THEN {active(i)} = 1" for i in range(1, 25))
+        + " END)), 24)"
+    )
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents),
+    per AS (
+      SELECT doc_id,
+             CAST({lead} AS BIGINT) AS lead,
+             CAST({trail} AS BIGINT) AS trail,
+             CAST({n_active} AS BIGINT) AS n_active
+      FROM hx
+    )
+    SELECT CAST((n_active * 10) {{idiv}} 24 AS BIGINT) AS active_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           ROUND(CAST(SUM(lead) AS DOUBLE) / COUNT(*), 4) AS mean_lead_silence,
+           ROUND(CAST(SUM(trail) AS DOUBLE) / COUNT(*), 4) AS mean_trail_silence
+    FROM per
+    GROUP BY CAST((n_active * 10) {{idiv}} 24 AS BIGINT)
+    ORDER BY active_decile
+    """.format(idiv="//")
+
+
+QUERIES["multimodal_audio_silence_profile"] = multimodal_audio_silence_profile
+ORACLE["multimodal_audio_silence_profile"] = _sql_audio_silence_oracle(_Duck)

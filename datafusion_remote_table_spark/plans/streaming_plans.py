@@ -21,6 +21,7 @@ from ..streaming import (
     stream_pii_gate,
     stream_remote_sink,
     stream_sliding_window,
+    stream_spectral_monitor,
     stream_srm_monitor,
     stream_stream_attribution,
     stream_quantile_monitor,
@@ -553,3 +554,13 @@ ORACLE["stream_theta_distinct_monitor"] = f"""
     FROM stats
     ORDER BY source
 """
+
+
+from .relational import _SPECTRAL_SQL as _SPECT  # noqa: E402
+
+QUERIES["stream_spectral_monitor"] = stream_spectral_monitor
+# Maintained hourly grid + the batch DFT layer: converges to
+# events_spectral_peaks, whose oracle spelling this reuses.
+ORACLE["stream_spectral_monitor"] = _SPECT.format(
+    hour="CAST(floor(epoch(ts)) AS BIGINT) // 3600"
+)

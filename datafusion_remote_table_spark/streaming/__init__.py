@@ -15,6 +15,7 @@ from .events import (  # noqa: F401
     stream_pii_gate,
     stream_remote_sink,
     stream_sliding_window,
+    stream_spectral_monitor,
     stream_srm_monitor,
     stream_stream_attribution,
     stream_quantile_monitor,

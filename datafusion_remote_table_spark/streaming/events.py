@@ -1086,3 +1086,60 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 1 ELSE 0 END AS INT) AS srm_flag
     FROM wide
     """)
+
+
+def stream_spectral_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming periodicity monitor: the stream maintains the hourly
+    count grid (state = hours in the horizon), and the DFT power layer
+    — identical spelling to the batch events_spectral_peaks — runs over
+    the converged rollup at serving time. The live "is this metric
+    still daily-cyclic?" tile; converges to the batch answer on bounded
+    input, which is the oracle."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.select(
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounded = _run_bounded(agg, "stream_spectral_monitor")
+    bounded.createOrReplaceTempView("stream_spectral_cells")
+    return spark.sql("""
+    WITH hourly AS (SELECT h, CAST(c AS BIGINT) AS c FROM stream_spectral_cells),
+    base AS (
+      SELECT h - (SELECT MIN(h) FROM hourly) AS t, c FROM hourly
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu
+      FROM base
+    ),
+    periods AS (
+      SELECT CAST(p AS BIGINT) AS period FROM (
+        SELECT 6 AS p UNION ALL SELECT 8 UNION ALL SELECT 12
+        UNION ALL SELECT 24 UNION ALL SELECT 168
+      ) x
+    ),
+    terms AS (
+      SELECT p.period,
+             CAST(ROUND((b.c - s.mu) * cos(2 * pi() * b.t / p.period), 9)
+                  AS DECIMAL(28, 9)) AS re_t,
+             CAST(ROUND((b.c - s.mu) * sin(2 * pi() * b.t / p.period), 9)
+                  AS DECIMAL(28, 9)) AS im_t
+      FROM base b CROSS JOIN stats s CROSS JOIN periods p
+    ),
+    spectrum AS (
+      SELECT t.period,
+             CAST(SUM(t.re_t) AS DOUBLE) AS re,
+             CAST(SUM(t.im_t) AS DOUBLE) AS im
+      FROM terms t GROUP BY t.period
+    )
+    SELECT sp.period AS period_hours,
+           ROUND((sp.re * sp.re + sp.im * sp.im) / s.nh, 4) AS power,
+           CAST(ROW_NUMBER() OVER (ORDER BY
+                ROUND((sp.re * sp.re + sp.im * sp.im) / s.nh, 4) DESC, sp.period)
+             AS BIGINT) AS power_rank
+    FROM spectrum sp CROSS JOIN stats s
+    ORDER BY period_hours
+    """)
