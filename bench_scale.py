@@ -157,6 +157,8 @@ QUERIES = [
     "dedup_quality_interaction",
     "sample_seed_stability",
     "multimodal_audio_silence_profile",
+    "events_lifetime_gamma_moments",
+    "lineitem_price_index",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -6094,3 +6094,113 @@ def demand_pattern_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         _DEMAND_CLASS_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)")
     )
+
+
+# --------------------------------------------------------------------------
+# events_lifetime_gamma_moments — parametric lifetime summary: method-
+# of-moments Gamma(α, θ) fit of user lifetimes (events_survival_curve's
+# histogram reduced to two parameters: α = mean²/var, θ = var/mean) —
+# what a capacity/LTV model consumes instead of the whole curve. All
+# moments are exact integer sums over the user census; the fit is
+# constant-size arithmetic with degenerate-variance guards.
+_GAMMA_FIT_SQL = """
+    WITH per_user AS (
+      SELECT user_id, {lifetime} AS lt
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lt) AS BIGINT) AS s1,
+             CAST(SUM(lt * lt) AS BIGINT) AS s2
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_lifetime_days,
+           ROUND(greatest(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0.0e0), 6)
+             AS var_lifetime,
+           CASE WHEN CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                THEN ROUND((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     / (CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 4)
+                ELSE 0.0e0 END AS gamma_alpha,
+           CASE WHEN CAST(s1 AS DOUBLE) > 0
+                     AND CAST(s2 AS DOUBLE) / n
+                         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                THEN ROUND((CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     / (CAST(s1 AS DOUBLE) / n), 4)
+                ELSE 0.0e0 END AS gamma_theta
+    FROM m
+"""
+
+
+@register(
+    "events_lifetime_gamma_moments",
+    oracle=_GAMMA_FIT_SQL.format(
+        lifetime="CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT)"
+    ),
+)
+def events_lifetime_gamma_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _GAMMA_FIT_SQL.format(lifetime="CAST(datediff(MAX(ts), MIN(ts)) AS BIGINT)")
+    )
+
+
+# --------------------------------------------------------------------------
+# lineitem_price_index — monthly Laspeyres price index: each month's
+# unit prices weighted by the FIRST-OBSERVED-YEAR quantity basket,
+# relative to base-year prices — the inflation readout an ops/finance
+# team tracks over transactional data. Scale: two (part, month-grain)
+# censuses, a part-keyed join (base basket broadcastable at dimension
+# scale), ROUND-quantized price×quantity terms DECIMAL-summed, a
+# bounded month rollup.
+_PRICE_INDEX_SQL = """
+    WITH cells AS (
+      SELECT l_partkey,
+             ({yr}) AS y, ({mon}) AS mo,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ext,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY l_partkey, ({yr}), ({mon})
+    ),
+    base AS (
+      -- basket = the FIRST OBSERVED year (the data's own base period)
+      SELECT l_partkey,
+             CAST(SUM(CAST(ext AS DECIMAL(18,2))) AS DOUBLE) AS base_ext,
+             CAST(SUM(qty) AS BIGINT) AS base_qty
+      FROM cells WHERE y = (SELECT MIN(y) FROM cells)
+      GROUP BY l_partkey
+      HAVING SUM(qty) > 0
+    ),
+    priced AS (
+      SELECT c.y, c.mo,
+             CAST(ROUND((c.ext / c.qty) * b.base_qty, 6) AS DECIMAL(28, 6)) AS cur_term,
+             CAST(ROUND((b.base_ext / b.base_qty) * b.base_qty, 6) AS DECIMAL(28, 6))
+               AS base_term
+      FROM cells c JOIN base b ON b.l_partkey = c.l_partkey
+      WHERE c.qty > 0
+    )
+    SELECT CAST(y * 100 + mo AS BIGINT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_priced,
+           ROUND(CAST(SUM(cur_term) AS DOUBLE) / CAST(SUM(base_term) AS DOUBLE) * 100, 4)
+             AS laspeyres_index
+    FROM priced
+    GROUP BY y, mo
+    ORDER BY month
+"""
+
+
+@register(
+    "lineitem_price_index",
+    oracle=_PRICE_INDEX_SQL.format(
+        yr="EXTRACT(year FROM l_shipdate)", mon="EXTRACT(month FROM l_shipdate)"
+    ),
+)
+def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _PRICE_INDEX_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)")
+    )

@@ -335,6 +335,7 @@ _EVENT_QUERIES = [
     "events_linear_attribution",
     "events_markov_heldout_accuracy",
     "events_engagement_fatigue",
+    "events_lifetime_gamma_moments",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
