@@ -110,7 +110,7 @@ def ensure_duckdb_remote(sf_dir: str) -> str:
     tables."""
     import duckdb
 
-    path = _cache_path(sf_dir, ".duckdb", spec=f"duckdb-v3|{_ARRAY_TYPES_SQL}|{_WIDE_TYPES_SQL}")
+    path = _cache_path(sf_dir, ".duckdb", spec=f"duckdb-v4|{_ARRAY_TYPES_SQL}|{_WIDE_TYPES_SQL}")
     if os.path.exists(path):
         return path
     tmp = path + ".tmp"
@@ -122,6 +122,14 @@ def ensure_duckdb_remote(sf_dir: str) -> str:
             con.execute(
                 f"CREATE TABLE {table} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, table)}.parquet')"
             )
+        # the analytical warehouse holds the ODD half of orders (the
+        # sqlite OLTP holds all of them; federated_partial_agg reads the
+        # even half there) — a sharded-fact federation scenario
+        con.execute(
+            "CREATE TABLE orders AS SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "o_totalprice, o_orderpriority FROM read_parquet('"
+            + os.path.join(sf_dir, "orders") + ".parquet') WHERE o_orderkey % 2 = 1"
+        )
         con.execute(
             "CREATE TABLE array_types AS "
             + _ARRAY_TYPES_SQL.format(nation=f"read_parquet('{os.path.join(sf_dir, 'nation')}.parquet')")
@@ -1020,4 +1028,54 @@ def remote_partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     return spark.createDataFrame(
         rows, "range_id bigint, n_rows bigint, row_share double, skew_vs_ideal double"
+    )
+
+
+@register(
+    "federated_partial_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def federated_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase FEDERATED aggregation: each remote engine computes its
+    shard's partial GROUP BY locally (the grouped-aggregate pushdown —
+    only group-grain rows cross the wire), and Spark combines the
+    partials — the map-side-combine pattern lifted to the federation
+    layer. The sqlite OLTP serves the even orderkeys, the duckdb
+    warehouse the odd ones; money moves as exact integer cents so the
+    combine is order-independent."""
+    even = RemoteTable(_sqlite_opts(sf_dir), ["orders"]).aggregate(
+        spark,
+        group_by=["o_orderstatus"],
+        aggs=[
+            ("COUNT(*)", "n"),
+            ("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS INTEGER)) AS INTEGER)", "cents"),
+        ],
+        filters=("o_orderkey % 2 = 0",),
+        schema="o_orderstatus string, n long, cents long",
+    )
+    ddb = DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+    odd = RemoteTable(ddb, ["orders"]).aggregate(
+        spark,
+        group_by=["o_orderstatus"],
+        aggs=[
+            ("COUNT(*)", "n"),
+            ("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)", "cents"),
+        ],
+        schema="o_orderstatus string, n long, cents long",
+    )
+    return (
+        even.union(odd)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            (F.sum("cents").cast("double") / F.lit(100)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
     )
