@@ -159,6 +159,7 @@ QUERIES = [
     "multimodal_audio_silence_profile",
     "events_lifetime_gamma_moments",
     "lineitem_price_index",
+    "customer_tier_migration",
     "curriculum_phase_plan",
     "sample_label_balance",
     "embedding_margin_audit",

@@ -6204,3 +6204,100 @@ def lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _PRICE_INDEX_SQL.format(yr="year(l_shipdate)", mon="month(l_shipdate)")
     )
+
+
+# --------------------------------------------------------------------------
+# customer_tier_migration — the tier-churn matrix: customers get a
+# spend quartile in the EARLY half of the data and again in the LATE
+# half (split at the midpoint month); the 5×5 matrix (tier 0 = absent
+# that period) shows upgrades, downgrades, churn-outs and new joiners —
+# the movement table behind every "premium tier retention" slide.
+# Spark side: both quartile passes use the distributed exact-rank
+# two-pass + map-side NTILE(4) arithmetic (never a global NTILE
+# window); the oracle keeps the plain window spelling.
+_TIER_MIG_ORACLE = """
+    WITH base AS (
+      SELECT o_custkey,
+             (EXTRACT(year FROM o_orderdate) - 1992) * 12
+               + (EXTRACT(month FROM o_orderdate) - 1) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM base),
+    per AS (
+      SELECT b.o_custkey,
+             CASE WHEN b.m * 2 < x.mn + x.mx + 1 THEN 0 ELSE 1 END AS period,
+             CAST(SUM(b.cents) AS BIGINT) AS cents
+      FROM base b CROSS JOIN bounds x
+      GROUP BY b.o_custkey, CASE WHEN b.m * 2 < x.mn + x.mx + 1 THEN 0 ELSE 1 END
+    ),
+    p0 AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS tier
+      FROM per WHERE period = 0
+    ),
+    p1 AS (
+      SELECT o_custkey,
+             CAST(NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS tier
+      FROM per WHERE period = 1
+    ),
+    cells AS (
+      SELECT COALESCE(p0.tier, 0) AS tier_early,
+             COALESCE(p1.tier, 0) AS tier_late,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM p0 FULL OUTER JOIN p1 ON p0.o_custkey = p1.o_custkey
+      GROUP BY COALESCE(p0.tier, 0), COALESCE(p1.tier, 0)
+    ),
+    tot AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS n FROM cells)
+    SELECT c.tier_early, c.tier_late, c.n_customers,
+           ROUND(CAST(c.n_customers AS DOUBLE) / t.n, 6) AS share
+    FROM cells c CROSS JOIN tot t
+    ORDER BY c.tier_early, c.tier_late
+"""
+
+
+@register("customer_tier_migration", oracle=_TIER_MIG_ORACLE)
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey",
+        ((F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+         + (F.month("o_orderdate") - F.lit(1))).alias("m"),
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("bigint").alias("cents"),
+    )
+    mn, mx = base.agg(F.min("m"), F.max("m")).collect()[0]
+    per = (
+        base.withColumn(
+            "period", F.when(F.col("m") * 2 < F.lit(mn + mx + 1), 0).otherwise(1)
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .persist()
+    )
+    tiers = {}
+    for p in (0, 1):
+        census = per.filter(F.col("period") == p).select("o_custkey", "cents")
+        ranked, n, _ = _exact_rank_stage(
+            spark, sf_dir, f"tiermig_{p}", census, "cents", "o_custkey", desc=True
+        )
+        tiers[p] = ranked.select(
+            F.col("o_custkey").alias(f"ck{p}"),
+            _ntile_from_rank(n, 4).alias(f"tier{p}"),
+        )
+    joined = tiers[0].join(
+        tiers[1], tiers[0].ck0 == tiers[1].ck1, "full_outer"
+    )
+    cells = (
+        joined.select(
+            F.coalesce(F.col("tier0"), F.lit(0)).cast("bigint").alias("tier_early"),
+            F.coalesce(F.col("tier1"), F.lit(0)).cast("bigint").alias("tier_late"),
+        )
+        .groupBy("tier_early", "tier_late")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .persist()
+    )
+    total = cells.agg(F.sum("n_customers")).collect()[0][0]
+    return cells.select(
+        "tier_early", "tier_late", "n_customers",
+        F.round(F.col("n_customers").cast("double") / F.lit(float(total)), 6).alias("share"),
+    ).orderBy("tier_early", "tier_late")

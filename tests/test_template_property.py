@@ -424,6 +424,7 @@ _ORDER_QUERIES = [
     "orders_snapshot_asof",
     "orders_keyspace_gap_audit",
     "orders_cohort_ltv",
+    "customer_tier_migration",
 ]
 
 _STATUSES = ["O", "F", "P"]
