@@ -8141,19 +8141,20 @@ def _dedup_quality_cells(E, members_rel):
 
 
 _DQI_REPORT = """
+    , tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells),
+    rates AS (
+      SELECT (CAST(SUM(CASE WHEN is_dup = 1 AND keep = 0 THEN n ELSE 0 END) AS DOUBLE)
+              / greatest(SUM(CASE WHEN is_dup = 1 THEN n ELSE 0 END), 1)) AS dup_drop,
+             (CAST(SUM(CASE WHEN is_dup = 0 AND keep = 0 THEN n ELSE 0 END) AS DOUBLE)
+              / greatest(SUM(CASE WHEN is_dup = 0 THEN n ELSE 0 END), 1)) AS uniq_drop
+      FROM cells
+    )
     SELECT CAST(c.is_dup AS INT) AS is_dup,
            CAST(c.keep AS INT) AS keep,
            c.n,
            ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
-           ROUND((CAST(SUM(CASE WHEN c2.is_dup = 1 AND c2.keep = 0 THEN c2.n ELSE 0 END) AS DOUBLE)
-                  / greatest(SUM(CASE WHEN c2.is_dup = 1 THEN c2.n ELSE 0 END), 1))
-                 / greatest((CAST(SUM(CASE WHEN c2.is_dup = 0 AND c2.keep = 0 THEN c2.n ELSE 0 END) AS DOUBLE)
-                  / greatest(SUM(CASE WHEN c2.is_dup = 0 THEN c2.n ELSE 0 END), 1)), 1e-9), 4)
-             AS dup_drop_lift
-    FROM cells c
-    CROSS JOIN (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells) t
-    CROSS JOIN cells c2
-    GROUP BY c.is_dup, c.keep, c.n, t.total
+           ROUND(r.dup_drop / greatest(r.uniq_drop, 1e-9), 4) AS dup_drop_lift
+    FROM cells c CROSS JOIN tot t CROSS JOIN rates r
     ORDER BY is_dup, keep
 """
 
@@ -8166,7 +8167,8 @@ def dedup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spark.sql(_dedup_quality_cells(_Spark, mv))
     cells.createOrReplaceTempView(f"dqi_cells_{_dataset_suffix(sf_dir)}")
     return spark.sql(
-        "WITH cells AS (SELECT * FROM dqi_cells_" + _dataset_suffix(sf_dir) + ")" + _DQI_REPORT
+        "WITH cells AS (SELECT * FROM dqi_cells_" + _dataset_suffix(sf_dir) + ")"
+        + _DQI_REPORT
     )
 
 
