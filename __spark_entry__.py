@@ -21,60 +21,13 @@ from datafusion_remote_table_spark import plans
 # next so every §2 item accumulates at least one green row; then the
 # oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # Round-5 rotation (VERDICT r4 item 1): the 95 queries below have NO
-    # driver CORRECTNESS row in any round (they pass the local sweep).
-    # The ~50-query budget lands entirely on never-checked names; the
-    # previously-green prefix moved to _VERIFY_SECOND as refresh.
-    "events_scd2_history",
-    "dedup_graph_pagerank",
-    "ann_random_projection_recall",
-    "stream_scd2_monitor",
-    "text_ngram_novelty",
-    "ann_graph_search_eval",
-    "events_concurrency_hourly",
-    "basket_part_pairs",
-    "events_churn_features",
-    "events_dau_mau",
-    "sample_coreset_kcenter",
-    "orders_seasonality",
-    "parts_abc_classification",
-    "multimodal_video_real",
-    "stream_media_stats_monitor",
-    "events_ab_test",
-    "dedup_graph_triangles",
-    "shipping_latency_percentiles",
-    "stream_ab_monitor",
-    "text_cooccurrence_lift",
-    "orders_merge_upsert",
-    "orders_cdc_changelog",
-    "customer_rfm_segments",
+    # Round-6 rotation (VERDICT r5 items 1+4): the ONE checked-and-FAILED
+    # row outranks everything — r5's hash mismatch, now fixed (oracle
+    # n_at_risk cast BIGINT, spine widened 0..30 so sf0.01 churns).
     "events_survival_curve",
-    "approx_distinct_hll",
-    "heavy_hitters_countmin",
-    "discount_elasticity_ols",
-    "text_readability",
-    "text_code_detect",
-    "stream_sketch_heavy_hitters",
-    "join_skew_audit",
-    "compaction_bin_plan",
-    "embedding_centroid_drift",
-    "dedup_graph_degree_powerlaw",
-    "quantile_sketch_orders",
-    "range_partition_plan",
-    "stream_quantile_monitor",
-    "table_profile_stats",
-    "join_strategy_advisor",
-    "events_late_arrival_audit",
-    "multimodal_audio_fingerprint",
-    "split_leakage_audit",
-    "events_bot_score",
-    "orders_dq_rules_audit",
-    "feature_drift_psi",
-    "orders_benford_audit",
-    "kanonymity_audit",
-    "cardinality_qerror_audit",
-    "events_hourly_acf",
-    "pii_subject_access_report",
+    # Then the 45 queries that STILL have no driver CORRECTNESS row in any
+    # round (r5's 50-query budget cleared the first 50 of the r5 list;
+    # these are the tail). All pass the strict local sweep.
     "text_zipf_audit",
     "ivm_incremental_agg",
     "file_skipping_stats",
@@ -120,10 +73,68 @@ _VERIFY_FIRST = [
     "customer_credit_exposure",
     "events_weekday_profile",
     "heaps_law_audit",
+    # …and the 55 round-5 additions + remote pushdown ops that also have
+    # no driver row yet (VERDICT r5 item 4 names the notable ones).
+    "remote_predicate_pushdown",
+    "remote_insert_select",
+    "remote_delete_pushdown",
+    "remote_update_pushdown",
+    "remote_schema_drift_audit",
+    "remote_partition_balance_audit",
+    "federated_partial_agg",
+    "stream_decayed_popularity",
+    "stream_lang_entropy_monitor",
+    "stream_srm_monitor",
+    "stream_theta_distinct_monitor",
+    "stream_spectral_monitor",
+    "query_expansion_prf",
+    "curriculum_phase_plan",
+    "sample_label_balance",
+    "embedding_margin_audit",
+    "tokenizer_fertility_audit",
+    "ann_sq8_rerank_eval",
+    "ngram_crossval_perplexity",
+    "doc_language_entropy_by_source",
+    "context_window_utilization",
+    "corpus_dp_noisy_counts",
+    "embedding_cluster_purity",
+    "multimodal_phash_neardup",
+    "embedding_pq_codebook_balance",
+    "dedup_mix_shift_report",
+    "theta_sketch_set_ops",
+    "vocab_cutoff_coverage",
+    "embedding_exact_dup_census",
+    "text_burstiness_dispersion",
+    "ann_filtered_search_eval",
+    "dedup_quality_interaction",
+    "sample_seed_stability",
+    "multimodal_audio_silence_profile",
+    "orders_snapshot_asof",
+    "supplier_herfindahl",
+    "orders_keyspace_gap_audit",
+    "lineitem_reorder_point",
+    "events_power_users_pareto",
+    "events_value_winsorized_stats",
+    "events_ab_srm_check",
+    "part_single_source_risk",
+    "orders_cohort_ltv",
+    "lineitem_temporal_dq_audit",
+    "inventory_abc_xyz",
+    "events_spectral_peaks",
+    "events_markov_stationary",
+    "events_ab_heterogeneity",
+    "events_markov_heldout_accuracy",
+    "events_linear_attribution",
+    "events_engagement_fatigue",
+    "demand_pattern_classification",
+    "events_lifetime_gamma_moments",
+    "lineitem_price_index",
+    "customer_tier_migration",
 ]
 
-# Previously driver-green (r1–r4 rows): refresh rotation once the
-# never-verified backlog above is cleared. Oldest rows first.
+# Previously driver-green: refresh rotation once the never-verified
+# backlog above is cleared (VERDICT r5 item 7 — no row should age past
+# 3 rounds). Oldest rows first: the r1 originals, then early r2 rows.
 _VERIFY_SECOND = [
     "null_handling",
     "window_lead_lag",
@@ -151,6 +162,41 @@ _VERIFY_SECOND = [
     "text_fingerprint",
     "text_top_ngrams",
     "multimodal_decode_stub",
+    # r2 rows, oldest-green tier two
+    "remote_query_scan",
+    "remote_table_scan",
+    "remote_filter_pushdown",
+    "remote_limit_pushdown",
+    "remote_projection_pushdown",
+    "remote_insert",
+    "remote_join_local",
+    "federated_multi_source",
+    "remote_stream_scan",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_broadcast",
+    "agg_distinct",
+    "window_topn_per_group",
+    "window_running_sum",
+    "sort_limit",
+    "union_set_ops",
+    "subquery_exists",
+    "case_expr_agg",
+    "events_sessionize",
+    "events_tumbling_window",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "agg_rollup",
+    "pivot_orders_by_status",
+    "json_extract_events",
+    "agg_percentile",
+    "stream_dedup_stateful",
+    "stream_join_enrich",
+    "stream_remote_sink",
 ]
 
 

@@ -2756,7 +2756,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the discrete hazard, and the survivor fraction P(lifetime > k).
 # Scale: the event scan collapses to the user census, the census to the
 # LIFETIME HISTOGRAM (bounded by the day range) — the window runs over
-# the 15-row day spine, never users × days.
+# the 31-row day spine, never users × days. The 0–30 spine covers the
+# sf0.01 lifetime range (26–29 days) so n_churned is non-vacuous; the
+# n_at_risk CAST keeps DuckDB's window-SUM HUGEINT out of the output.
 _SURVIVAL_SQL = """
     WITH per_user AS (
       SELECT user_id, {lifetime} AS lifetime
@@ -2775,7 +2777,7 @@ _SURVIVAL_SQL = """
       FROM spine LEFT JOIN hist h ON h.lifetime = spine.day_k
     )
     SELECT day_k, n_churned,
-           (t.n - cum_le + n_churned) AS n_at_risk,
+           CAST(t.n - cum_le + n_churned AS BIGINT) AS n_at_risk,
            CASE WHEN t.n - cum_le + n_churned = 0 THEN CAST(0.0 AS DOUBLE)
                 ELSE ROUND(CAST(n_churned AS DOUBLE) / (t.n - cum_le + n_churned), 6)
            END AS hazard,
@@ -2789,7 +2791,7 @@ _SURVIVAL_SQL = """
     "events_survival_curve",
     oracle=_SURVIVAL_SQL.format(
         lifetime="CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT)",
-        days="unnest(generate_series(0, 14)) AS k",
+        days="unnest(generate_series(0, 30)) AS k",
     ),
 )
 def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2797,7 +2799,7 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SURVIVAL_SQL.format(
             lifetime="CAST(datediff(MAX(ts), MIN(ts)) AS BIGINT)",
-            days="explode(sequence(0, 14)) AS k",
+            days="explode(sequence(0, 30)) AS k",
         )
     )
 

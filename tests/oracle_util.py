@@ -1,6 +1,14 @@
 """Local emulation of the driver's DuckDB-oracle comparison: run the Spark
 query and the oracle SQL on the same parquet tables, sort columns by name,
-sort rows, compare values (exact for non-floats, tight tolerance for floats).
+sort rows, compare values.
+
+STRICT by design (round-6 hardening): the driver's value-hash is exact and
+dtype-sensitive, so this compare (a) asserts per-column dtype-FAMILY
+equality (int vs float vs bool vs object) — this catches DuckDB HUGEINT
+(window SUM, SUM(BIGINT)) surfacing as float64 against Spark's int64, the
+exact class that shipped the round-5 `events_survival_curve` red row — and
+(b) asserts EXACT float equality, falling back to np.isclose only with a
+printed WARN (a warned pass is a query whose driver hash may still fail).
 """
 
 from __future__ import annotations
@@ -44,8 +52,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df, oracle: str, sf_dir: str, float_rtol: float = 1e-9) -> None:
+def _family(arr: np.ndarray) -> str:
+    dt = np.asarray(arr).dtype
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    return "object"
+
+
+def compare(spark_df, oracle: str, sf_dir: str, float_rtol: float = 1e-9,
+            label: str = "", require_rows: bool = False) -> None:
     got = _canon(spark_df.toPandas())
+    if require_rows:
+        assert len(got) > 0, "VACUOUS (0 rows proves nothing)"
     con = duckdb_conn(sf_dir)
     want = _canon(con.execute(oracle).fetchdf())
     con.close()
@@ -54,12 +76,25 @@ def compare(spark_df, oracle: str, sf_dir: str, float_rtol: float = 1e-9) -> Non
     assert len(got) == len(want), f"row count differs: {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
-        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(np.asarray(w).dtype, np.floating):
+        gf, wf = _family(g), _family(w)
+        assert gf == wf, (
+            f"column {c}: dtype family {gf} (spark {g.dtype}) vs {wf} (oracle "
+            f"{np.asarray(w).dtype}) — driver value-hash WILL differ (HUGEINT class)"
+        )
+        if gf == "float":
             g = g.astype(float)
             w = np.asarray(w, dtype=float)
             both_nan = np.isnan(g) & np.isnan(w)
-            close = np.isclose(g, w, rtol=float_rtol, atol=1e-9) | both_nan
-            assert close.all(), f"column {c}: {np.count_nonzero(~close)} mismatches, e.g. {g[~close][:3]} vs {w[~close][:3]}"
+            exact = (g == w) | both_nan
+            if not exact.all():
+                close = np.isclose(g, w, rtol=float_rtol, atol=1e-9) | both_nan
+                assert close.all(), f"column {c}: {np.count_nonzero(~close)} mismatches, e.g. {g[~close][:3]} vs {w[~close][:3]}"
+                print(
+                    f"WARN {label or 'compare'} column {c}: "
+                    f"{np.count_nonzero(~exact)} float values only isclose, not exact "
+                    f"(e.g. {g[~exact][:2]} vs {w[~exact][:2]}) — driver hash may FAIL",
+                    flush=True,
+                )
         else:
             eq = g == w
             assert eq.all(), f"column {c}: {np.count_nonzero(~eq)} mismatches, e.g. {g[~eq][:3]} vs {w[~eq][:3]}"
