@@ -20,10 +20,12 @@ from datafusion_remote_table_spark import plans
 from datafusion_remote_table_spark.session import get_spark
 
 # The 13 queries BASELINE.md's 14.09 s binds against. They run FIRST
-# (before the wider suite fills the storage pool) and TWICE each, with
-# the min recorded — so round-over-round deltas measure plans, not
-# suite-order cache eviction (the r3→r4 drift was near-uniform across
-# untouched queries, i.e. eviction/host noise, not regressions).
+# (before the wider suite fills the storage pool) and TWICE each with ALL
+# query-owned staged state cleared before EVERY timed run (VERDICT r5
+# item 5: round 5's min-of-2 let a repeat ride the persisted minhash
+# staging — 0.073 s — so the min priced the cache, not the plan). Both
+# runs are now cold; the min only absorbs host noise, and the gate
+# number is the cost a first-time user pays.
 COMPARABLE_13 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -203,11 +205,27 @@ def main() -> None:
         plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - start, 3)
 
+    def _clear_stagings() -> None:
+        """Drop all query-owned staged/persisted state (minhash shingle/
+        signature frames, exact-rank buckets, every persisted/cached plan)
+        so the next run pays the full plan. The JVM stays warm — that is
+        deliberate: codegen/shuffle warmup is environment, staging is the
+        query's own work."""
+        from datafusion_remote_table_spark.plans import llm_data, relational
+
+        llm_data._MINHASH_STAGE_CACHE.clear()
+        relational._RANK_STAGE_CACHE.clear()
+        spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     comparable_runs: dict[str, list[float]] = {}
     for name in COMPARABLE_13:
-        comparable_runs[name] = [_run(name), _run(name)]
-        timings[name] = min(comparable_runs[name])
+        runs = []
+        for _ in range(2):
+            _clear_stagings()
+            runs.append(_run(name))
+        comparable_runs[name] = runs
+        timings[name] = min(runs)
     for name in HEADLINE:
         if name not in timings:
             timings[name] = _run(name)
@@ -223,10 +241,12 @@ def main() -> None:
                 "sf": sf,
                 "comparable_13": round(sum(timings[n] for n in COMPARABLE_13), 3),
                 "comparable_13_runs": comparable_runs,
+                "comparable_13_basis": "cold",
                 "comparable_13_note": (
-                    "the 13 BASELINE.md queries run first and twice (min "
-                    "recorded) so the gate number is plan cost, not "
-                    "suite-order cache eviction or host noise"
+                    "the 13 BASELINE.md queries run first and twice with "
+                    "all staged/persisted state cleared before EVERY run "
+                    "(both runs cold; min absorbs host noise only) — the "
+                    "gate number is full plan cost, never a cache hit"
                 ),
             }
         )
