@@ -701,24 +701,42 @@ _register_pair("ann_cosine_topk", _sql_ann_brute, tables=("embeddings",))
 
 
 # ---------------------------------------------------------------------------
-# ann_lsh_cosine — 8 random-hyperplane bits (md5-keyed ±1 components),
-# bucket join, exact re-rank inside the query's bucket. The 100TB path:
-# signatures map-side, candidates bounded by bucket size.
+# ann_lsh_cosine — MULTI-TABLE random-hyperplane LSH (L=8 tables × B=4
+# bits, md5-keyed ±1 hyperplane components), candidate = bucket match in
+# ANY table, exact cosine re-rank over the deduped candidate set. The
+# single-table 8-bit variant retrieved ~2 candidates per query on this
+# corpus and its recall@5 was identically 0 — a vacuous index (round-6
+# audit); L tables is the standard recall lever and was tuned here so
+# ann_recall_eval certifies real, per-query-varying recall (~0.56 avg at
+# sf0.01 on near-random embeddings, where recall ≈ candidate fraction).
+# The 100TB shape: signatures are map-side; the (vec, table, bucket)
+# relation makes the candidate join HASH-joinable on (t, bucket) — never
+# an OR-join nested loop; the 8-row table spine is broadcast; candidates
+# are deduped before the exact re-rank pays the dot products.
 def _sql_ann_lsh(E):
-    sign = lambda p, i: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
-    proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
+    sign = lambda p, i, t: f"(CASE WHEN {E.hex2int(f'substring(md5(CAST({p} AS {E.STR}) || chr(44) || CAST({t} AS {E.STR}) || chr(44) || CAST({i} AS {E.STR})), 1, 1)')} < 8 THEN -1.0 ELSE 1.0 END)"  # noqa: E731
+    proj = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {sign('p', 'i', 't')} * CAST({E.idx('embedding', 'i')} AS DOUBLE))")
     bucket = E.list_sum_int(
-        f"{E.TRANSFORM}({E.seq(1, 8)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1')} ELSE 0 END)"
+        f"{E.TRANSFORM}({E.seq(1, 4)}, p -> CASE WHEN {proj} >= 0 THEN {E.shl(1, f'p - 1')} ELSE 0 END)"
     )
-    cos = E.dot("q.embedding", "c.embedding")
+    cos = E.dot("qe.embedding", "ce.embedding")
     return f"""
-    WITH sig AS (
-      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    WITH tbl AS (SELECT {E.explode(E.seq(0, 7), 't')}),
+    sig AS (
+      SELECT vec_id, t, {bucket} AS bucket FROM embeddings CROSS JOIN tbl
     ),
-    q AS (SELECT vec_id AS query_id, embedding, bucket FROM sig WHERE vec_id < 5),
+    qs AS (SELECT vec_id AS query_id, t, bucket FROM sig WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT qs.query_id, c.vec_id
+      FROM qs JOIN sig c ON c.t = qs.t AND c.bucket = qs.bucket
+                        AND c.vec_id <> qs.query_id
+    ),
+    qe AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
     scored AS (
-      SELECT q.query_id, c.vec_id, ROUND({cos}, 6) AS cosine
-      FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+      SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
+      FROM cand
+      JOIN qe ON qe.query_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
     ),
     ranked AS (
       SELECT query_id, vec_id, cosine,
@@ -2815,9 +2833,27 @@ ORACLE["corpus_clean_funnel"] = _FUNNEL_SQL.format(src=_sql_corpus_clean(_Duck))
 # dedup_rate_by_source — the per-source duplication report a corpus build
 # publishes before mixing: exact-dup rate (non-keeper share of the
 # normalized-fingerprint census) and near-dup rate (docs flagged by the
-# minhash pair set) per source. Scale: both inputs are the already-shared
+# minhash pair set) per source. The fingerprint is the ORDER- AND
+# MULTIPLICITY-INSENSITIVE word set (sorted distinct words): the round-6
+# vacuousness audit found the whitespace-collapsed fingerprint has zero
+# collisions in this corpus (every n_exact_dups was 0 — the green row
+# only proved both engines count to zero), while the word-set
+# normalization — the aggressive canonicalization crawl dedup actually
+# applies for template-reordered pages — yields a real census (446
+# distinct fps over 500 docs at sf0.01). Scale: both inputs are shared
 # stagings (fps frame, verified pairs) — the report itself is a
 # |sources|-key aggregate over two joins on uniform keys.
+def _wordset_fp(E):
+    lowered = "lower(COALESCE(text, ''))"
+    words = f"{E.ADISTINCT}({E.splitws(lowered)})"
+    joined = f"array_join(array_sort({words}), ' ')"
+    if E is _Duck:
+        joined = joined.replace("array_join", "array_to_string").replace(
+            "array_sort", "list_sort"
+        )
+    return f"md5({joined})"
+
+
 def _sql_dedup_rate(E, near_pairs_src=None, fps_src=None):
     near_pairs = near_pairs_src or f"({_sql_minhash_oracle(E)})"
     fps = fps_src or "fps"
@@ -2826,7 +2862,7 @@ def _sql_dedup_rate(E, near_pairs_src=None, fps_src=None):
         if fps_src
         else (
             "fps AS (\n      SELECT doc_id, source, "
-            f"md5({E.collapse_ws('lower(text)')}) AS fp FROM documents\n    ),\n    "
+            f"{_wordset_fp(E)} AS fp FROM documents\n    ),\n    "
         )
     )
     return f"""
@@ -2852,12 +2888,11 @@ def _sql_dedup_rate(E, near_pairs_src=None, fps_src=None):
 
 
 def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("documents",))
     pairs = _minhash_pairs(spark, sf_dir)
     view = f"ddr_near_pairs_{_dataset_suffix(sf_dir)}"
     pairs.createOrReplaceTempView(view)
-    return spark.sql(
-        _sql_dedup_rate(_Spark, near_pairs_src=view, fps_src=_fps_stage(spark, sf_dir))
-    )
+    return spark.sql(_sql_dedup_rate(_Spark, near_pairs_src=view))
 
 
 QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
@@ -3682,15 +3717,24 @@ ORACLE["embedding_pca_top_component"] = _sql_pca_top_component(_Duck)
 # dedup_bloom_incremental — snapshot-vs-corpus dedup through a Bloom
 # filter: the standing corpus (source <> 'src0') populates a bit set of
 # k=3 Carter-Wegman positions per content hash; the incoming snapshot
-# (source = 'src0') probes it. The structure web-crawl pipelines use to
-# dedup each new snapshot against billions of existing docs without
-# materializing the key set. Self-evaluating output: per new doc,
-# maybe_dup (all 3 bits set), is_true_dup (exact hash match ground
-# truth), false_positive. The filter is ADAPTIVE: m = 2^ceil(log2(8n))
-# bits from COUNT(*) in pure SQL — load factor ~3/8 at any corpus size,
-# FP ~3%, identically in both engines. Scale: positions are map-side;
-# the DISTINCT bit set is bounded by m and broadcasts into the probe (no
-# corpus-side shuffle). This SQL spelling stores set bits as distinct
+# probes it. The structure web-crawl pipelines use to dedup each new
+# snapshot against billions of existing docs without materializing the
+# key set. The probe set is src0 PLUS a deterministic re-crawl slice of
+# the standing corpus (md5(doc_id) first hex < '4', ~25% — a snapshot
+# re-fetching known URLs) PLUS 200 absent-key probes (doc_id -1..-200,
+# h = md5('absent-<k>') — the standard held-out FP-rate measurement):
+# the round-6 vacuousness audit found the src0-only probe set made all
+# three metrics identically zero at sf0.01 (no true dups exist and 25
+# probes at ~3% FP round to none), so the green row certified nothing.
+# With the widened probe set the output has true dups (~133), misses,
+# and a deterministic nonzero FP count. Self-evaluating output: per
+# probe, maybe_dup (all 3 bits set), is_true_dup (exact hash match
+# ground truth), false_positive. The filter is ADAPTIVE: m =
+# 2^ceil(log2(8n)) bits from COUNT(*) in pure SQL — load factor ~3/8 at
+# any corpus size, FP ~3%, identically in both engines. Scale:
+# positions are map-side; the DISTINCT bit set is bounded by m and
+# broadcasts into the probe (no corpus-side shuffle); the absent-key
+# spine is 200 rows. This SQL spelling stores set bits as distinct
 # BIGINTs (~24 bytes/bit); a production deployment aggregates the same
 # positions into an m/8-byte binary bitmap with a bit_or UDAF — same
 # dataflow, smaller constant — and ships it like the broadcast here.
@@ -3741,11 +3785,26 @@ def _bloom_key(E):
     return f"md5({E.collapse_ws('lower(text)')})"
 
 
+def _newdocs_sql(E, src="documents"):
+    key = _bloom_key(E)
+    return f"""
+      SELECT doc_id, {key} AS h FROM {src} WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id, {key} AS h FROM {src}
+      WHERE source <> 'src0'
+        AND substring(md5(CAST(doc_id AS {E.STR})), 1, 1) < '4'
+      UNION ALL
+      SELECT CAST(-k AS BIGINT) AS doc_id,
+             md5('absent-' || CAST(k AS {E.STR})) AS h
+      FROM (SELECT {E.explode(E.seq(1, 200), 'k')}) sp
+    """
+
+
 def _sql_bloom_incremental(E, src="documents"):
     key = _bloom_key(E)
     return f"""
     WITH newdocs AS (
-      SELECT doc_id, {key} AS h FROM {src} WHERE source = 'src0'
+      {_newdocs_sql(E, src)}
     ),
     olddocs AS (
       SELECT {key} AS h FROM {src} WHERE source <> 'src0'
@@ -3770,10 +3829,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _MINHASH_STAGE_CACHE[key] = (doc_view, old_view)
     doc_view, old_view = _MINHASH_STAGE_CACHE[key]
-    newdocs = (
-        f"newdocs AS (SELECT doc_id, {_bloom_key(_Spark)} AS h "
-        f"FROM {doc_view} WHERE source = 'src0'),\n    "
-    )
+    newdocs = f"newdocs AS ({_newdocs_sql(_Spark, src=doc_view)}),\n    "
     return spark.sql(f"WITH {_bloom_body(_Spark, olddocs=old_view, extra_cte=newdocs)}")
 
 
@@ -5279,18 +5335,24 @@ ORACLE["text_ngram_novelty"] = _sql_ngram_novelty(_Duck)
 
 
 # ---------------------------------------------------------------------------
-# ann_graph_search_eval — navigability of the NN-Descent graph: greedy
-# best-first search (the HNSW layer-0 serving walk) from one fixed
-# md5-chosen entry node toward each query; per hop, move to the current
-# node's best-scoring out-neighbor if it improves, else stay. Reported as
-# the full trajectory table (hop 0..4 per query: node, cosine, whether
-# the exact top-1 was reached) — the readout that decides whether the
-# built graph can actually SERVE queries, complementing nn_descent_knn's
-# edge-recall convergence. Scale: each hop is two hash joins (frontier ⋈
-# graph ⋈ vectors) + a per-query top-1 window on k-bounded candidates;
-# frontier is query-block-sized; hops are checkpointed in Spark
-# (MATERIALIZED CTEs in the oracle) against the 2x/level re-expansion.
+# ann_graph_search_eval — navigability of the NN-Descent graph: BEAM
+# best-first search (the HNSW ef-search serving walk, ef=8) from one
+# fixed md5-chosen entry node toward each query; per hop the beam is
+# the top-8 of (current beam ∪ all out-neighbors of the beam) by exact
+# cosine. Reported as the beam-best trajectory table (hop 0..4 per
+# query: node, cosine, whether the exact top-1/top-10 was reached) —
+# the readout that decides whether the built graph can actually SERVE
+# queries, complementing nn_descent_knn's edge-recall convergence. The
+# round-5 single-path greedy walk saturated in a local optimum with
+# reached_top1 identically 0 across all 250 rows (round-6 vacuousness
+# audit — measured 0/50 even at 8 hops); beam=8 reaches top-1 for 11/50
+# queries and top-10 for 45/50 by hop 4, so both metrics certify real
+# behavior. Scale: each hop is two hash joins (beam ⋈ graph ⋈ vectors)
+# + a per-query top-8 window on k·beam-bounded candidates; the beam is
+# 8×query-block rows; hops are checkpointed in Spark (MATERIALIZED CTEs
+# in the oracle) against the 2x/level re-expansion.
 _GS_HOPS = 4
+_GS_BEAM = 8
 
 
 def _gs_q_sql(E, src):
@@ -5313,26 +5375,26 @@ def _gs_s0_sql(E, src, q="q", entry="entry"):
 
 
 def _gs_step_sql(E, prev, g, src, q="q"):
+    # one ef-search hop: beam ∪ scored out-neighbors of the beam, deduped
+    # by (query, node), kept top-_GS_BEAM per query
     return f"""
-    SELECT p.query_id,
-           CASE WHEN b.cosine > p.cosine THEN b.node ELSE p.node END AS node,
-           CASE WHEN b.cosine > p.cosine THEN b.cosine ELSE p.cosine END AS cosine
-    FROM {prev} p
-    LEFT JOIN (
-      SELECT query_id, node, cosine FROM (
-        SELECT sc.query_id, sc.node, sc.cosine,
-               ROW_NUMBER() OVER (PARTITION BY sc.query_id
-                                  ORDER BY sc.cosine DESC, sc.node) AS rn
-        FROM (
+    SELECT query_id, node, cosine FROM (
+      SELECT query_id, node, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, node) AS rn
+      FROM (
+        SELECT DISTINCT query_id, node, cosine FROM (
+          SELECT p.query_id, p.node, p.cosine FROM {prev} p
+          UNION ALL
           SELECT p2.query_id, g.dst AS node,
                  ROUND({E.dot('qq.embedding', 'b.embedding')}, 6) AS cosine
           FROM {prev} p2
           JOIN {g} g ON g.src = p2.node AND g.dst <> p2.query_id
           JOIN {q} qq ON qq.query_id = p2.query_id
           JOIN {src} b ON b.vec_id = g.dst
-        ) sc
-      ) r WHERE rn = 1
-    ) b ON b.query_id = p.query_id
+        ) u
+      ) d
+    ) r WHERE rn <= {_GS_BEAM}
     """
 
 
@@ -5342,7 +5404,10 @@ def _gs_final_sql(E, hops, src):
     # its graph/hop CTEs
     cos = E.dot("q2.embedding", "c.embedding")
     union = "\n      UNION ALL ".join(
-        f"SELECT {i} AS hop, query_id, node, cosine FROM {name} t{i}" for i, name in hops
+        f"SELECT {i} AS hop, query_id, node, cosine FROM ("
+        f"SELECT query_id, node, cosine, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY cosine DESC, node) AS rn FROM {name}) t{i} WHERE rn = 1"
+        for i, name in hops
     )
     return f"""
     traj AS (
