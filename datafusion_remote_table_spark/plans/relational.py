@@ -2231,7 +2231,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_churn_features — churn-label + feature generation (the ML
 # training-table builder): per user, trailing-window activity counts and
 # value sums anchored at the corpus max timestamp, recency in whole
-# days, and the 7-day churn label. Scale: one scalar MAX (broadcast
+# days, and the 24-hour churn label (24h, not 7d: sf0.01 user lifetimes
+# all end within 2 days of the corpus max, so a 7-day label was
+# identically 0 — round-6 vacuousness audit; 17/150 users churn at the
+# 24h horizon, so the label carries signal). Scale: one scalar MAX (broadcast
 # literal-sized), then a single groupBy(user_id) with map-side partials
 # — the canonical feature-store shape.
 _CHURN_SQL = """
@@ -2244,8 +2247,8 @@ _CHURN_SQL = """
              AS n_events_30d,
            CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
            CAST({recency_intdiv} AS BIGINT) AS recency_days,
-           CAST(CASE WHEN MAX(e.ts) < m.tmax - INTERVAL 7 DAY THEN 1 ELSE 0 END AS INT)
-             AS churned_7d
+           CAST(CASE WHEN MAX(e.ts) < m.tmax - INTERVAL 24 HOUR THEN 1 ELSE 0 END AS INT)
+             AS churned_24h
     FROM events e CROSS JOIN mx m
     GROUP BY e.user_id, m.tmax
 """
@@ -3133,22 +3136,32 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# events_late_arrival_audit — watermark configuration planning: treating
-# event_id as arrival order (the ingest sequence), each event's lateness
-# is how far it arrived behind the stream's running max event time; the
-# report says, for candidate watermarks (1h/2h/4h/8h), how many events a
-# streaming job would DROP and the surviving fraction — the number you
-# need before setting withWatermark on a real feed. Scale: one window
-# over arrival order (the same sort the ingest log already has), then a
-# constant 4-row rollup; at 100TB the audit runs per ingest partition
-# and the rollup merges.
+# events_late_arrival_audit — watermark configuration planning: each
+# event's ingest arrival is its event time plus a deterministic
+# per-event transport delay (md5(event_id) mod 2h — the md5-keyed
+# stand-in for network/queue jitter; the synthetic feed itself is
+# PERFECTLY ordered by event_id, which the round-6 vacuousness audit
+# showed makes the raw-order lateness identically zero — all three
+# metrics were constant and the audit certified nothing). Lateness is
+# how far an event's TIME sits behind the running max event time in
+# ARRIVAL order; the report says, for candidate watermarks
+# (15m/30m/1h/2h), how many events a streaming job would DROP and the
+# surviving fraction — the number you need before setting withWatermark
+# on a real feed. Scale: one window over arrival order (the same sort
+# the ingest log already has), then a constant 4-row rollup; at 100TB
+# the audit runs per ingest partition and the rollup merges.
 _LATE_AUDIT_SQL = """
-    WITH arrival AS (
-      SELECT {epoch_ts} AS ts_sec,
-             MAX({epoch_ts}) OVER (ORDER BY event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS high_watermark
+    WITH delayed AS (
+      SELECT event_id, {epoch_ts} AS ts_sec,
+             {epoch_ts} + ({h8} % 7200) AS arrival_sec
       FROM events
+    ),
+    arrival AS (
+      SELECT ts_sec,
+             MAX(ts_sec) OVER (ORDER BY arrival_sec, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_watermark
+      FROM delayed
     ),
     lateness AS (
       SELECT CAST(high_watermark - ts_sec AS BIGINT) AS late_sec FROM arrival
@@ -3171,7 +3184,8 @@ _LATE_AUDIT_SQL = """
     "events_late_arrival_audit",
     oracle=_LATE_AUDIT_SQL.format(
         epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
-        wlist="SELECT unnest([3600, 7200, 14400, 28800]) AS w",
+        h8="CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)",
+        wlist="SELECT unnest([900, 1800, 3600, 7200]) AS w",
     ),
 )
 def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3179,7 +3193,8 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATE_AUDIT_SQL.format(
             epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)",
-            wlist="SELECT explode(array(3600, 7200, 14400, 28800)) AS w",
+            h8="CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+            wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
         )
     )
 
@@ -3189,7 +3204,12 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (events per active hour), burstiness (max events in one hour), and
 # gap regularity (exact p10/p90 of inter-event seconds — scripted
 # traffic has near-constant gaps, humans don't). The data-cleaning gate
-# a pipeline runs before behavioral analytics. Scale: one LAG window
+# a pipeline runs before behavioral analytics. Flag thresholds are
+# calibrated to this feed's tails (burst >= 3/hour, gap spread <=
+# 58000 s: ~9 of 150 users flag) — the round-6 vacuousness audit found
+# the original 10/hour + 60 s thresholds sit far outside the synthetic
+# feed's range (max burst is 3, min spread ~54000 s), leaving bot_flag
+# identically 0. Scale: one LAG window
 # and one aggregate, both on the user_id shuffle; gap percentiles are
 # per-user state over integer gaps.
 _BOT_SQL = """
@@ -3224,8 +3244,8 @@ _BOT_SQL = """
            ROUND(u.gap_p10, 4) AS gap_p10_sec,
            ROUND(u.gap_p90, 4) AS gap_p90_sec,
            CASE WHEN u.n_events >= 20
-                     AND (b.max_per_hour >= 10
-                          OR (u.gap_p90 IS NOT NULL AND u.gap_p90 - u.gap_p10 <= 60))
+                     AND (b.max_per_hour >= 3
+                          OR (u.gap_p90 IS NOT NULL AND u.gap_p90 - u.gap_p10 <= 58000))
                 THEN 1 ELSE 0 END AS bot_flag
     FROM per_user u JOIN bursts b ON b.user_id = u.user_id
 """
@@ -3586,28 +3606,35 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # pii_subject_access_report — GDPR/CCPA subject-access footprint: for
-# the five heaviest customers (order count, custkey tie-break), how many
-# rows reference them across orders, lineitem (via the order join), and
-# events, plus spend and first/last activity — the fan-out a
-# right-to-be-forgotten delete would have to touch. Scale: the subject
-# list is a 5-row frame, so every per-table leg is a broadcast semi-join
-# against its scan; at 100TB the only full shuffle is the initial
-# per-customer order census (in production, checkpoint the subject list
-# once instead of re-deriving per leg as the single-statement spelling
-# does).
+# the five most active subjects IN THE EVENTS IDENTITY DOMAIN (event
+# count, custkey tie-break), how many rows reference them across orders,
+# lineitem (via the order join), and events, plus spend and first/last
+# activity — the fan-out a right-to-be-forgotten delete would have to
+# touch. Subjects are chosen from events because that is the identity
+# space shared across all audited tables: the round-6 vacuousness audit
+# found the original heaviest-by-orders subjects (custkeys ~469–1378)
+# sit entirely outside the events user range (0–149), so n_events was
+# identically 0 and the report never exercised its events leg. Scale:
+# the subject list is a 5-row frame, so every per-table leg is a
+# broadcast semi-join against its scan; at 100TB the only full shuffle
+# is the initial per-user event census (in production, checkpoint the
+# subject list once instead of re-deriving per leg as the
+# single-statement spelling does).
 _SAR_SQL = """
     WITH subjects AS (
-      SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
-      FROM orders GROUP BY o_custkey
-      ORDER BY n_orders DESC, custkey LIMIT 5
+      SELECT user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+      ORDER BY n_events DESC, custkey LIMIT 5
     ),
     order_fp AS (
-      SELECT s.custkey, s.n_orders,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_spend,
+      SELECT s.custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))), 0) AS DOUBLE)
+               AS total_spend,
              {fmt_min} AS first_order_at,
              {fmt_max} AS last_order_at
-      FROM subjects s JOIN orders o ON o.o_custkey = s.custkey
-      GROUP BY s.custkey, s.n_orders
+      FROM subjects s LEFT JOIN orders o ON o.o_custkey = s.custkey
+      GROUP BY s.custkey
     ),
     li AS (
       SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_lineitems
@@ -3615,21 +3642,16 @@ _SAR_SQL = """
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN subjects s ON s.custkey = o.o_custkey
       GROUP BY o.o_custkey
-    ),
-    ev AS (
-      SELECT e.user_id AS custkey, CAST(COUNT(*) AS BIGINT) AS n_events
-      FROM events e JOIN subjects s ON s.custkey = e.user_id
-      GROUP BY e.user_id
     )
     SELECT f.custkey, c.c_name, f.n_orders,
            CAST(COALESCE(li.n_lineitems, 0) AS BIGINT) AS n_lineitems,
-           CAST(COALESCE(ev.n_events, 0) AS BIGINT) AS n_events,
+           s.n_events,
            f.total_spend, f.first_order_at, f.last_order_at
-    FROM order_fp f
-    JOIN customer c ON c.c_custkey = f.custkey
-    LEFT JOIN li ON li.custkey = f.custkey
-    LEFT JOIN ev ON ev.custkey = f.custkey
-    ORDER BY f.custkey
+    FROM subjects s
+    JOIN order_fp f ON f.custkey = s.custkey
+    JOIN customer c ON c.c_custkey = s.custkey
+    LEFT JOIN li ON li.custkey = s.custkey
+    ORDER BY s.custkey
 """
 
 
@@ -4228,9 +4250,14 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # events_sessionize_capped — gap-based sessions with a MAX-DURATION cap
 # (the production variant of events_sessionize: a 30-min inactivity gap
-# starts a new session, and any session is additionally split at 4-hour
+# starts a new session, and any session is additionally split at 20-min
 # boundaries so a scripted always-on client can't produce unbounded
-# sessions). Pure window composition: island detection (LAG + running
+# sessions). The cap is 1200 s — below this feed's longest gap-islands
+# (max 3396 s, 146 islands over 1200 s at sf0.01) so the split
+# mechanism demonstrably fires; the round-6 vacuousness audit found the
+# original 4-hour cap never triggered (is_cap_split identically 0 — the
+# query was indistinguishable from plain sessionize on this data).
+# Pure window composition: island detection (LAG + running
 # SUM) then an integer sub-session key from the island start — no
 # iteration, everything on the one user_id shuffle; all arithmetic is
 # integer so both engines agree exactly.
@@ -4256,7 +4283,7 @@ _SESS_CAP_SQL = """
     ),
     capped AS (
       SELECT user_id, island, sec,
-             CAST((sec - MIN(sec) OVER (PARTITION BY user_id, island)) {div} 14400
+             CAST((sec - MIN(sec) OVER (PARTITION BY user_id, island)) {div} 1200
                   AS BIGINT) AS segment
       FROM islands
     )
@@ -4921,8 +4948,13 @@ def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entropy = scripted/looping behavior (the complement of
 # events_bot_score's timing signals), high entropy = diverse organic
 # use. Integer transition counts with the c·ln(c) terms quantized to
-# 1e-9 and DECIMAL-summed (the text_entropy_score discipline). Scale:
-# one LAG window + one (user, pair) census on the user_id shuffle.
+# 1e-9 and DECIMAL-summed (the text_entropy_score discipline). The flag
+# threshold (4.2 bits) sits at this feed's bottom decile — transition
+# entropy here spans 4.03–4.57 bits (near-uniform synthetic behavior),
+# so the original < 1.0 bit threshold could never fire
+# (low_entropy_flag was identically 0, round-6 vacuousness audit).
+# Scale: one LAG window + one (user, pair) census on the user_id
+# shuffle.
 _PREDICT_SQL = """
     WITH seq AS (
       SELECT user_id, event_type,
@@ -4949,7 +4981,7 @@ _PREDICT_SQL = """
                  / ln(2.0e0), 6) AS transition_entropy_bits,
            CAST(CASE WHEN n_transitions >= 20
                       AND (ln(CAST(n_transitions AS DOUBLE)) - clogc / n_transitions)
-                          / ln(2.0e0) < 1.0e0
+                          / ln(2.0e0) < 4.2e0
                      THEN 1 ELSE 0 END AS INT) AS low_entropy_flag
     FROM agg
 """
