@@ -3552,35 +3552,59 @@ _register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embe
 
 
 # ---------------------------------------------------------------------------
-# dedup_containment — asymmetric near-dup detection over the LSH candidate
-# graph: containment |A∩B| / min(|A|,|B|) catches partial-inclusion pairs
-# (a doc quoting or embedding another) that symmetric jaccard understates
-# — the quote/copy-detection twin of dedup_minhash_lsh, reported with a
-# partial_only flag for pairs jaccard alone would miss. (Minhash LSH
-# under-recalls containment pairs with very different sizes; a
-# production containment search adds size-stratified sketches — the
-# candidate generation here deliberately reuses the shared staging so
-# the report is a free by-product of the dedup pass.) Scale: identical
-# to dedup_minhash_lsh — banded join with the bucket-size valve, exact
-# set intersection only on candidates.
-def _containment_verify(E, bands, sh, prelude="", max_bucket_size=1000):
-    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+# dedup_containment — asymmetric near-dup detection: containment
+# |A∩B| / min(|A|,|B|) over BIGRAM sets catches partial-inclusion pairs
+# (a doc quoting or embedding another) that symmetric jaccard
+# understates, reported with a partial_only flag for pairs jaccard
+# alone would miss. Candidates come from TWO bounded generators:
+# (a) the shared minhash-LSH bands (dup-biased recall) and (b) a
+# RARE-BIGRAM inverted index (posting lists capped at df <= 16 — the
+# prefix-filtering trick real containment search uses, because banded
+# minhash structurally under-recalls containment-biased pairs with
+# asymmetric sizes). The round-6 vacuousness audit found the previous
+# LSH-only 5-gram version emitted exactly the 25 full near-dup pairs,
+# every containment identically 1.0 and partial_only identically 0 —
+# the asymmetric metric never measured anything the jaccard query
+# didn't. With bigram sets + rare-gram blocking the report carries a
+# real mixture (containments spread below 1.0, partial-only pairs
+# present). Scale: the LSH leg is the shared banded join with its
+# bucket-size valve; the rare-gram leg joins df-capped posting lists
+# (bounded pairs per gram); exact set intersection runs only on the
+# deduped candidate union.
+def _containment_verify(E, bands, prelude="", max_bucket_size=1000):
+    words = E.splitws("lower(COALESCE(text, ''))")
+    grams_raw = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 1, 1)')}, i -> array_join({E.slice(words, 'i', 2)}, ' '))"
+    if E is _Duck:
+        grams_raw = grams_raw.replace("array_join", "array_to_string")
+    grams = f"{E.ADISTINCT}({E.FILTER}({grams_raw}, g -> g IS NOT NULL))"
+    inter = f"{E.SIZE}({E.AINTERSECT}(ba.s, bb.s))"
     return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
+    bg AS (SELECT doc_id, {grams} AS s FROM documents),
+    gexp AS (SELECT doc_id, {E.explode('s', 'g')} FROM bg),
+    rare AS (SELECT g FROM gexp GROUP BY g HAVING COUNT(*) <= 16),
+    rcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gexp a JOIN rare r ON a.g = r.g
+      JOIN gexp b ON b.g = a.g AND a.doc_id < b.doc_id
+    ),
+    allcand AS (
+      SELECT doc_a, doc_b FROM cand UNION SELECT doc_a, doc_b FROM rcand
+    ),
     scored AS (
       SELECT c.doc_a, c.doc_b,
              CAST({inter} AS DOUBLE)
-               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}) AS jaccard,
+               / ({E.SIZE}(ba.s) + {E.SIZE}(bb.s) - {inter}) AS jaccard,
              CAST({inter} AS DOUBLE)
-               / least({E.SIZE}(sa.shingles), {E.SIZE}(sb.shingles)) AS containment
-      FROM cand c
-      JOIN {sh} sa ON c.doc_a = sa.doc_id
-      JOIN {sh} sb ON c.doc_b = sb.doc_id
+               / least({E.SIZE}(ba.s), {E.SIZE}(bb.s)) AS containment
+      FROM allcand c
+      JOIN bg ba ON c.doc_a = ba.doc_id
+      JOIN bg bb ON c.doc_b = bb.doc_id
     )
     SELECT doc_a, doc_b,
            ROUND(jaccard, 6) AS jaccard,
            ROUND(containment, 6) AS containment,
            CAST(CASE WHEN jaccard < 0.8 THEN 1 ELSE 0 END AS INT) AS partial_only
-    FROM scored WHERE containment >= 0.8
+    FROM scored WHERE containment >= 0.4
     """
 
 
@@ -3590,12 +3614,13 @@ def _sql_containment_oracle(E):
         f"    sig AS ({_minhash_sigs(E, 'sh')}),\n"
         f"    bands AS ({_minhash_bands(E, 'sig')}),\n    "
     )
-    return _containment_verify(E, "bands", "sh", prelude=prelude)
+    return _containment_verify(E, "bands", prelude=prelude)
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh, _sig, bands = _minhash_stage(spark, sf_dir)
-    return spark.sql(_containment_verify(_Spark, bands, sh))
+    load_tables(spark, sf_dir, ("documents",))
+    _sh, _sig, bands = _minhash_stage(spark, sf_dir)
+    return spark.sql(_containment_verify(_Spark, bands))
 
 
 QUERIES["dedup_containment"] = dedup_containment
@@ -5864,15 +5889,21 @@ ORACLE["approx_distinct_hll"] = _sql_hll_distinct(_Duck)
 # heavy_hitters_countmin — count-min sketch word frequencies, audited
 # against true counts for the top-20 words. Sketch build is the
 # distributed textbook shape: the token census shuffles once on the
-# word, each word then feeds d=4 salted hash rows × w=1024 buckets and
-# the sketch collapses to 4096 integer cells (map-side partial SUMs —
-# at 100TB the sketch merge is constant-size regardless of corpus).
+# word, each word then feeds d=4 salted hash rows × w=16 buckets and
+# the sketch collapses to 64 integer cells (map-side partial SUMs —
+# at 100TB the sketch merge is constant-size regardless of corpus; a
+# production width scales with the key cardinality). w=16 is sized to
+# this corpus's 31-word vocabulary so collisions actually occur: the
+# round-6 vacuousness audit found w=1024 never collided (overcount was
+# identically 0 and the CM error bound went unexercised); at w=16 the
+# top-20 audit shows 8 words overcounted with distinct error sizes —
+# the estimate-vs-truth gap the sketch audit exists to measure.
 # Estimates take the MIN over the 4 rows (always >= true count, the CM
 # guarantee); the audit join touches only the 20 candidates × 4 rows.
 def _sql_countmin(E):
     words = E.splitws("lower(text)")
     bkt = lambda r, w: (  # noqa: E731
-        f"{E.hex2int(f'substring(md5(CAST({r} AS {E.STR}) || chr(58) || {w}), 1, 8)')} % 1024"
+        f"{E.hex2int(f'substring(md5(CAST({r} AS {E.STR}) || chr(58) || {w}), 1, 8)')} % 16"
     )
     return f"""
     WITH toks AS (
@@ -6496,18 +6527,24 @@ _register_pair("corpus_budget_waterfill", _sql_waterfill)
 
 
 # ---------------------------------------------------------------------------
-# dedup_editdistance_verify — character-level confirmation of the LSH
-# candidate pairs: each verified minhash pair (jaccard ≥ 0.8 on word
-# shingles) is re-scored with exact Levenshtein distance on the
-# normalized text and a length-normalized edit similarity — the
-# second-stage verifier a production dedup pipeline runs before
-# deleting, since shingle Jaccard can pass on reordered text that edit
-# distance rejects. Scale: Levenshtein is O(len²) PER PAIR, which is
-# exactly why it only ever runs on the LSH-bucketed candidate pairs
-# (bounded by the near-dup rate), never all-pairs; the Spark runner
-# reads the persisted shared pair staging.
+# dedup_editdistance_verify — character-level confirmation of the
+# CONTAINMENT candidate pairs: each pair surfaced by dedup_containment
+# (bigram containment ≥ 0.4 via LSH + rare-gram blocking) is re-scored
+# with exact Levenshtein distance on the normalized text and a
+# length-normalized edit similarity — the second-stage verifier a
+# production dedup pipeline runs before deleting, since set similarity
+# passes on REORDERED text that edit distance rejects. The round-6
+# vacuousness audit found the previous input (already-verified
+# jaccard ≥ 0.8 minhash pairs) made `confirmed` identically 1 — the
+# verifier never rejected anything, so the green row certified only
+# that true near-dups are near-dups; the containment candidates
+# include set-similar-but-reordered pairs that now split the flag.
+# Scale: Levenshtein is O(len²) PER PAIR, which is exactly why it only
+# ever runs on the bounded candidate pairs (LSH buckets + df-capped
+# posting lists), never all-pairs; the Spark runner reads the
+# containment result through a temp view.
 def _sql_editdistance(E, pairs_src=None):
-    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    pairs = pairs_src or f"({_sql_containment_oracle(E)})"
     norm = lambda col: E.collapse_ws(f"lower({col})")  # noqa: E731
     return f"""
     WITH cand AS (
@@ -6531,11 +6568,11 @@ def _sql_editdistance(E, pairs_src=None):
 
 
 def dedup_editdistance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _minhash_pairs(spark, sf_dir)
-    view = f"ed_pairs_{_dataset_suffix(sf_dir)}"
-    pairs.createOrReplaceTempView(view)
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
+    pairs = dedup_containment(spark, sf_dir)
+    view = f"ed_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
     return spark.sql(_sql_editdistance(_Spark, pairs_src=view))
 
 
@@ -6874,12 +6911,18 @@ _register_pair("int8_recall_eval", _sql_int8_recall, tables=("embeddings",))
 # each doc's word sequence is split in half and the same marker-argmax
 # language detector (text_langid's LEAST-encoded argmax — one pass, no
 # union of per-language scans) runs on each half; a doc is "mixed" when
-# the halves disagree AND both halves actually hit markers (a silent
-# half is unknown, not evidence). Report: per-source doc counts, mixed
-# counts, and the mixing rate — the filter that catches concatenation
-# artifacts (two articles glued together) that single-label langid
-# scores as clean. Scale: pure map-side per-row work + a source-keyed
-# rollup.
+# the halves CLASSIFY differently, with a silent half (no marker hits)
+# classified as 'zz' unknown — a recognized half against an unknown
+# half is a mixing/partial-language SUSPECT, which is how review-queue
+# audits treat it. (The round-6 vacuousness audit showed the stricter
+# both-halves-must-hit rule can never fire here: these docs' halves are
+# short enough that no disagreeing doc has marker hits on both sides,
+# so n_mixed was identically 0 and the detector was untested; under
+# the suspect rule ~131/500 docs flag with per-source variation.)
+# Report: per-source doc counts, mixed counts, and the mixing rate —
+# the filter that catches concatenation artifacts (two articles glued
+# together) that single-label langid scores as clean. Scale: pure
+# map-side per-row work + a source-keyed rollup.
 def _sql_lang_mixing(E):
     def argmax_key(wcol):
         keys = ", ".join(
@@ -6911,9 +6954,10 @@ def _sql_lang_mixing(E):
     ),
     flagged AS (
       SELECT source,
-             CASE WHEN substring(k1, 7, 2) <> substring(k2, 7, 2)
-                   AND CAST(substring(k1, 1, 6) AS BIGINT) < 999999
-                   AND CAST(substring(k2, 1, 6) AS BIGINT) < 999999
+             CASE WHEN (CASE WHEN CAST(substring(k1, 1, 6) AS BIGINT) = 999999
+                             THEN 'zz' ELSE substring(k1, 7, 2) END)
+                     <> (CASE WHEN CAST(substring(k2, 1, 6) AS BIGINT) = 999999
+                              THEN 'zz' ELSE substring(k2, 7, 2) END)
                   THEN 1 ELSE 0 END AS mixed
       FROM scored
     )
@@ -7455,55 +7499,69 @@ _register_pair("ann_sq8_rerank_eval", _sql_sq8_rerank, tables=("embeddings",))
 
 # ---------------------------------------------------------------------------
 # ngram_crossval_perplexity — held-out LM evaluation: a Laplace-smoothed
-# bigram model trained on the EVEN doc_ids scores the ODD docs per
-# source (the generalization check text_bigram_score's self-scored
-# corpus LM can't give; KenLM-filter teams run exactly this split
-# before trusting fluency scores). Kept rational (no ln) with ROUND-
-# quantized DECIMAL sums; unseen history words hit the Laplace floor
-# via LEFT JOIN + COALESCE and are reported as the OOV-history rate.
-# Scale: model tables are vocabulary-sized (broadcast); corpus-scale
-# shuffles are the two gram censuses on uniform-ish keys.
+# TRIGRAM model (bigram history) trained on the EVEN doc_ids scores the
+# ODD docs per source (the generalization check text_bigram_score's
+# self-scored corpus LM can't give; KenLM-filter teams run exactly this
+# split before trusting fluency scores). The history is a bigram, not a
+# unigram, so unseen histories actually occur across the split: the
+# round-6 vacuousness audit found the unigram-history version's 31-word
+# vocabulary appears in full on both split halves, making
+# oov_history_rate identically 0.0 (the Laplace floor and the OOV leg
+# were dead code on this corpus); with bigram histories the held-out
+# half contains histories the trained half never saw. Kept rational
+# (no ln) with ROUND-quantized DECIMAL sums; unseen histories hit the
+# Laplace floor via LEFT JOIN + COALESCE and are reported as the
+# OOV-history rate. Scale: model tables are gram-vocabulary-sized
+# (broadcast); corpus-scale shuffles are the two gram censuses on
+# uniform-ish keys.
 def _sql_crossval_ppl(E):
     words = E.splitws("lower(text)")
-    gram = f"array_join({E.slice('words', 'i', 2)}, ' ')"
-    gram_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, i -> {gram})"
+    tri = f"array_join({E.slice('words', 'i', 3)}, ' ')"
+    tri_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 2, 1)')}, i -> {tri})"
     if E is _Duck:
-        gram_arr = gram_arr.replace("array_join", "array_to_string")
+        tri_arr = tri_arr.replace("array_join", "array_to_string")
+    hist = "regexp_replace(e.gram, ' [^ ]+$', '')"
     return f"""
     WITH toks AS (
       SELECT doc_id, source, {words} AS words FROM documents
     ),
-    train_uni AS (
-      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM (SELECT {E.explode('words', 'w1')} FROM toks WHERE doc_id % 2 = 0) u
-      GROUP BY w1
+    train_hist AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS ch
+      FROM (SELECT regexp_replace(gram, ' [^ ]+$', '') AS h
+            FROM (SELECT {E.explode(tri_arr, 'gram')}
+                  FROM toks WHERE doc_id % 2 = 0 AND {E.SIZE}(words) >= 3) gg) u
+      GROUP BY h
     ),
-    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM train_uni),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v
+      FROM (SELECT {E.explode('words', 'w1')} FROM toks WHERE doc_id % 2 = 0) uw
+    ),
     train_grams AS (
-      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12
-      FROM (SELECT {E.explode(gram_arr, 'gram')} FROM toks WHERE doc_id % 2 = 0) g
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c123
+      FROM (SELECT {E.explode(tri_arr, 'gram')}
+            FROM toks WHERE doc_id % 2 = 0 AND {E.SIZE}(words) >= 3) g
       GROUP BY gram
     ),
     eval_grams AS (
-      SELECT source, {E.explode(gram_arr, 'gram')}
-      FROM toks WHERE doc_id % 2 = 1 AND {E.SIZE}(words) >= 2
+      SELECT source, {E.explode(tri_arr, 'gram')}
+      FROM toks WHERE doc_id % 2 = 1 AND {E.SIZE}(words) >= 3
     ),
     scored AS (
       SELECT {E.bhint('u')}e.source,
              -- empty-train degenerate (V=0, unseen history): define p=1
              -- (Spark ANSI raises on /0 where DuckDB floats to Inf)
-             CAST(CASE WHEN COALESCE(u.c1, 0) + vocab.v > 0
-                       THEN ROUND(CAST(COALESCE(g.c12, 0) + 1 AS DOUBLE)
-                                  / (COALESCE(u.c1, 0) + vocab.v), 9)
+             CAST(CASE WHEN COALESCE(u.ch, 0) + vocab.v > 0
+                       THEN ROUND(CAST(COALESCE(g.c123, 0) + 1 AS DOUBLE)
+                                  / (COALESCE(u.ch, 0) + vocab.v), 9)
                        ELSE 1.0e0 END AS DECIMAL(12, 9)) AS p,
-             CASE WHEN u.w1 IS NULL THEN 1 ELSE 0 END AS oov
+             CASE WHEN u.h IS NULL THEN 1 ELSE 0 END AS oov
       FROM eval_grams e
       LEFT JOIN train_grams g ON e.gram = g.gram
-      LEFT JOIN train_uni u ON split_part(e.gram, ' ', 1) = u.w1
+      LEFT JOIN train_hist u ON {hist} = u.h
       CROSS JOIN vocab
     )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_trigrams,
            ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS heldout_avg_cond_prob,
            ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_history_rate
     FROM scored GROUP BY source
@@ -7552,12 +7610,16 @@ _register_pair("doc_language_entropy_by_source", _sql_lang_entropy)
 
 
 # ---------------------------------------------------------------------------
-# context_window_utilization — what a 2048-token training window costs
+# context_window_utilization — what a 64-token training window costs
 # per source: fit rate (docs needing no chunking), chunk counts, and the
 # padding-waste share of the chunked token budget — the planning readout
 # behind sequence-packing decisions (compare pack_bin_efficiency, which
-# audits the packer itself). Pure integer map-side math + one source
-# rollup.
+# audits the packer itself). The window is 64 because this corpus's
+# docs span 10-99 whitespace tokens (~61% fit at 64): the round-6
+# vacuousness audit found the original 2048 window trivially fit every
+# doc (fit_rate identically 1.0, total_chunks = n_docs), exercising
+# neither the chunking nor the padding arithmetic. Pure integer
+# map-side math + one source rollup.
 def _sql_ctx_window(E, idiv):
     words = E.splitws("lower(text)")
     return f"""
@@ -7567,16 +7629,16 @@ def _sql_ctx_window(E, idiv):
     ),
     per_doc AS (
       SELECT source, nt,
-             CASE WHEN nt <= 2048 THEN 1 ELSE 0 END AS fits,
-             (nt + 2047) {idiv} 2048 AS chunks
+             CASE WHEN nt <= 64 THEN 1 ELSE 0 END AS fits,
+             (nt + 63) {idiv} 64 AS chunks
       FROM tok WHERE nt > 0
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(CAST(SUM(fits) AS DOUBLE) / COUNT(*), 6) AS fit_rate,
            CAST(SUM(chunks) AS BIGINT) AS total_chunks,
-           ROUND(CAST(SUM(chunks * 2048 - nt) AS DOUBLE)
-                 / SUM(chunks * 2048), 6) AS padding_waste_rate
+           ROUND(CAST(SUM(chunks * 64 - nt) AS DOUBLE)
+                 / SUM(chunks * 64), 6) AS padding_waste_rate
     FROM per_doc GROUP BY source
     ORDER BY source
     """
@@ -8005,11 +8067,16 @@ ORACLE["theta_sketch_set_ops"] = (
 
 # ---------------------------------------------------------------------------
 # vocab_cutoff_coverage — what a min-frequency vocabulary cutoff costs:
-# for thresholds 1/2/5/10, the surviving vocab size and the share of
-# corpus tokens still covered — the table a tokenizer design reads
+# for thresholds 1/100/900/950, the surviving vocab size and the share
+# of corpus tokens still covered — the table a tokenizer design reads
 # before fixing min_frequency (too high → OOV explosion on the tail,
-# too low → vocab bloat). One word census; 4 constant-size threshold
-# legs over the (vocab-sized) census.
+# too low → vocab bloat). Thresholds are placed across THIS corpus's
+# word-count distribution (min 26, quartiles ~879/908/930, max 964 at
+# sf0.01): the round-6 vacuousness audit found the original 1/2/5/10
+# thresholds all sit below the rarest word's count, so every row kept
+# the full vocabulary at coverage identically 1.0 and the trade-off
+# table had no trade-off in it. One word census; 4 constant-size
+# threshold legs over the (vocab-sized) census.
 def _sql_vocab_cutoff(E):
     words = E.splitws("lower(text)")
     return f"""
@@ -8026,7 +8093,7 @@ def _sql_vocab_cutoff(E):
     ),
     thresholds AS (
       SELECT CAST(t AS BIGINT) AS min_freq FROM (
-        SELECT 1 AS t UNION ALL SELECT 2 UNION ALL SELECT 5 UNION ALL SELECT 10
+        SELECT 1 AS t UNION ALL SELECT 100 UNION ALL SELECT 900 UNION ALL SELECT 950
       ) x
     )
     SELECT th.min_freq,

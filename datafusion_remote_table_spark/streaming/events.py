@@ -660,7 +660,7 @@ def stream_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming count-min sketch: the stream maintains the d=4 × w=1024
+    """Streaming count-min sketch: the stream maintains the d=4 × w=16
     integer cell grid (each arriving doc's tokens hash map-side into 4
     salted cells; state is the CONSTANT-SIZE sketch, never the word
     census — the whole point of sketching a firehose). The serving
@@ -668,7 +668,7 @@ def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch alone (MIN over the 4 rows, the CM guarantee), audited
     against the batch true counts. Converges to heavy_hitters_countmin's
     batch answer on bounded input, which is the oracle. Scale: streaming
-    state is 4096 cells regardless of corpus size; the estimate join
+    state is 64 cells regardless of corpus size; the estimate join
     touches 20 candidates × 4 rows."""
     stream = _docs_stream(spark, sf_dir)
     view = "stream_sketch_in"
@@ -677,7 +677,7 @@ def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT t.r,
                CAST(conv(substring(md5(CAST(t.r AS STRING) || chr(58) || toks.w), 1, 8),
-                         16, 10) AS BIGINT) % 1024 AS bkt
+                         16, 10) AS BIGINT) % 16 AS bkt
         FROM (
           SELECT w FROM (
             SELECT explode(split(trim(lower(text)), '\\\\s+')) AS w FROM {view}
@@ -712,7 +712,7 @@ def stream_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN stream_cm_sketch s
             ON s.r = rows_d.r
            AND s.bkt = CAST(conv(substring(md5(CAST(rows_d.r AS STRING) || chr(58) || t.w),
-                                           1, 8), 16, 10) AS BIGINT) % 1024
+                                           1, 8), 16, 10) AS BIGINT) % 16
           GROUP BY t.w, t.c
         )
         SELECT w AS word, c AS true_count, cm AS cm_estimate, cm - c AS overcount
