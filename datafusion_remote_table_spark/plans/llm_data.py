@@ -4720,10 +4720,20 @@ ORACLE["nb_lang_classifier"] = _nb_select(_Duck, f"({_dsir_buck_sql(_Duck)})")
 # reports the RUN structure substring-dedup actually clips on (Lee et
 # al.: remove spans over a length threshold) — per doc, the number of
 # maximal consecutive runs of duplicated positions and the longest run.
+# The gram width here is 4 (vs dedup_substring_spans' 8): at width 8
+# the only duplicated positions in this corpus are the full near-dup
+# copies, so every doc had exactly one run (n_dup_runs identically 1 —
+# round-6 vacuousness audit — and the run census measured nothing
+# beyond membership); 4-grams recur across unrelated docs, producing
+# the gapped multi-run structure (368 docs, up to 6 runs) the Lee et
+# al. clip-threshold decision actually reads.
+_SPAN_RUN_N = 4
+
+
 def _span_pos_sql(E, src="documents"):
     words = E.splitws("lower(text)")
-    npos = f"greatest({E.SIZE}(words) - {_SPAN_N - 1}, 1)"
-    gram_fp = f"md5(array_join({E.slice('words', 'i', _SPAN_N)}, ' '))"
+    npos = f"greatest({E.SIZE}(words) - {_SPAN_RUN_N - 1}, 1)"
+    gram_fp = f"md5(array_join({E.slice('words', 'i', _SPAN_RUN_N)}, ' '))"
     if E is _Duck:
         gram_fp = gram_fp.replace("array_join", "array_to_string")
     return f"""
@@ -4754,7 +4764,7 @@ def _span_runs_select(E, pos):
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
            CAST(MAX(run_grams) AS BIGINT) AS longest_run_grams,
-           CAST(MAX(run_grams) + {_SPAN_N - 1} AS BIGINT) AS longest_run_words
+           CAST(MAX(run_grams) + {_SPAN_RUN_N - 1} AS BIGINT) AS longest_run_words
     FROM runs GROUP BY doc_id
     """
 
@@ -6470,42 +6480,48 @@ _register_pair("documents_contract_audit", _sql_doc_contract)
 
 # ---------------------------------------------------------------------------
 # corpus_budget_waterfill — max-min fair token-budget allocation across
-# sources (the waterfilling algorithm from network fair-share, applied
-# to corpus mixing): given a training budget of half the corpus tokens,
-# every source gets min(its tokens, L) where the water level L is
-# chosen so allocations sum to the budget — small sources are taken
-# whole, large sources are capped at a common level (the
+# LANGUAGES (the waterfilling algorithm from network fair-share,
+# applied to corpus mixing): given a training budget of 3/4 of the
+# corpus tokens, every language gets min(its tokens, L) where the water
+# level L is chosen so allocations sum to the budget — small languages
+# are taken whole, the dominant one is capped at the common level (the
 # equal-opportunity alternative to sample_temperature_mix's power-law
-# reweighting). The level search is closed-form over the source census
-# sorted by size: for each candidate cut k, L = (B − prefix_k)/(n − k),
-# valid where it lands between the neighboring source sizes. Scale: the
-# only corpus pass is the per-source token census; the level search and
-# allocation run over the handful of sources.
+# reweighting). Languages, not sources: this corpus's 20 sources are
+# uniform 25-doc slices, so a source-keyed waterfill never clips anyone
+# (every alloc was the identical constant — round-6 vacuousness audit);
+# the language sizes are genuinely skewed (en ~12k tokens vs ~3.5-4k
+# for de/fr/es/zh at sf0.01), so the fill takes the four small
+# languages whole (alloc_frac 1.0) and caps en (~0.42). The level
+# search is closed-form over the census sorted by size: for each
+# candidate cut k, L = (B − prefix_k)/(n − k), valid where it lands
+# between the neighboring sizes. Scale: the only corpus pass is the
+# per-language token census; the level search and allocation run over
+# the handful of languages.
 def _sql_waterfill(E):
     words = E.splitws("lower(text)")
     return f"""
     WITH perdoc AS (
-      SELECT source, CAST({E.SIZE}({words}) AS BIGINT) AS tokens
+      SELECT lang AS grp, CAST({E.SIZE}({words}) AS BIGINT) AS tokens
       FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ),
     src AS (
-      SELECT source, CAST(SUM(tokens) AS BIGINT) AS t
-      FROM perdoc GROUP BY source
+      SELECT grp, CAST(SUM(tokens) AS BIGINT) AS t
+      FROM perdoc GROUP BY grp
     ),
     ordered AS (
-      SELECT source, t,
-             CAST(ROW_NUMBER() OVER (ORDER BY t, source) AS BIGINT) AS rn,
-             CAST(SUM(t) OVER (ORDER BY t, source
+      SELECT grp, t,
+             CAST(ROW_NUMBER() OVER (ORDER BY t, grp) AS BIGINT) AS rn,
+             CAST(SUM(t) OVER (ORDER BY t, grp
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS pk,
-             CAST(LAG(t, 1, 0) OVER (ORDER BY t, source) AS BIGINT) AS prev_t,
+             CAST(LAG(t, 1, 0) OVER (ORDER BY t, grp) AS BIGINT) AS prev_t,
              CAST(COUNT(*) OVER () AS BIGINT) AS n,
              CAST(SUM(t) OVER () AS BIGINT) AS total
       FROM src
     ),
     candidates AS (
       SELECT rn, t, prev_t,
-             (CAST({E.intdiv('total', '2')} AS DOUBLE) - (pk - t)) / (n - rn + 1) AS lvl
+             (CAST({E.intdiv('3 * total', '4')} AS DOUBLE) - (pk - t)) / (n - rn + 1) AS lvl
       FROM ordered
     ),
     level AS (
@@ -6513,13 +6529,13 @@ def _sql_waterfill(E):
       WHERE lvl <= t AND lvl >= prev_t
       ORDER BY rn LIMIT 1
     )
-    SELECT o.source, o.t AS n_tokens,
+    SELECT o.grp AS lang, o.t AS n_tokens,
            CAST(o.total AS BIGINT) AS corpus_tokens,
-           CAST({E.intdiv('o.total', '2')} AS BIGINT) AS budget_tokens,
+           CAST({E.intdiv('3 * o.total', '4')} AS BIGINT) AS budget_tokens,
            ROUND(least(CAST(o.t AS DOUBLE), l.lvl), 4) AS alloc_tokens,
            ROUND(least(CAST(o.t AS DOUBLE), l.lvl) / o.t, 6) AS alloc_frac
     FROM ordered o CROSS JOIN level l
-    ORDER BY o.source
+    ORDER BY o.grp
     """
 
 
@@ -7747,6 +7763,11 @@ ORACLE["embedding_cluster_purity"] = _sql_km_purity(_Duck)
 # images share it exactly and how many sit at hamming distance 1 (the
 # single-bit-flip band probes — the image analogue of dedup_simhash's
 # banding; visually-near images differ in a pixel-vs-mean bit or two).
+# The dup-neighborhood flag marks DENSE neighborhoods (cluster >= 24 —
+# the upper quartile of this corpus's 6-34 cluster sizes): with 500
+# toy 8-bit hashes every neighborhood trivially exceeds 1, so the
+# original >1 flag was identically 1 (round-6 vacuousness audit) and
+# only the density cut distinguishes hashes worth a reviewer's time.
 # Scale: the probes run over the HASH CENSUS (≤2^bits rows), never per
 # image, so the join is constant-size regardless of corpus; the only
 # corpus-scale work is the Arrow-batch decode + one census shuffle.
@@ -7782,7 +7803,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cluster_size_h1"),
             F.when(
-                F.col("n_images") + F.coalesce(F.col("n_h1"), F.lit(0)) > 1, 1
+                F.col("n_images") + F.coalesce(F.col("n_h1"), F.lit(0)) >= 24, 1
             ).otherwise(0).cast("int").alias("is_dup_neighborhood"),
         )
     )
@@ -7825,7 +7846,7 @@ def _sql_phash_neardup_oracle(E):
     SELECT c.phash, c.n_images,
            CAST(COALESCE(n.n_h1, 0) AS BIGINT) AS n_neighbors_h1,
            CAST(c.n_images + COALESCE(n.n_h1, 0) AS BIGINT) AS cluster_size_h1,
-           CAST(CASE WHEN c.n_images + COALESCE(n.n_h1, 0) > 1 THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN c.n_images + COALESCE(n.n_h1, 0) >= 24 THEN 1 ELSE 0 END AS INT)
              AS is_dup_neighborhood
     FROM census c LEFT JOIN neigh n ON n.base = c.phash
     """

