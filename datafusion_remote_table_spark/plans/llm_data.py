@@ -3571,13 +3571,19 @@ _register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embe
 # bucket-size valve; the rare-gram leg joins df-capped posting lists
 # (bounded pairs per gram); exact set intersection runs only on the
 # deduped candidate union.
-def _containment_verify(E, bands, prelude="", max_bucket_size=1000):
+def _containment_cand_prefix(E, bands, prelude="", max_bucket_size=1000):
+    """WITH-prefix ending at `allcand` (doc_a, doc_b): the union of the
+    banded-LSH candidates and the rare-bigram inverted-index candidates.
+    Shared by dedup_containment (verification input) and
+    dedup_graph_pagerank (centrality graph — the verified near-dup
+    graph is disjoint symmetric pairs where PageRank is uniform by
+    construction, so centrality only means something on the candidate
+    graph with its real degree variation)."""
     words = E.splitws("lower(COALESCE(text, ''))")
     grams_raw = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 1, 1)')}, i -> array_join({E.slice(words, 'i', 2)}, ' '))"
     if E is _Duck:
         grams_raw = grams_raw.replace("array_join", "array_to_string")
     grams = f"{E.ADISTINCT}({E.FILTER}({grams_raw}, g -> g IS NOT NULL))"
-    inter = f"{E.SIZE}({E.AINTERSECT}(ba.s, bb.s))"
     return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
     bg AS (SELECT doc_id, {grams} AS s FROM documents),
     gexp AS (SELECT doc_id, {E.explode('s', 'g')} FROM bg),
@@ -3589,7 +3595,12 @@ def _containment_verify(E, bands, prelude="", max_bucket_size=1000):
     ),
     allcand AS (
       SELECT doc_a, doc_b FROM cand UNION SELECT doc_a, doc_b FROM rcand
-    ),
+    )"""
+
+
+def _containment_verify(E, bands, prelude="", max_bucket_size=1000):
+    inter = f"{E.SIZE}({E.AINTERSECT}(ba.s, bb.s))"
+    return f"""{_containment_cand_prefix(E, bands, prelude, max_bucket_size)},
     scored AS (
       SELECT c.doc_a, c.doc_b,
              CAST({inter} AS DOUBLE)
@@ -4793,36 +4804,42 @@ ORACLE["dedup_span_runs"] = _span_runs_select(_Duck, f"({_span_pos_sql(_Duck)})"
 
 # ---------------------------------------------------------------------------
 # corpus_epoch_plan — the data-mixing/epoching planner (the Llama/GPT
-# data-recipe table): temperature-weighted source mixing (τ = 2, weight
-# ∝ √tokens — up-weights small sources without letting giants dominate)
-# against a fixed training-token budget; epochs_needed > 1 flags sources
-# the plan would repeat (oversample). One census pass; the per-source
-# √token weights are quantized (ROUND 6) and normalized by an exact
-# DECIMAL sum so mix weights are bit-identical across engines.
-_EPOCH_BUDGET = 1000000
-
-
+# data-recipe table): temperature-weighted LANGUAGE mixing (τ = 2,
+# weight ∝ √tokens — up-weights small languages without letting the
+# giant dominate) against a training budget of 1.1× the corpus;
+# epochs_needed > 1 flags languages the plan would repeat (oversample).
+# Languages + a corpus-relative budget, for two vacuousness reasons
+# (round-6 audit): the 20 sources are uniform so source weights were a
+# constant, and the old absolute 1e6-token budget was ~37× this corpus
+# so EVERY row was oversampled=1 at any grouping — with skewed language
+# sizes and a 1.1× budget the plan genuinely undersamples en (~0.77
+# epochs) while oversampling the small languages (~1.4), at every SF.
+# One census pass; the per-language √token weights are quantized
+# (ROUND 6) and normalized by an exact DECIMAL sum so mix weights are
+# bit-identical across engines.
 def _sql_epoch_plan(E):
     words = E.splitws("lower(text)")
     epochs = (
-        f"{_EPOCH_BUDGET}.0e0 * CAST(srt AS DOUBLE) / NULLIF(t.z, 0.0e0)"
+        f"1.1e0 * t.total_tokens * CAST(srt AS DOUBLE) / NULLIF(t.z, 0.0e0)"
         f" / NULLIF(CAST(n_tokens AS DOUBLE), 0.0e0)"
     )
     return f"""
     WITH tok AS (
-      SELECT source, CAST({E.SIZE}({words}) AS BIGINT) AS n FROM documents
+      SELECT lang, CAST({E.SIZE}({words}) AS BIGINT) AS n FROM documents
     ),
     per AS (
-      SELECT source,
+      SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(n) AS BIGINT) AS n_tokens,
              CAST(ROUND(sqrt(CAST(SUM(n) AS DOUBLE)), 6) AS DECIMAL(28, 6)) AS srt
-      FROM tok GROUP BY source
+      FROM tok GROUP BY lang
     ),
     tot AS (
-      SELECT CAST(SUM(srt) AS DOUBLE) AS z FROM per
+      SELECT CAST(SUM(srt) AS DOUBLE) AS z,
+             CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens
+      FROM per
     )
-    SELECT source, n_docs, n_tokens,
+    SELECT lang, n_docs, n_tokens,
            ROUND(CAST(srt AS DOUBLE) / NULLIF(t.z, 0.0e0), 6) AS mix_weight,
            ROUND({epochs}, 6) AS epochs_needed,
            CAST(CASE WHEN {epochs} > 1.0e0 THEN 1 ELSE 0 END AS INT) AS oversampled
@@ -5219,7 +5236,22 @@ def _pr_final_sql(ew, last):
 
 
 def _sql_graph_pagerank(E, pairs_src=None):
-    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    # centrality runs on the CANDIDATE graph (LSH ∪ rare-bigram), not the
+    # verified near-dup pairs: the verified graph in this corpus is 25
+    # disjoint symmetric 2-cliques, on which 4 power rounds return the
+    # uniform score for every node (pagerank was identically 1.0 across
+    # all 20 output rows — round-6 vacuousness audit; symmetry makes that
+    # true at ANY scale for pair-only graphs). The candidate graph has
+    # real hubs (rare-gram co-occurrence), so the ranking means something.
+    if pairs_src is None:
+        prelude = (
+            f"sh AS ({_minhash_shingles(E)}),\n"
+            f"    sig AS ({_minhash_sigs(E, 'sh')}),\n"
+            f"    bands AS ({_minhash_bands(E, 'sig')}),\n    "
+        )
+        pairs = f"(\n    {_containment_cand_prefix(E, 'bands', prelude)}\n    SELECT doc_a, doc_b FROM allcand)"
+    else:
+        pairs = pairs_src
     return f"""
     WITH ew AS ({_pr_ew_sql(pairs)}),
     r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM ew e0),
@@ -5241,8 +5273,14 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark 4.1's view-cache matching misses on the re-resolved temp view
     # — the verify join replayed per reference (measured: the ew step
     # alone was 5.2 s at sf0.1 for a 255-pair graph). Checkpoint the
-    # pair frame first so both references read rows.
-    pairs = _minhash_pairs(spark, sf_dir)
+    # pair frame first so both references read rows. The pair frame is
+    # the containment CANDIDATE graph (see _sql_graph_pagerank — the
+    # verified pair graph is symmetric 2-cliques with uniform PageRank).
+    load_tables(spark, sf_dir, ("documents",))
+    _sh, _sig, bands = _minhash_stage(spark, sf_dir)
+    pairs = spark.sql(
+        f"{_containment_cand_prefix(_Spark, bands)}\n    SELECT doc_a, doc_b FROM allcand"
+    )
     view = _checkpoint_view(spark, sf_dir, "pr_pairs", pairs)
     # the graph is LSH output — orders of magnitude smaller than the
     # corpus — so the 4 power rounds pin shuffle partitions to the graph's
@@ -6034,14 +6072,18 @@ _register_pair("text_code_detect", _sql_code_detect)
 # ---------------------------------------------------------------------------
 # compaction_bin_plan — small-file compaction planning, the lakehouse
 # maintenance twin of pack_sequences: documents (standing in for data
-# files) bin-pack per source into 64KB target bins by running byte sum
+# files) bin-pack per source into 4KB target bins by running byte sum
 # — exactly how Iceberg/Delta rewriteDataFiles groups small files, and
 # how Spark's own maxPartitionBytes coalesces splits. A file straddling
 # a boundary belongs to the bin where it starts (running-sum binning).
-# Scale: one window per source partition over file metadata (not data);
-# at 100TB the metadata table is millions of rows, the window
-# partitions by source and never sees payload bytes.
-_BIN_BYTES = 65536
+# The 4KB target is sized BELOW each source's ~10KB of payload so the
+# binning actually splits (2-4 bins per source with varying fill): the
+# round-6 vacuousness audit found the original 64KB target swallowed
+# every source whole (bin_id identically 0 — a bin plan that never
+# binned). Scale: one window per source partition over file metadata
+# (not data); at 100TB the metadata table is millions of rows, the
+# window partitions by source and never sees payload bytes.
+_BIN_BYTES = 4096
 
 
 def _sql_compaction_plan(E):
@@ -6874,8 +6916,13 @@ _register_pair("hilbert_layout_audit", _sql_hilbert_audit, tables=("events",))
 # per-vector-dequantized int8 codes against the exact float ground
 # truth. Dequantization (mn + code·range/255) is applied on BOTH sides
 # of the dot product with identical float ops, so both engines rank
-# identically. Scale shape: the same bounded-query-block map-side score
-# as ann_cosine_topk — codes add no shuffle.
+# identically. The query block is 50 vectors: at 5 queries every recall
+# happened to be exactly 1.0 (round-6 vacuousness audit — the eval
+# certified nothing about quantization loss); over 50 queries int8
+# genuinely drops 5 of them below 1.0 (mean ~0.98), which is the loss
+# figure the eval exists to report. Scale shape: the same
+# bounded-query-block map-side score as ann_cosine_topk — codes add no
+# shuffle.
 def _sql_int8_recall(E):
     def deq(side):
         v = f"CAST({E.idx(f'{side}.embedding', 'i')} AS DOUBLE)"
@@ -6897,7 +6944,7 @@ def _sql_int8_recall(E):
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY ROUND({dot_f}, 6) DESC, c.vec_id) AS rn
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < 50
       ) t WHERE rn <= 5
     ),
     approx AS (
@@ -6906,7 +6953,7 @@ def _sql_int8_recall(E):
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                   ORDER BY ROUND({dot8}, 6) DESC, c.vec_id) AS rn
         FROM ranges q JOIN ranges c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
+        WHERE q.vec_id < 50
       ) t WHERE rn <= 5
     )
     SELECT t.query_id,

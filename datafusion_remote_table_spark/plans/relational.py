@@ -2860,9 +2860,13 @@ def discount_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_skew_audit — shuffle-planning diagnostic: the hottest join keys
 # on the fact table's l_partkey, each with its share of total rows and
 # the salt factor a skew-mitigating join would need (ceil of the key's
-# load vs the average 32-partition capacity). This is the query you run
-# BEFORE a big shuffle join at 100TB: AQE handles moderate skew, but
-# pathological keys need explicit salting and this report sizes it.
+# load vs the average capacity of a 2048-partition shuffle — the width
+# a 100TB cluster join actually runs at; the round-6 vacuousness audit
+# found the 32-partition divisor made salt_factor identically 1 on
+# this near-uniform key set, i.e. the sizing arithmetic never
+# exercised). This is the query you run BEFORE a big shuffle join at
+# 100TB: AQE handles moderate skew, but pathological keys need
+# explicit salting and this report sizes it.
 # Scale: one map-side-combined census on the join key, then a top-20
 # TakeOrdered — the full census never sorts globally.
 _SKEW_SQL = """
@@ -2878,7 +2882,7 @@ _SKEW_SQL = """
     SELECT k.join_key, k.n_rows,
            ROUND(CAST(k.n_rows AS DOUBLE) / t.total_rows, 6) AS row_share,
            ROUND(CAST(k.n_rows AS DOUBLE) * t.n_keys / t.total_rows, 4) AS skew_vs_mean,
-           CAST(ceil(CAST(k.n_rows AS DOUBLE) * 32 / t.total_rows) AS BIGINT) AS salt_factor
+           CAST(ceil(CAST(k.n_rows AS DOUBLE) * 2048 / t.total_rows) AS BIGINT) AS salt_factor
     FROM key_census k CROSS JOIN tot t
     ORDER BY k.n_rows DESC, k.join_key
     LIMIT 20
