@@ -206,20 +206,25 @@ def containment_pairs(
     n_perms: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
-    threshold: float = 0.8,
+    gram_n: int = 2,
+    threshold: float = 0.4,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    rare_df_max: int = 16,
 ) -> DataFrame:
-    """Asymmetric containment scoring |A∩B| / min(|A|,|B|) over the
-    minhash-LSH candidate graph: partial-inclusion (quote/copy) pairs
-    that symmetric jaccard understates. Returns (id_a, id_b, jaccard,
-    containment, partial_only) for pairs with containment >= threshold;
-    partial_only flags pairs below `jaccard_threshold` that a symmetric
-    near-dup pass would have missed. Candidate recall note: minhash LSH
-    under-recalls containment pairs of very different sizes; this is the
-    free by-product report of the dedup pass, not a containment index.
-    Registered instance: dedup_containment."""
-    scored = minhash_lsh_pairs(
+    """Asymmetric containment scoring |A∩B| / min(|A|,|B|) over GRAM
+    sets (`gram_n`-word, default bigrams) with TWO candidate
+    generators: the minhash-LSH candidate graph (dup-biased) and a
+    rare-gram inverted index with df-capped posting lists (the
+    prefix-filtering trick — banded minhash structurally under-recalls
+    partial-inclusion pairs of very different sizes). Returns
+    (id_a, id_b, jaccard, containment, partial_only) for pairs with
+    containment >= threshold; partial_only flags pairs below
+    `jaccard_threshold` that a symmetric near-dup pass would have
+    missed. Scale: the LSH leg keeps its bucket-size valve; the
+    rare-gram leg joins posting lists bounded by `rare_df_max` rows per
+    gram. Registered instance: dedup_containment."""
+    lsh_cand = minhash_lsh_pairs(
         df,
         text_col=text_col,
         id_col=id_col,
@@ -228,18 +233,37 @@ def containment_pairs(
         shingle_n=shingle_n,
         threshold=0.0,
         max_bucket_size=max_bucket_size,
-        with_containment=True,
+    ).select("id_a", "id_b")
+    grams = df.select(
+        F.col(id_col),
+        ngram_shingles(F.coalesce(F.col(text_col), F.lit("")), gram_n).alias("s"),
+    ).persist()
+    gexp = grams.select(F.col(id_col), F.explode("s").alias("g"))
+    rare = gexp.groupBy("g").count().filter(F.col("count") <= rare_df_max).select("g")
+    ga = gexp.join(rare, "g").select(F.col(id_col).alias("id_a"), F.col("g").alias("ga"))
+    gb = gexp.select(F.col(id_col).alias("id_b"), F.col("g").alias("gb"))
+    rcand = (
+        ga.join(gb, (F.col("ga") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
     )
+    cand = lsh_cand.union(rcand).distinct()
+    sa = grams.select(F.col(id_col).alias("id_a"), F.col("s").alias("sa"))
+    sb = grams.select(F.col(id_col).alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
+    cont = inter / F.least(F.size("sa"), F.size("sb"))
     return (
-        scored.filter(F.col("containment") >= threshold)
-        .withColumn("partial_only", (F.col("jaccard") < jaccard_threshold).cast("int"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.round("containment", 6).alias("containment"),
-            "partial_only",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
         )
+        .filter(F.col("containment") >= threshold)
+        .withColumn("partial_only", (F.col("jaccard") < jaccard_threshold).cast("int"))
     )
 
 

@@ -480,9 +480,21 @@ def test_bloom_sizing_integer_parity_at_powers_of_two(spark):
 
 def test_pagerank_api_matches_registered_query(spark, sf_dir):
     from datafusion_remote_table_spark.operators.dedup import pagerank
-    from datafusion_remote_table_spark.plans.llm_data import _minhash_pairs
+    from datafusion_remote_table_spark.plans.llm_data import (
+        _Spark,
+        _containment_cand_prefix,
+        _minhash_stage,
+    )
+    from datafusion_remote_table_spark.session import load_tables
 
-    pairs = _minhash_pairs(spark, sf_dir)
+    # the registered query runs centrality on the containment CANDIDATE
+    # graph (the verified pair graph is symmetric 2-cliques with uniform
+    # PageRank) — feed the API the same graph
+    load_tables(spark, sf_dir, ("documents",))
+    _sh, _sig, bands = _minhash_stage(spark, sf_dir)
+    pairs = spark.sql(
+        f"{_containment_cand_prefix(_Spark, bands)}\n    SELECT doc_a, doc_b FROM allcand"
+    )
     api_df = pagerank(pairs, a_col="doc_a", b_col="doc_b")
     api = [
         (r["node"], r["degree"], r["score_fp"], r["score"])
@@ -609,14 +621,16 @@ def test_countmin_api_matches_registered_query(spark, sf_dir):
         docs.select(F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w"))
         .filter(F.col("w").isNotNull() & (F.col("w") != ""))
     )
-    sketch = countmin_sketch(toks, "w")
+    # the registered instance sizes width to the corpus's 31-word
+    # vocabulary (w=16) so collisions/overcount actually occur
+    sketch = countmin_sketch(toks, "w", width=16)
     top20 = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(20)
     )
-    api_df = countmin_estimate(sketch, top20, "w").join(top20, "w")
+    api_df = countmin_estimate(sketch, top20, "w", width=16).join(top20, "w")
     api = sorted(
         (r["w"], r["c"], r["cm_estimate"]) for r in api_df.collect()
     )
