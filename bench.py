@@ -130,7 +130,7 @@ HEADLINE = [
 ]
 
 
-def _default_driver_mem(target_gb: int = 24) -> str:
+def _default_driver_mem(target_gb: int = 32) -> str:
     """Largest of 4g..target_gb that fits in ~half of detected RAM.
 
     Reads MemTotal (and the cgroup-v2 limit when set) so a smaller or
@@ -168,8 +168,10 @@ def main() -> None:
     # sigs, span grams, bloom corpus hashes, embedding views); at the
     # default 8g the storage pool evicts them mid-run and late queries
     # re-pay upstream stages (dedup_bloom_incremental measured 17.9 s
-    # under eviction vs 2.5 s isolated). Target 24g (sized to the staged
-    # working set at sf0.1) but never more than ~half of detected RAM so
+    # under eviction vs 2.5 s isolated). Target 32g (sized to the staged
+    # working set at sf0.1, grown again in round 6 — the round-5 24g pool
+    # showed late-suite re-pays on pca/substring-spans) but never more
+    # than ~half of detected RAM so
     # smaller/cgroup-limited hosts don't fail the heap request — a
     # cluster sizes executor memory to its own staged working set.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())

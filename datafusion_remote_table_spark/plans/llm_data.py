@@ -3571,21 +3571,50 @@ _register_pair("embedding_correlation_pairs", _sql_embedding_corr, tables=("embe
 # bucket-size valve; the rare-gram leg joins df-capped posting lists
 # (bounded pairs per gram); exact set intersection runs only on the
 # deduped candidate union.
-def _containment_cand_prefix(E, bands, prelude="", max_bucket_size=1000):
+def _bigram_expr(E):
+    words = E.splitws("lower(COALESCE(text, ''))")
+    grams_raw = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 1, 1)')}, i -> array_join({E.slice(words, 'i', 2)}, ' '))"
+    if E is _Duck:
+        grams_raw = grams_raw.replace("array_join", "array_to_string")
+    return f"{E.ADISTINCT}({E.FILTER}({grams_raw}, g -> g IS NOT NULL))"
+
+
+def _bigram_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed (doc_id, s: bigram array) frame shared by
+    dedup_containment / dedup_editdistance_verify / dedup_graph_pagerank.
+    The lazy-CTE spelling evaluated the per-row gram transform ~5× per
+    query (bg feeds gexp which is referenced by the rare census and both
+    self-join sides, and scored joins bg twice; Spark re-evaluates CTE
+    references) on a SINGLE-task scan (single-row-group parquet) —
+    measured 20 s for the rcand leg alone at sf0.1 vs 1.1 s in DuckDB.
+    Spread across cores + localCheckpoint = every reference reads rows."""
+    key = ("cont_bg", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "cont_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "cont_bg",
+            spark.sql(f"SELECT doc_id, {_bigram_expr(_Spark)} AS s FROM {doc_view}"),
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _containment_cand_prefix(E, bands, prelude="", max_bucket_size=1000, bg_src=None):
     """WITH-prefix ending at `allcand` (doc_a, doc_b): the union of the
     banded-LSH candidates and the rare-bigram inverted-index candidates.
     Shared by dedup_containment (verification input) and
     dedup_graph_pagerank (centrality graph — the verified near-dup
     graph is disjoint symmetric pairs where PageRank is uniform by
     construction, so centrality only means something on the candidate
-    graph with its real degree variation)."""
-    words = E.splitws("lower(COALESCE(text, ''))")
-    grams_raw = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}({words}) - 1, 1)')}, i -> array_join({E.slice(words, 'i', 2)}, ' '))"
-    if E is _Duck:
-        grams_raw = grams_raw.replace("array_join", "array_to_string")
-    grams = f"{E.ADISTINCT}({E.FILTER}({grams_raw}, g -> g IS NOT NULL))"
+    graph with its real degree variation). `bg_src` points the bigram
+    frame at the checkpointed stage in Spark; the oracle keeps the lazy
+    CTE (DuckDB evaluates each CTE once)."""
+    bg_body = (
+        f"SELECT doc_id, s FROM {bg_src}"
+        if bg_src
+        else f"SELECT doc_id, {_bigram_expr(E)} AS s FROM documents"
+    )
     return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
-    bg AS (SELECT doc_id, {grams} AS s FROM documents),
+    bg AS ({bg_body}),
     gexp AS (SELECT doc_id, {E.explode('s', 'g')} FROM bg),
     rare AS (SELECT g FROM gexp GROUP BY g HAVING COUNT(*) <= 16),
     rcand AS (
@@ -3598,25 +3627,35 @@ def _containment_cand_prefix(E, bands, prelude="", max_bucket_size=1000):
     )"""
 
 
-def _containment_verify(E, bands, prelude="", max_bucket_size=1000):
+def _containment_scored_sql(E, cand_rel, bg_rel):
+    """Scoring + report over a candidate relation and a bigram-set
+    relation (CTE names in the oracle; checkpointed stage views in the
+    Spark runner)."""
     inter = f"{E.SIZE}({E.AINTERSECT}(ba.s, bb.s))"
-    return f"""{_containment_cand_prefix(E, bands, prelude, max_bucket_size)},
-    scored AS (
+    return f"""
+    SELECT doc_a, doc_b,
+           ROUND(jaccard, 6) AS jaccard,
+           ROUND(containment, 6) AS containment,
+           CAST(CASE WHEN jaccard < 0.8 THEN 1 ELSE 0 END AS INT) AS partial_only
+    FROM (
       SELECT c.doc_a, c.doc_b,
              CAST({inter} AS DOUBLE)
                / ({E.SIZE}(ba.s) + {E.SIZE}(bb.s) - {inter}) AS jaccard,
              CAST({inter} AS DOUBLE)
                / least({E.SIZE}(ba.s), {E.SIZE}(bb.s)) AS containment
-      FROM allcand c
-      JOIN bg ba ON c.doc_a = ba.doc_id
-      JOIN bg bb ON c.doc_b = bb.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(jaccard, 6) AS jaccard,
-           ROUND(containment, 6) AS containment,
-           CAST(CASE WHEN jaccard < 0.8 THEN 1 ELSE 0 END AS INT) AS partial_only
-    FROM scored WHERE containment >= 0.4
+      FROM {cand_rel} c
+      JOIN {bg_rel} ba ON c.doc_a = ba.doc_id
+      JOIN {bg_rel} bb ON c.doc_b = bb.doc_id
+    ) scored
+    WHERE containment >= 0.4
     """
+
+
+def _containment_verify(E, bands, prelude="", max_bucket_size=1000, bg_src=None):
+    return (
+        f"{_containment_cand_prefix(E, bands, prelude, max_bucket_size, bg_src)}"
+        f"{_containment_scored_sql(E, 'allcand', 'bg')}"
+    )
 
 
 def _sql_containment_oracle(E):
@@ -3628,10 +3667,42 @@ def _sql_containment_oracle(E):
     return _containment_verify(E, "bands", prelude=prelude)
 
 
+def _cand_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed candidate graph (doc_a, doc_b) = LSH ∪ rare-bigram,
+    built ONCE per session+sf_dir and shared by dedup_containment,
+    dedup_editdistance_verify (via containment) and
+    dedup_graph_pagerank — the candidate generation is the expensive
+    leg (bands self-join + posting-list join), and every consumer
+    otherwise re-paid it inside its own plan."""
+    key = ("cont_cand", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        load_tables(spark, sf_dir, ("documents",))
+        _sh, _sig, bands = _minhash_stage(spark, sf_dir)
+        bg = _bigram_stage(spark, sf_dir)
+        # the build's joins (band self-join, posting-list self-join,
+        # candidate union-distinct) run over <1M-row frames at these SFs:
+        # 32-task scheduling per tiny stage dominated the measured build,
+        # same lesson as the pagerank/CC loops. At cluster scale the gram
+        # table is large and the session default applies.
+        n_docs = spark.table(bg).count()
+        npart = max(1, min(spark.sparkContext.defaultParallelism, (100 * n_docs) // 2_000_000 + 1))
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+        try:
+            df = spark.sql(
+                f"{_containment_cand_prefix(_Spark, bands, bg_src=bg)}"
+                "\n    SELECT doc_a, doc_b FROM allcand"
+            )
+            _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "cont_cand", df)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return _MINHASH_STAGE_CACHE[key]
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir, ("documents",))
-    _sh, _sig, bands = _minhash_stage(spark, sf_dir)
-    return spark.sql(_containment_verify(_Spark, bands))
+    cand = _cand_stage(spark, sf_dir)
+    bg = _bigram_stage(spark, sf_dir)
+    return spark.sql(_containment_scored_sql(_Spark, cand, bg))
 
 
 QUERIES["dedup_containment"] = dedup_containment
@@ -5276,12 +5347,7 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair frame first so both references read rows. The pair frame is
     # the containment CANDIDATE graph (see _sql_graph_pagerank — the
     # verified pair graph is symmetric 2-cliques with uniform PageRank).
-    load_tables(spark, sf_dir, ("documents",))
-    _sh, _sig, bands = _minhash_stage(spark, sf_dir)
-    pairs = spark.sql(
-        f"{_containment_cand_prefix(_Spark, bands)}\n    SELECT doc_a, doc_b FROM allcand"
-    )
-    view = _checkpoint_view(spark, sf_dir, "pr_pairs", pairs)
+    view = _cand_stage(spark, sf_dir)
     # the graph is LSH output — orders of magnitude smaller than the
     # corpus — so the 4 power rounds pin shuffle partitions to the graph's
     # size (same discipline as operators/dedup.connected_components):

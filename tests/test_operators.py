@@ -482,6 +482,7 @@ def test_pagerank_api_matches_registered_query(spark, sf_dir):
     from datafusion_remote_table_spark.operators.dedup import pagerank
     from datafusion_remote_table_spark.plans.llm_data import (
         _Spark,
+        _bigram_stage,
         _containment_cand_prefix,
         _minhash_stage,
     )
@@ -493,7 +494,8 @@ def test_pagerank_api_matches_registered_query(spark, sf_dir):
     load_tables(spark, sf_dir, ("documents",))
     _sh, _sig, bands = _minhash_stage(spark, sf_dir)
     pairs = spark.sql(
-        f"{_containment_cand_prefix(_Spark, bands)}\n    SELECT doc_a, doc_b FROM allcand"
+        f"{_containment_cand_prefix(_Spark, bands, bg_src=_bigram_stage(spark, sf_dir))}"
+        "\n    SELECT doc_a, doc_b FROM allcand"
     )
     api_df = pagerank(pairs, a_col="doc_a", b_col="doc_b")
     api = [
