@@ -73,6 +73,13 @@ _VERIFY_FIRST = [
     "customer_credit_exposure",
     "events_weekday_profile",
     "heaps_law_audit",
+    # round-6 additions (never driver-verified; strict-sweep green)
+    "events_ab_cuped",
+    "events_ab_sprt",
+    "lineitem_eoq_plan",
+    "customer_order_gap_alerts",
+    "embedding_knn_symmetry_audit",
+    "doc_quality_ensemble",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

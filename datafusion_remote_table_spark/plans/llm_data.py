@@ -8623,3 +8623,132 @@ def _sql_audio_silence_oracle(E):
 
 QUERIES["multimodal_audio_silence_profile"] = multimodal_audio_silence_profile
 ORACLE["multimodal_audio_silence_profile"] = _sql_audio_silence_oracle(_Duck)
+
+
+# ===========================================================================
+# Round-6 additions: kNN-graph quality audit, ensemble quality ranking.
+
+
+# ---------------------------------------------------------------------------
+# embedding_knn_symmetry_audit — navigability QA of the NN-Descent kNN
+# graph (the third leg next to nn_descent_knn's edge-recall convergence
+# and ann_graph_search_eval's serving walk): per in-degree bucket, how
+# many nodes land there, plus each bucket's reciprocated-edge rate
+# (A→B with B→A). Directed kNN graphs serve badly when in-degree is
+# skewed (hub nodes absorb walks) or reciprocity is low (one-way edges
+# strand the beam) — HNSW's add-reverse-edge heuristic exists exactly
+# because of this readout. Scale: the graph is k·N edges (orders of
+# magnitude below the corpus); the reciprocity check is one self-join
+# on (src, dst) vs (dst, src); in-degree is one census. Spark rides the
+# checkpointed NN-Descent views; the oracle recomputes the 2-round
+# chain (MATERIALIZED).
+def _sql_knn_symmetry_select(E, g):
+    return f"""
+    edges AS (SELECT src, dst FROM {g}),
+    recip AS (
+      SELECT e.src, e.dst,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS reciprocated
+      FROM edges e
+      LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ),
+    indeg AS (
+      SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_degree
+      FROM edges GROUP BY dst
+    ),
+    node_recip AS (
+      SELECT dst AS node,
+             CAST(SUM(reciprocated) AS BIGINT) AS n_recip_in
+      FROM recip GROUP BY dst
+    )
+    SELECT i.in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(nr.n_recip_in) AS BIGINT) AS n_reciprocated_in,
+           ROUND(CAST(SUM(nr.n_recip_in) AS DOUBLE)
+                 / SUM(i.in_degree), 6) AS reciprocity_rate
+    FROM indeg i JOIN node_recip nr ON nr.node = i.node
+    GROUP BY i.in_degree
+    ORDER BY i.in_degree
+    """
+
+
+def embedding_knn_symmetry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _emb, _g0, _g1, g2 = _nnd_graphs(spark, sf_dir)
+    return spark.sql("WITH " + _sql_knn_symmetry_select(_Spark, g2))
+
+
+def _sql_knn_symmetry_oracle(E):
+    g0 = f"({_nnd_init_sql(E)})"
+    g1 = f"({_nnd_step_sql(E, g0)})"
+    return f"""
+    WITH g2 AS {E.MAT}({_nnd_step_sql(E, g1)}),
+    {_sql_knn_symmetry_select(E, 'g2')}
+    """
+
+
+QUERIES["embedding_knn_symmetry_audit"] = embedding_knn_symmetry_audit
+ORACLE["embedding_knn_symmetry_audit"] = _sql_knn_symmetry_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_ensemble — corpus-normalized ensemble quality rank: three
+# independent map-side signals (token count, distinct-token ratio, mean
+# word length) are z-scored against the corpus moments and averaged
+# into one ensemble score with a low-quality flag at z < -0.8 (the
+# bottom-tail cut a mixing pipeline actually drops). The ensemble
+# pattern matters because single signals disagree
+# (quality_signal_correlation measures how much); this is the combined
+# rank that feeds sample_* stages. Determinism: per-doc signals are
+# exact integer/ratio values; corpus moments come from quantized
+# DECIMAL sums (ROUND 9); the z arithmetic is scalar double math on
+# identical inputs. Scale: one corpus pass for the signals (map-side),
+# one constant-size moment aggregate, one broadcast back-join.
+def _sql_quality_ensemble(E):
+    words = E.splitws("lower(text)")
+    nt = f"CAST({E.SIZE}({words}) AS BIGINT)"
+    nd = f"CAST({E.SIZE}({E.ADISTINCT}({words})) AS BIGINT)"
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {nt} AS n_tokens,
+             ROUND(CAST({nd} AS DOUBLE) / greatest({nt}, 1), 9) AS distinct_ratio,
+             ROUND(CAST(n_chars - {nt} + 1 AS DOUBLE) / greatest({nt}, 1), 9)
+               AS mean_word_len
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_tokens AS DECIMAL(28, 0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n_tokens * n_tokens AS DECIMAL(38, 0))) AS DOUBLE) AS q1,
+             CAST(SUM(CAST(ROUND(distinct_ratio, 9) AS DECIMAL(18, 9))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(distinct_ratio * distinct_ratio, 9)
+                           AS DECIMAL(18, 9))) AS DOUBLE) AS q2,
+             CAST(SUM(CAST(ROUND(mean_word_len, 9) AS DECIMAL(18, 9))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(mean_word_len * mean_word_len, 9)
+                           AS DECIMAL(18, 9))) AS DOUBLE) AS q3
+      FROM sig
+    ),
+    z AS (
+      SELECT s.doc_id, s.n_tokens,
+             (CASE WHEN m.n * m.q1 - m.s1 * m.s1 > 0
+                   THEN (s.n_tokens - m.s1 / m.n)
+                        / sqrt((m.n * m.q1 - m.s1 * m.s1) / (CAST(m.n AS DOUBLE) * m.n))
+                   ELSE 0.0e0 END
+              + CASE WHEN m.n * m.q2 - m.s2 * m.s2 > 0
+                     THEN (s.distinct_ratio - m.s2 / m.n)
+                          / sqrt((m.n * m.q2 - m.s2 * m.s2) / (CAST(m.n AS DOUBLE) * m.n))
+                     ELSE 0.0e0 END
+              + CASE WHEN m.n * m.q3 - m.s3 * m.s3 > 0
+                     THEN (s.mean_word_len - m.s3 / m.n)
+                          / sqrt((m.n * m.q3 - m.s3 * m.s3) / (CAST(m.n AS DOUBLE) * m.n))
+                     ELSE 0.0e0 END) / 3.0e0 AS ens
+      FROM sig s CROSS JOIN mom m
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(ens, 6) AS ensemble_z,
+           CAST(CASE WHEN ens < -0.8e0 THEN 1 ELSE 0 END AS INT) AS low_quality_flag
+    FROM z
+    """
+
+
+_register_pair("doc_quality_ensemble", _sql_quality_ensemble)
