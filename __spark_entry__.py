@@ -80,6 +80,8 @@ _VERIFY_FIRST = [
     "customer_order_gap_alerts",
     "embedding_knn_symmetry_audit",
     "doc_quality_ensemble",
+    "multimodal_video_scene_cut",
+    "stream_late_arrival_monitor",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

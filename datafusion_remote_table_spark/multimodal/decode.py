@@ -546,3 +546,28 @@ def audio_fingerprint_real(
     return df.mapInPandas(
         batches, schema=f"{id_col} long, n_frames int, fingerprint long, top_frame long"
     )
+
+
+def video_frame_deltas(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode a y4m payload column into per-TRANSITION luma deltas
+    (transition k = sum |Y_k − Y_{k−1}|, integer) — the frame-difference
+    signal scene-cut detection thresholds. One output row per
+    consecutive frame pair; integer sums only so both engines agree
+    exactly. Arrow-batch map; payloads never visit the driver."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _w, _h, _fps, frames = decode_y4m(bytes(payload))
+                for k, ((y0, _u0, _v0), (y1, _u1, _v1)) in enumerate(
+                    zip(frames, frames[1:]), start=1
+                ):
+                    delta = sum(abs(a - b) for a, b in zip(y0, y1))
+                    rows.append((int(doc_id), k, delta))
+            yield pd.DataFrame(rows, columns=[id_col, "transition", "delta"])
+
+    return df.mapInPandas(run, schema=f"{id_col} long, transition int, delta long")

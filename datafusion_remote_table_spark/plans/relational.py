@@ -3154,18 +3154,16 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on a real feed. Scale: one window over arrival order (the same sort
 # the ingest log already has), then a constant 4-row rollup; at 100TB
 # the audit runs per ingest partition and the rollup merges.
-_LATE_AUDIT_SQL = """
-    WITH delayed AS (
-      SELECT event_id, {epoch_ts} AS ts_sec,
-             {epoch_ts} + ({h8} % 7200) AS arrival_sec
-      FROM events
-    ),
+# the tail (everything after the delayed-arrival frame) is shared with
+# stream_late_arrival_monitor, whose streaming leg materializes the same
+# (event_id, ts_sec, arrival_sec) rows from the event stream
+_LATE_TAIL_SQL = """
     arrival AS (
       SELECT ts_sec,
              MAX(ts_sec) OVER (ORDER BY arrival_sec, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS high_watermark
-      FROM delayed
+      FROM {src}
     ),
     lateness AS (
       SELECT CAST(high_watermark - ts_sec AS BIGINT) AS late_sec FROM arrival
@@ -3183,21 +3181,34 @@ _LATE_AUDIT_SQL = """
     ORDER BY w.watermark_sec
 """
 
+_LATE_AUDIT_SQL = (
+    """
+    WITH delayed AS (
+      SELECT event_id, {epoch_ts} AS ts_sec,
+             {epoch_ts} + ({h8} % 7200) AS arrival_sec
+      FROM events
+    ),"""
+    + _LATE_TAIL_SQL
+)
 
-@register(
-    "events_late_arrival_audit",
-    oracle=_LATE_AUDIT_SQL.format(
+
+def _late_audit_oracle() -> str:
+    return _LATE_AUDIT_SQL.format(
         epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
         h8="CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)",
+        src="delayed",
         wlist="SELECT unnest([900, 1800, 3600, 7200]) AS w",
-    ),
-)
+    )
+
+
+@register("events_late_arrival_audit", oracle=_late_audit_oracle())
 def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(
         _LATE_AUDIT_SQL.format(
             epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)",
             h8="CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
+            src="delayed",
             wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
         )
     )

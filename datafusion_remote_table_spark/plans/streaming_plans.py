@@ -564,3 +564,11 @@ QUERIES["stream_spectral_monitor"] = stream_spectral_monitor
 ORACLE["stream_spectral_monitor"] = _SPECT.format(
     hour="CAST(floor(epoch(ts)) AS BIGINT) // 3600"
 )
+
+
+from ..streaming import stream_late_arrival_monitor  # noqa: E402
+from .relational import _late_audit_oracle  # noqa: E402
+
+QUERIES["stream_late_arrival_monitor"] = stream_late_arrival_monitor
+# pure map-side stamping converges to the batch audit exactly
+ORACLE["stream_late_arrival_monitor"] = _late_audit_oracle()

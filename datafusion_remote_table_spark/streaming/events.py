@@ -1143,3 +1143,38 @@ def stream_spectral_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spectrum sp CROSS JOIN stats s
     ORDER BY period_hours
     """)
+
+
+def stream_late_arrival_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark-planning monitor (the stream twin of
+    events_late_arrival_audit): the streaming job stamps each event
+    map-side with its simulated ingest arrival (event time + the same
+    md5-keyed 0-2h transport delay), and the serving layer reads the
+    converged (event_id, ts_sec, arrival_sec) rows to produce the
+    per-candidate-watermark drop curve — exactly the feed a platform
+    team watches before tightening withWatermark. Converges to the
+    batch audit, which is the oracle. Scale: the streaming leg is pure
+    map-side stamping (no state); the drop-curve layers run over the
+    bounded converged frame (the batch audit's shape)."""
+    from ..plans.relational import _LATE_TAIL_SQL
+
+    stream = _events_stream(spark, sf_dir)
+    ts_sec = F.unix_timestamp("ts").cast("bigint")
+    delay = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 7200
+    )
+    stamped = stream.select(
+        F.col("event_id"),
+        ts_sec.alias("ts_sec"),
+        (ts_sec + delay).alias("arrival_sec"),
+    )
+    bounded = _run_bounded(stamped, "stream_late_arrival_rows", mode="append")
+    bounded.createOrReplaceTempView("stream_late_rows")
+    return spark.sql(
+        "WITH "
+        + _LATE_TAIL_SQL.lstrip().lstrip("\n").format(
+            src="stream_late_rows",
+            wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
+        )
+    )
