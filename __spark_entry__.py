@@ -82,6 +82,7 @@ _VERIFY_FIRST = [
     "doc_quality_ensemble",
     "multimodal_video_scene_cut",
     "stream_late_arrival_monitor",
+    "remote_incremental_sync",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

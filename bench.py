@@ -127,6 +127,17 @@ HEADLINE = [
     "ann_sq8_rerank_eval",
     "tokenizer_fertility_audit",
     "dedup_mix_shift_report",
+    # round 6: redesigned containment family (first consumer pays the
+    # shared bigram+candidate staging; editdistance and pagerank ride it
+    # — pagerank was already in the suite), experimentation pair, ensemble
+    # quality rank, and the real-decode scene-cut leg
+    "dedup_editdistance_verify",
+    "events_ab_cuped",
+    "events_ab_sprt",
+    "doc_quality_ensemble",
+    "embedding_knn_symmetry_audit",
+    "multimodal_video_scene_cut",
+    "customer_order_gap_alerts",
 ]
 
 

@@ -1079,3 +1079,72 @@ def federated_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "remote_incremental_sync",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk FROM orders),
+    legs AS (
+      SELECT CAST(0 AS INT) AS batch_id,
+             CAST(COUNT(*) AS BIGINT) AS rows_pulled,
+             CAST(m.mk // 3 AS BIGINT) AS watermark_key
+      FROM orders o CROSS JOIN mx m WHERE o.o_orderkey <= m.mk // 3
+      GROUP BY m.mk
+      UNION ALL
+      SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
+             CAST((2 * m.mk) // 3 AS BIGINT)
+      FROM orders o CROSS JOIN mx m
+      WHERE o.o_orderkey > m.mk // 3 AND o.o_orderkey <= (2 * m.mk) // 3
+      GROUP BY m.mk
+      UNION ALL
+      SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT), m.mk
+      FROM orders o CROSS JOIN mx m WHERE o.o_orderkey > (2 * m.mk) // 3
+      GROUP BY m.mk
+    )
+    SELECT batch_id, rows_pulled, watermark_key,
+           CAST(SUM(rows_pulled) OVER (ORDER BY batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_rows
+    FROM legs
+    ORDER BY batch_id
+    """,
+)
+def remote_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental sync (the CDC-pull loop every
+    federation deployment runs on top of a remote table): an initial
+    snapshot then two catch-up batches, each pulled with the key-range
+    predicate PUSHED to the remote DB (only the delta crosses the wire)
+    and the watermark advanced to the batch's max key. The report is
+    the per-batch pull ledger with the cumulative row count — the sync
+    bookkeeping a platform audits before trusting an incremental
+    pipeline. Scale: each batch is a remote range scan (the reference's
+    partitioned-read shape); the ledger is 3 aggregate rows; the
+    watermark is a scalar pushdown aggregate, never a data-scale
+    collect."""
+    t = RemoteTable(_sqlite_opts(sf_dir), ["orders"])
+    mk = int(t.read(spark).agg(F.max("o_orderkey")).collect()[0][0])
+    w1, w2 = mk // 3, (2 * mk) // 3
+
+    def leg(batch_id: int, predicate: str, watermark: int) -> DataFrame:
+        return (
+            t.read(spark, predicate=predicate)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("rows_pulled"))
+            .select(
+                F.lit(batch_id).cast("int").alias("batch_id"),
+                F.col("rows_pulled"),
+                F.lit(watermark).cast("bigint").alias("watermark_key"),
+            )
+        )
+
+    from pyspark.sql import Window
+
+    legs = (
+        leg(0, f"o_orderkey <= {w1}", w1)
+        .union(leg(1, f"o_orderkey > {w1} AND o_orderkey <= {w2}", w2))
+        .union(leg(2, f"o_orderkey > {w2}", mk))
+    )
+    w = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, 0)
+    return legs.withColumn(
+        "cumulative_rows", F.sum("rows_pulled").over(w).cast("bigint")
+    ).orderBy("batch_id")
