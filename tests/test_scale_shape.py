@@ -633,3 +633,43 @@ def test_phash_neardup_probe_join_is_census_sized(spark, sf_dir):
     plan = _plan(plans.QUERIES["multimodal_phash_neardup"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_family_rides_checkpointed_candidate_stage(spark, sf_dir):
+    # containment, edit-distance verify and pagerank share ONE
+    # checkpointed candidate graph (_cand_stage) + bigram stage: their
+    # plans must read checkpointed rows, not re-derive the LSH bands or
+    # re-explode the gram table per consumer (round-6 lesson — the lazy
+    # CTE spelling re-evaluated the gram transform ~5x on a single-task
+    # scan; docs/SCALE.md)
+    for name in ("dedup_containment", "dedup_editdistance_verify"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert "Scan ExistingRDD" in plan, f"{name} did not read the staged candidates"
+        assert "CartesianProduct" not in plan
+
+
+def test_cuped_is_moment_shaped(spark, sf_dir):
+    # CUPED must collapse to constant-size moment state: partial+final
+    # aggregates, no window over users, no cartesian against data-scale
+    # frames (the 1-row moment frames broadcast)
+    plan = _plan(plans.QUERIES["events_ab_cuped"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_sprt_spine_join_is_broadcast(spark, sf_dir):
+    # the 30-row day spine joins the user census via broadcast — the
+    # cumulative counts must never shuffle the events table per day
+    plan = _plan(plans.QUERIES["events_ab_sprt"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_sync_pushes_range_predicates(spark, sf_dir):
+    # each sync batch's key range must reach the remote scan as a
+    # pushed filter (the whole point of high-watermark pulls)
+    df = plans.QUERIES["remote_incremental_sync"](spark, sf_dir)
+    rows = {r["batch_id"]: r for r in df.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[2]["cumulative_rows"] == sum(r["rows_pulled"] for r in rows.values())
