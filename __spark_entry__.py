@@ -83,6 +83,8 @@ _VERIFY_FIRST = [
     "multimodal_video_scene_cut",
     "stream_late_arrival_monitor",
     "remote_incremental_sync",
+    "brand_price_volume_mix",
+    "dedup_threshold_tradeoff_curve",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -8826,3 +8826,67 @@ def _sql_scene_cut_oracle(E):
 
 QUERIES["multimodal_video_scene_cut"] = multimodal_video_scene_cut
 ORACLE["multimodal_video_scene_cut"] = _sql_scene_cut_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_tradeoff_curve — the dedup-tuning table: for a spine
+# of similarity thresholds, how many candidate pairs the verifier would
+# accept under symmetric jaccard vs asymmetric containment (bigram
+# sets, over the SHARED LSH ∪ rare-gram candidate graph). The curve a
+# pipeline owner reads before fixing the production threshold — too low
+# deletes distinct docs, too high ships dups; the jaccard-vs-containment
+# gap shows how much partial-inclusion material each level would miss.
+# Scale: the candidate graph is the checkpointed shared stage; each
+# threshold leg is a constant-size aggregate over the scored pairs
+# (scored ONCE, thresholds applied as CASE sums — never re-scored).
+def _sql_threshold_curve_select(E, cand_rel, bg_rel):
+    inter = f"{E.SIZE}({E.AINTERSECT}(ba.s, bb.s))"
+    legs_j = ", ".join(
+        f"CAST(SUM(CASE WHEN jaccard >= {t / 10.0}e0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS j{t}" for t in (1, 3, 5, 7, 9)
+    )
+    return f"""
+    scored AS (
+      SELECT CAST({inter} AS DOUBLE)
+               / ({E.SIZE}(ba.s) + {E.SIZE}(bb.s) - {inter}) AS jaccard,
+             CAST({inter} AS DOUBLE)
+               / least({E.SIZE}(ba.s), {E.SIZE}(bb.s)) AS containment
+      FROM {cand_rel} c
+      JOIN {bg_rel} ba ON c.doc_a = ba.doc_id
+      JOIN {bg_rel} bb ON c.doc_b = bb.doc_id
+    ),
+    spine AS (SELECT {E.explode('[1, 3, 5, 7, 9]' if E is _Duck else 'array(1, 3, 5, 7, 9)', 't')})
+    SELECT CAST(sp.t AS INT) AS threshold_decile,
+           CAST(SUM(CASE WHEN s.jaccard >= sp.t / 10.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_jaccard_pairs,
+           CAST(SUM(CASE WHEN s.containment >= sp.t / 10.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_containment_pairs,
+           CAST(SUM(CASE WHEN s.containment >= sp.t / 10.0e0
+                          AND s.jaccard < sp.t / 10.0e0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_containment_only
+    FROM spine sp CROSS JOIN scored s
+    GROUP BY sp.t
+    ORDER BY threshold_decile
+    """
+
+
+def dedup_threshold_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _cand_stage(spark, sf_dir)
+    bg = _bigram_stage(spark, sf_dir)
+    return spark.sql("WITH " + _sql_threshold_curve_select(_Spark, cand, bg))
+
+
+def _sql_threshold_curve_oracle(E):
+    prelude = (
+        f"sh AS ({_minhash_shingles(E)}),\n"
+        f"    sig AS ({_minhash_sigs(E, 'sh')}),\n"
+        f"    bands AS ({_minhash_bands(E, 'sig')}),\n    "
+    )
+    return (
+        f"{_containment_cand_prefix(E, 'bands', prelude)},"
+        f"{_sql_threshold_curve_select(E, 'allcand', 'bg')}"
+    )
+
+
+QUERIES["dedup_threshold_tradeoff_curve"] = dedup_threshold_tradeoff_curve
+ORACLE["dedup_threshold_tradeoff_curve"] = _sql_threshold_curve_oracle(_Duck)

@@ -6642,3 +6642,55 @@ def customer_order_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# brand_price_volume_mix — price/volume decomposition of revenue change
+# (the FP&A bridge chart): per brand, the revenue delta between the
+# order book's early and late halves (split at 1997-01-01) decomposes
+# exactly into a price effect ((p1−p0)·q1) and a volume effect
+# (p0·(q1−q0)) — the two-factor identity, so the bridge reconciles to
+# the cent. Determinism: quantities are exact integers, revenues exact
+# DECIMAL cents; unit prices are exact-ratio doubles and the effects
+# scalar IEEE math on them. Scale: one brand-keyed census with map-side
+# partials over the fact join; the decomposition is per-group scalar
+# arithmetic.
+_PVM_SQL = """
+    WITH halves AS (
+      SELECT p.p_brand,
+             CASE WHEN o.o_orderdate < {cut} THEN 0 ELSE 1 END AS h,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    agg AS (
+      SELECT p_brand,
+             CAST(SUM(CASE WHEN h = 0 THEN q ELSE 0 END) AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN h = 1 THEN q ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CAST(CASE WHEN h = 0 THEN cents ELSE 0 END AS DECIMAL(28, 0)))
+                  AS DOUBLE) AS r0,
+             CAST(SUM(CAST(CASE WHEN h = 1 THEN cents ELSE 0 END AS DECIMAL(28, 0)))
+                  AS DOUBLE) AS r1
+      FROM halves GROUP BY p_brand
+    )
+    SELECT p_brand, q0, q1,
+           ROUND(r0 / 100.0e0, 2) AS revenue_early,
+           ROUND(r1 / 100.0e0, 2) AS revenue_late,
+           ROUND((r1 - r0) / 100.0e0, 2) AS revenue_delta,
+           ROUND((r1 / q1 - r0 / q0) * q1 / 100.0e0, 2) AS price_effect,
+           ROUND(r0 / q0 * (q1 - q0) / 100.0e0, 2) AS volume_effect
+    FROM agg
+    WHERE q0 > 0 AND q1 > 0
+    ORDER BY p_brand
+"""
+
+
+@register(
+    "brand_price_volume_mix",
+    oracle=_PVM_SQL.format(cut="DATE '1997-01-01'"),
+)
+def brand_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "orders", "part")
+    return spark.sql(_PVM_SQL.format(cut="DATE '1997-01-01'"))
