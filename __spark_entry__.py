@@ -85,6 +85,10 @@ _VERIFY_FIRST = [
     "remote_incremental_sync",
     "brand_price_volume_mix",
     "dedup_threshold_tradeoff_curve",
+    "aqp_sample_error_audit",
+    "ivm_join_delta",
+    "orders_seasonal_naive_mase",
+    "events_chisq_independence",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

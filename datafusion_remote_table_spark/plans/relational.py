@@ -6694,3 +6694,283 @@ _PVM_SQL = """
 def brand_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem", "orders", "part")
     return spark.sql(_PVM_SQL.format(cut="DATE '1997-01-01'"))
+
+
+# --------------------------------------------------------------------------
+# aqp_sample_error_audit — approximate-query-processing audit (the
+# BlinkDB question): a deterministic 10% uniform sample (md5(o_orderkey)
+# bucket 0 of 10 — a map-side hash predicate that rides the scan, so at
+# 100TB the estimator reads one tenth of the fact table) estimates the
+# per-nation order count and revenue; the audit joins the scaled
+# estimates back to the exact census and reports relative errors plus
+# the 3-sigma binomial bound the estimate should respect. Determinism:
+# both engines derive the SAME sample from the md5 of the key (no RNG),
+# revenue is exact DECIMAL cents on both legs, and the scaled estimate
+# is scalar IEEE math on exact inputs. Scale: one grouped pass computes
+# the exact and sampled partials together here (so the audit itself is
+# a single census); a production estimator would run only the sampled
+# leg. Non-vacuous at sf0.01 (measured): per-nation count rel-errors
+# span ~0.001-0.1 and revenue rel-errors similar — the defining metric
+# varies per group.
+_AQP_SQL = """
+    WITH tagged AS (
+      SELECT c.c_nationkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN ({h8}) % 10 = 0 THEN 1 ELSE 0 END AS in_sample
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_nation AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+             CAST(SUM(in_sample) AS BIGINT) AS sample_cnt,
+             CAST(SUM(CAST(cents AS DECIMAL(28, 0))) AS DOUBLE) AS exact_cents,
+             CAST(SUM(CAST(CASE WHEN in_sample = 1 THEN cents ELSE 0 END
+                           AS DECIMAL(28, 0))) AS DOUBLE) AS sample_cents
+      FROM tagged GROUP BY c_nationkey
+    )
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           exact_cnt,
+           CAST(sample_cnt * 10 AS BIGINT) AS est_cnt,
+           ROUND(exact_cents / 100.0e0, 2) AS exact_revenue,
+           ROUND(sample_cents * 10.0e0 / 100.0e0, 2) AS est_revenue,
+           ROUND(abs(sample_cnt * 10.0e0 - exact_cnt) / exact_cnt, 6)
+             AS cnt_rel_err,
+           ROUND(CASE WHEN exact_cents > 0
+                      THEN abs(sample_cents * 10.0e0 - exact_cents) / exact_cents
+                      ELSE 0.0e0 END, 6) AS rev_rel_err,
+           ROUND(3.0e0 * sqrt(CAST(exact_cnt AS DOUBLE) * 0.1e0 * 0.9e0)
+                 * 10.0e0 / exact_cnt, 6) AS cnt_bound_3sigma
+    FROM per_nation
+    ORDER BY c_nationkey
+"""
+
+
+@register(
+    "aqp_sample_error_audit",
+    oracle=_AQP_SQL.format(
+        h8="CAST('0x' || substring(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    ),
+)
+def aqp_sample_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        _AQP_SQL.format(
+            h8="CAST(conv(substring(md5(CAST(o.o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ivm_join_delta — incremental view maintenance THROUGH A JOIN (the
+# companion to ivm_incremental_agg, which maintains a plain aggregate):
+# the materialized view is per-nation (order count, revenue) over
+# orders JOIN customer JOIN nation; a fact-side delta arrives (orders
+# on/after 2001-01-01, ~9% of the book at sf0.01). The delta view is
+# delta_facts joined to the dimensions ONLY (at 100TB: the delta scan is
+# days, not years, and the dim join broadcasts), then merged into the
+# base view with a FULL OUTER coalescing merge — the actual IVM merge
+# operator, not a recompute. The audit recomputes the view from scratch
+# and asserts merge == full per group (the consistency flags certify the
+# identity; the varying base/delta/share columns carry the hash).
+# Determinism: counts are exact BIGINT, money exact DECIMAL cents end to
+# end; equality on decimals is exact so the flags are robust.
+_IVM_JOIN_SQL = """
+    WITH enriched AS (
+      SELECT n.n_name, o.o_orderdate,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    base AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(cents AS DECIMAL(28, 0))) AS DECIMAL(28, 0)) AS c_cents
+      FROM enriched WHERE o_orderdate < {cut} GROUP BY n_name
+    ),
+    delta AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(cents AS DECIMAL(28, 0))) AS DECIMAL(28, 0)) AS c_cents
+      FROM enriched WHERE o_orderdate >= {cut} GROUP BY n_name
+    ),
+    merged AS (
+      SELECT COALESCE(b.n_name, d.n_name) AS n_name,
+             CAST(COALESCE(b.cnt, 0) AS BIGINT) AS base_cnt,
+             CAST(COALESCE(d.cnt, 0) AS BIGINT) AS delta_cnt,
+             CAST(COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS BIGINT) AS merged_cnt,
+             CAST(COALESCE(b.c_cents, 0) + COALESCE(d.c_cents, 0)
+                  AS DECIMAL(28, 0)) AS merged_cents,
+             CAST(COALESCE(d.c_cents, 0) AS DECIMAL(28, 0)) AS delta_cents
+      FROM base b FULL OUTER JOIN delta d ON b.n_name = d.n_name
+    ),
+    full_v AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS full_cnt,
+             CAST(SUM(CAST(cents AS DECIMAL(28, 0))) AS DECIMAL(28, 0)) AS full_cents
+      FROM enriched GROUP BY n_name
+    )
+    SELECT m.n_name, m.base_cnt, m.delta_cnt, m.merged_cnt, f.full_cnt,
+           CASE WHEN m.merged_cnt = f.full_cnt THEN 1 ELSE 0 END AS cnt_consistent,
+           ROUND(CAST(m.merged_cents AS DOUBLE) / 100.0e0, 2) AS merged_revenue,
+           ROUND(CAST(f.full_cents AS DOUBLE) / 100.0e0, 2) AS full_revenue,
+           CASE WHEN m.merged_cents = f.full_cents THEN 1 ELSE 0 END AS rev_consistent,
+           ROUND(CAST(m.delta_cents AS DOUBLE)
+                 / CAST(m.merged_cents AS DOUBLE), 6) AS delta_rev_share
+    FROM merged m JOIN full_v f ON f.n_name = m.n_name
+    ORDER BY m.n_name
+"""
+
+
+@register(
+    "ivm_join_delta",
+    oracle=_IVM_JOIN_SQL.format(cut="DATE '2001-01-01'"),
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_IVM_JOIN_SQL.format(cut="DATE '2001-01-01'"))
+
+
+# --------------------------------------------------------------------------
+# orders_seasonal_naive_mase — forecast-accuracy table for the monthly
+# revenue series: the seasonal-naive forecast (same month last year,
+# lag 12 over the monthly census) scored with MASE (Hyndman-Koehler:
+# absolute error scaled by the in-sample MAE of the ONE-step random
+# walk, so mase < 1 means seasonal-naive beats the walk) and per-month
+# sMAPE. Scale: the fact scan collapses to the ~80-row (year, month)
+# census before any window — the LAG/scale windows run over months,
+# never orders. Determinism: monthly revenue is exact DECIMAL cents;
+# both LAG errors stay integer cents; the scale MAE is one exact-int
+# division; mase/smape are scalar IEEE on exact inputs. Non-vacuous at
+# sf0.01 (measured): monthly revenue swings make abs_err/mase/smape
+# vary per row.
+_MASE_SQL = """
+    WITH monthly AS (
+      SELECT {yr} AS yr, {mon} AS mon,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(28, 0)))
+                  AS DECIMAL(28, 0)) AS cents
+      FROM orders GROUP BY {yr}, {mon}
+    ),
+    seq AS (
+      SELECT yr, mon, cents,
+             LAG(cents, 12) OVER (ORDER BY yr, mon) AS fcast_cents,
+             abs(cents - LAG(cents, 1) OVER (ORDER BY yr, mon)) AS walk_err
+      FROM monthly
+    ),
+    scored AS (
+      -- the global random-walk MAE rides a window over the SAME
+      -- ~80-row census (one scan of orders total; the lazy two-leg CTE
+      -- spelling re-scanned the fact table for an 80-row scalar)
+      SELECT yr, mon, cents, fcast_cents,
+             CAST(SUM(CAST(walk_err AS DECIMAL(28, 0))) OVER () AS DOUBLE)
+               / CAST(SUM(CASE WHEN walk_err IS NOT NULL THEN 1 ELSE 0 END)
+                      OVER () AS DOUBLE) AS walk_mae_cents
+      FROM seq
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon,
+           ROUND(CAST(cents AS DOUBLE) / 100.0e0, 2) AS revenue,
+           ROUND(CAST(fcast_cents AS DOUBLE) / 100.0e0, 2) AS forecast,
+           ROUND(abs(CAST(cents - fcast_cents AS DOUBLE)) / 100.0e0, 2)
+             AS abs_err,
+           ROUND(abs(CAST(cents - fcast_cents AS DOUBLE))
+                 / walk_mae_cents, 6) AS mase,
+           ROUND(2.0e0 * abs(CAST(cents - fcast_cents AS DOUBLE))
+                 / (CAST(cents AS DOUBLE) + CAST(fcast_cents AS DOUBLE)), 6)
+             AS smape
+    FROM scored
+    WHERE fcast_cents IS NOT NULL
+    ORDER BY yr, mon
+"""
+
+
+@register(
+    "orders_seasonal_naive_mase",
+    oracle=_MASE_SQL.format(
+        yr="EXTRACT(year FROM o_orderdate)", mon="EXTRACT(month FROM o_orderdate)"
+    ),
+)
+def orders_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _MASE_SQL.format(yr="year(o_orderdate)", mon="month(o_orderdate)")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_chisq_independence — Pearson chi-square test of independence
+# between event_type and daypart (the contingency-table companion to
+# events_anova_value/events_ks_test): per-cell observed counts, expected
+# counts under independence (row_total * col_total / N), per-cell
+# contributions, and the global chi-square + Cramer's V as repeated
+# scalars. Scale: the events scan collapses to the 20-cell contingency
+# census (5 types x 4 dayparts) before any window — margins and the
+# global sum run over cells, never events. Determinism: observed counts
+# are exact BIGINT; expected/contribution are scalar IEEE on exact
+# inputs with a fixed operation order; the global chi2 sums the
+# ROUND(...,6) contributions as exact DECIMAL(38,6) (order-independent)
+# before the final DOUBLE cast. Non-vacuous at sf0.01 (measured):
+# observed counts and contributions vary per cell (sampling noise gives
+# nonzero, distinct contributions even under a near-uniform feed).
+_CHISQ_SQL = """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN {hr} < 6 THEN 'night'
+                  WHEN {hr} < 12 THEN 'morning'
+                  WHEN {hr} < 18 THEN 'afternoon'
+                  ELSE 'evening' END AS daypart
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, daypart, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tagged GROUP BY event_type, daypart
+    ),
+    -- margins AND grand totals ride windows over the SAME 20-cell
+    -- census (a tot CTE re-referencing cells would re-scan events)
+    ranked AS (
+      SELECT event_type, daypart, n,
+             DENSE_RANK() OVER (ORDER BY event_type) AS rid,
+             DENSE_RANK() OVER (ORDER BY daypart) AS cid
+      FROM cells
+    ),
+    margins AS (
+      SELECT event_type, daypart, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS r_tot,
+             CAST(SUM(n) OVER (PARTITION BY daypart) AS DOUBLE) AS c_tot,
+             CAST(SUM(n) OVER () AS DOUBLE) AS n_total,
+             CAST(MAX(rid) OVER () AS BIGINT) AS n_rows,
+             CAST(MAX(cid) OVER () AS BIGINT) AS n_cols
+      FROM ranked
+    ),
+    scored AS (
+      SELECT m.event_type, m.daypart, m.n AS observed,
+             m.r_tot * m.c_tot / m.n_total AS expected,
+             (CAST(m.n AS DOUBLE) - m.r_tot * m.c_tot / m.n_total)
+               * (CAST(m.n AS DOUBLE) - m.r_tot * m.c_tot / m.n_total)
+               / (m.r_tot * m.c_tot / m.n_total) AS contrib,
+             m.n_total, m.n_rows, m.n_cols
+      FROM margins m
+    ),
+    global_sum AS (
+      SELECT event_type, daypart, observed, expected, contrib,
+             n_total, n_rows, n_cols,
+             CAST(SUM(CAST(ROUND(contrib, 6) AS DECIMAL(38, 6))) OVER ()
+                  AS DOUBLE) AS chi2
+      FROM scored
+    )
+    SELECT event_type, daypart, observed,
+           ROUND(expected, 6) AS expected,
+           ROUND(contrib, 6) AS contribution,
+           ROUND(chi2, 6) AS chi2_stat,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           ROUND(sqrt(chi2 / (n_total
+                 * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM global_sum
+    ORDER BY event_type, daypart
+"""
+
+
+@register(
+    "events_chisq_independence",
+    oracle=_CHISQ_SQL.format(hr="EXTRACT(hour FROM ts)"),
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_CHISQ_SQL.format(hr="hour(ts)"))

@@ -673,3 +673,47 @@ def test_incremental_sync_pushes_range_predicates(spark, sf_dir):
     rows = {r["batch_id"]: r for r in df.collect()}
     assert set(rows) == {0, 1, 2}
     assert rows[2]["cumulative_rows"] == sum(r["rows_pulled"] for r in rows.values())
+
+
+def test_aqp_audit_is_one_grouped_pass(spark, sf_dir):
+    # the sample predicate is a map-side hash filter: exact and sampled
+    # partials come out of ONE grouped pass over the join — no second
+    # scan of orders, no cartesian
+    plan = _plan(plans.QUERIES["aqp_sample_error_audit"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, "orders/customer scanned more than once each"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ivm_join_delta_merge_not_recompute(spark, sf_dir):
+    # the audit needs base/delta/full legs, but the MERGE itself is a
+    # nation-grain outer join over ~25-row aggregates — assert the merge
+    # join runs over aggregated (post-HashAggregate) inputs and nothing
+    # cartesian appears
+    plan = _plan(plans.QUERIES["ivm_join_delta"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_mase_single_scan_windows_on_census(spark, sf_dir):
+    # ALL windows (lag-12 forecast, lag-1 walk error, the global MAE)
+    # ride the one (year, month) census: orders is scanned exactly once
+    # and no cartesian appears (the two-leg CTE spelling re-scanned the
+    # fact table for an 80-row scalar)
+    plan = _plan(plans.QUERIES["orders_seasonal_naive_mase"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 1, "orders scanned more than once"
+    assert "CartesianProduct" not in plan
+
+
+def test_chisq_windows_run_on_cell_census(spark, sf_dir):
+    # margins + the global decimal sum are windows over the 20-cell
+    # contingency census: events is scanned once, the grand-total join
+    # broadcasts a 1-row frame, and every Window sits above the
+    # contingency HashAggregate (string plans print top-down, so the
+    # deepest operator — the aggregate — appears after the windows)
+    plan = _plan(plans.QUERIES["events_chisq_independence"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("FileScan parquet") == 1, "events scanned more than once"
+    assert "CartesianProduct" not in plan
+    assert plan.rindex("HashAggregate") > plan.rindex("Window")
