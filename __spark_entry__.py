@@ -89,6 +89,9 @@ _VERIFY_FIRST = [
     "ivm_join_delta",
     "orders_seasonal_naive_mase",
     "events_chisq_independence",
+    "dedup_winnowing",
+    "langid_feature_chi2",
+    "text_keyword_rake",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

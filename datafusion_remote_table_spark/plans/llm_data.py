@@ -8890,3 +8890,271 @@ def _sql_threshold_curve_oracle(E):
 
 QUERIES["dedup_threshold_tradeoff_curve"] = dedup_threshold_tradeoff_curve
 ORACLE["dedup_threshold_tradeoff_curve"] = _sql_threshold_curve_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing — MOSS-style winnowing fingerprint dedup (Schleimer,
+# Wilkerson, Aiken 2003): per doc, word 3-gram rolling hashes; every
+# window of w=4 consecutive hashes selects its minimum (RIGHTMOST
+# position on ties — the robust-winnowing rule), giving a guaranteed
+# fingerprint density of 2/(w+1) with at least one fingerprint per
+# w-gram match. Ties are broken arithmetically by packing (hash, pos)
+# into one BIGINT: code = (h+1)*2^20 - pos, so MIN(code) is (min hash,
+# rightmost pos) in a single window pass (docs are <2^20 words; the +1
+# guards an all-zero md5 prefix). Shared-fingerprint census → candidate
+# pairs with a containment estimate. Scale: the hash/window passes are
+# per-doc (partitioned windows, no global sort); the census join runs
+# on uniform md5 keys with a <=50-docs-per-fingerprint skew valve; the
+# selected-fingerprint frame is checkpoint-staged in Spark and
+# MATERIALIZED in DuckDB (4 consumers — the lazy CTE would re-run the
+# gram explode per reference). Non-vacuous at sf0.01 (measured): the
+# 31-word vocabulary gives a dense shared-gram graph; shared_fps spans
+# 2..~12 and containment_est varies per pair.
+def _winnow_fp_sql(E):
+    words = E.splitws("lower(text)")
+    join_fn = "array_join" if E is _Spark else "array_to_string"
+    gram = f"{join_fn}({E.slice('words', 'p', 3)}, ' ')"
+    h = E.hex2int(f"substring(md5({gram}), 1, 8)")
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, words, {E.explode(E.seq(1, f"greatest({E.SIZE}(words) - 2, 1)"), 'p')}
+      FROM (SELECT doc_id, {words} AS words FROM documents) d
+    ),
+    hashes AS (
+      SELECT doc_id, p, ({h} + 1) * 1048576 - p AS code
+      FROM pos
+    ),
+    wins AS (
+      SELECT doc_id, p, maxp,
+             MIN(code) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_code
+      FROM (SELECT doc_id, p, code,
+                   MAX(p) OVER (PARTITION BY doc_id) AS maxp
+            FROM hashes) x
+    )
+    SELECT DISTINCT doc_id,
+           {E.intdiv('sel_code + 1048575', '1048576')} - 1 AS fp
+    FROM wins WHERE p <= maxp - 3
+    """
+
+
+_WINNOW_PAIRS_SQL = """
+    WITH totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM {V} GROUP BY doc_id
+    ),
+    census AS (
+      SELECT fp FROM {V} GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM {V} a
+      JOIN census c ON a.fp = c.fp
+      JOIN {V} b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_fps,
+           ta.n_fp AS fp_a, tb.n_fp AS fp_b,
+           ROUND(CAST(p.shared_fps AS DOUBLE)
+                 / least(ta.n_fp, tb.n_fp), 6) AS containment_est
+    FROM pairs p
+    JOIN totals ta ON ta.doc_id = p.doc_a
+    JOIN totals tb ON tb.doc_id = p.doc_b
+    WHERE p.shared_fps >= 2
+    ORDER BY p.shared_fps DESC, p.doc_a, p.doc_b
+    LIMIT 100
+"""
+
+
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("winnow_fp", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        _spread_view(spark, sf_dir, "documents", "wn_docs")
+        fp_df = spark.sql(_winnow_fp_sql(_Spark).replace("FROM documents", f"FROM wn_docs_{_dataset_suffix(sf_dir)}"))
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "wn_fp", fp_df)
+    return spark.sql(_WINNOW_PAIRS_SQL.format(V=_MINHASH_STAGE_CACHE[key]))
+
+
+QUERIES["dedup_winnowing"] = dedup_winnowing
+ORACLE["dedup_winnowing"] = (
+    "WITH selfp AS MATERIALIZED (" + _winnow_fp_sql(_Duck) + ")"
+    + _WINNOW_PAIRS_SQL.format(V="selfp").replace("WITH totals", ", totals", 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# langid_feature_chi2 — chi-square feature selection for language ID
+# (the classic 2x2-contingency feature scorer): per (lang, word), doc-
+# frequency within the language vs outside it, scored chi2 with a
+# p<0.001 significance flag. On THIS corpus the lang label is
+# independent of the text (all five languages share the same 31-word
+# vocabulary — measured), so the operator doubles as a NULL-CALIBRATION
+# audit: chi2 values are sampling noise around their H0 distribution
+# and the significance flags stay (almost) all zero — the true-negative
+# design the round-6 audit adjudicates as valid when the defining
+# metric (chi2 per cell) still varies, which it does (range ~0-12 at
+# sf0.01). Scale: ONE pass over the exploded corpus collapses to the
+# (lang, word) census; word margins ride a window over the census (a
+# re-referenced CTE would re-run the explode); lang margins come from a
+# column-pruned documents scan. All contingency arithmetic is exact
+# integers composed in DOUBLE well inside 2^53.
+def _sql_langid_chi2(E):
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, lang, word
+      FROM (SELECT doc_id, lang,
+                   {E.explode(E.splitws('lower(text)'), 'word')}
+            FROM documents) t
+    ),
+    lw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS a
+      FROM words GROUP BY lang, word
+    ),
+    lw2 AS (
+      SELECT lang, word, a,
+             CAST(SUM(a) OVER (PARTITION BY word) AS BIGINT) AS df_word
+      FROM lw
+    ),
+    nl AS (
+      SELECT lang AS lg, CAST(COUNT(*) AS BIGINT) AS n_lang
+      FROM documents GROUP BY lang
+    ),
+    nl2 AS (
+      SELECT lg, n_lang,
+             CAST(SUM(n_lang) OVER () AS BIGINT) AS n_total
+      FROM nl
+    ),
+    scored AS (
+      SELECT l.lang, l.word, l.a, l.df_word, m.n_lang,
+             CAST(m.n_total AS DOUBLE)
+               * (CAST(l.a AS DOUBLE) * (m.n_total - l.df_word - m.n_lang + l.a)
+                  - CAST(l.df_word - l.a AS DOUBLE) * (m.n_lang - l.a))
+               * (CAST(l.a AS DOUBLE) * (m.n_total - l.df_word - m.n_lang + l.a)
+                  - CAST(l.df_word - l.a AS DOUBLE) * (m.n_lang - l.a))
+               / (CAST(l.df_word AS DOUBLE) * (m.n_total - l.df_word)
+                  * m.n_lang * (m.n_total - m.n_lang)) AS chi2
+      FROM lw2 l JOIN nl2 m ON m.lg = l.lang
+    )
+    SELECT lang, word, a AS df_in_lang, df_word, n_lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY chi2 DESC, word) AS BIGINT) AS rnk,
+           ROUND(chi2, 6) AS chi2,
+           CASE WHEN chi2 > 10.828e0 THEN 1 ELSE 0 END AS significant_p001
+    FROM scored
+    ORDER BY lang, rnk
+    """
+
+
+_register_pair("langid_feature_chi2", _sql_langid_chi2)
+
+
+# ---------------------------------------------------------------------------
+# text_keyword_rake — RAKE keyword extraction (Rose et al. 2010):
+# candidate phrases are maximal stopword-free word runs (the stopword
+# list is the repo's standard 7-word set, all present in the corpus
+# vocabulary); each word scores degree/frequency over the phrase-word
+# census; a phrase scores the sum of its word scores; output is the
+# corpus top-20 phrases. Determinism: freq/degree are exact integers;
+# word scores are single exact-int divisions; the per-phrase sum adds
+# ROUND(...,6) word scores as exact DECIMAL(38,6) (order-independent).
+# Scale: the phrase-word frame is checkpoint-staged in Spark /
+# MATERIALIZED in DuckDB (two consumers — word census and phrase
+# scoring — and the lazy CTE would re-run the double explode per
+# reference); word scores come from a hash-groupBy census broadcast
+# back onto the frame, NOT a window partitioned by word (31 distinct
+# words — a guaranteed skew bomb at 100TB). Non-vacuous at sf0.01
+# (measured): phrase scores span a wide range with distinct
+# n_occurrences/n_words per row.
+_RAKE_STOP = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+def _rake_pw_sql(E):
+    words = E.splitws("lower(text)")
+    join_fn = "array_join" if E is _Spark else "array_to_string"
+    marked = (
+        f"{E.TRANSFORM}({words}, w -> CASE WHEN w IN {_RAKE_STOP} "
+        f"THEN '|' ELSE w END)"
+    )
+    if E is _Spark:
+        phrases = f"split({join_fn}({marked}, ' '), '\\\\s*\\\\|\\\\s*')"
+    else:
+        phrases = f"regexp_split_to_array({join_fn}({marked}, ' '), '\\s*\\|\\s*')"
+    return f"""
+    WITH ph0 AS (
+      SELECT doc_id, phrases,
+             {E.explode(E.seq(1, f"greatest({E.SIZE}(phrases), 1)"), 'pi')}
+      FROM (SELECT doc_id, {phrases} AS phrases FROM documents) d
+    ),
+    ph AS (
+      SELECT doc_id, pi, trim({E.idx('phrases', 'pi')}) AS phrase
+      FROM ph0
+    ),
+    pws AS (
+      SELECT doc_id, pi, phrase, pwords FROM (
+        SELECT doc_id, pi, phrase, {E.splitws('phrase')} AS pwords
+        FROM ph WHERE phrase IS NOT NULL AND phrase <> ''
+      ) c
+      -- candidate phrases are capped at 4 words (standard RAKE
+      -- practice; uncapped, stopword-free word-salad docs become
+      -- single document-length phrases and the ranking degenerates
+      -- to phrase length — measured before the cap)
+      WHERE {E.SIZE}(pwords) <= 4
+    )
+    SELECT doc_id, pi, phrase,
+           CAST({E.SIZE}(pwords) AS BIGINT) AS plen,
+           {E.explode('pwords', 'word')}
+    FROM pws
+    """
+
+
+_RAKE_OUT_SQL = """
+    WITH wstats AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM {V} GROUP BY word
+    ),
+    inst AS (
+      SELECT p.doc_id, p.pi, p.phrase, p.plen,
+             CAST(SUM(CAST(ROUND(CAST(w.degree AS DOUBLE) / w.freq, 6)
+                           AS DECIMAL(38, 6))) AS DECIMAL(38, 6)) AS pscore
+      FROM {V} p JOIN wstats w ON w.word = p.word
+      GROUP BY p.doc_id, p.pi, p.phrase, p.plen
+    ),
+    phr AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(MIN(plen) AS BIGINT) AS n_words,
+             ROUND(CAST(MIN(pscore) AS DOUBLE), 6) AS rake_score
+      FROM inst GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, n_words, rake_score,
+           rnk AS rank_in_len
+    FROM (
+      SELECT phrase, n_occurrences, n_words, rake_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_words
+                                     ORDER BY rake_score DESC, phrase)
+                  AS BIGINT) AS rnk
+      FROM phr
+    ) r
+    WHERE rnk <= 5
+    ORDER BY n_words, rnk
+"""
+
+
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("rake_pw", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        _spread_view(spark, sf_dir, "documents", "rk_docs")
+        pw_df = spark.sql(
+            _rake_pw_sql(_Spark).replace(
+                "FROM documents", f"FROM rk_docs_{_dataset_suffix(sf_dir)}"
+            )
+        )
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "rk_pw", pw_df)
+    return spark.sql(_RAKE_OUT_SQL.format(V=_MINHASH_STAGE_CACHE[key]))
+
+
+QUERIES["text_keyword_rake"] = text_keyword_rake
+ORACLE["text_keyword_rake"] = (
+    "WITH pw AS MATERIALIZED (" + _rake_pw_sql(_Duck) + ")"
+    + _RAKE_OUT_SQL.format(V="pw").replace("WITH wstats", ", wstats", 1)
+)

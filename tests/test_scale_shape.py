@@ -717,3 +717,22 @@ def test_chisq_windows_run_on_cell_census(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, "events scanned more than once"
     assert "CartesianProduct" not in plan
     assert plan.rindex("HashAggregate") > plan.rindex("Window")
+
+
+def test_winnowing_rides_staged_fingerprints(spark, sf_dir):
+    # the selected-fingerprint frame is checkpoint-staged: all four
+    # consumers (census, pair join legs, totals) read computed rows,
+    # never re-run the gram explode; census join, no cartesian
+    plan = _plan(plans.QUERIES["dedup_winnowing"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "winnowing did not read the staged fingerprints"
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_word_scores_are_census_join_not_window(spark, sf_dir):
+    # word degree/freq must come from a hash-groupBy census joined back
+    # (31 distinct words — a window partitioned by word is a skew bomb),
+    # and the phrase-word frame must be read from the checkpoint stage
+    plan = _plan(plans.QUERIES["text_keyword_rake"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "RAKE did not read the staged phrase-word frame"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
