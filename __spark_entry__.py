@@ -92,6 +92,9 @@ _VERIFY_FIRST = [
     "dedup_winnowing",
     "langid_feature_chi2",
     "text_keyword_rake",
+    "events_bootstrap_ci",
+    "remote_checksum_reconcile",
+    "stream_seasonal_baseline_monitor",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

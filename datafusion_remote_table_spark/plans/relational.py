@@ -6974,3 +6974,69 @@ _CHISQ_SQL = """
 def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_CHISQ_SQL.format(hr="hour(ts)"))
+
+
+# --------------------------------------------------------------------------
+# events_bootstrap_ci — deterministic Poisson bootstrap for the mean
+# purchase value (the production-scale bootstrap: per (event, replicate)
+# the resample weight is Poisson(1)-distributed but drawn from
+# md5(event_id # rep), so both engines build bit-identical replicates
+# with no RNG and no driver-side resampling). B=32 replicates; each
+# replicate mean is an exact ratio of integer sums (value quantized to
+# cents); the CI is the [2nd, 31st] order statistic of the replicate
+# means (a ~94% interval). Scale: the explode is a bounded 32x map-side
+# fan-out immediately collapsed by a partial-aggregating groupBy on rep
+# — the canonical way to bootstrap a 100TB fact table without moving
+# it; the order-statistic windows run over the 32-row replicate frame.
+# Non-vacuous at sf0.01 (measured): replicate means vary (the md5
+# weights differ per rep) and the CI straddles the point mean.
+_BOOT_SQL = """
+    WITH purchases AS (
+      SELECT event_id, CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    expanded AS (
+      SELECT p.cents, r.rep,
+             CASE WHEN ({h}) % 1000 < 368 THEN 0
+                  WHEN ({h}) % 1000 < 736 THEN 1
+                  WHEN ({h}) % 1000 < 920 THEN 2
+                  WHEN ({h}) % 1000 < 981 THEN 3
+                  ELSE 4 END AS w
+      FROM purchases p
+      CROSS JOIN (SELECT {rep_expr} AS rep) r
+    ),
+    reps AS (
+      SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+             CAST(SUM(CAST(w AS DECIMAL(28, 0)) * cents) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) / 100.0e0 AS rep_mean
+      FROM expanded GROUP BY rep
+    ),
+    ranked AS (
+      SELECT rep, n_eff, rep_mean,
+             CAST(ROW_NUMBER() OVER (ORDER BY rep_mean, rep) AS BIGINT) AS rnk
+      FROM reps
+    )
+    SELECT CAST(rep AS BIGINT) AS rep, n_eff, ROUND(rep_mean, 6) AS rep_mean,
+           ROUND(MAX(CASE WHEN rnk = 2 THEN rep_mean END) OVER (), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN rnk = 31 THEN rep_mean END) OVER (), 6) AS ci_hi
+    FROM ranked
+    ORDER BY rep
+"""
+
+
+def _boot_sql(engine: str) -> str:
+    if engine == "spark":
+        rep_expr = "explode(sequence(0, 31))"
+        h = ("CAST(conv(substring(md5(CAST(p.event_id AS STRING) || '#' || "
+             "CAST(r.rep AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+    else:
+        rep_expr = "unnest(generate_series(0, 31))"
+        h = ("CAST('0x' || substring(md5(CAST(p.event_id AS VARCHAR) || '#' || "
+             "CAST(r.rep AS VARCHAR)), 1, 8) AS BIGINT)")
+    return _BOOT_SQL.format(h=h, rep_expr=rep_expr)
+
+
+@register("events_bootstrap_ci", oracle=_boot_sql("duck"))
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_boot_sql("spark"))

@@ -572,3 +572,26 @@ from .relational import _late_audit_oracle  # noqa: E402
 QUERIES["stream_late_arrival_monitor"] = stream_late_arrival_monitor
 # pure map-side stamping converges to the batch audit exactly
 ORACLE["stream_late_arrival_monitor"] = _late_audit_oracle()
+
+from ..streaming import stream_seasonal_baseline_monitor  # noqa: E402
+
+QUERIES["stream_seasonal_baseline_monitor"] = stream_seasonal_baseline_monitor
+# the stream-maintained hourly rollup converges to the batch hourly
+# census; the hod profile layer is identical arithmetic in both engines
+ORACLE["stream_seasonal_baseline_monitor"] = """
+    WITH hourly AS (
+      SELECT CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT hod,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS baseline_mean,
+           CAST(MIN(c) AS BIGINT) AS min_count,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS max_dev_ratio,
+           ROUND(CAST(MIN(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS min_dev_ratio
+    FROM hourly GROUP BY hod
+    ORDER BY hod
+"""

@@ -1178,3 +1178,48 @@ def stream_late_arrival_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
         )
     )
+
+
+def stream_seasonal_baseline_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming seasonal-baseline monitor: the stream maintains the
+    per-calendar-hour count rollup (watermark-bounded windowed state —
+    the same leg every hourly monitor here rides), and the serving
+    layer folds it into the hour-of-day seasonal profile: per hod, the
+    observed-hours count, the baseline mean, and the min/max deviation
+    ratios vs that baseline. This is the seasonal complement to
+    stream_hourly_anomaly's global z-score: an 18:00 burst is judged
+    against other 18:00s, not against 03:00s. Determinism: counts are
+    exact integers; the baseline is one exact-int division; ratios are
+    scalar IEEE on exact inputs. Scale: streaming state is O(active
+    windows); the profile layer reads the 720-row rollup, never the
+    stream; the hod census is 24 rows. Converges to the batch hourly
+    census, which is the oracle. Non-vacuous at sf0.01 (measured):
+    hourly counts span 4-23, so ratios vary per hod."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "c",
+        )
+    )
+    bounded = _run_bounded(agg, "stream_seasonal_baseline")
+    bounded.createOrReplaceTempView("stream_seasonal_baseline_counts")
+    return spark.sql("""
+    WITH hourly AS (
+      SELECT CAST(hour(CAST(hour_ts AS TIMESTAMP)) AS BIGINT) AS hod, c
+      FROM stream_seasonal_baseline_counts
+    )
+    SELECT hod,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS baseline_mean,
+           CAST(MIN(c) AS BIGINT) AS min_count,
+           CAST(MAX(c) AS BIGINT) AS max_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS max_dev_ratio,
+           ROUND(CAST(MIN(c) AS DOUBLE) * COUNT(*) / SUM(c), 6) AS min_dev_ratio
+    FROM hourly GROUP BY hod
+    ORDER BY hod
+    """)

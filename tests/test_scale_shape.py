@@ -736,3 +736,24 @@ def test_rake_word_scores_are_census_join_not_window(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "RAKE did not read the staged phrase-word frame"
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bootstrap_fanout_is_collapsed_map_side(spark, sf_dir):
+    # the 32x replicate explode must collapse through a partial+final
+    # aggregate on rep (never shuffle the expanded frame raw), and the
+    # order-statistic windows run over the 32-row replicate frame
+    plan = _plan(plans.QUERIES["events_bootstrap_ci"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+
+
+def test_checksum_reconcile_flags_real_drift(spark, sf_dir):
+    # the duckdb replica holds only the odd-key shard: the four even
+    # chunks must mismatch and the four odd chunks must match — the
+    # reconciliation detects genuine drift, not a vacuous all-1 column
+    rows = {r["chunk_id"]: r for r in
+            plans.QUERIES["remote_checksum_reconcile"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(8))
+    for cid, r in rows.items():
+        expected = 1 if cid % 2 == 1 else 0
+        assert r["rows_match"] == expected and r["sums_match"] == expected, cid
