@@ -95,6 +95,9 @@ _VERIFY_FIRST = [
     "events_bootstrap_ci",
     "remote_checksum_reconcile",
     "stream_seasonal_baseline_monitor",
+    "basket_triples_apriori",
+    "lineitem_ols2",
+    "lineitem_corr_matrix",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

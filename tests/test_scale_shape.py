@@ -757,3 +757,22 @@ def test_checksum_reconcile_flags_real_drift(spark, sf_dir):
     for cid, r in rows.items():
         expected = 1 if cid % 2 == 1 else 0
         assert r["rows_match"] == expected and r["sums_match"] == expected, cid
+
+
+def test_apriori_rides_staged_pair_census(spark, sf_dir):
+    # the fact-scale pair shuffle runs once into the persisted stage;
+    # generate/prune/count all read staged (InMemory) frames and the
+    # candidate joins are hash joins, never cartesian
+    plan = _plan(plans.QUERIES["basket_triples_apriori"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "a-priori did not read the staged census"
+    assert "CartesianProduct" not in plan
+
+
+def test_ols2_and_corr_collapse_to_moment_state(spark, sf_dir):
+    # both regressions are one grouped pass to constant-size moment
+    # state: partial+final aggregate, single scan, no window, no join
+    for name in ("lineitem_ols2", "lineitem_corr_matrix"):
+        plan = _plan(plans.QUERIES[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, f"{name} re-scans lineitem"
+        assert plan.count("HashAggregate") >= 2, name
+        assert "Join" not in plan, name
