@@ -98,6 +98,8 @@ _VERIFY_FIRST = [
     "basket_triples_apriori",
     "lineitem_ols2",
     "lineitem_corr_matrix",
+    "events_sequence_trigrams",
+    "doc_length_lognormal_fit",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

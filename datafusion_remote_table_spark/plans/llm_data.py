@@ -9158,3 +9158,53 @@ ORACLE["text_keyword_rake"] = (
     "WITH pw AS MATERIALIZED (" + _rake_pw_sql(_Duck) + ")"
     + _RAKE_OUT_SQL.format(V="pw").replace("WITH wstats", ", wstats", 1)
 )
+
+
+# ---------------------------------------------------------------------------
+# doc_length_lognormal_fit — parametric length-distribution fit per
+# language (the modeling companion to doc_length_histogram): method-of-
+# moments lognormal fit (mu, sigma of ln(n_chars)) plus the empirical
+# 1-sigma coverage in log space — a true lognormal would cover ~68%, so
+# the coverage column measures fit quality, not just parameters.
+# Determinism: ln() rides under ROUND(...,9) on moderate magnitudes
+# (ln of 48..553 — the CLAUDE.md-adjudicated safe window); weighted
+# moment terms are re-quantized to 9dp and summed as exact DECIMAL
+# (order-independent); mu/sigma/coverage are scalar IEEE on those exact
+# sums. Scale: documents collapses to the (lang, n_chars) census in one
+# grouped pass; moments AND the coverage recheck are windows/aggregates
+# over that bounded census — one corpus scan total, no per-lang window
+# over the corpus (5-key skew). Non-vacuous at sf0.01 (measured):
+# mu/sigma/coverage differ per language.
+def _sql_lognormal_fit(E):
+    return """
+    WITH census AS (
+      SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROUND(ln(CAST(n_chars AS DOUBLE)), 9) AS l
+      FROM documents GROUP BY lang, n_chars
+    ),
+    m AS (
+      SELECT lang, cnt, l,
+             CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(cnt * l, 9) AS DECIMAL(28, 9)))
+                  OVER (PARTITION BY lang) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(cnt * l * l, 9) AS DECIMAL(28, 9)))
+                  OVER (PARTITION BY lang) AS DOUBLE) AS s2
+      FROM census
+    ),
+    fit AS (
+      SELECT lang, cnt, l, n, s1 / n AS mu,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0e0)) AS sigma
+      FROM m
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(MAX(mu), 6) AS mu_log,
+           ROUND(MAX(sigma), 6) AS sigma_log,
+           ROUND(CAST(SUM(CASE WHEN abs(l - mu) <= sigma THEN cnt ELSE 0 END)
+                      AS DOUBLE) / MAX(n), 6) AS coverage_1sigma
+    FROM fit
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+_register_pair("doc_length_lognormal_fit", _sql_lognormal_fit)

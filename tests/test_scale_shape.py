@@ -776,3 +776,21 @@ def test_ols2_and_corr_collapse_to_moment_state(spark, sf_dir):
         assert plan.count("FileScan parquet") == 1, f"{name} re-scans lineitem"
         assert plan.count("HashAggregate") >= 2, name
         assert "Join" not in plan, name
+
+
+def test_trigram_marginals_ride_census_windows(spark, sf_dir):
+    # the LEAD windows partition by user; every marginal window sits
+    # above the trigram HashAggregate (census-grain, 125 rows) — events
+    # is scanned once and nothing joins
+    plan = _plan(plans.QUERIES["events_sequence_trigrams"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2  # LEAD pass + marginal windows
+
+
+def test_lognormal_fit_single_scan_census(spark, sf_dir):
+    # one corpus scan into the (lang, n_chars) census; moments and the
+    # coverage recheck never touch documents again
+    plan = _plan(plans.QUERIES["doc_length_lognormal_fit"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
