@@ -100,6 +100,9 @@ _VERIFY_FIRST = [
     "lineitem_corr_matrix",
     "events_sequence_trigrams",
     "doc_length_lognormal_fit",
+    "multimodal_image_contrast",
+    "winnowing_accuracy_eval",
+    "federated_ship_plan",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -571,3 +571,45 @@ def video_frame_deltas(
             yield pd.DataFrame(rows, columns=[id_col, "transition", "delta"])
 
     return df.mapInPandas(run, schema=f"{id_col} long, transition int, delta long")
+
+
+def image_contrast_real(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode an image payload column (BMP/PPM via decode_image) into
+    integer CONTRAST sums — the texture/sharpness signal image-quality
+    filters threshold: per-pixel brightness = r+g+b, contrast_h_sum =
+    sum of |brightness(x+1,y) - brightness(x,y)| over horizontal
+    neighbors, contrast_v_sum over vertical neighbors. Integer sums
+    only (division/normalization happens in SQL so both engines round
+    identically). Arrow-batch map; payloads never visit the driver."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                fmt, w, h, px = decode_image(bytes(payload))
+                br = [
+                    px[3 * i] + px[3 * i + 1] + px[3 * i + 2]
+                    for i in range(w * h)
+                ]
+                ch = sum(
+                    abs(br[y * w + x + 1] - br[y * w + x])
+                    for y in range(h)
+                    for x in range(w - 1)
+                )
+                cv = sum(
+                    abs(br[(y + 1) * w + x] - br[y * w + x])
+                    for y in range(h - 1)
+                    for x in range(w)
+                )
+                rows.append((int(doc_id), fmt, ch, cv))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "fmt", "contrast_h_sum", "contrast_v_sum"]
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=f"{id_col} long, fmt string, contrast_h_sum long, contrast_v_sum long",
+    )

@@ -9208,3 +9208,162 @@ def _sql_lognormal_fit(E):
 
 
 _register_pair("doc_length_lognormal_fit", _sql_lognormal_fit)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_contrast — REAL image texture/sharpness signal over
+# the decoded 4x2 BMP/PPM payloads: per-pixel brightness (r+g+b),
+# integer sums of |neighbor brightness deltas| horizontally and
+# vertically (the contrast statistic blur/flat-image quality filters
+# threshold), normalized edge energy in SQL. The kernel emits ONLY
+# integer sums; the oracle recomputes every brightness delta from the
+# md5 byte derivation with the same pixel index math, so a wrong
+# stride, channel order, or neighbor offset diverges the hash. Scale:
+# Arrow-batch map end to end; the corpus-level normalization is scalar
+# per row. Non-vacuous at sf0.01: md5 bytes give every doc a distinct
+# contrast pair.
+def multimodal_image_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.decode import image_contrast_real
+
+    raw = image_contrast_real(_encoded_media_frame(spark, sf_dir))
+    return raw.select(
+        "doc_id",
+        "fmt",
+        "contrast_h_sum",
+        "contrast_v_sum",
+        F.round(
+            (F.col("contrast_h_sum") + F.col("contrast_v_sum"))
+            / F.lit(10.0 * 765.0),
+            6,
+        ).alias("edge_energy"),
+    )
+
+
+def _sql_image_contrast_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def br(x, y):  # brightness of pixel (x, y) in the 4x2 RGB layout
+        base = 3 * (y * 4 + x)
+        return "(" + " + ".join(
+            E.hex2int(f"substring(h, {2 * (base + c) - 1}, 2)") for c in (1, 2, 3)
+        ) + ")"
+
+    ch = " + ".join(
+        f"abs({br(x + 1, y)} - {br(x, y)})" for y in range(2) for x in range(3)
+    )
+    cv = " + ".join(f"abs({br(x, 1)} - {br(x, 0)})" for x in range(4))
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST({ch} AS BIGINT) AS contrast_h_sum,
+           CAST({cv} AS BIGINT) AS contrast_v_sum
+    FROM hx
+    """
+
+
+QUERIES["multimodal_image_contrast"] = multimodal_image_contrast
+ORACLE["multimodal_image_contrast"] = (
+    "SELECT doc_id, fmt, contrast_h_sum, contrast_v_sum, "
+    "ROUND((CAST(contrast_h_sum AS DOUBLE) + contrast_v_sum) / 7650.0e0, 6) "
+    "AS edge_energy FROM ("
+    + _sql_image_contrast_oracle(_Duck)
+    + ") t"
+)
+
+
+# ---------------------------------------------------------------------------
+# winnowing_accuracy_eval — ground-truth audit of the winnowing
+# candidate generator (the eval every dedup method here carries:
+# minhash_accuracy_eval / simhash_accuracy_eval for their methods):
+# candidate pairs by shared-fingerprint bucket, scored with EXACT word
+# 3-gram jaccard and containment; reports per-bucket pair counts, mean
+# overlap (ROUND-6 values summed as exact DECIMAL — order-independent),
+# and the share of candidates whose true containment clears 0.5 — the
+# precision curve a dedup tuner reads against the shared-fps threshold.
+# Scale: verification runs ONLY on bucketed candidates (never all
+# pairs); the fingerprint and gram frames are checkpoint-staged in
+# Spark / MATERIALIZED in DuckDB. Non-vacuous at sf0.01 (measured):
+# precision rises monotonically 2-3 < 4-7 < 8+ with distinct means.
+def _winnow_grams_sql(E):
+    words = E.splitws("lower(text)")
+    join_fn = "array_join" if E is _Spark else "array_to_string"
+    grams = (
+        f"{E.ADISTINCT}({E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 2, 1)')}, "
+        f"i -> {join_fn}({E.slice('words', 'i', 3)}, ' ')))"
+    )
+    return f"""
+    SELECT doc_id, {grams} AS grams
+    FROM (SELECT doc_id, {words} AS words FROM documents) d
+    """
+
+
+def _winnow_eval_sql(E, V, G):
+    return f"""
+    WITH census AS (
+      SELECT fp FROM {V} GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fps
+      FROM {V} a
+      JOIN census c ON a.fp = c.fp
+      JOIN {V} b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT p.shared_fps,
+             CAST({E.SIZE}({E.AINTERSECT}(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+             CAST({E.SIZE}(ga.grams) AS DOUBLE) AS sa,
+             CAST({E.SIZE}(gb.grams) AS DOUBLE) AS sb
+      FROM pairs p
+      JOIN {G} ga ON ga.doc_id = p.doc_a
+      JOIN {G} gb ON gb.doc_id = p.doc_b
+    ),
+    rated AS (
+      SELECT CASE WHEN shared_fps >= 8 THEN '8+'
+                  WHEN shared_fps >= 4 THEN '4-7'
+                  ELSE '2-3' END AS bucket,
+             ROUND(inter / (sa + sb - inter), 6) AS jacc,
+             ROUND(inter / least(sa, sb), 6) AS containment
+      FROM scored
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(jacc AS DECIMAL(28, 6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_jaccard,
+           ROUND(CAST(SUM(CAST(containment AS DECIMAL(28, 6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_containment,
+           ROUND(CAST(SUM(CASE WHEN containment >= 0.5e0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS share_high_containment
+    FROM rated GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+def winnowing_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("winnow_fp", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        dedup_winnowing(spark, sf_dir)  # builds + caches the fp stage
+    gkey = ("winnow_grams", id(spark), sf_dir)
+    if gkey not in _MINHASH_STAGE_CACHE:
+        _spread_view(spark, sf_dir, "documents", "wg_docs")
+        g_df = spark.sql(
+            _winnow_grams_sql(_Spark).replace(
+                "FROM documents", f"FROM wg_docs_{_dataset_suffix(sf_dir)}"
+            )
+        )
+        _MINHASH_STAGE_CACHE[gkey] = _checkpoint_view(spark, sf_dir, "wn_grams", g_df)
+    return spark.sql(
+        _winnow_eval_sql(
+            _Spark, _MINHASH_STAGE_CACHE[key], _MINHASH_STAGE_CACHE[gkey]
+        )
+    )
+
+
+QUERIES["winnowing_accuracy_eval"] = winnowing_accuracy_eval
+ORACLE["winnowing_accuracy_eval"] = (
+    "WITH selfp AS MATERIALIZED (" + _winnow_fp_sql(_Duck) + "),"
+    + "gr AS MATERIALIZED (" + _winnow_grams_sql(_Duck) + ")"
+    + _winnow_eval_sql(_Duck, "selfp", "gr").replace("WITH census", ", census", 1)
+)

@@ -1237,3 +1237,100 @@ def remote_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+# Row-width estimates (bytes) from the remote schemas — fixed planner
+# constants shared with the oracle (key/int 8B, money 8B, short varchar
+# averaged): the planner needs relative magnitudes, not exact bytes.
+_SHIP_WIDTHS = {"orders": 45, "customer": 48, "nation": 24, "supplier": 36}
+# calibrated to the test scales (round-6 non-vacuousness rule): at the
+# production default (10MB) every probed side broadcasts at sf<=0.1 and
+# the decision column is a constant — 24KB exercises the full three-way
+# decision at sf0.01 (orders x orders_odd -> shuffle_both, customer x
+# nation -> ship_smaller on the 120x ratio, supplier x nation ->
+# broadcast) and two ways at sf0.001
+_SHIP_BROADCAST_BYTES = 24 * 1024
+
+
+def _ship_strategy(bl: int, br: int) -> str:
+    if min(bl, br) <= _SHIP_BROADCAST_BYTES:
+        return "broadcast_smaller"
+    if max(bl, br) <= 10 * min(bl, br):
+        return "shuffle_both"
+    return "ship_smaller"
+
+
+@register(
+    "federated_ship_plan",
+    oracle=f"""
+    WITH probes AS (
+      SELECT 'orders_x_orders_odd' AS join_name,
+             (SELECT COUNT(*) FROM orders) AS rows_left,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS rows_right,
+             {_SHIP_WIDTHS['orders']} AS wl, {_SHIP_WIDTHS['orders']} AS wr
+      UNION ALL
+      SELECT 'customer_x_nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM nation),
+             {_SHIP_WIDTHS['customer']}, {_SHIP_WIDTHS['nation']}
+      UNION ALL
+      SELECT 'supplier_x_nation',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM nation),
+             {_SHIP_WIDTHS['supplier']}, {_SHIP_WIDTHS['nation']}
+    )
+    SELECT join_name,
+           CAST(rows_left AS BIGINT) AS rows_left,
+           CAST(rows_right AS BIGINT) AS rows_right,
+           CAST(rows_left * wl AS BIGINT) AS bytes_left,
+           CAST(rows_right * wr AS BIGINT) AS bytes_right,
+           CASE WHEN least(rows_left * wl, rows_right * wr)
+                     <= {_SHIP_BROADCAST_BYTES} THEN 'broadcast_smaller'
+                WHEN greatest(rows_left * wl, rows_right * wr)
+                     <= 10 * least(rows_left * wl, rows_right * wr)
+                     THEN 'shuffle_both'
+                ELSE 'ship_smaller' END AS strategy
+    FROM probes
+    ORDER BY join_name
+    """,
+)
+def federated_ship_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated join-locality planner (the pre-flight every federation
+    optimizer runs before moving data): for each cross-engine join pair,
+    probe BOTH remotes with a pushed COUNT (one scalar crosses the wire
+    per side — the reference's count-pushdown surface), estimate shipped
+    bytes from fixed schema row widths, and pick broadcast-smaller /
+    shuffle-both / ship-smaller. The decision table is what a planner
+    would feed into remote_join_pushdown vs local-join dispatch. Scale:
+    the plan costs three COUNT round trips; no table rows move.
+    Determinism: counts are exact; widths are shared constants; the
+    strategy thresholds are integer comparisons. Non-vacuous at sf0.01:
+    rows/bytes differ per pair (and grow with sf), and the duckdb
+    orders replica is a half-shard so the fact-fact pair's sides
+    genuinely differ."""
+    sq = _sqlite_opts(sf_dir)
+    dk = DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir))
+    probes = [
+        ("orders_x_orders_odd",
+         RemoteTable(sq, ["orders"]).count(),
+         RemoteTable(dk, ["orders"]).count(),
+         _SHIP_WIDTHS["orders"], _SHIP_WIDTHS["orders"]),
+        ("customer_x_nation",
+         RemoteTable(sq, ["customer"]).count(),
+         RemoteTable(dk, ["nation"]).count(),
+         _SHIP_WIDTHS["customer"], _SHIP_WIDTHS["nation"]),
+        ("supplier_x_nation",
+         RemoteTable(sq, ["supplier"]).count(),
+         RemoteTable(dk, ["nation"]).count(),
+         _SHIP_WIDTHS["supplier"], _SHIP_WIDTHS["nation"]),
+    ]
+    rows = [
+        (name, int(rl), int(rr), int(rl) * wl, int(rr) * wr,
+         _ship_strategy(rl * wl, rr * wr))
+        for name, rl, rr, wl, wr in probes
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "join_name string, rows_left long, rows_right long, "
+        "bytes_left long, bytes_right long, strategy string",
+    )

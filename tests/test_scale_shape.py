@@ -794,3 +794,20 @@ def test_lognormal_fit_single_scan_census(spark, sf_dir):
     plan = _plan(plans.QUERIES["doc_length_lognormal_fit"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_eval_rides_both_stages(spark, sf_dir):
+    # verification joins read the checkpoint-staged fingerprint AND gram
+    # frames — no re-derivation of either, no cartesian
+    plan = _plan(plans.QUERIES["winnowing_accuracy_eval"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ship_plan_decision_is_exercised(spark, sf_dir):
+    # the planner's decision column must be a real mixture at test
+    # scale (round-6 non-vacuousness rule): the fact-fact pair lands on
+    # the other side of the calibrated broadcast boundary
+    rows = plans.QUERIES["federated_ship_plan"](spark, sf_dir).collect()
+    strategies = {r["strategy"] for r in rows}
+    assert len(strategies) >= 2, strategies
