@@ -103,6 +103,8 @@ _VERIFY_FIRST = [
     "multimodal_image_contrast",
     "winnowing_accuracy_eval",
     "federated_ship_plan",
+    "orders_littles_law",
+    "events_funnel_wilson_ci",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -7312,3 +7312,162 @@ _TRIGRAM_SQL = """
 def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_TRIGRAM_SQL)
+
+
+# --------------------------------------------------------------------------
+# orders_littles_law — queueing-theory consistency audit (Little's law:
+# L = lambda x W): per month, order arrivals, mean time-in-system (order
+# date to last line shipment, inclusive days), and the average
+# work-in-progress computed as the exact WIP-days integral (interval
+# overlap of every order's [start, done] span with the month window,
+# via a broadcast range join against the ~80-row month spine). The
+# littles_ratio = wip_days / lead_days_of_month_starters is exactly
+# L/(lambda x W) after cancellation — ~1 in steady state, deviating at
+# the book's boundaries and under arrival trends, which is what the
+# audit surfaces. On THIS synthetic book shipdates are drawn
+# independently of order dates (measured lead ~1900 days for 1995
+# starters, shrinking toward the horizon), so the ratio sweeps
+# 0.008 -> 49 across months — the audit flagging a wildly
+# non-stationary system is the correct, non-vacuous answer here.
+# Scale: completion is one grouped pass over lineitem;
+# the spine join is an ~80-row broadcast with bounded fan-out (an order
+# overlaps only its few in-flight months); arrivals/lead sums ride the
+# SAME joined frame (an order always overlaps its start month), so
+# spans is consumed once. All metrics are exact-integer-day ratios.
+# Non-vacuous at sf0.01 (measured): arrivals, lead, WIP, and the ratio
+# all vary by month, with boundary months visibly off 1.
+_LITTLE_SQL = """
+    WITH completion AS (
+      SELECT l_orderkey AS okey, MAX({dayl}) AS done_day
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    spans AS (
+      SELECT {dayo} AS start_day, c.done_day
+      FROM orders o JOIN completion c ON c.okey = o.o_orderkey
+    ),
+    spine0 AS (
+      SELECT DISTINCT {yr} AS yr, {mon} AS mon, {mstart} AS mstart
+      FROM orders
+    ),
+    spine AS (
+      SELECT yr, mon, mstart,
+             LEAD(mstart) OVER (ORDER BY yr, mon) AS mend
+      FROM spine0
+    ),
+    joined AS (
+      SELECT sp.yr, sp.mon, sp.mstart, sp.mend,
+             s.start_day, s.done_day,
+             least(s.done_day + 1, sp.mend) - greatest(s.start_day, sp.mstart)
+               AS wip_days,
+             CASE WHEN s.start_day >= sp.mstart AND s.start_day < sp.mend
+                  THEN 1 ELSE 0 END AS starts_here
+      FROM spine sp
+      JOIN spans s ON s.start_day < sp.mend AND s.done_day + 1 > sp.mstart
+      WHERE sp.mend IS NOT NULL
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon,
+           CAST(SUM(starts_here) AS BIGINT) AS arrivals,
+           CAST(MAX(mend - mstart) AS BIGINT) AS days_in_month,
+           ROUND(CAST(SUM(CASE WHEN starts_here = 1
+                               THEN done_day - start_day + 1 ELSE 0 END)
+                      AS DOUBLE) / SUM(starts_here), 6) AS mean_lead_days,
+           ROUND(CAST(SUM(wip_days) AS DOUBLE) / MAX(mend - mstart), 6)
+             AS avg_wip,
+           ROUND(CAST(SUM(wip_days) AS DOUBLE)
+                 / SUM(CASE WHEN starts_here = 1
+                            THEN done_day - start_day + 1 ELSE 0 END), 6)
+             AS littles_ratio
+    FROM joined
+    GROUP BY yr, mon
+    ORDER BY yr, mon
+"""
+
+
+@register(
+    "orders_littles_law",
+    oracle=_LITTLE_SQL.format(
+        dayo="CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400",
+        dayl="CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400",
+        mstart="CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) // 86400",
+        yr="EXTRACT(year FROM o_orderdate)",
+        mon="EXTRACT(month FROM o_orderdate)",
+    ),
+)
+def orders_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        _LITTLE_SQL.format(
+            dayo="CAST(unix_timestamp(o.o_orderdate) AS BIGINT) DIV 86400",
+            dayl="CAST(unix_timestamp(l_shipdate) AS BIGINT) DIV 86400",
+            mstart="CAST(unix_timestamp(date_trunc('month', o_orderdate)) AS BIGINT) DIV 86400",
+            yr="year(o_orderdate)",
+            mon="month(o_orderdate)",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_funnel_wilson_ci — the ordered funnel (same MIN-after-
+# predecessor semantics as events_funnel) with WILSON score intervals
+# on each step's conversion rate (z=1.96): the uncertainty layer a
+# growth dashboard needs before calling a step regression real. Wilson
+# beats the normal approximation at the small-n tail and is pure
+# sqrt/scalar arithmetic — deterministic cross-engine (no erf/exp).
+# Wide single-row output: the step counts and both steps' (rate, lo,
+# hi), so the funnel CTEs are consumed once each beyond the funnel's
+# own scalar counts. Scale: identical to events_funnel — keyed aggs
+# co-partitioned on user_id; the CI math is scalar on three counts.
+# Non-vacuous at sf0.01 (measured): rates ~0.5/0.4 with CI widths ~0.05
+# that genuinely differ per step.
+def _wilson(k: str, n: str) -> tuple[str, str]:
+    z2 = "3.8415984e0"  # 1.96^2
+    p = f"(CAST({k} AS DOUBLE) / {n})"
+    denom = f"(1.0e0 + {z2} / {n})"
+    center = f"(({p} + {z2} / (2.0e0 * {n}))) / {denom}"
+    half = (
+        f"(1.96e0 * sqrt({p} * (1.0e0 - {p}) / {n}"
+        f" + {z2} / (4.0e0 * {n} * {n}))) / {denom}"
+    )
+    return f"ROUND({center} - {half}, 6)", f"ROUND({center} + {half}, 6)"
+
+
+def _funnel_wilson_sql() -> str:
+    lo1, hi1 = _wilson("nc", "nv")
+    lo2, hi2 = _wilson("np", "nc")
+    return f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM v) AS nv,
+             (SELECT COUNT(*) FROM c) AS nc,
+             (SELECT COUNT(*) FROM p) AS np
+    )
+    SELECT CAST(nv AS BIGINT) AS n_view,
+           CAST(nc AS BIGINT) AS n_click_after_view,
+           CAST(np AS BIGINT) AS n_purchase_after_click,
+           ROUND(CAST(nc AS DOUBLE) / nv, 6) AS rate_view_click,
+           {lo1} AS wilson_lo_view_click,
+           {hi1} AS wilson_hi_view_click,
+           ROUND(CAST(np AS DOUBLE) / nc, 6) AS rate_click_purchase,
+           {lo2} AS wilson_lo_click_purchase,
+           {hi2} AS wilson_hi_click_purchase
+    FROM counts
+    """
+
+
+@register("events_funnel_wilson_ci", oracle=_funnel_wilson_sql())
+def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_funnel_wilson_sql())

@@ -811,3 +811,11 @@ def test_ship_plan_decision_is_exercised(spark, sf_dir):
     rows = plans.QUERIES["federated_ship_plan"](spark, sf_dir).collect()
     strategies = {r["strategy"] for r in rows}
     assert len(strategies) >= 2, strategies
+
+
+def test_littles_law_spine_join_is_broadcast(spark, sf_dir):
+    # the month spine (~80 rows) must broadcast against spans; the
+    # overlap join is a bounded-fanout range join, never a shuffle of
+    # the fact table per month
+    plan = _plan(plans.QUERIES["orders_littles_law"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
