@@ -105,6 +105,7 @@ _VERIFY_FIRST = [
     "federated_ship_plan",
     "orders_littles_law",
     "events_funnel_wilson_ci",
+    "events_shapley_attribution",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -138,6 +138,20 @@ HEADLINE = [
     "embedding_knn_symmetry_audit",
     "multimodal_video_scene_cut",
     "customer_order_gap_alerts",
+    # round-6 continuation: winnowing dedup (first consumer pays the
+    # fingerprint staging; the accuracy eval rides it — incremental),
+    # staged RAKE + a-priori censuses, the 32x bootstrap fan-out, the
+    # month-spine range join, the sampling-scan AQP audit, Arrow-batch
+    # image contrast, and the dual-remote reconciliation
+    "dedup_winnowing",
+    "winnowing_accuracy_eval",
+    "text_keyword_rake",
+    "basket_triples_apriori",
+    "events_bootstrap_ci",
+    "orders_littles_law",
+    "aqp_sample_error_audit",
+    "multimodal_image_contrast",
+    "remote_checksum_reconcile",
 ]
 
 

@@ -7471,3 +7471,79 @@ def _funnel_wilson_sql() -> str:
 def events_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_funnel_wilson_sql())
+
+
+# --------------------------------------------------------------------------
+# events_shapley_attribution — exact data-driven Shapley attribution
+# over three touch channels (view / click / signup counted BEFORE the
+# user's first purchase — the classic attribution window): the
+# coalition value v(S) is the mean lifetime purchase spend of users
+# whose exact pre-purchase exposure set is S, and each channel's
+# Shapley value applies the n=3 closed form (weights 1/3, 1/6, 1/6,
+# 1/3) to the 8-group census. Conversion-probability Shapley is
+# DEGENERATE here — every user converts (measured), so v(S) would be
+# identically 1 — which is why the value function is spend (all eight
+# exposure masks are populated, 8-35 users each, with distinct group
+# means). Efficiency check rides along: sum of Shapley values equals
+# v(all) - v(none) by construction. Determinism: group sums are exact
+# DECIMAL cents, means exact ratios, the closed form is fixed-order
+# scalar IEEE. Scale: two keyed passes over events (first-purchase
+# frame + exposure/spend census co-partitioned on user_id) collapsing
+# to 8 rows; everything after is scalar. Wide single-row output (a
+# tall spelling would re-expand the census per channel).
+_SHAPLEY_SQL = """
+    WITH firstp AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id
+    ),
+    expo AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'view'
+                       AND (f.fp IS NULL OR e.ts < f.fp) THEN 1 ELSE 0 END)
+               AS has_v,
+             MAX(CASE WHEN e.event_type = 'click'
+                       AND (f.fp IS NULL OR e.ts < f.fp) THEN 2 ELSE 0 END)
+               AS has_c,
+             MAX(CASE WHEN e.event_type = 'signup'
+                       AND (f.fp IS NULL OR e.ts < f.fp) THEN 4 ELSE 0 END)
+               AS has_s,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(floor(e.value * 100.0e0 + 0.5e0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS spend_cents
+      FROM events e JOIN firstp f ON f.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    census AS (
+      SELECT has_v + has_c + has_s AS mask,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(spend_cents AS DECIMAL(28, 0))) AS DOUBLE) AS cents
+      FROM expo GROUP BY has_v + has_c + has_s
+    ),
+    wide AS (
+      SELECT {vs}
+      FROM census
+    )
+    SELECT ROUND((v1 - v0) / 3.0e0 + (v3 - v2) / 6.0e0
+                 + (v5 - v4) / 6.0e0 + (v7 - v6) / 3.0e0, 6) AS shapley_view,
+           ROUND((v2 - v0) / 3.0e0 + (v3 - v1) / 6.0e0
+                 + (v6 - v4) / 6.0e0 + (v7 - v5) / 3.0e0, 6) AS shapley_click,
+           ROUND((v4 - v0) / 3.0e0 + (v5 - v1) / 6.0e0
+                 + (v6 - v2) / 6.0e0 + (v7 - v3) / 3.0e0, 6) AS shapley_signup,
+           ROUND(v0, 6) AS baseline_spend,
+           ROUND(v7 - v0, 6) AS grand_total_effect
+    FROM wide
+"""
+_SHAPLEY_VS = ", ".join(
+    f"MAX(CASE WHEN mask = {k} THEN cents / n_users / 100.0e0 ELSE NULL END) AS v{k}"
+    for k in range(8)
+)
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=_SHAPLEY_SQL.format(vs=_SHAPLEY_VS),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_SHAPLEY_SQL.format(vs=_SHAPLEY_VS))
