@@ -106,6 +106,7 @@ _VERIFY_FIRST = [
     "orders_littles_law",
     "events_funnel_wilson_ci",
     "events_shapley_attribution",
+    "events_ab_power_mde",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",
