@@ -9367,3 +9367,120 @@ ORACLE["winnowing_accuracy_eval"] = (
     + "gr AS MATERIALIZED (" + _winnow_grams_sql(_Duck) + ")"
     + _winnow_eval_sql(_Duck, "selfp", "gr").replace("WITH census", ", census", 1)
 )
+
+
+# ---------------------------------------------------------------------------
+# sample_pps_systematic — systematic probability-proportional-to-size
+# sampling (the classic PPS design used for shard/corpus subsampling)
+# plus its Horvitz-Thompson estimator audit: docs are laid on a line in
+# md5 order, weighted by n_chars; every crossing of a W/k boundary in
+# the exact cumulative weight selects a doc (exactly k=50 — no weight
+# exceeds the step, measured), and the HT estimate of the TOTAL WORD
+# COUNT from just the sample is compared to the truth. Estimating a
+# measure merely CORRELATED with the size weight keeps the audit
+# non-vacuous (HT of the weight itself is exact by construction —
+# zero-variance, a dead metric). Determinism: the cumulative sum is
+# exact DECIMAL via the distributed RangePartitioner two-pass
+# (_exact_rank_stage — NO unpartitioned window over the corpus, the
+# round-5 rule); boundary crossings are exact integer division; HT
+# terms are ROUND(...,6) then DECIMAL-summed. Non-vacuous at sf0.01
+# (measured): rel_err is a small nonzero value and the pi range spans
+# the weight spread.
+_PPS_K = 50
+
+
+def _pps_tail_sql(view: str, W: int, k: int) -> str:
+    # shared tail arithmetic (identical text both engines): selection by
+    # integer boundary crossing + HT estimate of total words
+    return f"""
+    SELECT CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(MAX({W}) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(MAX(total_words) AS BIGINT) AS true_total_words,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(words AS DOUBLE) * {W}
+                                     / ({k}.0e0 * w), 6)
+                               AS DECIMAL(28, 6))) AS DOUBLE), 2)
+             AS ht_total_words,
+           ROUND(abs(CAST(SUM(CAST(ROUND(CAST(words AS DOUBLE) * {W}
+                                         / ({k}.0e0 * w), 6)
+                                   AS DECIMAL(28, 6))) AS DOUBLE)
+                     - MAX(total_words)) / MAX(total_words), 6) AS rel_err,
+           ROUND({k}.0e0 * MIN(w) / MAX({W}), 6) AS pi_min_selected,
+           ROUND({k}.0e0 * MAX(w) / MAX({W}), 6) AS pi_max_selected
+    FROM {view}
+    WHERE (c * {k}) {{div}} {W} > ((c - w) * {k}) {{div}} {W}
+    """
+
+
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _exact_rank_stage
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    census = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hk"),
+        F.col("n_chars").cast("decimal(18,0)").alias("wdec"),
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("words"),
+    )
+    ranked, n, total = _exact_rank_stage(
+        spark, sf_dir, "pps_stage", census, "hk", "doc_id",
+        desc=False, sum_col="wdec",
+    )
+    W = int(total)
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+    ).collect()[0]
+    frame = ranked.select(
+        "doc_id", "w", "words",
+        F.col("_cum").cast("bigint").alias("c"),
+        F.lit(int(stats["n_docs"])).cast("long").alias("n_docs"),
+        F.lit(int(stats["total_words"])).cast("long").alias("total_words"),
+    )
+    frame.createOrReplaceTempView(f"pps_frame_{_dataset_suffix(sf_dir)}")
+    return spark.sql(
+        _pps_tail_sql(f"pps_frame_{_dataset_suffix(sf_dir)}", W, _PPS_K)
+        .format(div="DIV")
+    )
+
+
+def _pps_oracle() -> str:
+    census = """
+    SELECT doc_id,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hk,
+           CAST(n_chars AS BIGINT) AS w,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS words
+    FROM documents
+    """
+    return (
+        "WITH census AS MATERIALIZED (" + census + "),"
+        + """
+    cum AS (
+      SELECT doc_id, w, words,
+             CAST(SUM(w) OVER (ORDER BY hk, doc_id) AS BIGINT) AS c,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_docs,
+             CAST(SUM(words) OVER () AS BIGINT) AS total_words,
+             CAST(SUM(w) OVER () AS BIGINT) AS w_total
+      FROM census
+    )
+    SELECT * FROM (
+    """
+        + "{tail}"
+        + ") t"
+    )
+
+
+def _pps_oracle_sql(spark: SparkSession | None = None) -> str:
+    # W is data-dependent: the oracle computes it inline via the window
+    # column w_total (NOT "W" — DuckDB identifiers are case-insensitive,
+    # so W would collide with the weight column w) where the Spark side
+    # inlines the collected integer
+    tail = _pps_tail_sql("cum", "w_total", _PPS_K).format(div="//")
+    return _pps_oracle().format(tail=tail)
+
+
+QUERIES["sample_pps_systematic"] = sample_pps_systematic
+ORACLE["sample_pps_systematic"] = _pps_oracle_sql()

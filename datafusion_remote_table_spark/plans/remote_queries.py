@@ -1334,3 +1334,57 @@ def federated_ship_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join_name string, rows_left long, rows_right long, "
         "bytes_left long, bytes_right long, strategy string",
     )
+
+
+def _copy_customer_table(sf_dir: str, name: str) -> None:
+    path = ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    try:
+        con.execute(f"DROP TABLE IF EXISTS {name}")
+        con.execute(f"CREATE TABLE {name} AS SELECT * FROM customer")
+        con.commit()
+    finally:
+        con.close()
+
+
+@register(
+    "remote_add_column_backfill",
+    oracle="""
+    SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND((c_acctbal * 2 + 1000) * 100) AS DECIMAL(28, 0)))
+                AS DOUBLE) / 100.0e0 AS credit_limit_total
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def remote_add_column_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote SCHEMA EVOLUTION with backfill (the write-side counterpart
+    of remote_schema_drift_audit): ALTER TABLE ADD COLUMN plus a
+    backfill UPDATE, both composed through the dialect layer and
+    executed ON the remote engine — no rows cross the wire to evolve
+    the table. The read-back re-infers the schema (the cached schema is
+    invalidated by add_column) and aggregates the NEW column per
+    nation, so the hash certifies the remote engine actually computed
+    the backfill expression. Determinism: the backfill is fixed-order
+    IEEE arithmetic over the remote doubles; the audit sums exact
+    DECIMAL cents. Scale: DDL + one remote UPDATE; the audit is an agg
+    over the evolved table."""
+    _copy_customer_table(sf_dir, "customer_evolve")
+    t = RemoteTable(_sqlite_opts(sf_dir), ["customer_evolve"])
+    t.add_column("credit_limit", "DOUBLE", backfill="c_acctbal * 2 + 1000")
+    evolved = t.read(spark)
+    return (
+        evolved.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum(
+                    F.round(F.col("credit_limit") * 100).cast("decimal(28,0)")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("credit_limit_total"),
+        )
+        .orderBy("c_nationkey")
+    )

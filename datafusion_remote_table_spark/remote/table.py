@@ -484,6 +484,55 @@ class RemoteTable:
         finally:
             conn.close()
 
+    def add_column(
+        self, name: str, remote_type: str, backfill: str | None = None
+    ) -> None:
+        """Remote schema evolution: ``ALTER TABLE … ADD COLUMN`` plus an
+        optional backfill ``UPDATE`` — both composed and executed on the
+        remote engine (the write-side counterpart of
+        remote_schema_drift_audit's read-side contract check). The
+        backfill value is a scalar expression over the EXISTING remote
+        columns, parsed/validated/rendered per dialect exactly like
+        update_where; the cached schema is invalidated so subsequent
+        reads see the evolved table. The column name must be a plain
+        identifier and the remote type a bare type word — anything else
+        is refused before touching the remote."""
+        import re as _re
+
+        if self.table is None:
+            raise ValueError("add_column requires a table target, not a query")
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"invalid column name {name!r}")
+        if not _re.fullmatch(r"[A-Za-z]+[A-Za-z0-9 ()]*", remote_type.strip()):
+            raise ValueError(f"invalid remote type {remote_type!r}")
+        from .connection import connect_writable
+        from .predicate import render_expression
+
+        d = self.spec().dialect
+        old_cols = [f.name for f in self.schema.fields]
+        if name in old_cols:
+            raise ValueError(f"column {name!r} already exists")
+        backfill_sql = (
+            render_expression(backfill, d, columns=old_cols)
+            if backfill is not None
+            else None
+        )
+        target = d.table_ref(self.table)
+        conn = connect_writable(self.options)
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                f"ALTER TABLE {target} ADD COLUMN {d.quote_ident(name)} {remote_type}"
+            )
+            if backfill_sql is not None:
+                cur.execute(
+                    f"UPDATE {target} SET {d.quote_ident(name)} = {backfill_sql}"
+                )
+            conn.commit()
+        finally:
+            conn.close()
+        self._schema = None  # re-infer: reads must see the evolved table
+
     def insert(self, df: DataFrame, mode: str = "append", coalesce: bool | None = None) -> None:
         """Insert a DataFrame into the remote table (insert.rs parity).
 

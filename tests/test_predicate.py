@@ -205,3 +205,33 @@ def test_delete_update_validate_before_touching_remote(spark, sf_dir):
     assert after == before, "a rejected statement must not touch the remote"
     n = t.delete_where("o_totalprice < 0")  # matches nothing, runs fine
     assert n in (0, -1)
+
+
+def test_add_column_validates_and_reinfers(spark, sf_dir):
+    import sqlite3
+
+    from datafusion_remote_table_spark.plans import remote_queries as RQ
+    from datafusion_remote_table_spark.remote import RemoteTable
+    from datafusion_remote_table_spark.remote.predicate import PredicateError
+
+    path = RQ.ensure_sqlite_remote(sf_dir)
+    con = sqlite3.connect(path)
+    con.execute("DROP TABLE IF EXISTS t_evolve")
+    con.execute("CREATE TABLE t_evolve AS SELECT * FROM nation")
+    con.commit()
+    con.close()
+    t = RemoteTable(RQ._sqlite_opts(sf_dir), ["t_evolve"])
+    ncols_before = len(t.schema.fields)
+    with pytest.raises(ValueError):
+        t.add_column("bad name", "DOUBLE")  # identifier validated
+    with pytest.raises(ValueError):
+        t.add_column("x", "DOUBLE; DROP TABLE t_evolve")  # type validated
+    with pytest.raises(ValueError):
+        t.add_column("n_name", "TEXT")  # duplicate refused
+    with pytest.raises(PredicateError):
+        t.add_column("x", "DOUBLE", backfill="upper(n_name)")  # scalar fn
+    assert len(t.schema.fields) == ncols_before, "rejected DDL must not apply"
+    t.add_column("key2", "BIGINT", backfill="n_nationkey * 10")
+    assert [f.name for f in t.schema.fields][-1] == "key2"  # re-inferred
+    rows = {r["n_nationkey"]: r["key2"] for r in t.read(spark).collect()}
+    assert all(v == k * 10 for k, v in rows.items()), "backfill ran remotely"

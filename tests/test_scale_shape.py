@@ -819,3 +819,16 @@ def test_littles_law_spine_join_is_broadcast(spark, sf_dir):
     # the fact table per month
     plan = _plan(plans.QUERIES["orders_littles_law"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pps_cumsum_is_bucket_partitioned(spark, sf_dir):
+    # the cumulative weight must ride the RangePartitioner two-pass:
+    # every Window in the plan carries the _bkt partition (no
+    # unpartitioned corpus window — the round-5 rule)
+    from datafusion_remote_table_spark.plans import relational as R
+
+    R._RANK_STAGE_CACHE.clear()
+    plan = _plan(plans.QUERIES["sample_pps_systematic"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_bkt" in line, f"unpartitioned window: {line[:160]}"
