@@ -109,6 +109,8 @@ _VERIFY_FIRST = [
     "events_ab_power_mde",
     "remote_add_column_backfill",
     "sample_pps_systematic",
+    "doc_length_wasserstein",
+    "stream_cusum_monitor",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

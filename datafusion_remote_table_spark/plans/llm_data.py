@@ -9484,3 +9484,79 @@ def _pps_oracle_sql(spark: SparkSession | None = None) -> str:
 
 QUERIES["sample_pps_systematic"] = sample_pps_systematic
 ORACLE["sample_pps_systematic"] = _pps_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# doc_length_wasserstein — EXACT 1-D Wasserstein-1 (earth mover)
+# distance between each language's doc-length distribution and the
+# corpus distribution: W1 = integral |F_lang - F_corpus| over the
+# n_chars axis, computed exactly as sum over consecutive census values
+# of |cumA*n - cumT*n_a| * gap / (n_a*n) — all integers until the final
+# division, so the distance is bit-identical across engines with no
+# quantile interpolation. The distributional companion to
+# feature_drift_psi (bin-based) and events_ks_test (sup-norm): W1
+# weighs HOW FAR mass must move, not just whether bins differ. Scale:
+# one corpus scan collapses to the (lang, n_chars) census (persisted in
+# Spark / MATERIALIZED in DuckDB — the dense grid references it three
+# times); the zero-filled lang x value grid and all cumulative windows
+# are census-sized (~2.5k rows). Non-vacuous at sf0.01 (measured):
+# per-lang W1 values are distinct nonzero chars.
+_W1_BODY = """
+    grid AS (
+      SELECT l.lang, v.n_chars, COALESCE(c.c, 0) AS c
+      FROM (SELECT DISTINCT lang FROM {census}) l
+      CROSS JOIN (SELECT DISTINCT n_chars FROM {census}) v
+      LEFT JOIN {census} c ON c.lang = l.lang AND c.n_chars = v.n_chars
+    ),
+    walk AS (
+      SELECT lang, n_chars, c,
+             CAST(SUM(c) OVER (PARTITION BY lang ORDER BY n_chars)
+                  AS BIGINT) AS cum_lang,
+             CAST(SUM(c) OVER (PARTITION BY n_chars) AS BIGINT) AS at_value,
+             CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             CAST(SUM(c) OVER () AS BIGINT) AS n_total,
+             LEAD(n_chars) OVER (PARTITION BY lang ORDER BY n_chars) AS nxt
+      FROM grid
+    ),
+    seg AS (
+      SELECT lang, n_lang, n_total,
+             abs(cum_lang * n_total
+                 - CAST(SUM(at_value) OVER (PARTITION BY lang ORDER BY n_chars)
+                        AS BIGINT) * n_lang)
+               * (nxt - n_chars) AS contrib
+      FROM walk
+    )
+    SELECT lang, CAST(MAX(n_lang) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(contrib) AS DOUBLE)
+                 / (CAST(MAX(n_lang) AS DOUBLE) * MAX(n_total)), 6)
+             AS w1_chars
+    FROM seg
+    WHERE contrib IS NOT NULL
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+def doc_length_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("w1_census", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        census = (
+            docs.groupBy("lang", "n_chars")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .persist()
+        )
+        census.count()
+        view = f"w1_census_{_dataset_suffix(sf_dir)}"
+        census.createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
+    return spark.sql("WITH " + _W1_BODY.format(census=_MINHASH_STAGE_CACHE[key]))
+
+
+QUERIES["doc_length_wasserstein"] = doc_length_wasserstein
+ORACLE["doc_length_wasserstein"] = (
+    "WITH census AS MATERIALIZED ("
+    "SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY lang, n_chars),"
+    + _W1_BODY.format(census="census")
+)

@@ -595,3 +595,13 @@ ORACLE["stream_seasonal_baseline_monitor"] = """
     FROM hourly GROUP BY hod
     ORDER BY hod
 """
+
+from ..streaming import stream_cusum_monitor  # noqa: E402
+from .relational import _CUSUM_SQL  # noqa: E402
+
+QUERIES["stream_cusum_monitor"] = stream_cusum_monitor
+# the stream-maintained daily rollup converges to the batch daily
+# census; the integer-scaled CUSUM layer is the batch operator's
+ORACLE["stream_cusum_monitor"] = _CUSUM_SQL.format(
+    day_num="CAST(floor(epoch(ts)) AS BIGINT) // 86400"
+)

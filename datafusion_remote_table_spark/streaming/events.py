@@ -1223,3 +1223,51 @@ def stream_seasonal_baseline_monitor(spark: SparkSession, sf_dir: str) -> DataFr
     FROM hourly GROUP BY hod
     ORDER BY hod
     """)
+
+
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM level-shift monitor: the stream maintains the
+    per-DAY count rollup (watermark-bounded windowed state), and the
+    serving layer applies the SAME integer-scaled CUSUM the batch
+    events_cusum_changepoint runs (S_t*T = T*sum(x_i) - t*total — no
+    float mean in the running sum) over the converged ~30-row rollup.
+    The day-grain streaming state is O(active windows); the CUSUM layer
+    never touches the stream. Converges to the batch answer exactly,
+    which is the oracle. Non-vacuous: the cusum_scaled column sweeps a
+    real excursion and exactly one day is flagged as the peak."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            (F.unix_timestamp(F.col("w.start")).cast("bigint") / F.lit(86400))
+            .cast("bigint")
+            .alias("d"),
+            "n",
+        )
+    )
+    bounded = _run_bounded(agg, "stream_cusum_monitor")
+    bounded.createOrReplaceTempView("stream_cusum_daily")
+    return spark.sql("""
+    WITH daily AS (SELECT d, CAST(n AS BIGINT) AS n FROM stream_cusum_daily),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(n) AS BIGINT) AS total FROM daily
+    ),
+    cus AS (
+      SELECT d.d, d.n,
+             CAST(SUM(d.n) OVER (ORDER BY d.d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  * t.t
+                  - ROW_NUMBER() OVER (ORDER BY d.d) * t.total AS BIGINT)
+               AS cusum_scaled
+      FROM daily d CROSS JOIN tot t
+    ),
+    peak AS (
+      SELECT d FROM cus ORDER BY abs(cusum_scaled) DESC, d LIMIT 1
+    )
+    SELECT c.d AS day_num, c.n AS n_events, c.cusum_scaled,
+           CASE WHEN c.d = p.d THEN 1 ELSE 0 END AS is_changepoint
+    FROM cus c CROSS JOIN peak p
+    ORDER BY c.d
+    """)
