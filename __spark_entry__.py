@@ -111,6 +111,9 @@ _VERIFY_FIRST = [
     "sample_pps_systematic",
     "doc_length_wasserstein",
     "stream_cusum_monitor",
+    "shard_consistent_hash_audit",
+    "events_mannwhitney_u",
+    "multimodal_decode_error_audit",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -9560,3 +9560,180 @@ ORACLE["doc_length_wasserstein"] = (
     "FROM documents GROUP BY lang, n_chars),"
     + _W1_BODY.format(census="census")
 )
+
+
+# ---------------------------------------------------------------------------
+# shard_consistent_hash_audit — consistent-hashing ring audit (the
+# routing design every distributed KV/shard layer runs on): 4 shards x
+# 32 virtual nodes placed on the md5 ring, every doc routed to the
+# first node clockwise from its own md5 position (wrap = global min
+# node); then the SAME ring grown to 5 shards, and the audit reports
+# per-shard balance before/after plus the moved fraction — the
+# consistent-hashing selling point is that growth moves only ~1/new_n
+# of keys, and the measured share certifies it. Determinism: every
+# position is md5 integer math; assignment is an exact MIN over ring
+# candidates. Scale: the ring (160 rows) broadcasts against the corpus;
+# per-doc assignment is a broadcast min-join, and the audit output is a
+# shard-grain census. Non-vacuous at sf0.01 (measured): shard loads are
+# distinct, and moved_share averages ~0.27 — ABOVE the ideal 1/5, the
+# classic too-few-virtual-nodes effect (32/shard) this audit exists to
+# surface before a deployment picks its vnode count.
+def _ring_sql(E, n_shards: int):
+    h = E.hex2int("substring(md5('shard' || CAST(s.sid AS " + E.STR + ") "
+                  "|| ':' || CAST(v.vn AS " + E.STR + ")), 1, 8)")
+    return f"""
+      SELECT s.sid, {h} AS pos
+      FROM (SELECT {E.explode(E.seq(0, n_shards - 1), 'sid')}) s
+      CROSS JOIN (SELECT {E.explode(E.seq(0, 31), 'vn')}) v
+    """
+
+
+def _assign_sql(E, ring: str, alias: str):
+    # first ring node clockwise from the doc position; wrap to the
+    # global minimum when the doc hashes past the last node
+    return f"""
+      SELECT d.doc_id,
+             COALESCE(
+               MIN(CASE WHEN r.pos >= d.dpos THEN r.pos END),
+               MIN(r.pos)) AS chosen_pos
+      FROM docpos d CROSS JOIN {ring} r
+      GROUP BY d.doc_id
+    """
+
+
+def _consistent_hash_sql(E):
+    dpos = E.hex2int("substring(md5(CAST(doc_id AS " + E.STR + ")), 1, 8)")
+    return f"""
+    WITH docpos AS {E.MAT}(
+      SELECT doc_id, {dpos} AS dpos FROM documents
+    ),
+    ring4 AS {E.MAT}({_ring_sql(E, 4)}),
+    ring5 AS {E.MAT}({_ring_sql(E, 5)}),
+    a4 AS ({_assign_sql(E, 'ring4', 'a4')}),
+    a5 AS ({_assign_sql(E, 'ring5', 'a5')}),
+    routed AS (
+      SELECT a4.doc_id,
+             r4.sid AS shard_before, r5.sid AS shard_after
+      FROM a4
+      JOIN ring4 r4 ON r4.pos = a4.chosen_pos
+      JOIN a5 ON a5.doc_id = a4.doc_id
+      JOIN ring5 r5 ON r5.pos = a5.chosen_pos
+    )
+    SELECT CAST(shard_before AS BIGINT) AS shard_before,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard_before <> shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           ROUND(CAST(SUM(CASE WHEN shard_before <> shard_after
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS moved_share
+    FROM routed
+    GROUP BY shard_before
+    ORDER BY shard_before
+    """
+
+
+def shard_consistent_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_consistent_hash_sql(_Spark))
+
+
+QUERIES["shard_consistent_hash_audit"] = shard_consistent_hash_audit
+ORACLE["shard_consistent_hash_audit"] = _consistent_hash_sql(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_decode_error_audit — decode-robustness taxonomy over
+# deterministically corrupted payloads (the error-path audit a media
+# pipeline needs before trusting its decode stage): doc_id % 5 picks
+# the corruption (0 = intact, 1 = truncate to 8 bytes, 2 = flip the
+# magic bytes, 3 = format downgrade the decoder refuses — BMP bpp=8 /
+# PPM maxval=15, 4 = empty payload), the REAL decode_image kernel runs
+# on every payload, and exceptions are classified (ok / unsupported
+# for NotImplementedError / decode_error for parse failures). The
+# oracle derives the expected taxonomy purely from the corruption
+# arithmetic — any drift in the decoder's error behavior (a guard
+# removed, a parse that stops raising) diverges the census; building
+# this audit already pinned one subtlety (truncated PPMs hit the
+# maxval guard, not a parse error — see the oracle comment). Scale:
+# Arrow-batch map end to end; the audit output is a bounded census.
+# Non-vacuous: counts vary across the 5x2x3 cells and every outcome
+# class is genuinely populated.
+def multimodal_decode_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import decode_image, encode_bmp, encode_ppm
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                key = str(did)
+                pix = bytes.fromhex(
+                    hashlib.md5(key.encode()).hexdigest()
+                    + hashlib.md5((key + "x").encode()).hexdigest()
+                )[:24]
+                enc = encode_bmp if did % 2 == 0 else encode_ppm
+                payload = enc(pix, 4, 2)
+                cls = did % 5
+                if cls == 1:
+                    payload = payload[:8]
+                elif cls == 2:
+                    payload = b"XX" + payload[2:]
+                elif cls == 3:
+                    if did % 2 == 0:  # BMP: bpp field at offset 28
+                        payload = payload[:28] + (8).to_bytes(2, "little") + payload[30:]
+                    else:  # PPM: maxval 255 -> 15
+                        payload = payload.replace(b"255", b"15", 1)
+                elif cls == 4:
+                    payload = b""
+                try:
+                    decode_image(payload)
+                    outcome = "ok"
+                except NotImplementedError:
+                    outcome = "unsupported"
+                except Exception:  # struct/int parse failures
+                    outcome = "decode_error"
+                rows.append(
+                    (cls, "bmp" if did % 2 == 0 else "ppm", outcome)
+                )
+            yield pd.DataFrame(
+                rows, columns=["corruption_class", "fmt", "outcome"]
+            )
+
+    audited = docs.mapInPandas(
+        run, schema="corruption_class int, fmt string, outcome string"
+    )
+    return (
+        audited.groupBy("corruption_class", "fmt", "outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("corruption_class", "fmt", "outcome")
+    )
+
+
+QUERIES["multimodal_decode_error_audit"] = multimodal_decode_error_audit
+ORACLE["multimodal_decode_error_audit"] = """
+    WITH tagged AS (
+      SELECT doc_id % 5 AS corruption_class,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+             -- class-1 truncation: the 8-byte BMP dies in the header
+             -- struct (decode_error), but the 8-byte PPM still parses
+             -- 'P6 4 2 2' and trips the maxval!=255 guard (unsupported)
+             -- — the kernel's real behavior, which the audit pins
+             CASE WHEN doc_id % 5 = 0 THEN 'ok'
+                  WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN 'decode_error'
+                  WHEN doc_id % 5 = 1 THEN 'unsupported'
+                  ELSE 'unsupported' END AS outcome
+      FROM documents
+    )
+    SELECT CAST(corruption_class AS INT) AS corruption_class, fmt, outcome,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM tagged
+    GROUP BY corruption_class, fmt, outcome
+    ORDER BY corruption_class, fmt, outcome
+"""

@@ -7636,3 +7636,73 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _POWER_SQL.format(day="CAST(unix_timestamp(e.ts) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# events_mannwhitney_u — exact Mann-Whitney U (Wilcoxon rank-sum)
+# between the two md5 assignment arms' purchase values: the rank-based
+# nonparametric companion to events_ab_test (mean-based) and
+# events_ks_test (distribution sup-norm). Ranks come from the VALUE
+# CENSUS with midrank tie handling kept exact by DOUBLING (2*midrank =
+# lo+hi is always an integer), so U is exact integer arithmetic end to
+# end; the normal-approximation z (with the exact tie correction) is
+# the only float, pure sqrt/scalar. Scale: everything after the
+# (arm, value-cents) census is bounded by the price grid; the ordered
+# window runs over the census, never events. Non-vacuous at sf0.01
+# (measured): U differs from its null mean by a real margin and z is a
+# nonzero noise-level value.
+_MWU_SQL = """
+    WITH vals AS (
+      SELECT ({arm}) AS arm,
+             CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    census AS (
+      SELECT c,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM vals GROUP BY c
+    ),
+    ranked AS (
+      SELECT c, n0, n1, n0 + n1 AS t,
+             CAST(SUM(n0 + n1) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM census
+    ),
+    scored AS (
+      -- 2*midrank of a tie block ending at cum with t members =
+      -- (cum - t + 1) + cum — integer; rank-sum doubled stays integer
+      SELECT CAST(SUM(n0 * (2 * cum - t + 1)) AS BIGINT) AS two_r0,
+             CAST(SUM(n0) AS BIGINT) AS n0,
+             CAST(SUM(n1) AS BIGINT) AS n1,
+             CAST(SUM(CAST(t AS DECIMAL(28, 0)) * t * t - t) AS DOUBLE)
+               AS tie_cubes
+      FROM ranked
+    )
+    SELECT n0 AS n_arm0, n1 AS n_arm1,
+           CAST((two_r0 - n0 * (n0 + 1)) / 2 AS BIGINT) AS u_stat,
+           ROUND((CAST((two_r0 - n0 * (n0 + 1)) AS DOUBLE) / 2.0e0
+                  - CAST(n0 AS DOUBLE) * n1 / 2.0e0)
+                 / sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0e0
+                        * ((n0 + n1 + 1)
+                           - tie_cubes
+                             / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))),
+                 6) AS z_score
+    FROM scored
+"""
+
+
+@register(
+    "events_mannwhitney_u",
+    oracle=_MWU_SQL.format(
+        arm="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+    ),
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _MWU_SQL.format(
+            arm="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+        )
+    )
