@@ -114,6 +114,8 @@ _VERIFY_FIRST = [
     "shard_consistent_hash_audit",
     "events_mannwhitney_u",
     "multimodal_decode_error_audit",
+    "minhash_1bit_eval",
+    "text_burrows_delta",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

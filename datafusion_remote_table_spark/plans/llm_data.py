@@ -9737,3 +9737,143 @@ ORACLE["multimodal_decode_error_audit"] = """
     GROUP BY corruption_class, fmt, outcome
     ORDER BY corruption_class, fmt, outcome
 """
+
+
+# ---------------------------------------------------------------------------
+# minhash_1bit_eval — b-bit minhash accuracy (Li & Konig 2010, b=1):
+# storing only the LOW BIT of each of the 32 permutation minima shrinks
+# signatures 64x; under the 1-bit collision model E[agree] =
+# 0.5 + J/2, so J1 = max(2*agree/32 - 1, 0) recovers jaccard. The eval
+# scores BOTH estimators (full-value agreement and bit agreement)
+# against the exact shingle jaccard on the LSH-verified pairs — the
+# storage-vs-accuracy table a deployment reads before shrinking its
+# signature store. Rides the SAME staged signatures as every minhash
+# consumer (the bits are derived map-side with & 1 — no new staging).
+# Scale: pair->signature lookups on doc_id only. Non-vacuous at sf0.01
+# (measured): the 1-bit errors are genuinely larger and vary per pair.
+def _sql_minhash_1bit(E, sig_src=None, pairs_src=None):
+    sh = f"({_minhash_shingles(E)})"
+    sig = sig_src or f"({_minhash_sigs(E, sh)})"
+    pairs = pairs_src or f"({_sql_minhash_oracle(E)})"
+    full = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 32)}, p -> CASE WHEN {E.idx('sa.sigs', 'p')}"
+        f" = {E.idx('sb.sigs', 'p')} THEN 1 ELSE 0 END)"
+    )
+    bit = E.list_sum_int(
+        f"{E.TRANSFORM}({E.seq(1, 32)}, p -> CASE WHEN ({E.idx('sa.sigs', 'p')} & 1)"
+        f" = ({E.idx('sb.sigs', 'p')} & 1) THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT v.doc_a, v.doc_b, v.jaccard AS exact_jaccard,
+           ROUND(CAST({full} AS DOUBLE) / 32, 6) AS est_full,
+           ROUND(greatest(2.0e0 * {bit} / 32 - 1.0e0, 0.0e0), 6) AS est_1bit,
+           ROUND(abs(CAST({full} AS DOUBLE) / 32 - v.jaccard), 6) AS err_full,
+           ROUND(abs(greatest(2.0e0 * {bit} / 32 - 1.0e0, 0.0e0) - v.jaccard), 6)
+             AS err_1bit
+    FROM {pairs} v
+    JOIN {sig} sa ON v.doc_a = sa.doc_id
+    JOIN {sig} sb ON v.doc_b = sb.doc_id
+    """
+
+
+def minhash_1bit_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_pairs(spark, sf_dir)
+    view = f"mh_1bit_pairs_{_dataset_suffix(sf_dir)}"
+    pairs.createOrReplaceTempView(view)
+    _sh, sig, _bands = _minhash_stage(spark, sf_dir)
+    return spark.sql(_sql_minhash_1bit(_Spark, sig_src=sig, pairs_src=view))
+
+
+QUERIES["minhash_1bit_eval"] = minhash_1bit_eval
+ORACLE["minhash_1bit_eval"] = _sql_minhash_1bit(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# text_burrows_delta — Burrows' Delta stylometric distance between
+# sources (the attribution metric of computational stylometry): each
+# source's relative frequency of the corpus's top-20 words is z-scored
+# per word ACROSS sources (zero-filled grid — a missing word is
+# evidence, not a missing row), and Delta(a,b) is the mean |z_a - z_b|
+# over the word panel. Determinism: frequencies and their squares are
+# ROUND(...,9)-quantized before exact DECIMAL window sums; z and the
+# final mean are fixed-order scalar IEEE with a ROUND(...,6)-then-
+# DECIMAL pair sum. Scale: ONE corpus explode collapses to the
+# (source, word) census (persisted in Spark / MATERIALIZED in DuckDB
+# for its grid/top-word/total references); everything downstream is
+# (20 sources x 20 words)-grid math and a 190-row pair join. On this
+# label-randomized corpus Delta is a null calibration — distances are
+# sampling noise at distinct values (measured), exactly what the
+# metric should report for stylistically identical sources.
+_DELTA_BODY = """
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM {census} GROUP BY source
+    ),
+    topw AS (
+      SELECT word FROM (
+        SELECT word,
+               ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, word) AS rnk
+        FROM {census} GROUP BY word
+      ) r WHERE rnk <= 20
+    ),
+    grid AS (
+      SELECT t.source, t.n, w.word, COALESCE(c.c, 0) AS cnt
+      FROM tot t
+      CROSS JOIN topw w
+      LEFT JOIN {census} c ON c.source = t.source AND c.word = w.word
+    ),
+    freq AS (
+      SELECT source, word, ROUND(CAST(cnt AS DOUBLE) / n, 9) AS f FROM grid
+    ),
+    stats AS (
+      SELECT source, word, f,
+             CAST(SUM(CAST(f AS DECIMAL(28, 9))) OVER (PARTITION BY word)
+                  AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(f * f, 9) AS DECIMAL(28, 9)))
+                  OVER (PARTITION BY word) AS DOUBLE) AS s2,
+             CAST(COUNT(*) OVER (PARTITION BY word) AS DOUBLE) AS ns
+      FROM freq
+    ),
+    z AS {MAT}(
+      SELECT source, word,
+             ROUND((f - s1 / ns)
+                   / sqrt(greatest(s2 / ns - (s1 / ns) * (s1 / ns), 1e-18)), 6)
+               AS z
+      FROM stats
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(CAST(SUM(CAST(ROUND(abs(a.z - b.z), 6) AS DECIMAL(28, 6)))
+                      AS DOUBLE) / 20, 6) AS burrows_delta
+    FROM z a
+    JOIN z b ON b.word = a.word AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+"""
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("delta_census", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        _spread_view(spark, sf_dir, "documents", "bd_docs")
+        census = spark.sql(f"""
+            SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT source, {_Spark.explode(_Spark.splitws('lower(text)'), 'word')}
+                  FROM bd_docs_{_dataset_suffix(sf_dir)}) t
+            GROUP BY source, word
+        """).persist()
+        census.count()
+        view = f"bd_census_{_dataset_suffix(sf_dir)}"
+        census.createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
+    return spark.sql(
+        "WITH " + _DELTA_BODY.format(census=_MINHASH_STAGE_CACHE[key], MAT="")
+    )
+
+
+QUERIES["text_burrows_delta"] = text_burrows_delta
+ORACLE["text_burrows_delta"] = (
+    "WITH census AS MATERIALIZED ("
+    "SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM (SELECT source, " + _Duck.explode(_Duck.splitws("lower(text)"), "word")
+    + " FROM documents) t GROUP BY source, word),"
+    + _DELTA_BODY.format(census="census", MAT="MATERIALIZED ")
+)
