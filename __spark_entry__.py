@@ -116,6 +116,7 @@ _VERIFY_FIRST = [
     "multimodal_decode_error_audit",
     "minhash_1bit_eval",
     "text_burrows_delta",
+    "join_order_dp_plan",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -38,6 +38,13 @@ QUERIES = [
     # embedding family
     "kmeans_embeddings",
     "ann_ivf_cosine",
+    # round-6 continuation: winnowing family + corpus-census analytics
+    "dedup_winnowing",
+    "winnowing_accuracy_eval",
+    "text_keyword_rake",
+    "text_burrows_delta",
+    "doc_length_wasserstein",
+    "shard_consistent_hash_audit",
     "semdedup_embedding",
     "embedding_dim_stats",
     "dedup_embedding_cosine",

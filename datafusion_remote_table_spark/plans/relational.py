@@ -7706,3 +7706,106 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             arm="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_order_dp_plan — textbook Selinger dynamic-programming join-order
+# optimization over the 4-table chain lineitem-orders-customer-nation,
+# run AS A QUERY (the engine-internals-as-data companion to
+# join_strategy_advisor and cardinality_qerror_audit): measured base
+# stats (row counts + join-key distinct counts, one census pass per
+# table), independence-assumption cardinality estimates
+# |A x B| = |A||B| / max(d_a, d_b) per edge, and the exact DP over the
+# 10 connected subsets — each subset row reports its estimated
+# cardinality, the best total cost (sum of intermediate cardinalities),
+# and the argmin split. The planner's decisions are data: a cost-model
+# change shows up as a hash diff. Determinism: stats are exact
+# integers; estimates/costs are fixed-order scalar IEEE on them; argmin
+# ties break to the lexicographically first split. Scale: one stats
+# pass (persisted in Spark / MATERIALIZED in DuckDB — the 10 subset
+# rows re-reference it), then pure scalar algebra. Non-vacuous at
+# sf0.01 (measured): cardinalities span 25..240k and the chosen splits
+# differ across subsets.
+_DP_STATS_SQL = """
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem) AS n_l,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS n_o,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM customer) AS n_c,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM nation) AS n_n,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) FROM lineitem) AS d_l_ok,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders) AS d_o_ok,
+             (SELECT CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders) AS d_o_ck,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) FROM customer) AS d_c_ck,
+             (SELECT CAST(COUNT(DISTINCT c_nationkey) AS DOUBLE) FROM customer) AS d_c_nk,
+             (SELECT CAST(COUNT(DISTINCT n_nationkey) AS DOUBLE) FROM nation) AS d_n_nk
+"""
+
+# estimates as python-side SQL fragments over the stats row s (fixed
+# operation order — identical text in both engines)
+_EST = {
+    "LO": "s.n_l * s.n_o / greatest(s.d_l_ok, s.d_o_ok)",
+    "OC": "s.n_o * s.n_c / greatest(s.d_o_ck, s.d_c_ck)",
+    "CN": "s.n_c * s.n_n / greatest(s.d_c_nk, s.d_n_nk)",
+}
+_EST["LOC"] = f"({_EST['LO']}) * s.n_c / greatest(s.d_o_ck, s.d_c_ck)"
+_EST["OCN"] = f"({_EST['OC']}) * s.n_n / greatest(s.d_c_nk, s.d_n_nk)"
+_EST["LOCN"] = f"({_EST['LOC']}) * s.n_n / greatest(s.d_c_nk, s.d_n_nk)"
+
+
+def _dp_plan_sql(stats_src: str) -> str:
+    e = _EST
+    # best_cost(S) = min over connected splits of cost(S1)+cost(S2)+card(S)
+    # (singles cost 0). For the chain, LOC splits {L|OC, LO|C}; OCN
+    # splits {O|CN, OC|N}; LOCN splits {L|OCN, LO|CN, LOC|N}.
+    cost_loc_a = f"({e['OC']}) + ({e['LOC']})"      # L ⋈ (OC)
+    cost_loc_b = f"({e['LO']}) + ({e['LOC']})"      # (LO) ⋈ C
+    cost_ocn_a = f"({e['CN']}) + ({e['OCN']})"      # O ⋈ (CN)
+    cost_ocn_b = f"({e['OC']}) + ({e['OCN']})"      # (OC) ⋈ N
+    best_loc = f"least({cost_loc_a}, {cost_loc_b})"
+    best_ocn = f"least({cost_ocn_a}, {cost_ocn_b})"
+    cost_full_a = f"({best_ocn}) + ({e['LOCN']})"                 # L | OCN
+    cost_full_b = f"({e['LO']}) + ({e['CN']}) + ({e['LOCN']})"    # LO | CN
+    cost_full_c = f"({best_loc}) + ({e['LOCN']})"                 # LOC | N
+
+    def row(name, card, cost, split):
+        return (
+            f"SELECT '{name}' AS subset, ROUND({card}, 2) AS est_rows, "
+            f"ROUND({cost}, 2) AS best_cost, {split} AS best_split "
+            f"FROM {stats_src} s"
+        )
+
+    rows = [
+        row("L", "s.n_l", "0.0e0", "'scan'"),
+        row("O", "s.n_o", "0.0e0", "'scan'"),
+        row("C", "s.n_c", "0.0e0", "'scan'"),
+        row("N", "s.n_n", "0.0e0", "'scan'"),
+        row("LO", e["LO"], e["LO"], "'L*O'"),
+        row("OC", e["OC"], e["OC"], "'O*C'"),
+        row("CN", e["CN"], e["CN"], "'C*N'"),
+        row("LOC", e["LOC"], best_loc,
+            f"CASE WHEN ({cost_loc_a}) <= ({cost_loc_b}) THEN 'L*(OC)' ELSE '(LO)*C' END"),
+        row("OCN", e["OCN"], best_ocn,
+            f"CASE WHEN ({cost_ocn_a}) <= ({cost_ocn_b}) THEN 'O*(CN)' ELSE '(OC)*N' END"),
+        row("LOCN", e["LOCN"],
+            f"least({cost_full_a}, least({cost_full_b}, {cost_full_c}))",
+            f"CASE WHEN ({cost_full_a}) <= ({cost_full_b}) "
+            f"AND ({cost_full_a}) <= ({cost_full_c}) THEN 'L*(OCN)' "
+            f"WHEN ({cost_full_b}) <= ({cost_full_c}) THEN '(LO)*(CN)' "
+            f"ELSE '(LOC)*N' END"),
+    ]
+    return " UNION ALL ".join(rows) + " ORDER BY subset"
+
+
+@register(
+    "join_order_dp_plan",
+    oracle="WITH stats AS MATERIALIZED (" + _DP_STATS_SQL + ") " + _dp_plan_sql("stats"),
+)
+def join_order_dp_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    key = ("dp_stats", id(spark), sf_dir)
+    if key not in _RANK_STAGE_CACHE:
+        stats = spark.sql("SELECT * FROM (" + _DP_STATS_SQL + ")").persist()
+        stats.count()  # the 4-table census runs once; 10 subset rows re-read it
+        view = f"dp_stats_{abs(hash(sf_dir)) % 10**8}"
+        stats.createOrReplaceTempView(view)
+        _RANK_STAGE_CACHE[key] = view
+    return spark.sql(_dp_plan_sql(_RANK_STAGE_CACHE[key]))
