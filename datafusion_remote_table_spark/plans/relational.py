@@ -2345,7 +2345,12 @@ _SEASONALITY_SQL = """
     )
     SELECT yr, mon, revenue,
            ROUND(trend, 2) AS trend_3mo,
-           ROUND(month_mean / overall_mean, 6) AS seasonal_index
+           -- zero-guarded: an all-zero-price random table (hypothesis)
+           -- makes the overall mean 0 — Spark ANSI throws, DuckDB yields
+           -- inf; real-data hashes are unchanged (prices are never 0)
+           ROUND(month_mean / (CASE WHEN overall_mean = 0.0e0
+                                    THEN 1e-9 ELSE overall_mean END), 6)
+             AS seasonal_index
     FROM windowed
 """
 
@@ -2938,13 +2943,18 @@ _QSKETCH_SQL = """
            ROUND(CASE WHEN p.q = 0.5e0 THEN e.p50
                       WHEN p.q = 0.9e0 THEN e.p90
                       ELSE e.p99 END / 100, 4) AS exact_totalprice,
+           -- zero-guarded denominator: an all-equal (or all-zero) price
+           -- column makes the exact percentile 0, where Spark's ANSI
+           -- division throws and DuckDB yields inf — the guard keeps the
+           -- engines agreeing (hypothesis-found edge; real-data hashes
+           -- are unchanged, prices are never 0 there)
            ROUND(ABS((c.bin * 250000 + 250000.0e0 * (p.q * t.n - (c.cum - c.cnt)) / c.cnt)
                      - CASE WHEN p.q = 0.5e0 THEN e.p50
                             WHEN p.q = 0.9e0 THEN e.p90
                             ELSE e.p99 END)
-                 / (CASE WHEN p.q = 0.5e0 THEN e.p50
-                         WHEN p.q = 0.9e0 THEN e.p90
-                         ELSE e.p99 END), 6) AS rel_error
+                 / greatest(ABS(CASE WHEN p.q = 0.5e0 THEN e.p50
+                                     WHEN p.q = 0.9e0 THEN e.p90
+                                     ELSE e.p99 END), 1e-9), 6) AS rel_error
     FROM pick p
     JOIN cum c ON c.bin = p.bin
     CROSS JOIN tot t CROSS JOIN exact e
