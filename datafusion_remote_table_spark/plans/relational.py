@@ -7819,3 +7819,54 @@ def join_order_dp_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.createOrReplaceTempView(view)
         _RANK_STAGE_CACHE[key] = view
     return spark.sql(_dp_plan_sql(_RANK_STAGE_CACHE[key]))
+
+
+# --------------------------------------------------------------------------
+# events_dispersion_fano — index-of-dispersion (Fano factor) test per
+# event type: a Poisson arrival process has variance == mean of its
+# per-hour counts (Fano = 1); overdispersion (bursts) or
+# underdispersion (rate limiting) shows as Fano off 1, scored with the
+# chi-square-based dispersion z = sqrt(2*chi2) - sqrt(2*dof - 1). The
+# arrival-process diagnostic behind capacity planning and bot
+# heuristics (the PROCESS-level companion to events_hourly_anomaly's
+# per-hour z-scores). Determinism: hourly counts are exact integers;
+# mean/variance come from exact DECIMAL sufficient statistics; the z is
+# scalar sqrt math. Scale: events collapses to the (type, hour) census
+# in one pass; everything after is a 5-row rollup. Non-vacuous at
+# sf0.01 (measured): the feed is significantly UNDERdispersed — Fano
+# 0.74-0.87 with dispersion z -2.5..-5.2 per type (the generator
+# spreads events more regularly than Poisson), real structure the test
+# correctly flags.
+_FANO_SQL = """
+    WITH hourly AS (
+      SELECT event_type, {hour_ts} AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, {hour_ts}
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(28, 0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c * c AS DECIMAL(38, 0))) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(s1 AS BIGINT) AS n_events,
+           ROUND(s1 / n, 6) AS mean_per_hour,
+           ROUND((s2 - s1 * s1 / n) / (n - 1.0e0), 6) AS var_per_hour,
+           ROUND(((s2 - s1 * s1 / n) / (n - 1.0e0)) / (s1 / n), 6) AS fano,
+           ROUND(sqrt(2.0e0 * (n - 1.0e0)
+                      * ((s2 - s1 * s1 / n) / (n - 1.0e0)) / (s1 / n))
+                 - sqrt(2.0e0 * (n - 1.0e0) - 1.0e0), 6) AS dispersion_z
+    FROM stats
+    ORDER BY event_type
+"""
+
+
+@register(
+    "events_dispersion_fano",
+    oracle=_FANO_SQL.format(hour_ts="date_trunc('hour', ts)"),
+)
+def events_dispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_FANO_SQL.format(hour_ts="date_trunc('hour', ts)"))
