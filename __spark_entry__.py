@@ -117,6 +117,9 @@ _VERIFY_FIRST = [
     "minhash_1bit_eval",
     "text_burrows_delta",
     "join_order_dp_plan",
+    "events_dispersion_fano",
+    "events_diff_in_diff",
+    "embedding_quantization_ladder",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -9877,3 +9877,65 @@ ORACLE["text_burrows_delta"] = (
     + " FROM documents) t GROUP BY source, word),"
     + _DELTA_BODY.format(census="census", MAT="MATERIALIZED ")
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantization_ladder — the distortion-vs-bits design table
+# (the planning view over the int8/PQ/1-bit evals, which each measure
+# ONE operating point): every vector quantized at three ladder rungs —
+# symmetric int8 (round to 127 steps), int4 (7 steps), and 1-bit sign
+# with the per-vector optimal scale (mean |x|) — and scored for
+# reconstruction MSE and cosine-to-original. Distortion grows
+# monotonically as bits shrink (real, guaranteed structure: measured
+# mse int8 << int4 << sign and cosine 1.0- -> ~0.8). Determinism:
+# per-element reconstructions are fixed-order scalar IEEE; per-vector
+# error sums are array folds (both engines fold left to right — the
+# repo's dot products ride the same primitive); per-vector values are
+# ROUND-quantized before exact DECIMAL global sums. Scale: a 3x level
+# fan-out collapsed by one aggregate — map-side everything.
+def _sql_quant_ladder(E):
+    x = f"CAST({E.idx('embedding', 'i')} AS DOUBLE)"
+    mean_abs = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> abs({x}))") + " / 64"
+    recon = (
+        f"CASE WHEN lvl = 'int8' THEN ROUND({x} * 127) / 127.0e0 "
+        f"WHEN lvl = 'int4' THEN ROUND({x} * 7) / 7.0e0 "
+        f"ELSE (CASE WHEN {x} >= 0 THEN ma ELSE -ma END) END"
+    )
+    err2 = E.list_sum(
+        f"{E.TRANSFORM}({E.seq(1, 64)}, i -> ({x} - ({recon})) * ({x} - ({recon})))"
+    )
+    dotp = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {x} * ({recon}))")
+    norm2r = E.list_sum(
+        f"{E.TRANSFORM}({E.seq(1, 64)}, i -> ({recon}) * ({recon}))"
+    )
+    norm2x = E.list_sum(f"{E.TRANSFORM}({E.seq(1, 64)}, i -> {x} * {x})")
+    return f"""
+    WITH fanout AS (
+      SELECT e.vec_id, e.embedding, l.lvl,
+             {mean_abs} AS ma
+      FROM embeddings e
+      CROSS JOIN (SELECT 'int8' AS lvl UNION ALL SELECT 'int4'
+                  UNION ALL SELECT 'sign') l
+    ),
+    scored AS (
+      SELECT lvl,
+             ROUND({err2} / 64.0e0, 9) AS mse_vec,
+             ROUND(({dotp}) / sqrt(({norm2x}) * ({norm2r})), 6) AS cos_vec
+      FROM fanout
+    )
+    SELECT lvl AS quant_level,
+           CASE WHEN lvl = 'int8' THEN 8 WHEN lvl = 'int4' THEN 4
+                ELSE 1 END AS bits_per_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(mse_vec AS DECIMAL(28, 9))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_mse,
+           ROUND(CAST(SUM(CAST(cos_vec AS DECIMAL(28, 6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cosine
+    FROM scored
+    GROUP BY lvl
+    ORDER BY bits_per_dim DESC
+    """
+
+
+_register_pair("embedding_quantization_ladder", _sql_quant_ladder,
+               tables=("embeddings",))

@@ -7870,3 +7870,85 @@ _FANO_SQL = """
 def events_dispersion_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_FANO_SQL.format(hour_ts="date_trunc('hour', ts)"))
+
+
+# --------------------------------------------------------------------------
+# events_diff_in_diff — difference-in-differences estimator (the
+# quasi-experimental workhorse the A/B family here lacks: ab_test/
+# cuped/sprt all assume randomized concurrent arms; DiD handles a
+# treatment that switches ON at a date): md5 arms as treated/control,
+# the feed midpoint (day 15) as the policy date, Y = mean per-user-day
+# purchase spend per (arm, period) cell; the DiD effect is
+# (T1 - T0) - (C1 - C0) with its standard error from the four cells'
+# exact moment variances. On this randomized feed the true effect is 0,
+# so the estimate is a null calibration (measured: effect within ~1 SE
+# of 0) — and any real policy shift would surface as |z| >> 0.
+# Determinism: cell sums are exact DECIMAL cents; variances from exact
+# sufficient statistics; the estimator is fixed-order scalar IEEE.
+# Scale: one keyed census (user, arm, period) with map-side partials,
+# then a 4-cell rollup. Wide single-row output plus the 4 cells
+# inlined as columns.
+_DID_SQL = """
+    WITH bounds AS (SELECT MIN({day}) AS d0 FROM events e),
+    per_user AS (
+      SELECT ({arm}) AS arm,
+             CASE WHEN {day} < b.d0 + 15 THEN 0 ELSE 1 END AS period,
+             e.user_id,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN CAST(floor(e.value * 100.0e0 + 0.5e0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events e CROSS JOIN bounds b
+      GROUP BY ({arm}), CASE WHEN {day} < b.d0 + 15 THEN 0 ELSE 1 END,
+               e.user_id
+    ),
+    cells AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(28, 0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(cents * cents AS DECIMAL(38, 0))) AS DOUBLE) AS s2
+      FROM per_user GROUP BY arm, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 1 AND period = 0 THEN s1 / n END) AS t0,
+        MAX(CASE WHEN arm = 1 AND period = 1 THEN s1 / n END) AS t1,
+        MAX(CASE WHEN arm = 0 AND period = 0 THEN s1 / n END) AS c0,
+        MAX(CASE WHEN arm = 0 AND period = 1 THEN s1 / n END) AS c1,
+        MAX(CASE WHEN arm = 1 AND period = 0
+                 THEN (s2 / n - (s1 / n) * (s1 / n)) / n END) AS vt0,
+        MAX(CASE WHEN arm = 1 AND period = 1
+                 THEN (s2 / n - (s1 / n) * (s1 / n)) / n END) AS vt1,
+        MAX(CASE WHEN arm = 0 AND period = 0
+                 THEN (s2 / n - (s1 / n) * (s1 / n)) / n END) AS vc0,
+        MAX(CASE WHEN arm = 0 AND period = 1
+                 THEN (s2 / n - (s1 / n) * (s1 / n)) / n END) AS vc1
+      FROM cells
+    )
+    SELECT ROUND(t0 / 100.0e0, 6) AS treated_pre,
+           ROUND(t1 / 100.0e0, 6) AS treated_post,
+           ROUND(c0 / 100.0e0, 6) AS control_pre,
+           ROUND(c1 / 100.0e0, 6) AS control_post,
+           ROUND(((t1 - t0) - (c1 - c0)) / 100.0e0, 6) AS did_effect,
+           ROUND(sqrt(vt1 + vt0 + vc1 + vc0) / 100.0e0, 6) AS std_err,
+           ROUND(((t1 - t0) - (c1 - c0))
+                 / sqrt(vt1 + vt0 + vc1 + vc0), 6) AS z_score
+    FROM wide
+"""
+
+
+def _did_sql(engine: str) -> str:
+    if engine == "spark":
+        return _DID_SQL.format(
+            day="CAST(unix_timestamp(e.ts) AS BIGINT) DIV 86400",
+            arm="CAST(conv(substring(md5(CAST(e.user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2",
+        )
+    return _DID_SQL.format(
+        day="CAST(floor(epoch(e.ts)) AS BIGINT) // 86400",
+        arm="CAST('0x' || substring(md5(CAST(e.user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2",
+    )
+
+
+@register("events_diff_in_diff", oracle=_did_sql("duck"))
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_did_sql("spark"))
