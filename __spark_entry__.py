@@ -120,6 +120,8 @@ _VERIFY_FIRST = [
     "events_dispersion_fano",
     "events_diff_in_diff",
     "embedding_quantization_ladder",
+    "lineitem_twoway_anova",
+    "events_variance_decomposition",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

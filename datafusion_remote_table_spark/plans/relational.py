@@ -7952,3 +7952,163 @@ def _did_sql(engine: str) -> str:
 def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")
     return spark.sql(_did_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# lineitem_twoway_anova — two-way ANOVA with interaction (returnflag x
+# linestatus on quantity): the factorial companion to
+# events_anova_value's one-way test. Sums of squares from exact
+# DECIMAL cell moments (SS_A, SS_B, SS_AB by the standard balanced-form
+# identities over cell/marginal/grand means, SS_err as the within-cell
+# residual), plus the mean-square ratios. Determinism: every moment is
+# an exact integer sum; means are exact ratios; the SS algebra is
+# fixed-order scalar IEEE over the 6-cell frame. Scale: one grouped
+# pass to the (flag, status) cells with map-side partials; marginal and
+# grand terms are windows over 6 rows. Non-vacuous at sf0.01
+# (measured): all SS components are distinct nonzero values and the F
+# ratios sit at null-ish levels on this independent book — while a
+# real factor effect would move them.
+_ANOVA2_SQL = """
+    WITH cells AS (
+      SELECT l_returnflag AS fa, l_linestatus AS fb,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(28, 0))) AS DECIMAL(28, 0)) AS s1,
+             CAST(SUM(CAST(q * q AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS s2
+      FROM (SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS q
+            FROM lineitem) z
+      GROUP BY l_returnflag, l_linestatus
+    ),
+    -- moments stay exact DECIMAL through the windows; every per-row
+    -- double addend is ROUND(...,4)-quantized before the exact DECIMAL
+    -- cross-cell sum (a bare SUM of 6 doubles is order-dependent — it
+    -- WARNed on ss_total's last digit before this)
+    m AS (
+      SELECT fa, fb,
+             CAST(n AS DOUBLE) AS n,
+             CAST(s1 AS DOUBLE) AS s1,
+             CAST(SUM(n) OVER () AS DOUBLE) AS nt,
+             CAST(SUM(s1) OVER () AS DOUBLE) AS st,
+             CAST(SUM(n) OVER (PARTITION BY fa) AS DOUBLE) AS na,
+             CAST(SUM(s1) OVER (PARTITION BY fa) AS DOUBLE) AS sa,
+             CAST(SUM(n) OVER (PARTITION BY fb) AS DOUBLE) AS nb,
+             CAST(SUM(s1) OVER (PARTITION BY fb) AS DOUBLE) AS sb,
+             CAST(SUM(s2) OVER () AS DOUBLE) AS stot2
+      FROM cells
+    ),
+    ss AS (
+      SELECT
+        MAX(st * st / nt) AS corr,
+        CAST(SUM(CAST(ROUND(sa * sa / na / 2.0e0, 4) AS DECIMAL(28, 4)))
+             AS DOUBLE) AS ssa_raw,
+        CAST(SUM(CAST(ROUND(sb * sb / nb / 3.0e0, 4) AS DECIMAL(28, 4)))
+             AS DOUBLE) AS ssb_raw,
+        CAST(SUM(CAST(ROUND(s1 * s1 / n, 4) AS DECIMAL(28, 4)))
+             AS DOUBLE) AS sscell_raw,
+        MAX(stot2) AS stot2,
+        MAX(nt) AS nt
+      FROM m
+    )
+    -- ss outputs quantize via floor(x*1e4 + 0.5)/1e4, NOT ROUND: the
+    -- inputs are bit-identical doubles in both engines, but corr =
+    -- st^2/nt lands ss_total exactly on a 4dp half boundary at sf0.01
+    -- (…69625) where Spark's and DuckDB's ROUND half-rules disagree —
+    -- floor arithmetic on identical doubles cannot
+    SELECT CAST(nt AS BIGINT) AS n_rows,
+           floor((ssa_raw - corr) * 10000.0e0 + 0.5e0) / 10000.0e0
+             AS ss_returnflag,
+           floor((ssb_raw - corr) * 10000.0e0 + 0.5e0) / 10000.0e0
+             AS ss_linestatus,
+           floor((sscell_raw - ssa_raw - ssb_raw + corr) * 10000.0e0 + 0.5e0)
+             / 10000.0e0 AS ss_interaction,
+           floor((stot2 - sscell_raw) * 10000.0e0 + 0.5e0) / 10000.0e0
+             AS ss_error,
+           floor((stot2 - corr) * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_total,
+           ROUND((ssa_raw - corr) / 2.0e0
+                 / ((stot2 - sscell_raw) / (nt - 6.0e0)), 6) AS f_returnflag,
+           ROUND((ssb_raw - corr) / 1.0e0
+                 / ((stot2 - sscell_raw) / (nt - 6.0e0)), 6) AS f_linestatus,
+           ROUND((sscell_raw - ssa_raw - ssb_raw + corr) / 2.0e0
+                 / ((stot2 - sscell_raw) / (nt - 6.0e0)), 6) AS f_interaction
+    FROM ss
+"""
+
+
+@register("lineitem_twoway_anova", oracle=_ANOVA2_SQL)
+def lineitem_twoway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(_ANOVA2_SQL)
+
+
+# --------------------------------------------------------------------------
+# events_variance_decomposition — variance-explained decomposition of
+# the hourly count series over the complete 24x30 (hour-of-day x day)
+# grid: SS_total = SS_hod + SS_day + SS_residual (one observation per
+# cell, so the interaction IS the residual) — quantifying how much of
+# the traffic variance the seasonal monitors' baselines can actually
+# explain. Determinism: all sums of squares derive from exact integer
+# hourly counts via exact DECIMAL marginal windows; the per-group
+# ratio addends are ROUND-quantized before exact cross-group sums and
+# the outputs use the floor(x*1e4+0.5) quantizer (identical-double
+# safe — see lineitem_twoway_anova's boundary note). Scale: events
+# collapses to the 720-row grid in one pass; marginals are windows
+# over it. Non-vacuous at sf0.01 (measured): shares are distinct
+# nonzero values (both factors explain only a few percent — the feed
+# is near-stationary, which the decomposition quantifies rather than
+# assumes).
+_VARDECOMP_SQL = """
+    WITH grid AS (
+      SELECT CAST({hod} AS BIGINT) AS hod, CAST({day} AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e GROUP BY {hod}, {day}
+    ),
+    m AS (
+      SELECT hod, d, CAST(c AS DOUBLE) AS c,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS nt,
+             CAST(SUM(c) OVER () AS DOUBLE) AS st,
+             CAST(SUM(CAST(c * c AS DECIMAL(38, 0))) OVER () AS DOUBLE) AS st2,
+             CAST(SUM(c) OVER (PARTITION BY hod) AS DOUBLE) AS sh,
+             CAST(COUNT(*) OVER (PARTITION BY hod) AS DOUBLE) AS nh,
+             CAST(SUM(c) OVER (PARTITION BY d) AS DOUBLE) AS sd,
+             CAST(COUNT(*) OVER (PARTITION BY d) AS DOUBLE) AS nd
+      FROM grid
+    ),
+    ss AS (
+      SELECT MAX(st * st / nt) AS corr,
+             MAX(st2) AS st2,
+             CAST(SUM(CAST(ROUND(sh * sh / nh / nh, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS ssh_raw,
+             CAST(SUM(CAST(ROUND(sd * sd / nd / nd, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS ssd_raw,
+             MAX(nt) AS nt
+      FROM m
+    )
+    SELECT CAST(nt AS BIGINT) AS n_hours,
+           floor((st2 - corr) * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_total,
+           floor((ssh_raw - corr) * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_hod,
+           floor((ssd_raw - corr) * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_day,
+           floor((st2 - ssh_raw - ssd_raw + corr) * 10000.0e0 + 0.5e0)
+             / 10000.0e0 AS ss_residual,
+           ROUND((ssh_raw - corr) / (st2 - corr), 6) AS share_hod,
+           ROUND((ssd_raw - corr) / (st2 - corr), 6) AS share_day,
+           ROUND((st2 - ssh_raw - ssd_raw + corr) / (st2 - corr), 6)
+             AS share_residual
+    FROM ss
+"""
+
+
+@register(
+    "events_variance_decomposition",
+    oracle=_VARDECOMP_SQL.format(
+        hod="EXTRACT(hour FROM e.ts)",
+        day="CAST(floor(epoch(e.ts)) AS BIGINT) // 86400",
+    ),
+)
+def events_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _VARDECOMP_SQL.format(
+            hod="hour(e.ts)",
+            day="CAST(unix_timestamp(e.ts) AS BIGINT) DIV 86400",
+        )
+    )
