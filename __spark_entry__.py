@@ -122,6 +122,9 @@ _VERIFY_FIRST = [
     "embedding_quantization_ladder",
     "lineitem_twoway_anova",
     "events_variance_decomposition",
+    "orders_kendall_tau",
+    "events_runs_test",
+    "remote_diff_drilldown",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

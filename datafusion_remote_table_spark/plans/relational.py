@@ -8112,3 +8112,121 @@ def events_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             day="CAST(unix_timestamp(e.ts) AS BIGINT) DIV 86400",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_kendall_tau — Kendall's tau-b rank correlation between time
+# (month index) and monthly revenue: the exact concordant/discordant
+# pair census over the ~80-row monthly frame (the rank-correlation
+# companion to orders_theilsen_trend's robust slope — tau is the
+# TEST, Theil-Sen the ESTIMATE, and both ride the same bounded pair
+# join). Ties in revenue get the tau-b denominator correction; month
+# indices are unique so only one tie term exists. Determinism:
+# revenues are exact DECIMAL cents; concordance is integer comparison;
+# tau is one sqrt over exact integer products. Scale: the O(months²)
+# pair join is calendar-bounded — constant work at any row count.
+_KENDALL_SQL = """
+    WITH monthly AS (
+      SELECT ({ym}) AS ym,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(28, 0)))
+                  AS DECIMAL(28, 0)) AS cents
+      FROM orders GROUP BY ({ym})
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS conc,
+             CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS disc,
+             CAST(SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS ties_y,
+             CAST(COUNT(*) AS DOUBLE) AS n_pairs
+      FROM monthly a JOIN monthly b ON b.ym > a.ym
+    )
+    SELECT CAST(n_pairs AS BIGINT) AS n_month_pairs,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(ties_y AS BIGINT) AS revenue_ties,
+           ROUND((conc - disc)
+                 / sqrt(n_pairs * (n_pairs - ties_y)), 6) AS kendall_tau_b
+    FROM pairs
+"""
+
+
+@register(
+    "orders_kendall_tau",
+    oracle=_KENDALL_SQL.format(
+        ym="EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate)"
+    ),
+)
+def orders_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _KENDALL_SQL.format(ym="year(o_orderdate) * 12 + month(o_orderdate)")
+    )
+
+
+# --------------------------------------------------------------------------
+# events_runs_test — Wald-Wolfowitz runs test for serial randomness of
+# the daily event-count series: days are signed above/below the median
+# count (exact order-statistic median, low tie-break; median-equal days
+# are dropped — the standard convention), runs are sign changes + 1,
+# and the z-score compares observed runs to the exact null mean/
+# variance for (n_plus, n_minus). Too FEW runs = trending/clustered
+# days, too many = oscillation. Determinism: counts/medians/runs are
+# exact integers; z is scalar sqrt math. Scale: everything after the
+# ~30-row daily census is window math over days. Non-vacuous at sf0.01
+# (measured): a real runs count with a noise-level z — and any real
+# trend would push z strongly negative.
+_RUNS_SQL = """
+    WITH daily AS (
+      SELECT ({day}) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY ({day})
+    ),
+    med AS (
+      SELECT d, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c, d) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    medval AS (
+      SELECT c AS m FROM med WHERE rnk = (n + 1) / 2
+    ),
+    signed AS (
+      SELECT d.d, CASE WHEN d.c > mv.m THEN 1 ELSE 0 END AS sgn
+      FROM daily d CROSS JOIN medval mv
+      WHERE d.c <> mv.m
+    ),
+    runs AS (
+      SELECT sgn,
+             CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+                   OR LAG(sgn) OVER (ORDER BY d) <> sgn
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signed
+    ),
+    agg AS (
+      SELECT CAST(SUM(new_run) AS DOUBLE) AS r,
+             CAST(SUM(sgn) AS DOUBLE) AS n1,
+             CAST(SUM(1 - sgn) AS DOUBLE) AS n2
+      FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS n_runs,
+           ROUND(2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0, 6) AS expected_runs,
+           ROUND((r - (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0))
+                 / sqrt(2.0e0 * n1 * n2 * (2.0e0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0e0))), 6)
+             AS z_score
+    FROM agg
+"""
+
+
+@register(
+    "events_runs_test",
+    oracle=_RUNS_SQL.format(day="CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _RUNS_SQL.format(day="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
+    )

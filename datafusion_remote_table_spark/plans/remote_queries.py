@@ -1388,3 +1388,49 @@ def remote_add_column_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "remote_diff_drilldown",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS missing_key,
+           'replica' AS missing_from,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents_primary
+    FROM orders
+    WHERE o_orderkey % 8 = 0 AND o_orderkey % 2 = 0
+    ORDER BY missing_key
+    LIMIT 20
+    """,
+)
+def remote_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill-down step after remote_checksum_reconcile flags a
+    chunk: pull ONLY the flagged chunk's keys from both engines (the
+    chunk predicate pushes to each remote — a bounded slice crosses the
+    wire, never the tables), anti-join to name the keys one side is
+    missing, and sample the first 20 with the primary's control value.
+    On this deployment chunk 0 is even-key-only and the duckdb replica
+    holds the odd shard, so every chunk-0 key is missing from the
+    replica — the drill-down names the concrete rows behind the
+    checksum mismatch, which is what an operator pastes into the
+    incident ticket. Scale: two pushed range scans of ONE chunk + an
+    anti-join on keys; the sample is a bounded ORDER BY/LIMIT."""
+    primary = RemoteTable(_sqlite_opts(sf_dir), ["orders"]).read(
+        spark, predicate="o_orderkey % 8 = 0"
+    )
+    replica = RemoteTable(
+        DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir)), ["orders"]
+    ).read(spark, predicate="o_orderkey % 8 = 0")
+    missing = primary.join(
+        replica.select(F.col("o_orderkey").alias("rk")),
+        primary.o_orderkey == F.col("rk"),
+        "left_anti",
+    )
+    return (
+        missing.select(
+            F.col("o_orderkey").cast("long").alias("missing_key"),
+            F.lit("replica").alias("missing_from"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents_primary"),
+        )
+        .orderBy("missing_key")
+        .limit(20)
+    )
