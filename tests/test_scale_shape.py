@@ -832,3 +832,42 @@ def test_pps_cumsum_is_bucket_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_bkt" in line, f"unpartitioned window: {line[:160]}"
+
+
+def test_burrows_delta_rides_staged_census(spark, sf_dir):
+    # the (source, word) census persists once; the grid/top-word/total
+    # references read it from memory, and the 190-row pair join is a
+    # hash join over the z frame — no corpus re-explode, no cartesian
+    plan = _plan(plans.QUERIES["text_burrows_delta"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dp_plan_reads_persisted_stats_only(spark, sf_dir):
+    # all ten subset rows re-read the one persisted stats row — the
+    # 4-table distinct census must not re-run per UNION branch
+    from datafusion_remote_table_spark.plans import relational as R
+
+    R._RANK_STAGE_CACHE.clear()
+    plan = _plan(plans.QUERIES["join_order_dp_plan"](spark, sf_dir))
+    # NOTE: InMemoryRelation nodes PRINT their cached child plan, so
+    # FileScan strings legitimately appear inside the cache description
+    # — the correct assertion is that every UNION branch reads the
+    # in-memory stats row
+    assert plan.count("InMemoryTableScan") >= 10, "subset rows not reading the persisted stats"
+
+
+def test_mannwhitney_windows_on_value_census(spark, sf_dir):
+    # the rank window runs over the (value-cents) census, never events:
+    # single scan, aggregate below every window
+    plan = _plan(plans.QUERIES["events_mannwhitney_u"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.rindex("HashAggregate") > plan.rindex("Window")
+
+
+def test_wasserstein_grid_is_census_sized(spark, sf_dir):
+    # the zero-filled lang x value grid derives from the persisted
+    # census — one corpus scan total, windows over the grid only
+    plan = _plan(plans.QUERIES["doc_length_wasserstein"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "grid did not read the persisted census"
+    assert "CartesianProduct" not in plan
