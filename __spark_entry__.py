@@ -125,6 +125,8 @@ _VERIFY_FIRST = [
     "orders_kendall_tau",
     "events_runs_test",
     "remote_diff_drilldown",
+    "orders_expected_shortfall",
+    "minhash_splithalf_reliability",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -9939,3 +9939,95 @@ def _sql_quant_ladder(E):
 
 _register_pair("embedding_quantization_ladder", _sql_quant_ladder,
                tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# minhash_splithalf_reliability — split-half reliability of the minhash
+# estimator (classical measurement theory applied to the signature
+# store): each pair's jaccard is estimated TWICE from disjoint
+# permutation halves (perms 1-16 vs 17-32 of the SAME staged
+# signatures), scored for mean absolute disagreement and Pearson
+# correlation, with Spearman-Brown lifting the half-correlation to the
+# full-32 reliability — the table that says whether 16 permutations
+# would suffice. The pair set is the bounded ground-truth block (all
+# pairs of the first 50 docs — the band-scurve convention), NOT the
+# LSH-verified pairs: the verified set is range-restricted to
+# jaccard >= 0.8, which crushes between-pair correlation to ~0.06
+# (measured — the classic range-restriction artifact) and says nothing
+# about the estimator. Rides the shared signature staging; both
+# half-estimates are map-side array folds; agreements are exact
+# integers; the correlation uses ROUND-quantized DECIMAL moment sums.
+# Non-vacuous at sf0.01 (measured): r ~0.99 over the bimodal union
+# with a real nonzero disagreement.
+def _sql_splithalf(E, sig_src=None, pairs_src=None):
+    sh = f"({_minhash_shingles(E)})"
+    sig = sig_src or f"({_minhash_sigs(E, sh)})"
+    # GT block ∪ LSH-verified pairs: the block alone is all-noise
+    # (ests identically 0 on this bimodal corpus — zero variance, NaN
+    # correlation), the verified set alone is range-restricted to
+    # jaccard >= 0.8 (r ~0.06 measured); the union spans both modes
+    pairs = pairs_src or (
+        "(SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM (SELECT doc_id FROM documents WHERE doc_id < 50) a"
+        " JOIN (SELECT doc_id FROM documents WHERE doc_id < 50) b"
+        " ON b.doc_id > a.doc_id"
+        " UNION SELECT doc_a, doc_b FROM (" + _sql_minhash_oracle(E) + ") vp)"
+    )
+
+    def agree(lo, hi):
+        return E.list_sum_int(
+            f"{E.TRANSFORM}({E.seq(lo, hi)}, p -> CASE WHEN {E.idx('sa.sigs', 'p')}"
+            f" = {E.idx('sb.sigs', 'p')} THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH halves AS (
+      SELECT v.doc_a, v.doc_b,
+             CAST({agree(1, 16)} AS DOUBLE) / 16 AS est_a,
+             CAST({agree(17, 32)} AS DOUBLE) / 16 AS est_b
+      FROM {pairs} v
+      JOIN {sig} sa ON v.doc_a = sa.doc_id
+      JOIN {sig} sb ON v.doc_b = sb.doc_id
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(est_a, 6) AS DECIMAL(28, 6))) AS DOUBLE) AS sa,
+             CAST(SUM(CAST(ROUND(est_b, 6) AS DECIMAL(28, 6))) AS DOUBLE) AS sb,
+             CAST(SUM(CAST(ROUND(est_a * est_a, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS saa,
+             CAST(SUM(CAST(ROUND(est_b * est_b, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS sbb,
+             CAST(SUM(CAST(ROUND(est_a * est_b, 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS sab,
+             CAST(SUM(CAST(ROUND(abs(est_a - est_b), 6) AS DECIMAL(28, 6)))
+                  AS DOUBLE) AS sdiff
+      FROM halves
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           ROUND(sa / n, 6) AS mean_est_half_a,
+           ROUND(sb / n, 6) AS mean_est_half_b,
+           ROUND(sdiff / n, 6) AS mean_abs_disagreement,
+           ROUND((n * sab - sa * sb)
+                 / sqrt(greatest((n * saa - sa * sa) * (n * sbb - sb * sb),
+                                 1e-18)), 6)
+             AS splithalf_pearson_r,
+           ROUND(2.0e0 * ((n * sab - sa * sb)
+                 / sqrt(greatest((n * saa - sa * sa) * (n * sbb - sb * sb),
+                                 1e-18)))
+                 / (1.0e0 + (n * sab - sa * sb)
+                    / sqrt(greatest((n * saa - sa * sa) * (n * sbb - sb * sb),
+                                    1e-18))), 6)
+             AS spearman_brown_full
+    FROM moments
+"""
+
+
+def minhash_splithalf_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    _sh, sig, _bands = _minhash_stage(spark, sf_dir)
+    return spark.sql(_sql_splithalf(_Spark, sig_src=sig))
+
+
+QUERIES["minhash_splithalf_reliability"] = minhash_splithalf_reliability
+ORACLE["minhash_splithalf_reliability"] = _sql_splithalf(_Duck)

@@ -8230,3 +8230,59 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RUNS_SQL.format(day="CAST(unix_timestamp(ts) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# orders_expected_shortfall — tail-risk metrics over daily revenue
+# (the risk-management view the robust-stats family lacks): VaR_5% is
+# the k-th worst day's revenue (k = ceil(0.05 * n_days), an exact
+# ORDER STATISTIC — never an interpolated percentile, which drifts
+# cross-engine), and expected shortfall (CVaR) is the exact mean of
+# those k worst days. Determinism: daily revenues are exact DECIMAL
+# cents; the rank is a ROW_NUMBER tie-broken on day; the tail mean is
+# an exact-int ratio. Scale: the fact scan collapses to the ~80-day
+# census; ranking runs over days. Non-vacuous at sf0.01 (measured):
+# VaR/ES sit well below the mean with a real tail gap.
+_ES_SQL = """
+    WITH daily AS (
+      SELECT ({day}) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(28, 0)))
+                  AS DECIMAL(28, 0)) AS cents
+      FROM orders GROUP BY ({day})
+    ),
+    ranked AS (
+      SELECT d, cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, d) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    k AS (
+      -- floor() the ceil-division explicitly: bare '/' yields DOUBLE
+      -- in both engines and CAST(double AS BIGINT) truncates in Spark
+      -- but rounds in DuckDB (the known gotcha)
+      SELECT n, CAST(floor((n * 5 + 99) / 100.0e0) AS BIGINT) AS kk FROM ranked
+      GROUP BY n
+    )
+    SELECT CAST(MAX(r.n) AS BIGINT) AS n_days,
+           CAST(MAX(k.kk) AS BIGINT) AS k_tail_days,
+           ROUND(CAST(SUM(CAST(r.cents AS DECIMAL(28, 0))) AS DOUBLE)
+                 / MAX(r.n) / 100.0e0, 2) AS mean_daily_revenue,
+           ROUND(CAST(MAX(CASE WHEN r.rnk = k.kk THEN r.cents END) AS DOUBLE)
+                 / 100.0e0, 2) AS var_5pct,
+           ROUND(CAST(SUM(CASE WHEN r.rnk <= k.kk
+                               THEN CAST(r.cents AS DECIMAL(28, 0))
+                               ELSE CAST(0 AS DECIMAL(28, 0)) END) AS DOUBLE)
+                 / MAX(k.kk) / 100.0e0, 2) AS expected_shortfall_5pct
+    FROM ranked r CROSS JOIN k
+"""
+
+
+@register(
+    "orders_expected_shortfall",
+    oracle=_ES_SQL.format(day="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"),
+)
+def orders_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _ES_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
+    )
