@@ -127,6 +127,8 @@ _VERIFY_FIRST = [
     "remote_diff_drilldown",
     "orders_expected_shortfall",
     "minhash_splithalf_reliability",
+    "events_seasonal_adjusted_anomaly",
+    "orders_pacf_durbin",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

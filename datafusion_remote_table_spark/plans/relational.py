@@ -8286,3 +8286,181 @@ def orders_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _ES_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_adjusted_anomaly — seasonally-ADJUSTED burst/outage
+# detection: each calendar hour is z-scored against its own
+# hour-of-day's mean/std (exact integer sufficient statistics per hod),
+# not the global distribution — an 18:00 spike is judged against other
+# 18:00s. This is the operational completion of the seasonal family:
+# events_hourly_anomaly (global z) flags busy dayparts as "anomalies";
+# the hod-conditional z only flags deviations FROM the pattern.
+# Determinism: counts exact; per-hod moments exact DECIMAL; z is scalar
+# IEEE; top-20 by |z| with (hour, z) tie-breaks. Scale: the hourly
+# census bounds everything; moments are 24-row windows over it.
+# Non-vacuous at sf0.01 (measured): z values vary and the top hours
+# differ from the global detector's.
+_SEAS_ADJ_SQL = """
+    WITH hourly AS (
+      SELECT {hour_ts} AS h, CAST({hod} AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events e GROUP BY {hour_ts}, {hod}
+    ),
+    m AS (
+      SELECT h, hod, c,
+             CAST(COUNT(*) OVER (PARTITION BY hod) AS DOUBLE) AS n,
+             CAST(SUM(c) OVER (PARTITION BY hod) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(c * c AS DECIMAL(38, 0))) OVER (PARTITION BY hod)
+                  AS DOUBLE) AS s2
+      FROM hourly
+    )
+    SELECT {hfmt} AS hour_ts, hod, c AS n_events,
+           ROUND(s1 / n, 6) AS hod_mean,
+           ROUND((CAST(c AS DOUBLE) - s1 / n)
+                 / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.000001e0)), 4)
+             AS z_seasonal
+    FROM m
+    ORDER BY abs(ROUND((CAST(c AS DOUBLE) - s1 / n)
+                 / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.000001e0)), 4))
+             DESC, h
+    LIMIT 20
+"""
+
+
+@register(
+    "events_seasonal_adjusted_anomaly",
+    oracle=_SEAS_ADJ_SQL.format(
+        hour_ts="date_trunc('hour', e.ts)",
+        hod="EXTRACT(hour FROM e.ts)",
+        hfmt="strftime(h, '%Y-%m-%d %H:%M:%S')",
+    ),
+)
+def events_seasonal_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _SEAS_ADJ_SQL.format(
+            hour_ts="date_trunc('hour', e.ts)",
+            hod="hour(e.ts)",
+            hfmt="date_format(h, 'yyyy-MM-dd HH:mm:ss')",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# orders_pacf_durbin — partial autocorrelation of the daily revenue
+# series to lag 5 via the Durbin-Levinson recursion (the AR-order
+# identification tool: ACF says "how much memory", PACF says "how many
+# AR terms") — the recursion unrolls as chained CTE levels, each
+# consuming the previous once, all scalar IEEE on the exact quantized
+# ACF values (the events_hourly_acf determinism pattern: centered
+# products ROUND(...,9) then DECIMAL-summed; missing days are
+# zero-filled via the dense day spine). Wide single-row output (a tall
+# spelling would re-expand the daily census per lag row). Scale: the
+# fact scan collapses to the ~2400-day census; the lag joins and the
+# recursion are census/scalar work. Non-vacuous at sf0.01 (measured):
+# acf/pacf values are distinct small negatives — the series is
+# near-white, which PACF correctly reports as "no AR structure".
+_PACF_LEVELS = """
+    lv1 AS (SELECT *, r1 AS p11 FROM acfw),
+    lv2 AS (
+      SELECT *, (r2 - p11 * r1) / (1.0e0 - p11 * r1) AS p22 FROM lv1
+    ),
+    lv2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM lv2),
+    lv3 AS (
+      SELECT *, (r3 - (p21 * r2 + p22 * r1))
+                / (1.0e0 - (p21 * r1 + p22 * r2)) AS p33
+      FROM lv2b
+    ),
+    lv3b AS (
+      SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM lv3
+    ),
+    lv4 AS (
+      SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+                / (1.0e0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+      FROM lv3b
+    ),
+    lv4b AS (
+      SELECT *, p31 - p44 * p33 AS p41, p32 - p44 * p32 AS p42,
+                p33 - p44 * p31 AS p43
+      FROM lv4
+    ),
+    lv5 AS (
+      SELECT *, (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + p44 * r1))
+                / (1.0e0 - (p41 * r1 + p42 * r2 + p43 * r3 + p44 * r4)) AS p55
+      FROM lv4b
+    )
+"""
+
+_PACF_SQL = """
+    WITH daily AS (
+      SELECT ({day}) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(28, 0)))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY ({day})
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (SELECT {dspine} FROM bounds),
+    series AS (
+      SELECT s.d, CAST(COALESCE(dd.cents, 0) AS DOUBLE) / 100.0e0 AS x
+      FROM spine s LEFT JOIN daily dd ON dd.d = s.d
+    ),
+    mstat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(28, 2))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM series
+    ),
+    denom AS (
+      SELECT CAST(SUM(CAST(ROUND((s.x - t.m) * (s.x - t.m), 4)
+                           AS DECIMAL(38, 4))) AS DOUBLE) AS ss
+      FROM series s CROSS JOIN mstat t
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag FROM ({kspine}) t),
+    num AS (
+      SELECT l.lag,
+             CAST(SUM(CAST(ROUND((a.x - t.m) * (b.x - t.m), 4)
+                           AS DECIMAL(38, 4))) AS DOUBLE) AS sp
+      FROM lags l
+      CROSS JOIN mstat t
+      CROSS JOIN series a
+      JOIN series b ON b.d = a.d + l.lag
+      GROUP BY l.lag
+    ),
+    acfw AS (
+      SELECT
+        MAX(CASE WHEN n.lag = 1 THEN n.sp / d.ss END) AS r1,
+        MAX(CASE WHEN n.lag = 2 THEN n.sp / d.ss END) AS r2,
+        MAX(CASE WHEN n.lag = 3 THEN n.sp / d.ss END) AS r3,
+        MAX(CASE WHEN n.lag = 4 THEN n.sp / d.ss END) AS r4,
+        MAX(CASE WHEN n.lag = 5 THEN n.sp / d.ss END) AS r5
+      FROM num n CROSS JOIN denom d
+    ),
+""" + _PACF_LEVELS + """
+    SELECT ROUND(r1, 6) AS acf_1, ROUND(r2, 6) AS acf_2,
+           ROUND(r3, 6) AS acf_3, ROUND(r4, 6) AS acf_4,
+           ROUND(r5, 6) AS acf_5,
+           ROUND(p11, 6) AS pacf_1, ROUND(p22, 6) AS pacf_2,
+           ROUND(p33, 6) AS pacf_3, ROUND(p44, 6) AS pacf_4,
+           ROUND(p55, 6) AS pacf_5
+    FROM lv5
+"""
+
+
+@register(
+    "orders_pacf_durbin",
+    oracle=_PACF_SQL.format(
+        day="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400",
+        dspine="unnest(generate_series(lo, hi)) AS d",
+        kspine="SELECT unnest(generate_series(1, 5)) AS k",
+    ),
+)
+def orders_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _PACF_SQL.format(
+            day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400",
+            dspine="explode(sequence(lo, hi)) AS d",
+            kspine="SELECT explode(sequence(1, 5)) AS k",
+        )
+    )
