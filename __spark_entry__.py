@@ -129,6 +129,8 @@ _VERIFY_FIRST = [
     "minhash_splithalf_reliability",
     "events_seasonal_adjusted_anomaly",
     "orders_pacf_durbin",
+    "federated_topk_orders",
+    "winnowing_minhash_agreement",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

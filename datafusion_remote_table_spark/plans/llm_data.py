@@ -10031,3 +10031,75 @@ def minhash_splithalf_reliability(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["minhash_splithalf_reliability"] = minhash_splithalf_reliability
 ORACLE["minhash_splithalf_reliability"] = _sql_splithalf(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# winnowing_minhash_agreement — cross-method consistency audit between
+# the two independent near-dup candidate generators (winnowing
+# fingerprints at shared_fps >= 4 vs LSH-verified minhash pairs): pair-
+# set sizes, overlap, jaccard agreement, and each method's exclusive
+# count — the dedup_method_agreement companion for the winnowing
+# method added this round (extending the existing agreement table
+# would have changed its stable oracle). Two genuinely different
+# pipelines (positional rolling-hash selection vs permutation minima)
+# agreeing on the SAME pairs is strong evidence both are finding real
+# duplication rather than artifacts. Rides both staged frames; the
+# comparison is a census-scale full-outer join on (doc_a, doc_b).
+# Non-vacuous at sf0.01 (measured): both methods find the planted
+# near-dups (large overlap) with small distinct exclusive tails.
+def _winnow_pairs4_sql(E, V):
+    return f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {V} a
+      JOIN (SELECT fp FROM {V} GROUP BY fp
+            HAVING COUNT(*) BETWEEN 2 AND 50) c ON a.fp = c.fp
+      JOIN {V} b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 4
+    """
+
+
+def _agreement_tail_sql(wp, mp):
+    return f"""
+    SELECT CAST(SUM(CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_winnowing,
+           CAST(SUM(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(SUM(CASE WHEN w.doc_a IS NOT NULL AND m.doc_a IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           ROUND(CAST(SUM(CASE WHEN w.doc_a IS NOT NULL AND m.doc_a IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS jaccard_agreement,
+           CAST(SUM(CASE WHEN m.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS winnowing_only,
+           CAST(SUM(CASE WHEN w.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS minhash_only
+    FROM ({wp}) w
+    FULL OUTER JOIN ({mp}) m
+      ON m.doc_a = w.doc_a AND m.doc_b = w.doc_b
+    """
+
+
+def winnowing_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("winnow_fp", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        dedup_winnowing(spark, sf_dir)
+    mh = _minhash_pairs(spark, sf_dir)
+    view = f"wm_mh_pairs_{_dataset_suffix(sf_dir)}"
+    mh.createOrReplaceTempView(view)
+    return spark.sql(
+        _agreement_tail_sql(
+            _winnow_pairs4_sql(_Spark, _MINHASH_STAGE_CACHE[key]),
+            f"SELECT doc_a, doc_b FROM {view}",
+        )
+    )
+
+
+QUERIES["winnowing_minhash_agreement"] = winnowing_minhash_agreement
+ORACLE["winnowing_minhash_agreement"] = (
+    "WITH selfp AS MATERIALIZED (" + _winnow_fp_sql(_Duck) + ")"
+    + _agreement_tail_sql(
+        _winnow_pairs4_sql(_Duck, "selfp"),
+        "SELECT doc_a, doc_b FROM (" + _sql_minhash_oracle(_Duck) + ") v",
+    )
+)

@@ -1434,3 +1434,51 @@ def remote_diff_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("missing_key")
         .limit(20)
     )
+
+
+@register(
+    "federated_topk_orders",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'sqlite' ELSE 'duckdb' END AS shard
+    FROM orders
+    ORDER BY cents DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def federated_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated two-phase TOP-K (the distributed top-k protocol): each
+    shard computes its LOCAL top-k with the ORDER BY/LIMIT pushed to
+    the remote engine (sqlite serves the even keys under a pushed
+    predicate, the duckdb replica its odd shard), only 2k rows cross
+    the wire, and the coordinator merges and re-cuts — provably exact
+    because the global top-k is contained in the union of local
+    top-ks over a disjoint sharding. This is remote_topk_pushdown
+    lifted to the multi-engine case. Determinism: cents are exact
+    integers; the cut is a total order on (cents DESC, key). Scale:
+    two pushed top-k scans + a 20-row merge."""
+    k = 10
+    sq = RemoteTable(
+        _sqlite_opts(sf_dir),
+        f"SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents"
+        f" FROM orders WHERE o_orderkey % 2 = 0"
+        f" ORDER BY cents DESC, o_orderkey LIMIT {k}",
+    ).read(spark).select(
+        F.col("o_orderkey").cast("long"), F.col("cents").cast("long"),
+        F.lit("sqlite").alias("shard"),
+    )
+    dk = RemoteTable(
+        DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir)),
+        f"SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents"
+        f" FROM orders"
+        f" ORDER BY cents DESC, o_orderkey LIMIT {k}",
+    ).read(spark).select(
+        F.col("o_orderkey").cast("long"), F.col("cents").cast("long"),
+        F.lit("duckdb").alias("shard"),
+    )
+    return (
+        sq.union(dk)
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
