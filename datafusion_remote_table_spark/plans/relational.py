@@ -6880,9 +6880,10 @@ _MASE_SQL = """
            ROUND(abs(CAST(cents - fcast_cents AS DOUBLE)) / 100.0e0, 2)
              AS abs_err,
            ROUND(abs(CAST(cents - fcast_cents AS DOUBLE))
-                 / walk_mae_cents, 6) AS mase,
+                 / greatest(walk_mae_cents, 1e-9), 6) AS mase,
            ROUND(2.0e0 * abs(CAST(cents - fcast_cents AS DOUBLE))
-                 / (CAST(cents AS DOUBLE) + CAST(fcast_cents AS DOUBLE)), 6)
+                 / greatest(CAST(cents AS DOUBLE)
+                            + CAST(fcast_cents AS DOUBLE), 1e-9), 6)
              AS smape
     FROM scored
     WHERE fcast_cents IS NOT NULL
@@ -8147,7 +8148,8 @@ _KENDALL_SQL = """
            CAST(disc AS BIGINT) AS discordant,
            CAST(ties_y AS BIGINT) AS revenue_ties,
            ROUND((conc - disc)
-                 / sqrt(n_pairs * (n_pairs - ties_y)), 6) AS kendall_tau_b
+                 / sqrt(greatest(n_pairs * (n_pairs - ties_y), 1e-9)), 6)
+             AS kendall_tau_b
     FROM pairs
 """
 
