@@ -6823,7 +6823,8 @@ _IVM_JOIN_SQL = """
            ROUND(CAST(f.full_cents AS DOUBLE) / 100.0e0, 2) AS full_revenue,
            CASE WHEN m.merged_cents = f.full_cents THEN 1 ELSE 0 END AS rev_consistent,
            ROUND(CAST(m.delta_cents AS DOUBLE)
-                 / CAST(m.merged_cents AS DOUBLE), 6) AS delta_rev_share
+                 / greatest(abs(CAST(m.merged_cents AS DOUBLE)), 1e-9), 6)
+             AS delta_rev_share
     FROM merged m JOIN full_v f ON f.n_name = m.n_name
     ORDER BY m.n_name
 """

@@ -425,6 +425,15 @@ _ORDER_QUERIES = [
     "orders_keyspace_gap_audit",
     "orders_cohort_ltv",
     "customer_tier_migration",
+    # round-6 continuation: the new orders-family operators (their
+    # degenerate-denominator guards — single month, constant revenue,
+    # all-zero prices — exist because this suite keeps finding the
+    # ANSI double-division class)
+    "orders_kendall_tau",
+    "orders_seasonal_naive_mase",
+    "orders_expected_shortfall",
+    "aqp_sample_error_audit",
+    "ivm_join_delta",
 ]
 
 _STATUSES = ["O", "F", "P"]
