@@ -6669,7 +6669,14 @@ _register_pair("corpus_budget_waterfill", _sql_waterfill)
 # containment result through a temp view.
 def _sql_editdistance(E, pairs_src=None):
     pairs = pairs_src or f"({_sql_containment_oracle(E)})"
-    norm = lambda col: E.collapse_ws(f"lower({col})")  # noqa: E731
+    # fold non-ASCII to '?' BEFORE the distance: Spark's levenshtein
+    # counts unicode characters, DuckDB's counts bytes, so any multibyte
+    # character diverges the distance by its encoded length minus one
+    # (hypothesis found it with a 'naïve' corpus); after the fold both
+    # engines see the identical ASCII string
+    norm = lambda col: E.collapse_ws(  # noqa: E731
+        E.regexp_replace_all(f"lower({col})", "[^ -~]", "?")
+    )
     return f"""
     WITH cand AS (
       SELECT doc_a, doc_b, jaccard FROM {pairs} p
