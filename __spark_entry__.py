@@ -131,6 +131,7 @@ _VERIFY_FIRST = [
     "orders_pacf_durbin",
     "federated_topk_orders",
     "winnowing_minhash_agreement",
+    "events_levene_test",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

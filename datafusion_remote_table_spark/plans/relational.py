@@ -8467,3 +8467,74 @@ def orders_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
             kspine="SELECT explode(sequence(1, 5)) AS k",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_levene_test — Levene's test for variance EQUALITY between the
+# md5 arms' purchase values (the precondition check the mean-based
+# ab_test silently assumes; Mann-Whitney checks location, KS checks
+# shape — this checks spread): W is the one-way ANOVA F computed on
+# absolute deviations from each group's mean. Group means are exact
+# cent ratios; per-row absolute deviations are quantized ROUND(...,4)
+# and DECIMAL-summed (order-independent); W is fixed-order scalar on
+# the 2-group moment frame. Scale: two keyed passes (group means, then
+# deviation moments) with map-side partials — constant-size state.
+# Non-vacuous at sf0.01 (measured): W is a nonzero noise-level value
+# on the randomized arms; a real variance shift would move it far
+# from 1.
+_LEVENE_SQL = """
+    WITH vals AS (
+      SELECT ({arm}) AS arm,
+             CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    gmean AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(28, 0))) AS DOUBLE) / COUNT(*) AS m
+      FROM vals GROUP BY arm
+    ),
+    dev AS (
+      SELECT v.arm,
+             ROUND(abs(CAST(v.c AS DOUBLE) - g.m) / 100.0e0, 4) AS z
+      FROM vals v JOIN gmean g ON g.arm = v.arm
+    ),
+    zm AS (
+      SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(z AS DECIMAL(28, 4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(z * z, 4) AS DECIMAL(28, 4))) AS DOUBLE) AS s2
+      FROM dev GROUP BY arm
+    ),
+    wide AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nt,
+             CAST(SUM(CAST(ROUND(s1, 4) AS DECIMAL(28, 4))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(ROUND(s1 * s1 / n, 4) AS DECIMAL(28, 4)))
+                  AS DOUBLE) AS ssb_raw,
+             CAST(SUM(CAST(ROUND(s2, 4) AS DECIMAL(28, 4))) AS DOUBLE) AS st2,
+             MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 0 THEN s1 / n END) AS zbar0,
+             MAX(CASE WHEN arm = 1 THEN s1 / n END) AS zbar1
+      FROM zm
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+           ROUND(zbar0, 6) AS mean_absdev_arm0,
+           ROUND(zbar1, 6) AS mean_absdev_arm1,
+           ROUND(((ssb_raw - st * st / nt) / 1.0e0)
+                 / ((st2 - ssb_raw) / (nt - 2.0e0)), 6) AS levene_w
+    FROM wide
+"""
+
+
+@register(
+    "events_levene_test",
+    oracle=_LEVENE_SQL.format(
+        arm="CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 2"
+    ),
+)
+def events_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(
+        _LEVENE_SQL.format(
+            arm="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
+        )
+    )
