@@ -132,6 +132,7 @@ _VERIFY_FIRST = [
     "federated_topk_orders",
     "winnowing_minhash_agreement",
     "events_levene_test",
+    "orders_kruskal_wallis",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -8538,3 +8538,79 @@ def events_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             arm="CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 2), 16, 10) AS BIGINT) % 2"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# orders_kruskal_wallis — Kruskal-Wallis H test of daily revenue across
+# the seven weekdays (the k-group extension of events_mannwhitney_u's
+# rank machinery, closing the nonparametric family: MWU for 2 groups,
+# KW for k): daily revenues rank via the value census with DOUBLED
+# midranks (2*midrank = lo+hi is always an integer, so per-group rank
+# sums stay exact), and H carries the exact tie correction. Parametric
+# weekday ANOVA assumes normal daily revenue; KW does not.
+# Determinism: revenues exact cents; rank sums exact integers; H is
+# fixed-order scalar IEEE on them. Scale: everything after the daily
+# census (calendar-bounded) is census-window math. Non-vacuous at
+# sf0.01 (measured): per-weekday mean ranks differ and H is a real
+# noise-level value on this seasonless book.
+_KW_SQL = """
+    WITH daily AS (
+      SELECT ({day}) AS d,
+             CAST(({day}) % 7 AS BIGINT) AS wd,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(28, 0)))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY ({day})
+    ),
+    census AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS t
+      FROM daily GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents, t,
+             CAST(SUM(t) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM census
+    ),
+    scored AS (
+      SELECT d.wd, d.cents,
+             r.cum * 2 - r.t + 1 AS two_rank
+      FROM daily d JOIN ranked r ON r.cents = d.cents
+    ),
+    groups AS (
+      SELECT wd, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(two_rank) AS BIGINT) AS two_rsum
+      FROM scored GROUP BY wd
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(t AS DECIMAL(28, 0)) * t * t - t) AS DOUBLE)
+               AS tie_cubes,
+             CAST(SUM(t) AS DOUBLE) AS nt
+      FROM census
+    ),
+    h AS (
+      SELECT CAST(SUM(CAST(ROUND(CAST(two_rsum AS DOUBLE) * two_rsum
+                                 / (4.0e0 * n), 4) AS DECIMAL(28, 4)))
+                  AS DOUBLE) AS sum_r2n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM groups
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n_days, h.k AS n_groups,
+           ROUND((12.0e0 * h.sum_r2n / (t.nt * (t.nt + 1.0e0))
+                  - 3.0e0 * (t.nt + 1.0e0))
+                 / (1.0e0 - t.tie_cubes
+                    / (t.nt * t.nt * t.nt - t.nt)), 6) AS kw_h,
+           CAST(h.k - 1 AS BIGINT) AS dof
+    FROM h CROSS JOIN ties t
+"""
+
+
+@register(
+    "orders_kruskal_wallis",
+    oracle=_KW_SQL.format(day="CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400"),
+)
+def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        _KW_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
+    )
