@@ -133,6 +133,7 @@ _VERIFY_FIRST = [
     "winnowing_minhash_agreement",
     "events_levene_test",
     "orders_kruskal_wallis",
+    "idf_shard_stability",
     # …and the 55 round-5 additions + remote pushdown ops that also have
     # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",

@@ -10110,3 +10110,58 @@ ORACLE["winnowing_minhash_agreement"] = (
         "SELECT doc_a, doc_b FROM (" + _sql_minhash_oracle(_Duck) + ") v",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# idf_shard_stability — can IDF be computed per shard? The distributed-
+# retrieval question behind sharded BM25 deployments (global IDF needs
+# a cross-shard merge; per-shard IDF is free but biased): documents
+# split into two md5 halves, per-word IDF (ln(N/df), ROUND(...,9) —
+# the adjudicated-safe ln window) computed per half and globally over
+# the corpus vocabulary census, reporting each word's cross-shard IDF
+# spread and the max/mean drift — the table that says whether local
+# IDF is close enough to skip the merge. Determinism: df counts exact;
+# idf quantized at source; drift aggregates are quantized DECIMAL
+# sums. Scale: ONE corpus explode to the (word, half) census; all IDF
+# math runs on the ~31-word vocabulary. Non-vacuous at sf0.01
+# (measured): per-word drifts are distinct nonzero values.
+def _sql_idf_stability(E):
+    half = f"CAST({E.hex2int(f'substring(md5(CAST(doc_id AS {E.STR})), 1, 2)')} % 2 AS BIGINT)"
+    return f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, {half} AS half, word
+      FROM (SELECT doc_id, {E.explode(E.splitws('lower(text)'), 'word')}
+            FROM documents) t
+    ),
+    census AS (
+      SELECT word,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+      FROM dw GROUP BY word
+    ),
+    docs AS (
+      SELECT CAST(SUM(CASE WHEN {half} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN {half} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.word, c.df0, c.df1,
+             ROUND(ln(CAST(d.n0 AS DOUBLE) / greatest(c.df0, 1)), 9) AS idf0,
+             ROUND(ln(CAST(d.n1 AS DOUBLE) / greatest(c.df1, 1)), 9) AS idf1,
+             ROUND(ln(CAST(d.n AS DOUBLE) / (c.df0 + c.df1)), 9) AS idf_global
+      FROM census c CROSS JOIN docs d
+    )
+    SELECT word, df0, df1,
+           ROUND(idf0, 6) AS idf_shard0,
+           ROUND(idf1, 6) AS idf_shard1,
+           ROUND(idf_global, 6) AS idf_global,
+           ROUND(abs(idf0 - idf1), 6) AS cross_shard_drift,
+           ROUND(greatest(abs(idf0 - idf_global), abs(idf1 - idf_global)), 6)
+             AS max_drift_vs_global
+    FROM scored
+    ORDER BY word
+    """
+
+
+_register_pair("idf_shard_stability", _sql_idf_stability)
