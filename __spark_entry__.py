@@ -21,63 +21,11 @@ from datafusion_remote_table_spark import plans
 # next so every §2 item accumulates at least one green row; then the
 # oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # Round-6 rotation (VERDICT r5 items 1+4): the ONE checked-and-FAILED
-    # row outranks everything — r5's hash mismatch, now fixed (oracle
-    # n_at_risk cast BIGINT, spine widened 0..30 so sf0.01 churns).
-    "events_survival_curve",
-    # Then the 45 queries that STILL have no driver CORRECTNESS row in any
-    # round (r5's 50-query budget cleared the first 50 of the r5 list;
-    # these are the tail). All pass the strict local sweep.
-    "text_zipf_audit",
-    "ivm_incremental_agg",
-    "file_skipping_stats",
-    "join_fanout_audit",
-    "events_cusum_changepoint",
-    "orders_theilsen_trend",
-    "sample_weighted_aes",
-    "stream_drift_monitor",
-    "referential_integrity_audit",
-    "events_forecast_ewma",
-    "documents_contract_audit",
-    "window_range_trailing",
-    "agg_grouping_sets",
-    "corpus_budget_waterfill",
-    "interval_attribution_join",
-    "agg_max_by",
-    "events_mad_anomaly",
-    "dedup_editdistance_verify",
-    "events_sessionize_capped",
-    "events_funnel_latency",
-    "embedding_isotropy_probe",
-    "shard_balance_audit",
-    "customer_spend_gini",
-    "bloom_semijoin_prune",
-    "sample_reservoir_per_group",
-    "column_histogram_report",
-    "stream_funnel_latency",
-    "orders_duplicate_payment_audit",
-    "orders_backlog_aging",
-    "events_decayed_popularity",
-    "orders_perfect_rate",
-    "dedup_graph_assortativity",
-    "hilbert_layout_audit",
-    "int8_recall_eval",
-    "text_lang_mixing_audit",
-    "stream_mad_anomaly",
-    "events_anova_value",
-    "events_ks_test",
-    "supplier_scorecard",
-    "part_price_dispersion",
-    "events_user_predictability",
-    "dedup_method_agreement",
-    "customer_credit_exposure",
-    "events_weekday_profile",
-    "heaps_law_audit",
-    # round-6 additions (never driver-verified; strict-sweep green)
-    "events_ab_cuped",
-    "events_ab_sprt",
-    "lineitem_eoq_plan",
-    "customer_order_gap_alerts",
+    # Round-7 rotation (VERDICT r6 item 1): exactly the 111 queries that
+    # have no driver CORRECTNESS row in any round, in the same relative
+    # order as round 6 (r6's 50-row budget cleared the head of the r6
+    # list; those 50 now have fresh green rows and drop to the refresh
+    # tail). All 111 pass the strict local sweep.
     "embedding_knn_symmetry_audit",
     "doc_quality_ensemble",
     "multimodal_video_scene_cut",
@@ -134,8 +82,6 @@ _VERIFY_FIRST = [
     "events_levene_test",
     "orders_kruskal_wallis",
     "idf_shard_stability",
-    # …and the 55 round-5 additions + remote pushdown ops that also have
-    # no driver row yet (VERDICT r5 item 4 names the notable ones).
     "remote_predicate_pushdown",
     "remote_insert_select",
     "remote_delete_pushdown",

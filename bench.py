@@ -238,10 +238,12 @@ def main() -> None:
         so the next run pays the full plan. The JVM stays warm — that is
         deliberate: codegen/shuffle warmup is environment, staging is the
         query's own work."""
+        from datafusion_remote_table_spark.operators import dedup as op_dedup
         from datafusion_remote_table_spark.plans import llm_data, relational
 
         llm_data._MINHASH_STAGE_CACHE.clear()
         relational._RANK_STAGE_CACHE.clear()
+        op_dedup.release_persisted()
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

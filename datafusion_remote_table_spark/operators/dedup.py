@@ -18,6 +18,31 @@ from pyspark.sql import functions as F
 
 from ..functions.text import content_fingerprint, ngram_shingles
 
+# Frames persisted by the tunable operator APIs below (minhash_lsh_pairs,
+# containment_pairs). They must stay persisted while the returned lazy
+# DataFrame is consumed (each is referenced 2-3x inside one plan), so the
+# functions cannot unpersist before returning; instead every persist is
+# tracked here and `release_persisted()` reclaims the storage pool between
+# queries (bench._clear_stagings calls it alongside the plans-layer caches).
+_PERSISTED: list = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every frame persisted by this module's operator APIs.
+
+    Returns the number of frames released. Safe to call at any time: a
+    consumer that re-reads a released result simply recomputes."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-content hash."""
@@ -54,9 +79,11 @@ def minhash_lsh_pairs(
     verification. Returns (id_a, id_b, jaccard), plus a containment
     column (|A∩B| / min(|A|,|B|)) when `with_containment` is set."""
     rows = n_perms // bands
-    sh = df.select(
-        F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
-    ).persist()
+    sh = _track(
+        df.select(
+            F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
+        ).persist()
+    )
     sig = sh.select(id_col, "shingles", minhash_signature(F.col("shingles"), n_perms).alias("sigs"))
 
     band_ids = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b")
@@ -68,7 +95,7 @@ def minhash_lsh_pairs(
             *[F.element_at("sigs", F.col("b") * rows + i + 1) for i in range(rows)],
         )
     )
-    banded = banded.select(F.col(id_col), key.alias("band_key")).persist()
+    banded = _track(banded.select(F.col(id_col), key.alias("band_key")).persist())
 
     # skew valve: drop pathological buckets instead of exploding pairs
     sized = banded.join(
@@ -234,10 +261,12 @@ def containment_pairs(
         threshold=0.0,
         max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
-    grams = df.select(
-        F.col(id_col),
-        ngram_shingles(F.coalesce(F.col(text_col), F.lit("")), gram_n).alias("s"),
-    ).persist()
+    grams = _track(
+        df.select(
+            F.col(id_col),
+            ngram_shingles(F.coalesce(F.col(text_col), F.lit("")), gram_n).alias("s"),
+        ).persist()
+    )
     gexp = grams.select(F.col(id_col), F.explode("s").alias("g"))
     rare = gexp.groupBy("g").count().filter(F.col("count") <= rare_df_max).select("g")
     ga = gexp.join(rare, "g").select(F.col(id_col).alias("id_a"), F.col("g").alias("ga"))
@@ -261,8 +290,13 @@ def containment_pairs(
             "id_b",
             F.round(jac, 6).alias("jaccard"),
             F.round(cont, 6).alias("containment"),
+            # filter on the UNROUNDED score, matching _containment_scored_sql:
+            # the registered query's WHERE applies before the output ROUND,
+            # so boundary pairs (0.3999996 -> 0.4) must not survive here.
+            cont.alias("__cont_raw"),
         )
-        .filter(F.col("containment") >= threshold)
+        .filter(F.col("__cont_raw") >= threshold)
+        .drop("__cont_raw")
         .withColumn("partial_only", (F.col("jaccard") < jaccard_threshold).cast("int"))
     )
 

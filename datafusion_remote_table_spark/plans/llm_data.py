@@ -10121,8 +10121,10 @@ ORACLE["winnowing_minhash_agreement"] = (
 # the corpus vocabulary census, reporting each word's cross-shard IDF
 # spread and the max/mean drift — the table that says whether local
 # IDF is close enough to skip the merge. Determinism: df counts exact;
-# idf quantized at source; drift aggregates are quantized DECIMAL
-# sums. Scale: ONE corpus explode to the (word, half) census; all IDF
+# idf quantized at source; the 6dp output columns use
+# floor(x*1e6+0.5)/1e6, not ROUND — re-rounding a value already on the
+# 1e-9 grid makes exact 6dp half-boundaries reachable, the HALF_UP-vs-
+# round divergence class. Scale: ONE corpus explode census; all IDF
 # math runs on the ~31-word vocabulary. Non-vacuous at sf0.01
 # (measured): per-word drifts are distinct nonzero values.
 def _sql_idf_stability(E):
@@ -10153,11 +10155,13 @@ def _sql_idf_stability(E):
       FROM census c CROSS JOIN docs d
     )
     SELECT word, df0, df1,
-           ROUND(idf0, 6) AS idf_shard0,
-           ROUND(idf1, 6) AS idf_shard1,
-           ROUND(idf_global, 6) AS idf_global,
-           ROUND(abs(idf0 - idf1), 6) AS cross_shard_drift,
-           ROUND(greatest(abs(idf0 - idf_global), abs(idf1 - idf_global)), 6)
+           floor(idf0 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS idf_shard0,
+           floor(idf1 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS idf_shard1,
+           floor(idf_global * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS idf_global,
+           floor(abs(idf0 - idf1) * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS cross_shard_drift,
+           floor(greatest(abs(idf0 - idf_global), abs(idf1 - idf_global))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0
              AS max_drift_vs_global
     FROM scored
     ORDER BY word

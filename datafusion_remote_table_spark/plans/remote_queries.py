@@ -1086,21 +1086,26 @@ def federated_partial_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH mx AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS mk FROM orders),
     legs AS (
+      -- each leg reads mk via scalar subqueries and has no GROUP BY, so
+      -- an EMPTY key-range batch still emits its one ledger row with
+      -- rows_pulled = 0 (matching the Spark side's global aggregate,
+      -- which always produces a row) instead of vanishing.
       SELECT CAST(0 AS INT) AS batch_id,
-             CAST(COUNT(*) AS BIGINT) AS rows_pulled,
-             CAST(m.mk // 3 AS BIGINT) AS watermark_key
-      FROM orders o CROSS JOIN mx m WHERE o.o_orderkey <= m.mk // 3
-      GROUP BY m.mk
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey <= (SELECT mk FROM mx) // 3) AS BIGINT)
+               AS rows_pulled,
+             CAST((SELECT mk FROM mx) // 3 AS BIGINT) AS watermark_key
       UNION ALL
-      SELECT CAST(1 AS INT), CAST(COUNT(*) AS BIGINT),
-             CAST((2 * m.mk) // 3 AS BIGINT)
-      FROM orders o CROSS JOIN mx m
-      WHERE o.o_orderkey > m.mk // 3 AND o.o_orderkey <= (2 * m.mk) // 3
-      GROUP BY m.mk
+      SELECT CAST(1 AS INT),
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey > (SELECT mk FROM mx) // 3
+                     AND o_orderkey <= (2 * (SELECT mk FROM mx)) // 3) AS BIGINT),
+             CAST((2 * (SELECT mk FROM mx)) // 3 AS BIGINT)
       UNION ALL
-      SELECT CAST(2 AS INT), CAST(COUNT(*) AS BIGINT), m.mk
-      FROM orders o CROSS JOIN mx m WHERE o.o_orderkey > (2 * m.mk) // 3
-      GROUP BY m.mk
+      SELECT CAST(2 AS INT),
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderkey > (2 * (SELECT mk FROM mx)) // 3) AS BIGINT),
+             CAST((SELECT mk FROM mx) AS BIGINT)
     )
     SELECT batch_id, rows_pulled, watermark_key,
            CAST(SUM(rows_pulled) OVER (ORDER BY batch_id

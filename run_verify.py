@@ -15,6 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as e
 from datafusion_remote_table_spark.session import get_spark
+from tests import oracle_util
 from tests.oracle_util import compare
 
 spark = get_spark("verify")
@@ -36,5 +37,9 @@ for name, fn in qs.items():
     except Exception as ex:  # noqa: BLE001
         fails.append(name)
         print("FAIL", name, repr(ex)[:200], flush=True)
+warned = sorted({(lbl, col) for lbl, col, _ in oracle_util.WARNINGS})
 print("FAILS:", fails)
-assert not fails
+print("WARNS:", warned)
+# SKILL.md: any WARN is a bug — a warned pass is a query whose driver
+# hash may still fail, so it counts against the sweep like a FAIL.
+assert not fails and not warned

@@ -19,6 +19,13 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+# Machine-visible record of every isclose-fallback WARN emitted by
+# compare() (label, column, message). A warned pass is a query whose
+# driver hash may still FAIL; run_verify.py reports this list beside
+# FAILS and exits nonzero if it is nonempty, so a WARN can no longer
+# scroll past unnoticed in a 380+-query sweep.
+WARNINGS: list[tuple[str, str, str]] = []
+
 TABLES = (
     "region",
     "nation",
@@ -89,12 +96,12 @@ def compare(spark_df, oracle: str, sf_dir: str, float_rtol: float = 1e-9,
             if not exact.all():
                 close = np.isclose(g, w, rtol=float_rtol, atol=1e-9) | both_nan
                 assert close.all(), f"column {c}: {np.count_nonzero(~close)} mismatches, e.g. {g[~close][:3]} vs {w[~close][:3]}"
-                print(
-                    f"WARN {label or 'compare'} column {c}: "
+                msg = (
                     f"{np.count_nonzero(~exact)} float values only isclose, not exact "
-                    f"(e.g. {g[~exact][:2]} vs {w[~exact][:2]}) — driver hash may FAIL",
-                    flush=True,
+                    f"(e.g. {g[~exact][:2]} vs {w[~exact][:2]}) — driver hash may FAIL"
                 )
+                WARNINGS.append((label or "compare", c, msg))
+                print(f"WARN {label or 'compare'} column {c}: {msg}", flush=True)
         else:
             eq = g == w
             assert eq.all(), f"column {c}: {np.count_nonzero(~eq)} mismatches, e.g. {g[~eq][:3]} vs {w[~eq][:3]}"
