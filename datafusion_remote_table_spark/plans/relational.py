@@ -2987,29 +2987,47 @@ def quantile_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # range_partition_plan — range-partitioner boundary planning, the
-# sampling step behind every distributed global sort (Spark's
-# RangePartitioner, TeraSort cut points): a deterministic ~1.6% md5
-# sample of order prices yields 31 NTILE boundaries for 32 ranges; the
-# full table then audits actual per-range loads against the ideal.
-# Scale: the sample is map-side filtered and tiny (the only globally
-# sorted thing); the audit assigns each row its range via a
-# SIZE(FILTER(boundary_array)) binary-search stand-in — O(32) per row
-# map-side, never a 32× row blowup join. Integer cents throughout.
+# cut-point step behind every distributed global sort (Spark's
+# RangePartitioner, TeraSort cut points): a bounded $1000-wide value
+# census of order prices (GROUP BY cents DIV 100000 — a few hundred
+# buckets at ANY corpus size, value-bounded not row-bounded) yields 31
+# cumulative-count cut buckets for 32 ranges; the full table then
+# audits actual per-range loads against the ideal. Redesigned in r7:
+# the original NTILE(32) over a fixed-fraction md5 sample was the one
+# corpus-scale single-partition window the window-inventory test
+# flagged (1.6% of 100 TB still lands on one partition); the census
+# cumulative window is bounded by the price range, not the row count.
+# Scale: one map-side-combined census pass; the 31 cuts come from a
+# 31-row spine joined to the bounded cumulative census; assignment is
+# a SIZE(FILTER(boundary_array)) binary-search stand-in — O(32) per
+# row map-side, never a 32× row blowup join. Integer cents throughout.
+# Non-vacuous at sf0.01 (probed r7): 32 ranges, 24 distinct loads,
+# skew_vs_ideal spans 0.9472-1.0709.
 _RANGEPLAN_SQL = """
     WITH vals AS (
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
       FROM orders
     ),
-    sampled AS (
-      SELECT cents FROM vals
-      WHERE {samp} < 4
+    census AS (
+      SELECT {cdiv} AS cb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM vals GROUP BY {cdiv}
     ),
-    tiled AS (
-      SELECT cents, NTILE(32) OVER (ORDER BY cents) AS tile FROM sampled
+    cum AS (
+      SELECT cb, CAST(SUM(n) OVER (ORDER BY cb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+      FROM census
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM vals),
+    spine AS (SELECT {ilist}),
+    cuts AS (
+      SELECT s.i, CAST(MIN(c.cb) AS BIGINT) AS cb
+      FROM spine s CROSS JOIN tot t
+      JOIN cum c ON c.cn * 32 >= s.i * t.total
+      GROUP BY s.i
     ),
     bounds AS (
       SELECT {blist} AS barr
-      FROM (SELECT tile, MAX(cents) AS hi FROM tiled WHERE tile < 32 GROUP BY tile) b
+      FROM (SELECT DISTINCT (cb + 1) * 100000 AS hi FROM cuts) b
     ),
     assigned AS (
       -- COALESCE guards the empty-sample edge: Spark collect_list gives
@@ -3021,11 +3039,13 @@ _RANGEPLAN_SQL = """
       SELECT range_id, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM assigned GROUP BY range_id
     ),
-    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM loads)
+    ltot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM loads)
     SELECT l.range_id, l.n_rows,
-           ROUND(CAST(l.n_rows AS DOUBLE) / t.total, 6) AS row_share,
-           ROUND(CAST(l.n_rows AS DOUBLE) * 32 / t.total, 4) AS skew_vs_ideal
-    FROM loads l CROSS JOIN tot t
+           floor(CAST(l.n_rows AS DOUBLE) / t.total * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS row_share,
+           floor(CAST(l.n_rows AS DOUBLE) * 32 / t.total * 10000.0e0 + 0.5e0)
+             / 10000.0e0 AS skew_vs_ideal
+    FROM loads l CROSS JOIN ltot t
     ORDER BY l.range_id
 """
 
@@ -3033,7 +3053,8 @@ _RANGEPLAN_SQL = """
 @register(
     "range_partition_plan",
     oracle=_RANGEPLAN_SQL.format(
-        samp="CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS BIGINT)",
+        cdiv="cents // 100000",
+        ilist="CAST(unnest(generate_series(1, 31)) AS BIGINT) AS i",
         blist="list_sort(list(b.hi))",
         bucket="len(list_filter(bounds.barr, x -> x < vals.cents))",
     ),
@@ -3042,7 +3063,8 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "orders")
     return spark.sql(
         _RANGEPLAN_SQL.format(
-            samp="CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 2), 16, 10) AS BIGINT)",
+            cdiv="cents DIV 100000",
+            ilist="explode(sequence(CAST(1 AS BIGINT), CAST(31 AS BIGINT))) AS i",
             blist="array_sort(collect_list(b.hi))",
             bucket="size(filter(bounds.barr, x -> x < vals.cents))",
         )
@@ -3161,19 +3183,43 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ARRIVAL order; the report says, for candidate watermarks
 # (15m/30m/1h/2h), how many events a streaming job would DROP and the
 # surviving fraction — the number you need before setting withWatermark
-# on a real feed. Scale: one window over arrival order (the same sort
-# the ingest log already has), then a constant 4-row rollup; at 100TB
-# the audit runs per ingest partition and the rollup merges.
+# on a real feed. Scale: the running max is the DISTRIBUTED two-pass
+# prefix scan (per-arrival-hour windows partitioned by bucket + a
+# bounded cross-bucket carry census — bit-equal to the global scan it
+# replaced, which the r7 window inventory flagged as the one
+# corpus-scale single-partition window); then a constant 4-row rollup.
 # the tail (everything after the delayed-arrival frame) is shared with
 # stream_late_arrival_monitor, whose streaming leg materializes the same
 # (event_id, ts_sec, arrival_sec) rows from the event stream
 _LATE_TAIL_SQL = """
+    bkt AS (
+      SELECT ts_sec, arrival_sec, event_id, {bdiv} AS ab FROM {src}
+    ),
+    bc AS (
+      SELECT ab, MAX(ts_sec) AS bmax FROM bkt GROUP BY ab
+    ),
+    carry AS (
+      SELECT ab,
+             MAX(bmax) OVER (ORDER BY ab
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM bc
+    ),
     arrival AS (
-      SELECT ts_sec,
-             MAX(ts_sec) OVER (ORDER BY arrival_sec, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS high_watermark
-      FROM {src}
+      -- distributed prefix-max: the running max within each arrival-hour
+      -- bucket runs PARTITIONED (parallel); the cross-bucket carry comes
+      -- from the bounded per-bucket census above. Exactly equal to the
+      -- single-partition MAX OVER (ORDER BY arrival_sec, event_id) it
+      -- replaced (prefix max decomposes), without moving the corpus to
+      -- one partition — the r7 window-inventory finding.
+      SELECT b.ts_sec,
+             GREATEST(
+               COALESCE(c.prev_max, b.ts_sec),
+               MAX(b.ts_sec) OVER (PARTITION BY b.ab
+                                   ORDER BY b.arrival_sec, b.event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ) AS high_watermark
+      FROM bkt b JOIN carry c ON c.ab = b.ab
     ),
     lateness AS (
       SELECT CAST(high_watermark - ts_sec AS BIGINT) AS late_sec FROM arrival
@@ -3207,6 +3253,7 @@ def _late_audit_oracle() -> str:
         epoch_ts="CAST(floor(epoch(ts)) AS BIGINT)",
         h8="CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)",
         src="delayed",
+        bdiv="arrival_sec // 3600",
         wlist="SELECT unnest([900, 1800, 3600, 7200]) AS w",
     )
 
@@ -3219,6 +3266,7 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_ts="CAST(unix_timestamp(ts) AS BIGINT)",
             h8="CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)",
             src="delayed",
+            bdiv="arrival_sec DIV 3600",
             wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
         )
     )
@@ -8266,16 +8314,20 @@ _ES_SQL = """
       SELECT n, CAST(floor((n * 5 + 99) / 100.0e0) AS BIGINT) AS kk FROM ranked
       GROUP BY n
     )
+    -- 2dp outputs use floor(x*100+0.5)/100, not ROUND: these are
+    -- cents/count rationals whose decimal expansion can land exactly on
+    -- a half boundary (hypothesis found mean 324.085 -> .09 vs .08,
+    -- Spark HALF_UP vs DuckDB round, r7)
     SELECT CAST(MAX(r.n) AS BIGINT) AS n_days,
            CAST(MAX(k.kk) AS BIGINT) AS k_tail_days,
-           ROUND(CAST(SUM(CAST(r.cents AS DECIMAL(28, 0))) AS DOUBLE)
-                 / MAX(r.n) / 100.0e0, 2) AS mean_daily_revenue,
-           ROUND(CAST(MAX(CASE WHEN r.rnk = k.kk THEN r.cents END) AS DOUBLE)
-                 / 100.0e0, 2) AS var_5pct,
-           ROUND(CAST(SUM(CASE WHEN r.rnk <= k.kk
+           floor(CAST(SUM(CAST(r.cents AS DECIMAL(28, 0))) AS DOUBLE)
+                 / MAX(r.n) + 0.5e0) / 100.0e0 AS mean_daily_revenue,
+           floor(CAST(MAX(CASE WHEN r.rnk = k.kk THEN r.cents END) AS DOUBLE)
+                 + 0.5e0) / 100.0e0 AS var_5pct,
+           floor(CAST(SUM(CASE WHEN r.rnk <= k.kk
                                THEN CAST(r.cents AS DECIMAL(28, 0))
                                ELSE CAST(0 AS DECIMAL(28, 0)) END) AS DOUBLE)
-                 / MAX(k.kk) / 100.0e0, 2) AS expected_shortfall_5pct
+                 / MAX(k.kk) + 0.5e0) / 100.0e0 AS expected_shortfall_5pct
     FROM ranked r CROSS JOIN k
 """
 

@@ -1175,6 +1175,7 @@ def stream_late_arrival_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _LATE_TAIL_SQL.lstrip().lstrip("\n").format(
             src="stream_late_rows",
+            bdiv="arrival_sec DIV 3600",
             wlist="SELECT explode(array(900, 1800, 3600, 7200)) AS w",
         )
     )
