@@ -137,6 +137,17 @@ _VERIFY_FIRST = [
     "events_lifetime_gamma_moments",
     "lineitem_price_index",
     "customer_tier_migration",
+    # round-7 additions (registered this round, never driver-verified;
+    # they queue BEHIND the 111 so the r7 budget lands on the backlog
+    # first — VERDICT r6 item 1)
+    "dedup_prefix_filter_join",
+    "dedup_sorted_neighborhood",
+    "privacy_l_diversity_audit",
+    "quality_score_calibration",
+    "sample_mmr_diverse_topk",
+    "multimodal_aspect_bucket_plan",
+    "events_prefixspan_subsequences",
+    "sample_ht_estimator_audit",
 ]
 
 # Previously driver-green: refresh rotation once the never-verified

@@ -202,6 +202,11 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # host_state (VERDICT r6 item 6): record 1-min loadavg at start so
+    # cross-round headline comparisons can tell idle runs from loaded
+    # ones (r6's 127.5 s headline was taken under ~2-3x external load
+    # and was not comparable to r5's idle 75.9 s).
+    load_start = os.getloadavg()[0]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -238,6 +243,8 @@ def main() -> None:
         so the next run pays the full plan. The JVM stays warm — that is
         deliberate: codegen/shuffle warmup is environment, staging is the
         query's own work."""
+        import gc
+
         from datafusion_remote_table_spark.operators import dedup as op_dedup
         from datafusion_remote_table_spark.plans import llm_data, relational
 
@@ -245,6 +252,15 @@ def main() -> None:
         relational._RANK_STAGE_CACHE.clear()
         op_dedup.release_persisted()
         spark.catalog.clearCache()
+        # dropping the dicts only drops the PYTHON references; the JVM
+        # frees the persisted/localCheckpointed blocks via the async
+        # ContextCleaner AFTER Python GC runs. Without forcing both GCs
+        # here the dead blocks pile up and the next runs degrade
+        # (measured this round: minhash cold repeats 4.1 -> 5.5 -> 18.5 s
+        # from accumulated garbage; with the explicit collect they stay
+        # flat at ~2 s and storage holds at 3 RDDs).
+        gc.collect()
+        spark._jvm.System.gc()
 
     timings: dict[str, float] = {}
     comparable_runs: dict[str, list[float]] = {}
@@ -258,8 +274,19 @@ def main() -> None:
     for name in HEADLINE:
         if name not in timings:
             timings[name] = _run(name)
+            # drop dead Python-side handles between timed queries so the
+            # JVM cleaner (periodic GC, session.py) sees their weak refs
+            import gc
+
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    # external load ≈ loadavg beyond what this bench itself generates;
+    # label >25% of cores busy at start as "loaded" (start is measured
+    # before any Spark job of the timed region runs)
+    host_state = "idle" if load_start < 0.25 * ncpu else "loaded"
     print(
         json.dumps(
             {
@@ -268,6 +295,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_state": host_state,
+                "loadavg_1m": {"start": round(load_start, 2), "end": round(load_end, 2)},
+                "cpus": ncpu,
                 "comparable_13": round(sum(timings[n] for n in COMPARABLE_13), 3),
                 "comparable_13_runs": comparable_runs,
                 "comparable_13_basis": "cold",

@@ -239,6 +239,11 @@ QUERIES = [
     "customer_credit_exposure",
     "events_weekday_profile",
     "heaps_law_audit",
+    # round 7: the suite's most expensive single query shipped in r6
+    # without a recorded sweep (VERDICT r6 item 4) — the triple-support
+    # count must follow candidates x order fanout, not corpus^2
+    "basket_triples_apriori",
+    "basket_part_pairs",
 ]
 
 

@@ -10169,3 +10169,715 @@ def _sql_idf_stability(E):
 
 
 _register_pair("idf_shard_stability", _sql_idf_stability)
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_filter_join — EXACT all-pairs similarity join via prefix
+# filtering (the AllPairs/ppjoin family: order each doc's shingle set by
+# ascending global document frequency, index only the first
+# |d| - ceil(t*|d|) + 1 rarest shingles, and verify exact jaccard only
+# on pairs that collide on an indexed prefix shingle and pass the length
+# filter t*|b| <= |a|). The deterministic companion to the banded
+# minhash join: LSH trades false negatives for speed, prefix filtering
+# has ZERO false negatives at the threshold — every pair with jaccard
+# >= t shares at least one prefix token, so the result is the exact
+# t-similarity join. Reference parity: this is a data-pipeline operator
+# beyond the reference surface (its dedup story is remote-query
+# DISTINCT); the method is the standard exact near-dup path at corpus
+# scale. Scale: the df census is one explode + groupBy on uniform
+# 60-bit keys; prefixes are ~20% of each set and the RAREST tokens, so
+# posting lists are short by construction, with the same bucket valve
+# as the LSH join (|posting| <= 1000) as the skew backstop; exact
+# verification touches candidates only. Threshold arithmetic is pure
+# integer (prefix len n - ((4n+4) DIV 5) + 1, length filter
+# 5*min >= 4*max) — no float boundary to diverge. Non-vacuous at
+# sf0.01 (probed): 25 pairs, 21 distinct jaccard values, candidate set
+# == verified set (the prefix index prunes perfectly on this corpus).
+def _prefix_filter_prefix(E, sh):
+    """WITH-body (needs a `sh (doc_id, shingles)` relation in scope):
+    ends at `pfx (doc_id, w, n)` — the rarest-first prefix postings."""
+    plen = f"n - {E.intdiv('4 * n + 4', '5')} + 1"
+    return f"""
+    texp AS (
+      SELECT t.doc_id, {E.SIZE}(t.shingles) AS n, {E.explode('t.shingles', 'w')}
+      FROM {sh} t
+    ),
+    dfc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM texp GROUP BY w),
+    ranked AS (
+      SELECT e.doc_id, e.w, e.n,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.w) AS rk
+      FROM texp e JOIN dfc d ON d.w = e.w
+    ),
+    pfx AS (SELECT doc_id, w, n FROM ranked WHERE rk <= {plen})"""
+
+
+def _prefix_filter_tail(E, pfx, sh):
+    """Candidate generation + exact verify over a prefix-posting relation
+    and the shingle-set relation (CTE names in the oracle; checkpointed
+    stage views in the Spark runner)."""
+    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+    return f"""
+    ok AS (SELECT w FROM {pfx} GROUP BY w HAVING COUNT(*) <= 1000),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM {pfx} a
+      JOIN ok k ON a.w = k.w
+      JOIN {pfx} b ON b.w = a.w AND a.doc_id < b.doc_id
+      WHERE least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 4
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             {E.SIZE}(sa.shingles) AS size_a,
+             {E.SIZE}(sb.shingles) AS size_b,
+             CAST({inter} AS DOUBLE)
+               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}) AS jaccard
+      FROM cand c
+      JOIN {sh} sa ON c.doc_a = sa.doc_id
+      JOIN {sh} sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(size_a AS BIGINT) AS size_a,
+           CAST(size_b AS BIGINT) AS size_b,
+           floor(jaccard * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS jaccard
+    FROM verified WHERE jaccard >= 0.8e0
+    """
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, _sig, _bands = _minhash_stage(spark, sf_dir)
+    key = ("pf_prefix", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        # the prefix postings are referenced three times (df valve + both
+        # self-join sides); Spark re-evaluates CTE references, so the
+        # corpus-scale explode/census/rank chain is checkpointed once
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "pf_prefix",
+            spark.sql(
+                "WITH " + _prefix_filter_prefix(_Spark, sh).lstrip()
+                + "\n    SELECT doc_id, w, n FROM pfx"
+            ),
+        )
+    pview = _MINHASH_STAGE_CACHE[key]
+    return spark.sql("WITH " + _prefix_filter_tail(_Spark, pview, sh).lstrip())
+
+
+QUERIES["dedup_prefix_filter_join"] = dedup_prefix_filter_join
+ORACLE["dedup_prefix_filter_join"] = (
+    "WITH sh AS MATERIALIZED (" + _minhash_shingles(_Duck) + "),"
+    + _prefix_filter_prefix(_Duck, "sh") + ","
+    + _prefix_filter_tail(_Duck, "pfx", "sh")
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_sorted_neighborhood — blocked sorted-neighborhood (merge/purge)
+# near-dup detection: docs are blocked on the first 8 chars of the
+# whitespace-collapsed lowercased text, sorted lexicographically within
+# each block, and every pair within 3 sort ranks becomes a candidate,
+# verified by exact shingle jaccard. The third independent candidate
+# generator beside banded minhash (random permutations) and prefix
+# filtering (df-ordered postings) — sorted-neighborhood is the classic
+# record-linkage blocking method, cheap because it never builds an
+# inverted index: one sort per block. The report keeps REJECTED
+# candidates too (matched flag) — the method's candidate quality (25 of
+# 257 candidates verify at sf0.01) is exactly what a pipeline owner
+# tunes window/key against. Scale: the window rank partitions BY BLOCK
+# (bounded classes, max 23 docs at sf0.01; the 2..1000 class valve
+# drops degenerate giant blocks the way the LSH bucket valve does);
+# candidates per block are (w-1)·|block| — linear in rows. Non-vacuous
+# at sf0.01 (probed): 257 candidates, 25 matched, rank gaps 1-3, 22
+# distinct jaccard values spanning 0.0-0.989.
+def _sql_snm_tail(E, sh, docs="documents"):
+    inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
+    collapsed = E.collapse_ws("lower(text)")
+    return f"""
+    keyed AS (
+      SELECT doc_id, {collapsed} AS t, substring({collapsed}, 1, 8) AS blk
+      FROM {docs} WHERE text IS NOT NULL
+    ),
+    okblk AS (SELECT blk FROM keyed GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 1000),
+    ranked AS (
+      SELECT k.doc_id, k.blk,
+             ROW_NUMBER() OVER (PARTITION BY k.blk ORDER BY k.t, k.doc_id) AS rk
+      FROM keyed k JOIN okblk o ON o.blk = k.blk
+    ),
+    cand AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+      FROM ranked a
+      JOIN ranked b ON b.blk = a.blk AND b.rk > a.rk AND b.rk <= a.rk + 3
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, c.rank_gap,
+             CAST({inter} AS DOUBLE)
+               / ({E.SIZE}(sa.shingles) + {E.SIZE}(sb.shingles) - {inter}) AS jaccard
+      FROM cand c
+      JOIN {sh} sa ON sa.doc_id = c.doc_a
+      JOIN {sh} sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, rank_gap,
+           floor(jaccard * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS jaccard,
+           CAST(CASE WHEN jaccard >= 0.8e0 THEN 1 ELSE 0 END AS INT) AS matched
+    FROM verified
+    """
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh, _sig, _bands = _minhash_stage(spark, sf_dir)
+    doc_view = _spread_view(spark, sf_dir, "documents", "snm_docs")
+    return spark.sql("WITH " + _sql_snm_tail(_Spark, sh, docs=doc_view).lstrip())
+
+
+QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+ORACLE["dedup_sorted_neighborhood"] = (
+    "WITH sh AS MATERIALIZED (" + _minhash_shingles(_Duck) + "),"
+    + _sql_snm_tail(_Duck, "sh")
+)
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity_audit — l-diversity over the order-level release
+# (the companion gate to kanonymity_audit, which only counts class
+# SIZES: a class can be large yet expose everyone in it when all its
+# rows share one sensitive value). Rows are orders joined to their
+# customer; quasi-identifiers (nation, market segment, order year)
+# define the equivalence classes; o_orderpriority is the sensitive
+# attribute. Per l in 2..5 the audit reports classes and row mass
+# failing distinct-l, plus the class-level worst cases: minimum
+# distinct sensitive values, minimum class entropy (nats, computed as
+# exact DECIMAL(18,9) sums of ROUND(p*ln p, 9) terms — order-
+# independent, the doc_language_entropy determinism pattern), and the
+# maximum dominant-value share. Scale: one fact-side groupBy on
+# (QI, sens) with map-side partials after a broadcast customer join,
+# then constant-size rollups (875 classes at sf0.01) — the cell census
+# is the only corpus-scale shuffle. Non-vacuous at sf0.01 (probed):
+# classes span l=1..5; 181/7/1 classes fall below l=5/3/2.
+def _sql_l_diversity(E):
+    lspine = (
+        f"SELECT {E.explode(E.seq(2, 5), 'l')}"
+        if E is _Spark
+        else "SELECT unnest(generate_series(2, 5)) AS l"
+    )
+    return f"""
+    WITH rel AS (
+      SELECT {E.bhint('c')}c.c_nationkey AS nk, c.c_mktsegment AS seg,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT nk, seg, yr, sens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rel GROUP BY nk, seg, yr, sens
+    ),
+    sizes AS (
+      SELECT nk, seg, yr, CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY nk, seg, yr
+    ),
+    cls AS (
+      SELECT c.nk, c.seg, c.yr,
+             CAST(MAX(s.n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS distinct_sens,
+             CAST(MAX(c.c) AS BIGINT) AS top_c,
+             SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / s.n)
+                            * ln(CAST(c.c AS DOUBLE) / s.n), 9)
+                      AS DECIMAL(18, 9))) AS neg_entropy
+      FROM cells c
+      JOIN sizes s ON s.nk = c.nk AND s.seg = c.seg AND s.yr = c.yr
+      GROUP BY c.nk, c.seg, c.yr
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(distinct_sens) AS BIGINT) AS min_l,
+             CAST(-MAX(neg_entropy) AS DOUBLE) AS min_entropy_nats,
+             MAX(CAST(top_c AS DOUBLE) / n) AS max_dominant_share
+      FROM cls
+    ),
+    thr AS (SELECT CAST(l AS BIGINT) AS l FROM ({lspine}) s)
+    SELECT t.l, x.n_rows, x.n_classes, x.min_l,
+           floor(x.min_entropy_nats * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS min_entropy_nats,
+           floor(x.max_dominant_share * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS max_dominant_share,
+           CAST(SUM(CASE WHEN c.distinct_sens < t.l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(SUM(CASE WHEN c.distinct_sens < t.l THEN c.n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           floor(CAST(SUM(CASE WHEN c.distinct_sens < t.l THEN c.n ELSE 0 END) AS DOUBLE)
+                 / x.n_rows * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS frac_rows_at_risk
+    FROM thr t CROSS JOIN cls c
+    CROSS JOIN tot x
+    GROUP BY t.l, x.n_rows, x.n_classes, x.min_l, x.min_entropy_nats,
+             x.max_dominant_share
+    ORDER BY t.l
+    """
+
+
+_register_pair(
+    "privacy_l_diversity_audit", _sql_l_diversity,
+    tables=("orders", "customer"),
+)
+
+
+# ---------------------------------------------------------------------------
+# quality_score_calibration — reliability diagram + Brier decomposition
+# of the composite quality score as a PREDICTOR of the Gopher keep
+# decision: score bins (4%-wide — the corpus's scores span 0.21-0.44 at
+# sf0.01, so fixed deciles would occupy only 3 bins), per-bin mean
+# score vs observed keep rate, and the Murphy decomposition
+# (reliability / resolution / uncertainty) that says whether the cheap
+# continuous score can stand in for the rule cascade (score thresholds
+# are tuned against exactly this curve before a 100TB filter run).
+# Determinism: scores are on the 1e-6 grid (ROUND at source), so the
+# per-doc (p-y)^2 terms are exact DECIMAL(18,6)^2 sums; the bin-level
+# decomposition terms are quantized to DECIMAL(18,9) before the final
+# sum (the doc_language_entropy pattern) — no order-dependent double
+# accumulation anywhere. Scale: two map-side feature passes + one
+# groupBy on ~25 bin keys; everything after the bin census is
+# constant-size. Non-vacuous at sf0.01 (probed): 6 occupied bins, keep
+# rates 0.47-0.89, distinct per-bin gaps.
+def _sql_quality_calibration(E):
+    q = _sql_quality(E)
+    g = _sql_quality_filter(E)
+    return f"""
+    WITH joined AS (
+      SELECT CAST(floor(q.quality_score * 25.0e0) AS BIGINT) AS bin,
+             CAST(q.quality_score AS DECIMAL(18, 6)) AS p,
+             CAST(g.keep AS BIGINT) AS y
+      FROM ({q}) q JOIN ({g}) g ON g.doc_id = q.doc_id
+    ),
+    bins AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(p) AS sum_p,
+             CAST(SUM(y) AS BIGINT) AS n_keep,
+             SUM((p - y) * (p - y)) AS sum_sq
+      FROM joined GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(n_keep) AS BIGINT) AS keep_total,
+             CAST(SUM(sum_sq) AS DOUBLE) AS brier_sum
+      FROM bins
+    ),
+    terms AS (
+      SELECT b.bin, b.n, b.sum_p, b.n_keep,
+             CAST(ROUND(b.n * power(CAST(b.sum_p AS DOUBLE) / b.n
+                                    - CAST(b.n_keep AS DOUBLE) / b.n, 2)
+                        / t.n_total, 9) AS DECIMAL(18, 9)) AS rel_term,
+             CAST(ROUND(b.n * power(CAST(b.n_keep AS DOUBLE) / b.n
+                                    - CAST(t.keep_total AS DOUBLE) / t.n_total, 2)
+                        / t.n_total, 9) AS DECIMAL(18, 9)) AS res_term
+      FROM bins b CROSS JOIN tot t
+    ),
+    decomp AS (
+      SELECT CAST(SUM(rel_term) AS DOUBLE) AS reliability,
+             CAST(SUM(res_term) AS DOUBLE) AS resolution
+      FROM terms
+    )
+    SELECT b.bin, b.n,
+           floor(CAST(b.sum_p AS DOUBLE) / b.n * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS avg_score,
+           floor(CAST(b.n_keep AS DOUBLE) / b.n * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS keep_rate,
+           floor(abs(CAST(b.sum_p AS DOUBLE) / b.n - CAST(b.n_keep AS DOUBLE) / b.n)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS calibration_gap,
+           floor(t.brier_sum / t.n_total * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS brier,
+           floor(d.reliability * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS reliability,
+           floor(d.resolution * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS resolution,
+           floor((CAST(t.keep_total AS DOUBLE) / t.n_total)
+                 * (1.0e0 - CAST(t.keep_total AS DOUBLE) / t.n_total)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS uncertainty
+    FROM bins b CROSS JOIN tot t CROSS JOIN decomp d
+    ORDER BY b.bin
+    """
+
+
+_register_pair("quality_score_calibration", _sql_quality_calibration)
+
+
+# ---------------------------------------------------------------------------
+# sample_mmr_diverse_topk — Maximal Marginal Relevance selection over
+# embeddings (the greedy relevance-vs-redundancy tradeoff used to pick
+# a diverse training/eval subset or re-rank retrieval output): an
+# md5-chosen query vector, a top-20 relevance pool (cosine), then k=8
+# greedy rounds picking argmax of 0.7*rel - 0.3*max_sim_to_selected.
+# The report carries each pick's relevance, redundancy at selection
+# time, and MMR score — diverging from the pure relevance order (the
+# non-trivial signal: MMR demotes picks similar to earlier ones).
+# Spark spelling mirrors sample_coreset_kcenter: the pool and its
+# 20x20 sim matrix are checkpointed once, each round's winner is ONE
+# collected row (bounded control plane) inlined into the next round's
+# filter; the oracle runs the same chain as MATERIALIZED CTEs. All
+# scores are ROUND(...,9)-quantized cosines, so both engines order
+# identical doubles. Scale: relevance is one map-side pass +
+# TakeOrderedAndProject(20); everything after is constant-size (pool^2
+# = 400 rows). Non-vacuous at sf0.01 (probed): 8 picks with distinct
+# relevance/redundancy/mmr values; pick order differs from relevance
+# order.
+_MMR_K, _MMR_POOL = 8, 20
+
+
+def _mmr_cos(E, a, b):
+    return (
+        f"ROUND({E.dot(a, b)} / (sqrt({E.dot(a, a)}) * sqrt({E.dot(b, b)})), 9)"
+    )
+
+
+def _mmr_qseed_sql(E, src):
+    return (
+        f"SELECT vec_id, embedding FROM {src} "
+        f"ORDER BY md5(CAST(vec_id AS {E.STR})), vec_id LIMIT 1"
+    )
+
+
+def _mmr_pool_sql(E, src, q):
+    cos = _mmr_cos(E, "e.embedding", "qe.embedding")
+    return f"""
+    SELECT e.vec_id, e.embedding, {cos} AS rel
+    FROM {src} e CROSS JOIN {q} qe
+    WHERE e.vec_id <> qe.vec_id
+    ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+    """
+
+
+def _mmr_sims_sql(E, pool):
+    cos = _mmr_cos(E, "a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS va, b.vec_id AS vb, {cos} AS sim
+    FROM {pool} a JOIN {pool} b ON a.vec_id <> b.vec_id
+    """
+
+
+def _mmr_step_sql(E, pool, sims, sel_rel):
+    """One greedy round: argmax of 0.7*rel - 0.3*max(sim to selected)
+    over the not-yet-selected pool. `sel_rel` is a relation of the
+    already-selected vec_ids (a CTE in the oracle, an inline literal
+    list view in Spark)."""
+    return f"""
+    SELECT c.vec_id, c.rel, c.red,
+           0.7e0 * c.rel - 0.3e0 * c.red AS mmr
+    FROM (
+      SELECT p.vec_id, p.rel, MAX(s.sim) AS red
+      FROM {pool} p
+      JOIN {sims} s ON s.va = p.vec_id
+      JOIN {sel_rel} t ON t.vec_id = s.vb
+      LEFT JOIN {sel_rel} x ON x.vec_id = p.vec_id
+      WHERE x.vec_id IS NULL
+      GROUP BY p.vec_id, p.rel
+    ) c
+    ORDER BY mmr DESC, c.vec_id LIMIT 1
+    """
+
+
+def _mmr_final_cols(E):
+    return (
+        "CAST(step AS INT) AS step, vec_id, "
+        "floor(rel * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS relevance, "
+        "floor(red * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS redundancy, "
+        "floor(mmr * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS mmr_score"
+    )
+
+
+def sample_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("mmr_pool", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        emb = _spread_view(spark, sf_dir, "embeddings", "mmr_emb")
+        qv = _persist_view(
+            spark, sf_dir, "mmr_q", spark.sql(_mmr_qseed_sql(_Spark, emb))
+        )
+        pool = _checkpoint_view(
+            spark, sf_dir, "mmr_pool", spark.sql(_mmr_pool_sql(_Spark, emb, qv))
+        )
+        sims = _checkpoint_view(
+            spark, sf_dir, "mmr_sims", spark.sql(_mmr_sims_sql(_Spark, pool))
+        )
+        _MINHASH_STAGE_CACHE[key] = (pool, sims)
+    pool, sims = _MINHASH_STAGE_CACHE[key]
+    # round 1: pure relevance argmax (no redundancy yet)
+    first = spark.sql(
+        f"SELECT vec_id, rel FROM {pool} ORDER BY rel DESC, vec_id LIMIT 1"
+    ).collect()[0]
+    picks = [(1, int(first[0]), float(first[1]), 0.0, 0.7 * float(first[1]))]
+    for k in range(2, _MMR_K + 1):
+        ids = ", ".join(f"({p[1]})" for p in picks)
+        sel = f"(SELECT vec_id FROM VALUES {ids} AS v(vec_id))"
+        row = spark.sql(_mmr_step_sql(_Spark, pool, sims, sel)).collect()[0]
+        picks.append((k, int(row[0]), float(row[1]), float(row[2]), float(row[3])))
+    rows = ", ".join(
+        f"({s}, {v}, CAST({r!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({m!r} AS DOUBLE))"
+        for s, v, r, d, m in picks
+    )
+    return spark.sql(
+        f"SELECT {_mmr_final_cols(_Spark)} "
+        f"FROM (VALUES {rows}) AS t(step, vec_id, rel, red, mmr) ORDER BY step"
+    )
+
+
+def _mmr_oracle(E):
+    parts = [
+        f"q AS {E.MAT}({_mmr_qseed_sql(E, 'embeddings')})",
+        f"pool AS {E.MAT}({_mmr_pool_sql(E, 'embeddings', 'q')})",
+        f"sims AS {E.MAT}({_mmr_sims_sql(E, 'pool')})",
+        f"sel1 AS {E.MAT}(SELECT vec_id, rel, 0.0e0 AS red, 0.7e0 * rel AS mmr "
+        "FROM pool ORDER BY rel DESC, vec_id LIMIT 1)",
+        f"acc1 AS {E.MAT}(SELECT vec_id FROM sel1)",
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(
+            f"sel{k} AS {E.MAT}({_mmr_step_sql(E, 'pool', 'sims', f'acc{k - 1}')})"
+        )
+        parts.append(
+            f"acc{k} AS {E.MAT}(SELECT vec_id FROM acc{k - 1} "
+            f"UNION ALL SELECT vec_id FROM sel{k})"
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, vec_id, rel, red, mmr FROM sel{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT {_mmr_final_cols(E)} FROM ({union}) allp ORDER BY step"
+    )
+
+
+QUERIES["sample_mmr_diverse_topk"] = sample_mmr_diverse_topk
+ORACLE["sample_mmr_diverse_topk"] = _mmr_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_aspect_bucket_plan — aspect-ratio bucketing for multimodal
+# training batches (the padding-minimization pass run before batching
+# variable-size images through a vision encoder: group images into
+# aspect buckets, pad only to the per-bucket max instead of the global
+# max). Each doc gets a REAL BMP with md5-derived dimensions
+# (w,h = 8*(1 + byte%6), 8..48 px) encoded executor-side in Arrow
+# batches; the Spark side parses the actual BMP headers back (dims +
+# payload size), buckets by the integer aspect key floor(16*w/h), and
+# reports per-bucket padded-pixel waste vs the one-bucket baseline.
+# The oracle recomputes dims from the md5 derivation and the BMP size
+# from the format's own row-stride arithmetic (54 + h*((3w+3)//4*4)) —
+# a wrong header parse or stride diverges the hash. All ratios are
+# exact-integer pixel sums divided as doubles at the end. Scale:
+# encode/decode are map-side Arrow batch kernels (payloads never visit
+# the driver); the plan is one groupBy on ~30 bucket keys. Non-vacuous
+# at sf0.01 (probed): 21 buckets, distinct sizes and waste fractions.
+def _aspect_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from ..multimodal.decode import encode_bmp
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    def encode_batch(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                key = str(int(doc_id))
+                d = hashlib.md5((key + "_dim").encode()).digest()
+                w, h = 8 * (1 + d[0] % 6), 8 * (1 + d[1] % 6)
+                need = 3 * w * h
+                pix = (d * (need // 16 + 1))[:need]
+                payloads.append(encode_bmp(pix, w, h))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
+
+
+def multimodal_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..multimodal.decode import decode_image
+
+    frame = _aspect_media_frame(spark, sf_dir)
+
+    def parse_batch(batches):
+        for pdf in batches:
+            ws, hs, nb = [], [], []
+            for payload in pdf["payload"]:
+                _fmt, w, h, _pix = decode_image(bytes(payload))
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(payload))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "w": ws, "h": hs, "n_bytes": nb}
+            )
+
+    dims = frame.mapInPandas(parse_batch, schema="doc_id long, w int, h int, n_bytes long")
+    view = f"aspect_dims_{_dataset_suffix(sf_dir)}"
+    dims.createOrReplaceTempView(view)
+    return spark.sql(_aspect_bucket_tail(_Spark, view))
+
+
+def _aspect_bucket_tail(E, dims_rel):
+    bucket = E.intdiv("16 * w", "h")
+    return f"""
+    WITH sized AS (
+      SELECT doc_id, w, h, n_bytes, CAST({bucket} AS BIGINT) AS bucket
+      FROM {dims_rel}
+    ),
+    buckets AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_images,
+             CAST(MAX(w) AS BIGINT) AS max_w,
+             CAST(MAX(h) AS BIGINT) AS max_h,
+             CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS real_px,
+             CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      FROM sized GROUP BY bucket
+    ),
+    gstats AS (
+      SELECT CAST(MAX(w) AS BIGINT) AS gmax_w, CAST(MAX(h) AS BIGINT) AS gmax_h,
+             CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS greal_px,
+             CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM sized
+    )
+    SELECT b.bucket, b.n_images, b.max_w, b.max_h, b.real_px, b.total_bytes,
+           floor((1.0e0 - CAST(b.real_px AS DOUBLE) / (b.n_images * b.max_w * b.max_h))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS bucket_pad_frac,
+           floor((1.0e0 - CAST(g.greal_px AS DOUBLE) / (g.n_total * g.gmax_w * g.gmax_h))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS global_pad_frac
+    FROM buckets b CROSS JOIN gstats g
+    ORDER BY b.bucket
+    """
+
+
+def _aspect_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR}) || '_dim')"
+    b0 = E.hex2int(f"substring({h}, 1, 2)")
+    b1 = E.hex2int(f"substring({h}, 3, 2)")
+    stride = E.intdiv("3 * w + 3", "4")
+    return (
+        f"""WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + ({b0}) % 6) AS INT) AS w,
+             CAST(8 * (1 + ({b1}) % 6) AS INT) AS h
+      FROM documents
+    ),
+    withbytes AS (
+      SELECT doc_id, w, h,
+             CAST(54 + h * (({stride}) * 4) AS BIGINT) AS n_bytes
+      FROM dims
+    )"""
+        + _aspect_bucket_tail(E, "withbytes").replace("WITH sized", ", sized", 1)
+    )
+
+
+QUERIES["multimodal_aspect_bucket_plan"] = multimodal_aspect_bucket_plan
+ORACLE["multimodal_aspect_bucket_plan"] = _aspect_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# events_prefixspan_subsequences — frequent NON-CONTIGUOUS sequential
+# patterns (the PrefixSpan family, mirroring Spark MLlib's
+# PrefixSpan): per user, each event type is reduced to its FIRST
+# occurrence; a length-3 pattern a->b->c is supported by a user when
+# first(a) < first(b) < first(c) (ties broken lexicographically, so the
+# per-user ordering is total and deterministic). Distinct from
+# events_markov_transitions (adjacent bigrams) and
+# events_sequence_trigrams (contiguous windows): subsequence patterns
+# skip over interleaved noise events — the sequence-mining semantics.
+# Reports every triple at >= 5% user support with its prefix-pair
+# support and confidence. Scale: the first-occurrence census is one
+# (user, type) groupBy; the pattern joins fan out at most
+# |alphabet|^3 rows per user (alphabet = 5 event types, bounded by the
+# schema not the corpus), so the whole plan is linear in users; the
+# pattern rollup is constant-size. Non-vacuous at sf0.01 (probed):
+# supports 30-36 across the top patterns, 6+ distinct support values,
+# confidences vary.
+def _sql_prefixspan(E):
+    before = "(a.fts < b.fts OR (a.fts = b.fts AND a.event_type < b.event_type))"
+    before_bc = "(b.fts < c.fts OR (b.fts = c.fts AND b.event_type < c.event_type))"
+    thr = E.intdiv("n + 19", "20")
+    return f"""
+    WITH firsts AS (
+      SELECT user_id, event_type, MIN(ts) AS fts
+      FROM events GROUP BY user_id, event_type
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM firsts),
+    pairs AS (
+      SELECT a.event_type AS ea, b.event_type AS eb,
+             CAST(COUNT(*) AS BIGINT) AS support_ab
+      FROM firsts a
+      JOIN firsts b ON b.user_id = a.user_id AND {before}
+      GROUP BY a.event_type, b.event_type
+    ),
+    triples AS (
+      SELECT a.event_type AS ea, b.event_type AS eb, c.event_type AS ec,
+             CAST(COUNT(*) AS BIGINT) AS support_abc
+      FROM firsts a
+      JOIN firsts b ON b.user_id = a.user_id AND {before}
+      JOIN firsts c ON c.user_id = a.user_id AND {before_bc}
+      GROUP BY a.event_type, b.event_type, c.event_type
+    )
+    SELECT t.ea, t.eb, t.ec, t.support_abc, p.support_ab,
+           CAST(u.n AS BIGINT) AS n_users,
+           floor(CAST(t.support_abc AS DOUBLE) / u.n * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS support_frac,
+           floor(CAST(t.support_abc AS DOUBLE) / p.support_ab * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS confidence
+    FROM triples t
+    JOIN pairs p ON p.ea = t.ea AND p.eb = t.eb
+    CROSS JOIN nu u
+    WHERE t.support_abc >= CAST({thr} AS BIGINT)
+    ORDER BY t.support_abc DESC, t.ea, t.eb, t.ec
+    """
+
+
+_register_pair("events_prefixspan_subsequences", _sql_prefixspan, tables=("events",))
+
+
+# ---------------------------------------------------------------------------
+# sample_ht_estimator_audit — Horvitz-Thompson estimation audit for
+# deterministic Poisson sampling (the estimator the weighted/stratified
+# sampling family implicitly relies on, here checked against ground
+# truth): each language stratum gets an md5-derived inclusion rate in
+# {0.1,0.2,0.3,0.4}; a doc enters the sample when its md5 fraction
+# falls under the stratum rate; the HT estimator re-weights sampled
+# totals by 1/rate. The audit reports, per stratum, the true vs
+# HT-estimated doc count and char total and their relative errors —
+# the table that says whether a cheap stratified sample supports
+# corpus-level accounting (and how error tracks the sampling rate).
+# Determinism: md5-fraction inclusion is bit-identical across engines;
+# totals are exact integer sums; the only doubles are final ratios.
+# Scale: one map-side inclusion flag + one groupBy on ~5 strata.
+# Non-vacuous at sf0.01 (probed): rates {0.1,0.2,0.4}, count errors
+# 2-25%, char-total errors distinct per stratum.
+def _sql_ht_audit(E):
+    lrate = f"(1 + ({E.hex2int('substring(md5(lang), 1, 2)')}) % 4) / 10.0e0"
+    u = f"({E.hex2int(f'substring(md5(CAST(doc_id AS {E.STR}) || {chr(39)}_ht{chr(39)}), 1, 8)')}) / 4294967296.0e0"
+    return f"""
+    WITH flagged AS (
+      SELECT lang, n_chars, {lrate} AS rate,
+             CASE WHEN {u} < {lrate} THEN 1 ELSE 0 END AS sampled
+      FROM documents
+    ),
+    strata AS (
+      SELECT lang, rate,
+             CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(sampled) AS BIGINT) AS n_sampled,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_true,
+             CAST(SUM(CASE WHEN sampled = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_sampled
+      FROM flagged GROUP BY lang, rate
+    )
+    SELECT lang,
+           floor(rate * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS rate,
+           n_true, n_sampled, chars_true,
+           floor(n_sampled / rate * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS ht_n_est,
+           floor(chars_sampled / rate * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS ht_chars_est,
+           floor(abs(n_sampled / rate - n_true) / n_true * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS n_rel_error,
+           floor(abs(chars_sampled / rate - chars_true) / chars_true
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS chars_rel_error
+    FROM strata
+    ORDER BY lang
+    """
+
+
+_register_pair("sample_ht_estimator_audit", _sql_ht_audit)

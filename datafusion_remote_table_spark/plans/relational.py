@@ -7105,7 +7105,7 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # basket_triples_apriori — level-3 frequent itemsets by textbook
 # a-priori generate-and-prune (Agrawal-Srikant): the frequent-PAIR
-# census (support >= 2) self-joins on a shared first item to GENERATE
+# census self-joins on a shared first item to GENERATE
 # (a,b,c) candidates, the third pair (b,c) PRUNES them (every subset of
 # a frequent itemset must be frequent), and the survivors are counted
 # against the order-item table — the output is the level-3 CANDIDATE
@@ -7114,12 +7114,28 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cost the prune exists to bound). The items projection AND the
 # frequent-pair census are persisted in Spark (the pair census is the
 # fact-scale shuffle; the lazy CTE spelling would re-run it three
-# times), MATERIALIZED in DuckDB. Determinism: all supports exact
-# integer counts; confidences exact-int ratios. Non-vacuous at sf0.01
-# (measured): 4468 candidates generate, 61 survive the prune, 52 have
-# support — n_abc spans {0,1,2}, pair supports 2-3, confidences
-# {0, 1/3, 1/2, 1} — every metric column varies.
-_APRIORI_BODY = """
+# times), MATERIALIZED in DuckDB. Min-support is RELATIVE (round-7
+# redesign): threshold = GREATEST(2, ceil(n_orders/7500)) — at sf0.01
+# that is exactly the old absolute 2 (identical results), but a
+# threshold that scales with the order count is what makes a-priori
+# scale-stable: the 16x perturbed-replica corpus multiplies every
+# pair's support by 16, and the absolute spelling would have promoted
+# all ~1.2M support-1 pairs into the candidate generation (measured:
+# ~49M generated candidates at 16x), where the relative spelling
+# (thr=24 at 16x) keeps exactly the genuinely-frequent pairs. Determinism:
+# all supports exact integer counts; the threshold is integer
+# ceil-division (no float boundary); confidences exact-int ratios.
+# Non-vacuous at sf0.01 (measured): 4468 candidates generate, 61
+# survive the prune, 52 have support — n_abc spans {0,1,2}, pair
+# supports 2-3, confidences {0, 1/3, 1/2, 1} — every metric column
+# varies.
+# generate + prune (ends at the pruned candidate rows). Split from the
+# report so the Spark runner can checkpoint `pruned`: the report
+# references it twice (support count + final select), and Spark
+# re-evaluates CTE references — the round-7 profile measured the
+# generate/prune leg at ~4.5 s per evaluation at sf0.1 while pruned
+# itself held ONE row.
+_APRIORI_CAND = """
     cand AS (
       SELECT p1.pa, p1.pb, p2.pb AS pc, p1.n_ab, p2.n_ab AS n_ac
       FROM {fp} p1
@@ -7129,10 +7145,12 @@ _APRIORI_BODY = """
       SELECT c.pa, c.pb, c.pc, c.n_ab, c.n_ac, p3.n_ab AS n_bc
       FROM cand c
       JOIN {fp} p3 ON p3.pa = c.pb AND p3.pb = c.pc
-    ),
+    )"""
+
+_APRIORI_REPORT = """
     support AS (
       SELECT t.pa, t.pb, t.pc, CAST(COUNT(*) AS BIGINT) AS n_abc
-      FROM pruned t
+      FROM {pruned} t
       JOIN {items} a ON a.l_partkey = t.pa
       JOIN {items} b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = t.pb
       JOIN {items} c ON c.l_orderkey = a.l_orderkey AND c.l_partkey = t.pc
@@ -7145,11 +7163,20 @@ _APRIORI_BODY = """
            ROUND(CAST(COALESCE(s.n_abc, 0) AS DOUBLE) / p.n_ab, 6) AS conf_ab_c,
            ROUND(CAST(COALESCE(s.n_abc, 0) AS DOUBLE) / p.n_ac, 6) AS conf_ac_b,
            ROUND(CAST(COALESCE(s.n_abc, 0) AS DOUBLE) / p.n_bc, 6) AS conf_bc_a
-    FROM pruned p
+    FROM {pruned} p
     LEFT JOIN support s
       ON s.pa = p.pa AND s.pb = p.pb AND s.pc = p.pc
     ORDER BY n_abc DESC, part_a, part_b, part_c
 """
+
+# relative min-support: GREATEST(2, ceil(n_orders/100000)) — ~0.001% of
+# orders; identical to the old absolute 2 at sf0.01 AND sf0.1 (both
+# census thresholds land on 2), scale-stable above ({DIV} is the
+# engine's integer division: DIV / //)
+_APRIORI_THR = (
+    "SELECT GREATEST(CAST(2 AS BIGINT), CAST((COUNT(DISTINCT l_orderkey)"
+    " + 99999) {DIV} 100000 AS BIGINT)) FROM {items}"
+)
 
 _APRIORI_PAIRS = """
       SELECT a.l_partkey AS pa, b.l_partkey AS pb,
@@ -7158,13 +7185,19 @@ _APRIORI_PAIRS = """
       JOIN {items} b ON a.l_orderkey = b.l_orderkey
                     AND a.l_partkey < b.l_partkey
       GROUP BY a.l_partkey, b.l_partkey
-      HAVING COUNT(*) >= 2
+      HAVING COUNT(*) >= ({thr})
 """
 
 _APRIORI_ORACLE = (
     "WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),"
-    + "freq_pairs AS MATERIALIZED (" + _APRIORI_PAIRS.format(items="items") + "),"
-    + _APRIORI_BODY.format(items="items", fp="freq_pairs", MAT="MATERIALIZED ")
+    + "freq_pairs AS MATERIALIZED ("
+    + _APRIORI_PAIRS.format(
+        items="items", thr=_APRIORI_THR.format(items="items", DIV="//")
+    )
+    + "),"
+    + _APRIORI_CAND.format(fp="freq_pairs", MAT="MATERIALIZED ")
+    + ","
+    + _APRIORI_REPORT.format(items="items", pruned="pruned")
 )
 
 
@@ -7201,14 +7234,25 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM per_order WHERE size(parts) >= 2
             )
             SELECT pr.pa AS pa, pr.pb AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
-            FROM pair_rows GROUP BY pr.pa, pr.pb HAVING COUNT(*) >= 2
+            FROM pair_rows GROUP BY pr.pa, pr.pb
+            HAVING COUNT(*) >= ({_APRIORI_THR.format(items=iview, DIV="DIV")})
         """).persist()
         fp.count()  # the pair census materializes exactly once
         fview = f"apriori_pairs_{suffix}"
         fp.createOrReplaceTempView(fview)
-        _RANK_STAGE_CACHE[key] = (iview, fview)
-    iview, fview = _RANK_STAGE_CACHE[key]
-    return spark.sql("WITH " + _APRIORI_BODY.format(items=iview, fp=fview, MAT=""))
+        # checkpoint the generated+pruned candidates: the report reads
+        # them twice and the generate/prune joins cost ~4.5 s per lazy
+        # re-evaluation at sf0.1 (measured round 7) for a candidate-
+        # bounded (tiny) frame
+        pruned = spark.sql(
+            "WITH " + _APRIORI_CAND.format(fp=fview, MAT="")
+            + "\n    SELECT * FROM pruned"
+        ).localCheckpoint(eager=True)
+        pview = f"apriori_pruned_{suffix}"
+        pruned.createOrReplaceTempView(pview)
+        _RANK_STAGE_CACHE[key] = (iview, fview, pview)
+    iview, _fview, pview = _RANK_STAGE_CACHE[key]
+    return spark.sql("WITH " + _APRIORI_REPORT.format(items=iview, pruned=pview))
 
 
 # --------------------------------------------------------------------------

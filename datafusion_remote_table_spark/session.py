@@ -58,6 +58,16 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
         # ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # RDD/broadcast/checkpoint cleanup rides WEAK references: the
+        # ContextCleaner only reclaims blocks after a driver GC, and a
+        # large mostly-idle driver heap can go many minutes without one —
+        # Spark's own backstop (periodicGC, default 30min) is far too lazy
+        # for a many-query single-JVM session, where dead shuffle/
+        # broadcast/checkpoint state compounds (measured this round:
+        # late-suite queries 10-70x slower at the default; flat with a
+        # 1min periodic GC). A real cluster benefits identically — this is
+        # the standard setting for long-lived Spark services.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
