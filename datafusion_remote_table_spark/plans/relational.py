@@ -7147,13 +7147,31 @@ _APRIORI_CAND = """
       JOIN {fp} p3 ON p3.pa = c.pb AND p3.pb = c.pc
     )"""
 
+# candidate-driven semi-join pruning (round-7 16x sweep): the support
+# count only needs item rows whose part appears in a pruned candidate,
+# so the fact table is filtered through the (tiny) candidate keyset
+# BEFORE the three-way join — the unfiltered spelling shuffled the full
+# items table three times and went superlinear at 16x (34 -> 221 s);
+# the filtered spelling is the 100TB design (broadcast semi-join
+# reduction, then joins over candidate-bounded rows only).
+_APRIORI_FILTER = """
+    keyset AS (
+      SELECT pa AS k FROM {pruned}
+      UNION SELECT pb FROM {pruned}
+      UNION SELECT pc FROM {pruned}
+    ),
+    items_f AS (
+      SELECT DISTINCT i.l_orderkey, i.l_partkey
+      FROM {items} i JOIN keyset s ON i.l_partkey = s.k
+    )"""
+
 _APRIORI_REPORT = """
     support AS (
       SELECT t.pa, t.pb, t.pc, CAST(COUNT(*) AS BIGINT) AS n_abc
       FROM {pruned} t
-      JOIN {items} a ON a.l_partkey = t.pa
-      JOIN {items} b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = t.pb
-      JOIN {items} c ON c.l_orderkey = a.l_orderkey AND c.l_partkey = t.pc
+      JOIN {itemsf} a ON a.l_partkey = t.pa
+      JOIN {itemsf} b ON b.l_orderkey = a.l_orderkey AND b.l_partkey = t.pb
+      JOIN {itemsf} c ON c.l_orderkey = a.l_orderkey AND c.l_partkey = t.pc
       GROUP BY t.pa, t.pb, t.pc
     )
     SELECT p.pa AS part_a, p.pb AS part_b, p.pc AS part_c,
@@ -7197,7 +7215,9 @@ _APRIORI_ORACLE = (
     + "),"
     + _APRIORI_CAND.format(fp="freq_pairs", MAT="MATERIALIZED ")
     + ","
-    + _APRIORI_REPORT.format(items="items", pruned="pruned")
+    + _APRIORI_FILTER.format(items="items", pruned="pruned")
+    + ","
+    + _APRIORI_REPORT.format(itemsf="items_f", pruned="pruned")
 )
 
 
@@ -7207,8 +7227,11 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("apriori_stage", id(spark), sf_dir)
     if key not in _RANK_STAGE_CACHE:
         suffix = abs(hash(sf_dir)) % 10**8
-        items = li.select("l_orderkey", "l_partkey").distinct().persist()
-        items.count()  # materialize once: the triple-count join reads it 3x
+        # RAW (orderkey, partkey) projection, not a distinct+persist: the
+        # census dedups inside collect_set and the support side dedups
+        # after the keyset filter — the corpus-wide DISTINCT shuffle was
+        # a full extra exchange the plan never needed (round-7 16x sweep)
+        items = li.select("l_orderkey", "l_partkey")
         iview = f"apriori_items_{suffix}"
         items.createOrReplaceTempView(iview)
         # Spark-side pair census: ONE exchange (groupBy orderkey) + pure
@@ -7250,9 +7273,17 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         pview = f"apriori_pruned_{suffix}"
         pruned.createOrReplaceTempView(pview)
-        _RANK_STAGE_CACHE[key] = (iview, fview, pview)
-    iview, _fview, pview = _RANK_STAGE_CACHE[key]
-    return spark.sql("WITH " + _APRIORI_REPORT.format(items=iview, pruned=pview))
+        # candidate-keyset-filtered fact rows, checkpointed: the support
+        # three-way join reads them three times
+        items_f = spark.sql(
+            "WITH " + _APRIORI_FILTER.format(items=iview, pruned=pview).lstrip()
+            + "\n    SELECT * FROM items_f"
+        ).localCheckpoint(eager=True)
+        ifview = f"apriori_itemsf_{suffix}"
+        items_f.createOrReplaceTempView(ifview)
+        _RANK_STAGE_CACHE[key] = (iview, fview, pview, ifview)
+    _iview, _fview, pview, ifview = _RANK_STAGE_CACHE[key]
+    return spark.sql("WITH " + _APRIORI_REPORT.format(itemsf=ifview, pruned=pview))
 
 
 # --------------------------------------------------------------------------
