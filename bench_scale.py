@@ -244,6 +244,15 @@ QUERIES = [
     # count must follow candidates x order fanout, not corpus^2
     "basket_triples_apriori",
     "basket_part_pairs",
+    # round-7 additions: prefix postings + block windows must stay
+    # linear; MMR/calibration/HT collapse to bounded censuses
+    "dedup_prefix_filter_join",
+    "dedup_sorted_neighborhood",
+    "quality_score_calibration",
+    "sample_mmr_diverse_topk",
+    "sample_ht_estimator_audit",
+    "events_prefixspan_subsequences",
+    "multimodal_aspect_bucket_plan",
 ]
 
 
