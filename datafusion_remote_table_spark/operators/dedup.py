@@ -355,3 +355,162 @@ def pagerank(
         F.col("score").alias("score_fp"),
         F.round(F.col("score").cast("double") / F.lit(float(scale)), 6).alias("score"),
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    max_posting_size: int = 1000,
+) -> DataFrame:
+    """EXACT jaccard similarity join via AllPairs prefix filtering
+    (tunable twin of the registered ``dedup_prefix_filter_join``;
+    ``plans/llm_data.py`` keeps the fixed-parameter driver-verified
+    instance).
+
+    Every shingle set is ordered by ascending global document frequency;
+    only the first ``|d| - ceil(t*|d|) + 1`` rarest shingles are indexed
+    — any pair with jaccard >= t must collide on one of them, so unlike
+    LSH this join has ZERO false negatives at the threshold (property-
+    tested against brute force in tests/test_template_property.py).
+    ``max_posting_size`` is the same skew valve as the LSH bucket cap.
+    Returns (id_a, id_b, size_a, size_b, jaccard).
+    """
+    sh = _track(
+        df.select(
+            F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
+        ).persist()
+    )
+    texp = sh.select(
+        F.col(id_col), F.size("shingles").alias("n"), F.explode("shingles").alias("w")
+    )
+    dfreq = texp.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.col("df"), F.col("w"))
+    )
+    # integer prefix length: n - ceil(t*n) + 1, spelled with exact
+    # integer arithmetic for rational thresholds (t = num/den)
+    num, den = int(round(threshold * 100)), 100
+    plen = F.col("n") - F.floor((num * F.col("n") + den - 1) / F.lit(den)) + 1
+    pfx = _track(
+        texp.join(dfreq, "w")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= plen)
+        .select(id_col, "w", "n")
+        .persist()
+    )
+    ok = pfx.groupBy("w").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") <= max_posting_size
+    ).select("w")
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(ok, "w")
+        .join(b, "w")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")) * den
+            >= F.greatest(F.col("a.n"), F.col("b.n")) * num
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("sha").cast("bigint").alias("size_a"),
+            F.size("shb").cast("bigint").alias("size_b"),
+            jac.alias("__jac"),
+        )
+        .filter(F.col("__jac") >= threshold)
+        .select(
+            "id_a", "id_b", "size_a", "size_b",
+            (F.floor(F.col("__jac") * 1e6 + 0.5) / 1e6).alias("jaccard"),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 8,
+    window: int = 4,
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Blocked sorted-neighborhood (merge/purge) candidate generation +
+    exact jaccard verify (tunable twin of ``dedup_sorted_neighborhood``).
+
+    Docs block on the first ``key_len`` chars of the collapsed text,
+    sort lexicographically within each block, and every pair within
+    ``window - 1`` ranks is verified. Returns candidates WITH their
+    verdict (id_a, id_b, rank_gap, jaccard, matched) — candidate
+    quality is the tuning signal. The in-block window partitions BY
+    BLOCK (bounded, valved at ``max_block_size``), never globally.
+    """
+    from pyspark.sql import Window
+
+    collapsed = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), collapsed.alias("t"),
+        F.substring(collapsed, 1, key_len).alias("blk"),
+    )
+    ok = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("c")).filter(
+        (F.col("c") >= 2) & (F.col("c") <= max_block_size)
+    ).select("blk")
+    ranked = _track(
+        keyed.join(ok, "blk")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("blk").orderBy(F.col("t"), F.col(id_col))
+            ),
+        )
+        .select(id_col, "blk", "rk")
+        .persist()
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("b.rk") > F.col("a.rk"))
+            & (F.col("b.rk") <= F.col("a.rk") + (window - 1))
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            (F.col("b.rk") - F.col("a.rk")).cast("bigint").alias("rank_gap"),
+        )
+    )
+    sh = _track(
+        df.select(
+            F.col(id_col), ngram_shingles(F.col(text_col), shingle_n).alias("shingles")
+        ).persist()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "rank_gap",
+            (F.floor(jac * 1e6 + 0.5) / 1e6).alias("jaccard"),
+            (jac >= threshold).cast("int").alias("matched"),
+        )
+    )

@@ -10873,7 +10873,7 @@ def _sql_ht_audit(E):
              AS ht_chars_est,
            floor(abs(n_sampled / rate - n_true) / n_true * 1000000.0e0 + 0.5e0)
              / 1000000.0e0 AS n_rel_error,
-           floor(abs(chars_sampled / rate - chars_true) / chars_true
+           floor(abs(chars_sampled / rate - chars_true) / greatest(chars_true, 1)
                  * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS chars_rel_error
     FROM strata
     ORDER BY lang

@@ -68,6 +68,15 @@ def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | Non
         # 1min periodic GC). A real cluster benefits identically — this is
         # the standard setting for long-lived Spark services.
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # the periodic System.gc() must not be a stop-the-world full
+        # collection: on a 32g heap those pauses ran 5-20 s and landed on
+        # whichever query straddled the 1min tick (measured: per-query
+        # times swung 5-8x between otherwise-identical idle runs). With
+        # ExplicitGCInvokesConcurrent G1 runs it as a concurrent cycle —
+        # weak refs still get processed, nothing pauses.
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent"
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

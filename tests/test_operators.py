@@ -784,3 +784,39 @@ def test_global_rank_api_matches_window_spelling(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "_bkt" in line
+
+
+def test_prefix_filter_pairs_matches_registered_query(spark, sf_dir):
+    # the API orders prefixes by (df, raw gram string) while the plan
+    # orders by (df, 60-bit gram hash) — different tie-breaks, SAME
+    # result set: prefix filtering is exact for ANY global token order,
+    # which this equality demonstrates on real data
+    from datafusion_remote_table_spark.operators.dedup import prefix_filter_pairs
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = sorted(
+        (r["id_a"], r["id_b"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in prefix_filter_pairs(docs).collect()
+    )
+    reg = sorted(
+        (r["doc_a"], r["doc_b"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in plans.QUERIES["dedup_prefix_filter_join"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
+
+
+def test_sorted_neighborhood_pairs_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.dedup import sorted_neighborhood_pairs
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    api = sorted(
+        (r["id_a"], r["id_b"], r["rank_gap"], r["jaccard"], r["matched"])
+        for r in sorted_neighborhood_pairs(docs).collect()
+    )
+    reg = sorted(
+        (r["doc_a"], r["doc_b"], r["rank_gap"], r["jaccard"], r["matched"])
+        for r in plans.QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0

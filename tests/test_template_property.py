@@ -76,6 +76,23 @@ def _sql_ctx_window(E):
     return L._sql_ctx_window(E, "DIV" if E is L._Spark else "//")
 
 
+def _sql_prefix_filter_full(E):
+    """Inline composition of dedup_prefix_filter_join (the registered
+    Spark runner rides staged views; the template math is identical)."""
+    return (
+        "WITH sh AS " + E.MAT + "(" + L._minhash_shingles(E) + "),"
+        + L._prefix_filter_prefix(E, "sh") + ","
+        + L._prefix_filter_tail(E, "pfx", "sh")
+    )
+
+
+def _sql_snm_full(E):
+    return (
+        "WITH sh AS " + E.MAT + "(" + L._minhash_shingles(E) + "),"
+        + L._sql_snm_tail(E, "sh")
+    )
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -135,6 +152,15 @@ _TEMPLATES = [
     L._sql_dp_counts,
     L._sql_burstiness,
     L._sql_seed_stability,
+    # round-7: exact similarity join + blocked sorted-neighborhood
+    # (empty/NULL docs exercise the empty-shingle-set prefix math),
+    # calibration bins (degenerate one-bin corpora), HT strata (empty
+    # samples), and the aspect-bucket dims/stride arithmetic
+    _sql_prefix_filter_full,
+    _sql_snm_full,
+    L._sql_quality_calibration,
+    L._sql_ht_audit,
+    L._aspect_oracle,
 ]
 
 
@@ -498,3 +524,39 @@ def test_order_queries_agree_on_random_tables(spark, orders):
             _compare(got, want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_corpus())
+def test_prefix_filter_join_is_exact(docs):
+    """AllPairs prefix filtering guarantees ZERO false negatives at the
+    threshold: every pair with shingle jaccard >= 0.8 shares at least
+    one indexed prefix token (and the length filter can't drop it).
+    Verify against the brute-force all-pairs join on random corpora —
+    an algorithmic property the fixed-corpus oracle compare can't pin
+    (DuckDB-only: the property is about the candidate math, which the
+    parity tests already prove identical across engines)."""
+    con = duckdb.connect()
+    con.register("documents", docs)
+    E = L._Duck
+    got = con.execute(
+        "WITH sh AS MATERIALIZED (" + L._minhash_shingles(E) + "),"
+        + L._prefix_filter_prefix(E, "sh") + ","
+        + L._prefix_filter_tail(E, "pfx", "sh")
+    ).fetchdf()
+    brute = con.execute(
+        "WITH sh AS MATERIALIZED (" + L._minhash_shingles(E) + """)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+          AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.8e0
+        """
+    ).fetchdf()
+    got_pairs = set(zip(got.doc_a.tolist(), got.doc_b.tolist()))
+    brute_pairs = set(zip(brute.doc_a.tolist(), brute.doc_b.tolist()))
+    assert got_pairs == brute_pairs, (
+        f"missed={sorted(brute_pairs - got_pairs)} "
+        f"extra={sorted(got_pairs - brute_pairs)}"
+    )
