@@ -10521,8 +10521,12 @@ _MMR_K, _MMR_POOL = 8, 20
 
 
 def _mmr_cos(E, a, b):
+    # zero-norm guard: ANSI Spark raises DIVIDE_BY_ZERO on a zero
+    # vector (fuzz-caught class); greatest(.., 1e-12) maps its cosine
+    # to 0 identically in both engines
     return (
-        f"ROUND({E.dot(a, b)} / (sqrt({E.dot(a, a)}) * sqrt({E.dot(b, b)})), 9)"
+        f"ROUND({E.dot(a, b)} / greatest(sqrt({E.dot(a, a)})"
+        f" * sqrt({E.dot(b, b)}), 1.0e-12), 9)"
     )
 
 
@@ -10604,7 +10608,10 @@ def sample_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(2, _MMR_K + 1):
         ids = ", ".join(f"({p[1]})" for p in picks)
         sel = f"(SELECT vec_id FROM VALUES {ids} AS v(vec_id))"
-        row = spark.sql(_mmr_step_sql(_Spark, pool, sims, sel)).collect()[0]
+        rows = spark.sql(_mmr_step_sql(_Spark, pool, sims, sel)).collect()
+        if not rows:  # pool exhausted (corpus smaller than k) — the
+            break     # oracle's sel_k CTEs go empty the same way
+        row = rows[0]
         picks.append((k, int(row[0]), float(row[1]), float(row[2]), float(row[3])))
     rows = ", ".join(
         f"({s}, {v}, CAST({r!r} AS DOUBLE), CAST({d!r} AS DOUBLE), CAST({m!r} AS DOUBLE))"

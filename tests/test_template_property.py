@@ -362,6 +362,9 @@ _EVENT_QUERIES = [
     "events_markov_heldout_accuracy",
     "events_engagement_fatigue",
     "events_lifetime_gamma_moments",
+    # round-7: non-contiguous subsequences (same-timestamp first
+    # occurrences hit the lexicographic tie-break; single-user tables)
+    "events_prefixspan_subsequences",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -460,6 +463,9 @@ _ORDER_QUERIES = [
     "orders_expected_shortfall",
     "aqp_sample_error_audit",
     "ivm_join_delta",
+    # round-7: l-diversity (single-class tables, all-same-priority
+    # classes drive entropy to exactly 0, customers with no orders)
+    "privacy_l_diversity_audit",
 ]
 
 _STATUSES = ["O", "F", "P"]
@@ -560,3 +566,37 @@ def test_prefix_filter_join_is_exact(docs):
         f"missed={sorted(brute_pairs - got_pairs)} "
         f"extra={sorted(got_pairs - brute_pairs)}"
     )
+
+
+# embeddings-table QUERIES (runner level — the MMR runner's greedy loop
+# collects one row per round and checkpoints its pool, so the template
+# chain can't run Spark-side): risky edges are zero vectors (guarded
+# cosine), constant vectors, exact duplicates (mmr tie-breaks), and
+# corpora smaller than the selection count k (pool exhaustion).
+_EMB_QUERIES = ["sample_mmr_diverse_topk"]
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(embs=_embeddings())
+def test_embedding_queries_agree_on_random_tables(spark, embs):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_emb_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "embeddings.parquet"))
+        embs.to_parquet(os.path.join(tmp, "embeddings.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _EMB_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
