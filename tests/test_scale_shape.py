@@ -875,3 +875,56 @@ def test_wasserstein_grid_is_census_sized(spark, sf_dir):
     plan = _plan(plans.QUERIES["doc_length_wasserstein"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, "grid did not read the persisted census"
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_windows_partition_by_doc(spark, sf_dir):
+    # the df-rank window partitions BY DOC (never global); candidates
+    # come from hash joins on the checkpointed postings — no cartesian
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    key = ("pf_prefix", id(spark), __import__("os").path.abspath(sf_dir))
+    L._MINHASH_STAGE_CACHE.pop(key, None)
+    df = plans.QUERIES["dedup_prefix_filter_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed postings"
+    # the staging plan (built during the call) carries the partitioned window
+    stage = spark.table(L._MINHASH_STAGE_CACHE[key])
+    assert stage.count() > 0
+
+
+def test_sorted_neighborhood_block_window_partitions(spark, sf_dir):
+    plan = _plan(plans.QUERIES["dedup_sorted_neighborhood"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the rank window must carry the block partition spec
+    import re as _re
+
+    wins = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert wins and all("blk" in ln for ln in wins), wins
+
+
+def test_mmr_pool_is_takeordered(spark, sf_dir):
+    # the relevance pool is a TakeOrderedAndProject over one map-side
+    # pass — never a global sort — and the final frame is constant-size
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    key = ("mmr_pool", id(spark), __import__("os").path.abspath(sf_dir))
+    L._MINHASH_STAGE_CACHE.pop(key, None)
+    df = plans.QUERIES["sample_mmr_diverse_topk"](spark, sf_dir)
+    assert df.count() <= L._MMR_K
+    pool, _sims = L._MINHASH_STAGE_CACHE[key]
+    assert spark.table(pool).count() <= L._MMR_POOL
+
+
+def test_l_diversity_broadcasts_customer(spark, sf_dir):
+    plan = _plan(plans.QUERIES["privacy_l_diversity_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aspect_bucket_plan_is_arrow_mapinpandas(spark, sf_dir):
+    # encode + header-parse run executor-side as Arrow batches; the SQL
+    # tail is one groupBy on bucket keys — payloads never hit the driver
+    plan = _plan(plans.QUERIES["multimodal_aspect_bucket_plan"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
