@@ -6316,7 +6316,8 @@ _PRICE_INDEX_SQL = """
     )
     SELECT CAST(y * 100 + mo AS BIGINT) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_parts_priced,
-           ROUND(CAST(SUM(cur_term) AS DOUBLE) / CAST(SUM(base_term) AS DOUBLE) * 100, 4)
+           ROUND(CAST(SUM(cur_term) AS DOUBLE)
+                 / NULLIF(CAST(SUM(base_term) AS DOUBLE), 0.0e0) * 100, 4)
              AS laspeyres_index
     FROM priced
     GROUP BY y, mo
@@ -7337,8 +7338,8 @@ _OLS2_SQL = """
     ),
     solved AS (
       SELECT l_returnflag, n, s1, s2, sy, c1y, c2y, cyy,
-             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
-             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+             (c22 * c1y - c12 * c2y) / NULLIF(c11 * c22 - c12 * c12, 0.0e0) AS b1,
+             (c11 * c2y - c12 * c1y) / NULLIF(c11 * c22 - c12 * c12, 0.0e0) AS b2
       FROM centered
     )
     SELECT l_returnflag,
@@ -7346,7 +7347,7 @@ _OLS2_SQL = """
            ROUND(b1 / 100.0e0, 6) AS beta_qty_dollars,
            ROUND(b2 / 100.0e0, 6) AS beta_discount_pt_dollars,
            ROUND((sy - b1 * s1 - b2 * s2) / n / 100.0e0, 6) AS intercept_dollars,
-           ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2
+           ROUND((b1 * c1y + b2 * c2y) / NULLIF(cyy, 0.0e0), 6) AS r2
     FROM solved
     ORDER BY l_returnflag
 """
@@ -7395,22 +7396,22 @@ _CORR_SQL = """
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
            ROUND((n * sqp - sq * sp)
-                 / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+                 / NULLIF(sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp), 0.0e0), 6)
              AS r_qty_price,
            ROUND((n * sqd - sq * sd)
-                 / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+                 / NULLIF(sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd), 0.0e0), 6)
              AS r_qty_discount,
            ROUND((n * sqt - sq * st)
-                 / (sqrt(n * sqq - sq * sq) * sqrt(n * stt - st * st)), 6)
+                 / NULLIF(sqrt(n * sqq - sq * sq) * sqrt(n * stt - st * st), 0.0e0), 6)
              AS r_qty_tax,
            ROUND((n * spd - sp * sd)
-                 / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+                 / NULLIF(sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd), 0.0e0), 6)
              AS r_price_discount,
            ROUND((n * spt - sp * st)
-                 / (sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st)), 6)
+                 / NULLIF(sqrt(n * spp - sp * sp) * sqrt(n * stt - st * st), 0.0e0), 6)
              AS r_price_tax,
            ROUND((n * sdt - sd * st)
-                 / (sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st)), 6)
+                 / NULLIF(sqrt(n * sdd - sd * sd) * sqrt(n * stt - st * st), 0.0e0), 6)
              AS r_discount_tax
     FROM moments
 """

@@ -600,3 +600,83 @@ def test_embedding_queries_agree_on_random_tables(spark, embs):
             _compare(got, want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# lineitem-table queries: the basket family was REDESIGNED in round 7
+# (relative support, checkpointed prune, keyset-filtered support) — its
+# risky edges are single-item orders (no pairs at all), duplicate
+# (orderkey, partkey) lines (the census dedups, the support side must
+# too), identical baskets (every pair frequent), and the regression
+# families' degenerate moments (constant price, single return flag).
+_LINEITEM_QUERIES = [
+    "basket_triples_apriori",
+    "basket_part_pairs",
+    "lineitem_ols2",
+    "lineitem_corr_matrix",
+    "lineitem_price_index",
+    "lineitem_reorder_point",
+    "lineitem_temporal_dq_audit",
+]
+
+_FLAGS = ["A", "N", "R"]
+
+
+@st.composite
+def _lineitem_table(draw):
+    n = draw(st.integers(min_value=4, max_value=30))
+    base = pd.Timestamp("1995-02-01")
+    rows = []
+    for i in range(n):
+        ok = draw(st.integers(min_value=1, max_value=6))
+        pk = draw(st.integers(min_value=1, max_value=8))
+        rows.append(
+            (
+                ok,
+                pk,
+                draw(st.integers(min_value=1, max_value=4)),
+                i + 1,
+                draw(st.sampled_from([1.0, 5.0, 50.0])),
+                draw(st.sampled_from([0.0, 0.01, 901.0, 1234.56])),
+                draw(st.sampled_from([0.0, 0.05, 0.1])),
+                draw(st.sampled_from([0.0, 0.08])),
+                draw(st.sampled_from(_FLAGS)),
+                draw(st.sampled_from(["O", "F"])),
+                base + pd.Timedelta(days=draw(st.integers(min_value=0, max_value=400))),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    return df
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lineitem=_lineitem_table())
+def test_lineitem_queries_agree_on_random_tables(spark, lineitem):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_li_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "lineitem.parquet"))
+        lineitem.to_parquet(os.path.join(tmp, "lineitem.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _LINEITEM_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
