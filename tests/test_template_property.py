@@ -680,3 +680,140 @@ def test_lineitem_queries_agree_on_random_tables(spark, lineitem):
             _compare(got, want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# part-table queries: the part-primary analytics (dispersion, HHI
+# concentration, brand mix, skylines) — risky edges are single-part
+# tables, zero/identical retail prices (zero variance, degenerate
+# skylines), one brand owning everything (HHI exactly 1), and part keys
+# with no lineitem rows (empty join legs).
+_PART_QUERIES = [
+    "part_price_dispersion",
+    "supplier_herfindahl",
+    "part_single_source_risk",
+    "brand_price_volume_mix",
+    "skyline_parts",
+    "case_expr_agg",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "discount_elasticity_ols",
+]
+
+_BRANDS = ["Brand#11", "Brand#23", "Brand#55"]
+_PTYPES = ["PROMO BRUSHED", "STANDARD POLISHED", "ECONOMY ANODIZED"]
+
+
+@st.composite
+def _part_table(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    keys = draw(
+        st.lists(st.integers(min_value=1, max_value=200), min_size=n, max_size=n, unique=True)
+    )
+    rows = []
+    for k in keys:
+        rows.append(
+            (
+                k,
+                f"part {k}",
+                draw(st.sampled_from(_BRANDS)),
+                draw(st.sampled_from(_PTYPES)),
+                draw(st.integers(min_value=1, max_value=50)),
+                draw(st.sampled_from([0.0, 0.01, 901.0, 901.0, 1234.56])),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(part=_part_table())
+def test_part_queries_agree_on_random_tables(spark, part):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_part_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "part.parquet"))
+        part.to_parquet(os.path.join(tmp, "part.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _PART_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# customer-table queries: governance + distribution analytics — risky
+# edges are negative/zero balances (credit exposure, the NULLIF band in
+# null_handling), single-class QI tables (k-anonymity k=n), customers
+# with no orders (q13's zero bucket, q22's anti-join), and duplicate
+# balances (band ties).
+_CUSTOMER_QUERIES = [
+    "kanonymity_audit",
+    "customer_credit_exposure",
+    "q13_customer_distribution",
+    "q22_sales_opportunity",
+    "null_handling",
+    "privacy_l_diversity_audit",
+]
+
+_SEGMENTS = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+
+
+@st.composite
+def _customer_table(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    keys = draw(
+        st.lists(st.integers(min_value=1, max_value=60), min_size=n, max_size=n, unique=True)
+    )
+    rows = []
+    for k in keys:
+        rows.append(
+            (
+                k,
+                f"cust {k}",
+                draw(st.integers(min_value=0, max_value=4)),
+                draw(st.sampled_from([-999.99, 0.0, 0.0, 123.45, 9999.99])),
+                draw(st.sampled_from(_SEGMENTS)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(customer=_customer_table())
+def test_customer_queries_agree_on_random_tables(spark, customer):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_cust_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "customer.parquet"))
+        customer.to_parquet(os.path.join(tmp, "customer.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _CUSTOMER_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
