@@ -10452,7 +10452,14 @@ def _sql_quality_calibration(E):
              CAST(COUNT(*) AS BIGINT) AS n,
              SUM(p) AS sum_p,
              CAST(SUM(y) AS BIGINT) AS n_keep,
-             SUM((p - y) * (p - y)) AS sum_sq
+             -- (p-y) in [-1,1] at 6dp: narrow it to DECIMAL(12,6) so the
+             -- square stays inside precision 38 in BOTH engines. The wide
+             -- spelling needed DECIMAL(39,12) and Spark's precision-loss
+             -- rule silently rounded the product to scale 11 while DuckDB
+             -- kept 12 — a 5e-12 per-term drift the 40-example fuzz
+             -- surfaced as a brier half-boundary flip.
+             SUM(CAST(p - y AS DECIMAL(12, 6)) * CAST(p - y AS DECIMAL(12, 6)))
+               AS sum_sq
       FROM joined GROUP BY bin
     ),
     tot AS (

@@ -204,7 +204,13 @@ def test_templates_agree_on_random_corpora(spark, docs):
         label = build.__name__
         got = spark.sql(build(L._Spark)).toPandas()
         want = con.execute(build(L._Duck)).fetchdf()
-        _compare(got, want, label)
+        try:
+            _compare(got, want, label)
+        except AssertionError:
+            docs.to_json("/tmp/falsify_docs.json", orient="records")
+            got.to_json(f"/tmp/falsify_{label}_spark.json", orient="records", double_precision=15)
+            want.to_json(f"/tmp/falsify_{label}_duck.json", orient="records", double_precision=15)
+            raise
     # anti-vacuousness: every doc with at least one word must get a
     # fertility row (the merge-exhaustion bug annihilated the vocabulary
     # in BOTH engines, so the parity compare alone passed on 0 == 0 rows)
@@ -817,3 +823,20 @@ def test_customer_queries_agree_on_random_tables(spark, customer):
             _compare(got, want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_decimal_product_keeps_scale_12(spark):
+    """Regression for the round-7 fuzz find: Spark's precision-loss rule
+    silently collapsed SUM((p - y) * (p - y)) with p DECIMAL(18,6) and
+    y BIGINT to DecimalType(38,6) — each squared term lost 6 digits
+    (0.123457^2 -> 0.015242 vs the exact 0.015241630849), which flipped
+    quality_score_calibration's 6dp brier at a half boundary vs DuckDB.
+    The narrow spelling CAST(p - y AS DECIMAL(12,6)) keeps the square
+    exact at scale 12 in both engines — pin it."""
+    q = ("SELECT SUM(CAST(p - y AS DECIMAL(12,6)) * CAST(p - y AS DECIMAL(12,6))) AS s "
+         "FROM (SELECT CAST(0.123457 AS DECIMAL(18,6)) AS p, CAST(0 AS BIGINT) AS y) t")
+    sdf = spark.sql(q)
+    assert sdf.schema[0].dataType.scale == 12, sdf.schema[0].dataType
+    import duckdb as _duck
+
+    assert str(sdf.collect()[0][0]) == str(_duck.connect().execute(q).fetchone()[0])
