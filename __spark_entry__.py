@@ -21,61 +21,13 @@ from datafusion_remote_table_spark import plans
 # next so every §2 item accumulates at least one green row; then the
 # oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # Round-7 rotation (VERDICT r6 item 1): exactly the 111 queries that
-    # have no driver CORRECTNESS row in any round, in the same relative
-    # order as round 6 (r6's 50-row budget cleared the head of the r6
-    # list; those 50 now have fresh green rows and drop to the refresh
-    # tail). All 111 pass the strict local sweep.
-    "embedding_knn_symmetry_audit",
-    "doc_quality_ensemble",
-    "multimodal_video_scene_cut",
-    "stream_late_arrival_monitor",
-    "remote_incremental_sync",
-    "brand_price_volume_mix",
-    "dedup_threshold_tradeoff_curve",
-    "aqp_sample_error_audit",
-    "ivm_join_delta",
-    "orders_seasonal_naive_mase",
-    "events_chisq_independence",
-    "dedup_winnowing",
-    "langid_feature_chi2",
-    "text_keyword_rake",
-    "events_bootstrap_ci",
-    "remote_checksum_reconcile",
-    "stream_seasonal_baseline_monitor",
-    "basket_triples_apriori",
-    "lineitem_ols2",
-    "lineitem_corr_matrix",
-    "events_sequence_trigrams",
-    "doc_length_lognormal_fit",
-    "multimodal_image_contrast",
-    "winnowing_accuracy_eval",
-    "federated_ship_plan",
-    "orders_littles_law",
-    "events_funnel_wilson_ci",
-    "events_shapley_attribution",
-    "events_ab_power_mde",
-    "remote_add_column_backfill",
-    "sample_pps_systematic",
-    "doc_length_wasserstein",
-    "stream_cusum_monitor",
-    "shard_consistent_hash_audit",
-    "events_mannwhitney_u",
-    "multimodal_decode_error_audit",
-    "minhash_1bit_eval",
-    "text_burrows_delta",
-    "join_order_dp_plan",
-    "events_dispersion_fano",
-    "events_diff_in_diff",
-    "embedding_quantization_ladder",
-    "lineitem_twoway_anova",
-    "events_variance_decomposition",
-    "orders_kendall_tau",
-    "events_runs_test",
-    "remote_diff_drilldown",
-    "orders_expected_shortfall",
-    "minhash_splithalf_reliability",
-    "events_seasonal_adjusted_anomaly",
+    # Round-8 rotation (VERDICT r7 item 1): exactly the 69 queries that
+    # still have no driver CORRECTNESS row in any round — the r7 driver's
+    # 50-row budget cleared the head of the r7 list; those 50 now have
+    # fresh green rows and drop to the refresh tail of _VERIFY_SECOND.
+    # Same relative order as round 7. All 69 pass the strict local sweep.
+    # Round-8 additions queue BEHIND them so the driver budget lands on
+    # the backlog first (target: backlog 69 - 50 + new <= 19 entering r9).
     "orders_pacf_durbin",
     "federated_topk_orders",
     "winnowing_minhash_agreement",
@@ -137,9 +89,6 @@ _VERIFY_FIRST = [
     "events_lifetime_gamma_moments",
     "lineitem_price_index",
     "customer_tier_migration",
-    # round-7 additions (registered this round, never driver-verified;
-    # they queue BEHIND the 111 so the r7 budget lands on the backlog
-    # first — VERDICT r6 item 1)
     "dedup_prefix_filter_join",
     "dedup_sorted_neighborhood",
     "privacy_l_diversity_audit",
@@ -215,6 +164,57 @@ _VERIFY_SECOND = [
     "stream_dedup_stateful",
     "stream_join_enrich",
     "stream_remote_sink",
+    # r7 rows — the newest greens, refreshed last
+    "embedding_knn_symmetry_audit",
+    "doc_quality_ensemble",
+    "multimodal_video_scene_cut",
+    "stream_late_arrival_monitor",
+    "remote_incremental_sync",
+    "brand_price_volume_mix",
+    "dedup_threshold_tradeoff_curve",
+    "aqp_sample_error_audit",
+    "ivm_join_delta",
+    "orders_seasonal_naive_mase",
+    "events_chisq_independence",
+    "dedup_winnowing",
+    "langid_feature_chi2",
+    "text_keyword_rake",
+    "events_bootstrap_ci",
+    "remote_checksum_reconcile",
+    "stream_seasonal_baseline_monitor",
+    "basket_triples_apriori",
+    "lineitem_ols2",
+    "lineitem_corr_matrix",
+    "events_sequence_trigrams",
+    "doc_length_lognormal_fit",
+    "multimodal_image_contrast",
+    "winnowing_accuracy_eval",
+    "federated_ship_plan",
+    "orders_littles_law",
+    "events_funnel_wilson_ci",
+    "events_shapley_attribution",
+    "events_ab_power_mde",
+    "remote_add_column_backfill",
+    "sample_pps_systematic",
+    "doc_length_wasserstein",
+    "stream_cusum_monitor",
+    "shard_consistent_hash_audit",
+    "events_mannwhitney_u",
+    "multimodal_decode_error_audit",
+    "minhash_1bit_eval",
+    "text_burrows_delta",
+    "join_order_dp_plan",
+    "events_dispersion_fano",
+    "events_diff_in_diff",
+    "embedding_quantization_ladder",
+    "lineitem_twoway_anova",
+    "events_variance_decomposition",
+    "orders_kendall_tau",
+    "events_runs_test",
+    "remote_diff_drilldown",
+    "orders_expected_shortfall",
+    "minhash_splithalf_reliability",
+    "events_seasonal_adjusted_anomaly",
 ]
 
 

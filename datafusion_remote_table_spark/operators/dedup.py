@@ -13,6 +13,8 @@ Scale posture (100TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -374,8 +376,14 @@ def prefix_filter_pairs(
     only the first ``|d| - ceil(t*|d|) + 1`` rarest shingles are indexed
     — any pair with jaccard >= t must collide on one of them, so unlike
     LSH this join has ZERO false negatives at the threshold (property-
-    tested against brute force in tests/test_template_property.py).
-    ``max_posting_size`` is the same skew valve as the LSH bucket cap.
+    tested against brute force in tests/test_template_property.py),
+    CONDITIONAL on ``max_posting_size``: the valve drops any posting
+    larger than the cap, and a true pair whose only shared prefix
+    tokens sit in a dropped posting is silently lost. The guarantee is
+    unconditional iff no posting exceeds the cap (the registered
+    ``dedup_prefix_filter_join`` surfaces this as n_dropped_postings;
+    pass ``max_posting_size=None``-like large values to recover strict
+    exactness on skewed corpora at the cost of the skew backstop).
     Returns (id_a, id_b, size_a, size_b, jaccard).
     """
     sh = _track(
@@ -393,8 +401,13 @@ def prefix_filter_pairs(
         Window.partitionBy(id_col).orderBy(F.col("df"), F.col("w"))
     )
     # integer prefix length: n - ceil(t*n) + 1, spelled with exact
-    # integer arithmetic for rational thresholds (t = num/den)
-    num, den = int(round(threshold * 100)), 100
+    # integer arithmetic for rational thresholds (t = num/den). num/den
+    # must round DOWN (num/den <= t): if it rounded up (e.g. t=2/3 ->
+    # 67/100), the indexed prefix would be too short and the length
+    # filter too strict — false negatives. A looser prefix/length filter
+    # only admits extra candidates; the final exact-jaccard filter
+    # enforces the true threshold.
+    num, den = math.floor(threshold * 100), 100
     plen = F.col("n") - F.floor((num * F.col("n") + den - 1) / F.lit(den)) + 1
     pfx = _track(
         texp.join(dfreq, "w")

@@ -10181,7 +10181,12 @@ _register_pair("idf_shard_stability", _sql_idf_stability)
 # minhash join: LSH trades false negatives for speed, prefix filtering
 # has ZERO false negatives at the threshold — every pair with jaccard
 # >= t shares at least one prefix token, so the result is the exact
-# t-similarity join. Reference parity: this is a data-pipeline operator
+# t-similarity join, CONDITIONAL on the posting valve not firing: a
+# dropped over-large posting (|w| > 1000) could hide a true pair whose
+# only shared prefix tokens sit in it. The output therefore carries
+# n_dropped_postings (a repeated global scalar; 0 at sf0.01, i.e. the
+# guarantee holds unconditionally on this corpus) so a skewed corpus
+# can't silently break the claim. Reference parity: this is a data-pipeline operator
 # beyond the reference surface (its dedup story is remote-query
 # DISTINCT); the method is the standard exact near-dup path at corpus
 # scale. Scale: the df census is one explode + groupBy on uniform
@@ -10218,6 +10223,15 @@ def _prefix_filter_tail(E, pfx, sh):
     inter = f"{E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles))"
     return f"""
     ok AS (SELECT w FROM {pfx} GROUP BY w HAVING COUNT(*) <= 1000),
+    -- valve audit: postings the |w| <= 1000 cap dropped. The zero-false-
+    -- negative guarantee is CONDITIONAL on this being 0 — a dropped
+    -- posting can hide a true pair whose only shared prefix tokens sit
+    -- in it (both engines drop identically, so the oracle stays green
+    -- either way; the column makes the condition observable).
+    dropped AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_postings
+      FROM (SELECT w FROM {pfx} GROUP BY w HAVING COUNT(*) > 1000) d
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM {pfx} a
@@ -10238,8 +10252,9 @@ def _prefix_filter_tail(E, pfx, sh):
     SELECT doc_a, doc_b,
            CAST(size_a AS BIGINT) AS size_a,
            CAST(size_b AS BIGINT) AS size_b,
-           floor(jaccard * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS jaccard
-    FROM verified WHERE jaccard >= 0.8e0
+           floor(jaccard * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS jaccard,
+           d.n_dropped_postings
+    FROM verified CROSS JOIN dropped d WHERE jaccard >= 0.8e0
     """
 
 
@@ -10469,14 +10484,24 @@ def _sql_quality_calibration(E):
       FROM bins
     ),
     terms AS (
-      SELECT b.bin, b.n, b.sum_p, b.n_keep,
-             CAST(ROUND(b.n * power(CAST(b.sum_p AS DOUBLE) / b.n
-                                    - CAST(b.n_keep AS DOUBLE) / b.n, 2)
-                        / t.n_total, 9) AS DECIMAL(18, 9)) AS rel_term,
-             CAST(ROUND(b.n * power(CAST(b.n_keep AS DOUBLE) / b.n
-                                    - CAST(t.keep_total AS DOUBLE) / t.n_total, 2)
-                        / t.n_total, 9) AS DECIMAL(18, 9)) AS res_term
-      FROM bins b CROSS JOIN tot t
+      -- squares spelled g*g, NOT power(g,2): pow is a libm call (Spark
+      -- Math.pow allows 1-2 ulp vs DuckDB's correctly-rounded std::pow),
+      -- so its output need not be bit-identical cross-engine and the
+      -- ROUND(...,9) below would sit on a movable half boundary. Plain
+      -- multiplication of identical doubles is IEEE-exact in both.
+      SELECT g.bin, g.n, g.sum_p, g.n_keep,
+             CAST(ROUND(g.n * (g.g_rel * g.g_rel) / g.n_total, 9)
+                  AS DECIMAL(18, 9)) AS rel_term,
+             CAST(ROUND(g.n * (g.g_res * g.g_res) / g.n_total, 9)
+                  AS DECIMAL(18, 9)) AS res_term
+      FROM (
+        SELECT b.bin, b.n, b.sum_p, b.n_keep, t.n_total,
+               CAST(b.sum_p AS DOUBLE) / b.n
+                 - CAST(b.n_keep AS DOUBLE) / b.n AS g_rel,
+               CAST(b.n_keep AS DOUBLE) / b.n
+                 - CAST(t.keep_total AS DOUBLE) / t.n_total AS g_res
+        FROM bins b CROSS JOIN tot t
+      ) g
     ),
     decomp AS (
       SELECT CAST(SUM(rel_term) AS DOUBLE) AS reliability,
@@ -10685,7 +10710,11 @@ def _aspect_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..multimodal.decode import encode_bmp
 
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+    # spread the single-row-group documents scan so the CPU-bound BMP
+    # encode runs as N parallel tasks, not one (the staging-discipline
+    # rule; a 100TB scan already has thousands of splits and skips this)
+    doc_view = _spread_view(spark, sf_dir, "documents", "aspect_docs")
+    docs = spark.table(doc_view).select("doc_id")
 
     def encode_batch(batches):
         for pdf in batches:
@@ -10702,7 +10731,7 @@ def _aspect_media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(encode_batch, schema="doc_id long, payload binary")
 
 
-def multimodal_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _aspect_dims_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..multimodal.decode import decode_image
@@ -10721,10 +10750,22 @@ def multimodal_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame
                 {"doc_id": pdf["doc_id"], "w": ws, "h": hs, "n_bytes": nb}
             )
 
-    dims = frame.mapInPandas(parse_batch, schema="doc_id long, w int, h int, n_bytes long")
-    view = f"aspect_dims_{_dataset_suffix(sf_dir)}"
-    dims.createOrReplaceTempView(view)
-    return spark.sql(_aspect_bucket_tail(_Spark, view))
+    return frame.mapInPandas(
+        parse_batch, schema="doc_id long, w int, h int, n_bytes long"
+    )
+
+
+def multimodal_aspect_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the tail references `sized` twice (buckets + gstats); a lazy temp
+    # view would run the whole encode+header-parse chain twice, so the
+    # 4-column dims frame is checkpointed once (rows, not lineage) and
+    # both CTE legs read the materialized partitions
+    key = ("aspect_dims", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "aspect_dims", _aspect_dims_frame(spark, sf_dir)
+        )
+    return spark.sql(_aspect_bucket_tail(_Spark, _MINHASH_STAGE_CACHE[key]))
 
 
 def _aspect_bucket_tail(E, dims_rel):

@@ -7116,7 +7116,7 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frequent-pair census are persisted in Spark (the pair census is the
 # fact-scale shuffle; the lazy CTE spelling would re-run it three
 # times), MATERIALIZED in DuckDB. Min-support is RELATIVE (round-7
-# redesign): threshold = GREATEST(2, ceil(n_orders/7500)) — at sf0.01
+# redesign): threshold = GREATEST(2, ceil(n_orders/100000)) — at sf0.01
 # that is exactly the old absolute 2 (identical results), but a
 # threshold that scales with the order count is what makes a-priori
 # scale-stable: the 16x perturbed-replica corpus multiplies every

@@ -16,6 +16,16 @@ DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "3
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+class TestDataNotFoundError(FileNotFoundError):
+    """Raised when an sf_dir doesn't hold the requested parquet tables.
+
+    The driver contract (``__spark_entry__``) takes sf_dir from
+    ``$SPARK_GRAFT_SF_DIR``; a typo'd path or missing table used to
+    surface deep inside a query as a Spark AnalysisException
+    ("table or view not found") — this probe names the actual problem
+    at load time instead (VERDICT r7 item 5)."""
+
+
 def get_spark(app_name: str = "datafusion-remote-table-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -131,6 +141,19 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     from pyspark.sql import functions as F
 
     ensure_runtime_confs(spark)
+    if not os.path.isdir(sf_dir):
+        raise TestDataNotFoundError(
+            f"sf_dir {sf_dir!r} is not a directory (check $SPARK_GRAFT_SF_DIR)"
+        )
+    missing = [
+        n for n in names
+        if not os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    ]
+    if missing:
+        raise TestDataNotFoundError(
+            f"sf_dir {sf_dir!r} lacks parquet for requested tables {missing}; "
+            f"present: {sorted(f for f in os.listdir(sf_dir) if f.endswith('.parquet'))}"
+        )
     parallelism = spark.sparkContext.defaultParallelism
     dfs = {}
     for name in names:

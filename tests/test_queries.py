@@ -42,3 +42,21 @@ def test_verify_priority_lists_match_registry():
     assert ordered[: len(entry._VERIFY_FIRST)] == [
         n for n in entry._VERIFY_FIRST if n in plans.QUERIES
     ]
+
+
+def test_sf_dir_probe_raises_named_error(spark):
+    # VERDICT r7 item 5: a typo'd $SPARK_GRAFT_SF_DIR or missing parquet
+    # must surface as a named load-time error, not a mid-query
+    # AnalysisException
+    import tempfile
+
+    from datafusion_remote_table_spark.session import (
+        TestDataNotFoundError,
+        load_tables,
+    )
+
+    with pytest.raises(TestDataNotFoundError, match="not a directory"):
+        load_tables(spark, "/no/such/sf_dir", ("orders",))
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(TestDataNotFoundError, match="orders"):
+            load_tables(spark, d, ("orders",))

@@ -923,8 +923,17 @@ def test_l_diversity_broadcasts_customer(spark, sf_dir):
 
 
 def test_aspect_bucket_plan_is_arrow_mapinpandas(spark, sf_dir):
-    # encode + header-parse run executor-side as Arrow batches; the SQL
-    # tail is one groupBy on bucket keys — payloads never hit the driver
+    # encode + header-parse run executor-side as Arrow batches (pinned
+    # on the staging frame), and the registered query reads the
+    # CHECKPOINTED dims — the tail references `sized` twice, so lazy
+    # lineage would run the whole encode+parse chain twice
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    stage_plan = _plan(L._aspect_dims_frame(spark, sf_dir))
+    assert stage_plan.count("MapInPandas") >= 2, "encode/parse not Arrow batches"
+    key = ("aspect_dims", id(spark), __import__("os").path.abspath(sf_dir))
+    L._MINHASH_STAGE_CACHE.pop(key, None)
     plan = _plan(plans.QUERIES["multimodal_aspect_bucket_plan"](spark, sf_dir))
-    assert "MapInPandas" in plan
+    assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed dims"
+    assert "MapInPandas" not in plan, "encode/parse re-runs inside the tail"
     assert "CartesianProduct" not in plan
