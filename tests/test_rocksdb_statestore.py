@@ -1,0 +1,53 @@
+"""Run the applyInPandasWithState operators under the RocksDB state
+store provider (VERDICT r7 item 4).
+
+The default HDFS-backed in-memory provider is what every other suite
+exercises; a 100TB cluster runs RocksDB
+(``spark.sql.streaming.stateStore.providerClass``), which has its own
+state (de)serialization path and timeout handling — a schema the
+in-memory provider tolerates can fail RocksDB's stricter encoding. Each
+op must converge to the SAME DuckDB oracle as under the default store.
+
+The provider is a runtime SQL conf read at streaming-query start, so it
+can be flipped per-test and restored; each op writes to a fresh
+checkpoint dir (tempfile.mkdtemp inside the runner), so no state from
+the default-provider suites can leak in.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_remote_table_spark import plans
+
+from .oracle_util import compare
+
+plans.load_all()
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+# the three stateful ops the verdict names: per-key tuple state
+# (sessionize), string-typed state (scd2), and array-typed state with
+# update-mode emission (theta sketch)
+_STATEFUL = [
+    "stream_sessionize_stateful",
+    "stream_scd2_monitor",
+    "stream_theta_distinct_monitor",
+]
+
+
+@pytest.mark.parametrize("name", _STATEFUL)
+def test_stateful_op_matches_oracle_on_rocksdb(spark, sf_dir, name):
+    prev = spark.conf.get(_CONF, None)
+    spark.conf.set(_CONF, _ROCKSDB)
+    try:
+        df = plans.QUERIES[name](spark, sf_dir)
+        compare(df, plans.ORACLE[name], sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prev)
