@@ -97,6 +97,17 @@ _VERIFY_FIRST = [
     "multimodal_aspect_bucket_plan",
     "events_prefixspan_subsequences",
     "sample_ht_estimator_audit",
+    # round-8 additions (registered this round, never driver-verified;
+    # they queue BEHIND the 69 so the r8 budget lands on the backlog
+    # first — VERDICT r7 item 1)
+    "events_entropy_rate",
+    "orders_newsvendor_plan",
+    "sample_neyman_allocation",
+    "sample_dup_aware_weights",
+    "dedup_capture_recapture",
+    "text_js_divergence_sources",
+    "multimodal_color_histogram_census",
+    "dedup_union_cascade_efficiency",
 ]
 
 # Previously driver-green: refresh rotation once the never-verified

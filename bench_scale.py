@@ -35,6 +35,7 @@ QUERIES = [
     "quality_repetition_signals",
     "corpus_clean_pipeline",
     "dedup_clusters",
+    "dedup_keep_best",
     # embedding family
     "kmeans_embeddings",
     "ann_ivf_cosine",
@@ -458,6 +459,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--queries", default="", help="comma-separated subset of QUERIES")
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="clear all staged/persisted state before EVERY query (each "
+        "measurement then includes the query's full staging chain, like "
+        "bench.py's comparable gate). Default keeps stagings within a "
+        "scale so chain consumers (dedup_clusters after dedup_minhash_lsh) "
+        "measure their marginal cost — but co-resident multi-GB stagings "
+        "at 64x perturb unrelated queries 5-10x (measured round 8: "
+        "semdedup_embedding 17.6 s alone vs 81.8 s with the minhash "
+        "staging pinned), so scale CERTIFICATION runs use --cold.",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
     if args.queries:
@@ -485,9 +498,33 @@ def main() -> None:
     for q in QUERIES:
         plans.QUERIES[q](spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
 
+    def _clear_stagings() -> None:
+        """Drop the previous scale's staged/persisted state before timing
+        the next one. Round-8 find: running 1x/16x/64x in one session
+        left every earlier scale's persisted minhash/embedding stagings
+        pinned in the storage pool, and the 64x run measured eviction +
+        recompute thrash, not the operator — dedup_minhash_lsh read
+        141 s in-session vs 24 s in a fresh session at 64x. Same recipe
+        as bench.py: clear the Python caches, unpersist, then force both
+        GCs so the JVM ContextCleaner actually frees the blocks."""
+        import gc
+
+        from datafusion_remote_table_spark.operators import dedup as op_dedup
+        from datafusion_remote_table_spark.plans import llm_data, relational
+
+        llm_data._MINHASH_STAGE_CACHE.clear()
+        relational._RANK_STAGE_CACHE.clear()
+        op_dedup.release_persisted()
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+
     for scale in scales:
         sf_dir = build_scaled(scale)
+        _clear_stagings()
         for q in QUERIES:
+            if args.cold:
+                _clear_stagings()
             t0 = time.perf_counter()
             plans.QUERIES[q](spark, sf_dir).write.format("noop").mode("overwrite").save()
             print(

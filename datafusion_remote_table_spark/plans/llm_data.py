@@ -10936,3 +10936,608 @@ def _sql_ht_audit(E):
 
 
 _register_pair("sample_ht_estimator_audit", _sql_ht_audit)
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation — optimal stratified-sample design: for a
+# corpus-profiling budget of ceil(N/5) docs stratified by source,
+# compare PROPORTIONAL allocation (n_h ~ N_h) against NEYMAN allocation
+# (n_h ~ N_h * S_h — sample volatile strata harder) on the n_chars
+# response, reporting each stratum's allocation under both rules and
+# the design standard errors + Neyman's variance-efficiency gain. The
+# design readout run before an expensive annotation/eval pass over a
+# 100TB corpus: which sources deserve sample, and how much precision
+# proportional sampling leaves on the table. Determinism: stratum
+# sd = sqrt((n*ssq - s^2) / (n*(n-1))) is sqrt of an exact integer
+# rational (sqrt is IEEE-exact cross-engine); the Neyman weights
+# N_h*S_h are quantized to DECIMAL(18,6) before the order-sensitive
+# global sum; allocations are floor(x+0.5) on identical doubles; the
+# per-stratum variance terms quantize to 1e-9 before the DECIMAL sum.
+# Scale: one map-side census on the bounded source key set; everything
+# after is stratum-count-sized. Non-vacuous at sf0.01 (probed): 20
+# strata x 25 docs, sds span 114.017952-164.771782 (all 20 distinct),
+# Neyman allocations {4: 3, 5: 15, 6: 2} vs flat proportional 5;
+# design_efficiency 1.007119 (>= 1 by Cauchy-Schwarz — this corpus's
+# near-homogeneous strata leave little to gain) while
+# realized_efficiency 0.993807 < 1: integer rounding of near-equal
+# optimal allocations eats more than the design gain — exactly the
+# readout that tells a pipeline owner to keep proportional here.
+def _sql_neyman(E):
+    return f"""
+    WITH cens AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_h) AS BIGINT) AS n_pop,
+             {E.intdiv('CAST(SUM(n_h) AS BIGINT) + 4', '5')} AS budget
+      FROM cens
+    ),
+    strata AS (
+      SELECT source, n_h, s1, s2,
+             CAST(s1 AS DOUBLE) / n_h AS mean_y,
+             sqrt((CAST(n_h AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                  / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS sd_y
+      FROM cens WHERE n_h > 1
+    ),
+    wgt AS (
+      SELECT source, n_h, mean_y, sd_y,
+             CAST(ROUND(n_h * sd_y, 6) AS DECIMAL(18, 6)) AS w
+      FROM strata
+    ),
+    wtot AS (SELECT CAST(SUM(w) AS DOUBLE) AS wsum FROM wgt),
+    alloc AS (
+      SELECT g.source, g.n_h, g.mean_y, g.sd_y,
+             CAST(floor(CAST(t.budget AS DOUBLE) * g.n_h / t.n_pop + 0.5e0)
+                  AS BIGINT) AS alloc_prop,
+             CAST(floor(CAST(t.budget AS DOUBLE) * CAST(g.w AS DOUBLE) / wt.wsum
+                        + 0.5e0) AS BIGINT) AS alloc_neyman
+      FROM wgt g CROSS JOIN tot t CROSS JOIN wtot wt
+    ),
+    vterms AS (
+      SELECT a.source, a.n_h, a.mean_y, a.sd_y, a.alloc_prop, a.alloc_neyman,
+             CAST(ROUND(CAST(a.n_h AS DOUBLE) * a.n_h * a.sd_y * a.sd_y
+                        / NULLIF(a.alloc_prop, 0), 9) AS DECIMAL(18, 9)) AS vp,
+             CAST(ROUND(CAST(a.n_h AS DOUBLE) * a.n_h * a.sd_y * a.sd_y
+                        / NULLIF(a.alloc_neyman, 0), 9) AS DECIMAL(18, 9)) AS vn
+      FROM alloc a
+    ),
+    design AS (
+      SELECT CAST(SUM(vp) AS DOUBLE) AS vprop,
+             CAST(SUM(vn) AS DOUBLE) AS vney
+      FROM vterms
+    ),
+    -- continuous-design efficiency (real-valued allocations, the
+    -- textbook Cauchy-Schwarz bound >= 1): V_prop/V_ney with
+    -- n_h = n*N_h/N vs n_h = n*w_h/W reduces to N * sum(N_h*S_h^2) / W^2
+    cont AS (
+      SELECT CAST(SUM(CAST(ROUND(g.n_h * g.sd_y * g.sd_y, 9)
+                           AS DECIMAL(24, 9))) AS DOUBLE) AS a
+      FROM wgt g
+    )
+    SELECT v.source, v.n_h, t.budget,
+           floor(v.mean_y * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS mean_chars,
+           ROUND(v.sd_y, 6) AS sd_chars,
+           v.alloc_prop, v.alloc_neyman,
+           ROUND(sqrt(d.vprop) / t.n_pop, 6) AS se_proportional,
+           ROUND(sqrt(d.vney) / t.n_pop, 6) AS se_neyman,
+           floor(d.vprop / d.vney * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS realized_efficiency,
+           floor(t.n_pop * c.a / (wt.wsum * wt.wsum) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS design_efficiency
+    FROM vterms v CROSS JOIN design d CROSS JOIN tot t
+    CROSS JOIN wtot wt CROSS JOIN cont c
+    ORDER BY v.source
+    """
+
+
+_register_pair("sample_neyman_allocation", _sql_neyman)
+
+
+# ---------------------------------------------------------------------------
+# sample_dup_aware_weights — duplicate-aware training weights (soft
+# dedup): every doc in a near-dup cluster (the minhash CC components
+# dedup_clusters emits) gets weight 1/|cluster| so each DISTINCT piece
+# of content contributes one unit of training mass regardless of how
+# many times it was crawled — the standard alternative to hard keep-one
+# dedup when near-dups carry complementary formatting. Per source:
+# effective doc count (sum of weights), Kish effective sample size
+# (sum w)^2 / sum w^2, and the duplication inflation factor
+# n_docs/effective — the table that says which sources' sizes are
+# crawl-duplication mirages. Global inflation repeats as a scalar
+# (allowed class). Determinism: weights 1/k are ROUND(...,9)-quantized
+# per doc then DECIMAL-summed (order-independent); ratios are pure
+# arithmetic on the quantized sums under the floor(x*1e6+0.5) spelling.
+# Scale: rides the persisted members staging (no extra corpus pass
+# beyond the documents scan); the weight rollup is one groupBy on the
+# bounded source key set. Non-vacuous at sf0.01 (probed): inflations
+# span 1.0-1.119403 across 20 sources with 9 distinct values;
+# effective_docs 22.333333-25.0, kish_ess 23.626316-25.0 (9 distinct
+# each), max_cluster 1-3; global inflation 1.05042.
+def _dup_weight_tail(E, docs, msize):
+    return f"""
+    k AS (
+      SELECT d.source, d.doc_id,
+             COALESCE(s.n_members, 1) AS k
+      FROM {docs} d
+      LEFT JOIN {msize} s ON s.doc_id = d.doc_id
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(MAX(k) AS BIGINT) AS max_cluster,
+             CAST(SUM(CAST(ROUND(1.0e0 / k, 9) AS DECIMAL(18, 9))) AS DOUBLE)
+               AS sw,
+             CAST(SUM(CAST(ROUND(1.0e0 / (CAST(k AS DOUBLE) * k), 9)
+                           AS DECIMAL(18, 9))) AS DOUBLE) AS sw2
+      FROM k GROUP BY source
+    ),
+    gl AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+             CAST(SUM(CAST(sw AS DECIMAL(18, 6))) AS DOUBLE) AS gsw
+      FROM agg
+    )
+    SELECT a.source, a.n_docs, a.n_dup_docs, a.max_cluster,
+           floor(a.sw * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS effective_docs,
+           floor(a.sw * a.sw / a.sw2 * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS kish_ess,
+           floor(a.n_docs / a.sw * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS dup_inflation,
+           floor(g.nn / g.gsw * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS global_dup_inflation
+    FROM agg a CROSS JOIN gl g
+    ORDER BY a.source
+    """
+
+
+def sample_dup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = _minhash_members(spark, sf_dir)
+    key = ("daw_msize", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        sizes = members.groupBy("cluster_id").agg(
+            F.count("*").alias("n_members")
+        )
+        view = f"daw_msize_{_dataset_suffix(sf_dir)}"
+        members.join(sizes, "cluster_id").select(
+            "doc_id", "n_members"
+        ).createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
+    msize = _MINHASH_STAGE_CACHE[key]
+    doc_view = _spread_view(spark, sf_dir, "documents", "daw_docs")
+    return spark.sql("WITH " + _dup_weight_tail(_Spark, doc_view, msize).lstrip())
+
+
+def _sql_dup_weights_duck():
+    E = _Duck
+    edges = _EDGES_SQL.format(pairs="pairs")
+    return f"""
+    WITH RECURSIVE {_sql_dedup_pairs(E)},
+    edges AS ({edges}),
+    walk(src, lbl) AS (
+      SELECT src, MIN(dst) FROM edges GROUP BY src
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+    ),
+    members AS (SELECT src AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY src),
+    msize AS (
+      SELECT m.doc_id, s.n_members
+      FROM members m
+      JOIN (SELECT cluster_id, COUNT(*) AS n_members FROM members
+            GROUP BY cluster_id) s ON s.cluster_id = m.cluster_id
+    ),
+    {_dup_weight_tail(E, "documents", "msize")}
+    """
+
+
+QUERIES["sample_dup_aware_weights"] = sample_dup_aware_weights
+ORACLE["sample_dup_aware_weights"] = _sql_dup_weights_duck()
+
+
+# ---------------------------------------------------------------------------
+# dedup_capture_recapture — how many near-dup pairs is the pipeline
+# MISSING? Treat the two independent candidate generators (winnowing
+# fingerprint pairs at shared_fps >= 4; LSH-verified minhash pairs) as
+# two captures of the same unknown duplicate-pair population and apply
+# the Chapman capture-recapture estimator:
+# N_hat = (nA+1)(nB+1)/(m+1) - 1 with its standard error — turning
+# winnowing_minhash_agreement's overlap counts into the number a
+# pipeline owner actually wants (estimated TOTAL duplication and each
+# method's recall against it). Standard ecology-estimator caveat,
+# stated: the captures are positively correlated (both key on content),
+# so N_hat is a LOWER bound on the true pair population — still the
+# right audit instrument for "is one method enough". Determinism: all
+# counts are exact integers; N_hat and the recalls are int-rational
+# doubles; the SE is sqrt of an int rational (IEEE-exact) — every
+# output uses the floor(x*1e6+0.5) spelling. Scale: rides both staged
+# pair frames; the estimator is a census-scale full-outer join + O(1)
+# arithmetic. Non-vacuous at sf0.01 (probed): captures 25 vs 24 with
+# m=24 — n_captured / n_exclusive / est_recall all differ across the
+# two method rows (1.0 vs 0.96). chapman_se = 0.0 and union coverage
+# 1.0 are clean-data TRUE NEGATIVES (winnowing-exclusive count is 0, so
+# the estimator correctly reports "nothing left to find" on this
+# corpus); the hypothesis fuzz drives the estimator through corpora
+# where the captures disagree.
+def _capture_recapture_tail(wp, mp):
+    return f"""
+    WITH uni AS (
+      SELECT CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_w,
+             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_m
+      FROM ({wp}) w
+      FULL OUTER JOIN ({mp}) m
+        ON m.doc_a = w.doc_a AND m.doc_b = w.doc_b
+    ),
+    counts AS (
+      SELECT CAST(SUM(in_w) AS BIGINT) AS na,
+             CAST(SUM(in_m) AS BIGINT) AS nb,
+             CAST(SUM(in_w * in_m) AS BIGINT) AS m_both,
+             CAST(COUNT(*) AS BIGINT) AS n_union
+      FROM uni
+    ),
+    est AS (
+      SELECT na, nb, m_both, n_union,
+             CAST(na + 1 AS DOUBLE) * (nb + 1) / (m_both + 1) - 1.0e0 AS nhat,
+             sqrt(CAST(na + 1 AS DOUBLE) * (nb + 1) * (na - m_both) * (nb - m_both)
+                  / (CAST(m_both + 1 AS DOUBLE) * (m_both + 1) * (m_both + 2)))
+               AS se
+      FROM counts
+    ),
+    methods AS (
+      SELECT 'minhash' AS method, nb AS n_captured, nb - m_both AS n_exclusive
+      FROM est
+      UNION ALL
+      SELECT 'winnowing', na, na - m_both FROM est
+    )
+    SELECT mt.method, CAST(mt.n_captured AS BIGINT) AS n_captured,
+           CAST(mt.n_exclusive AS BIGINT) AS n_exclusive,
+           e.m_both AS n_both, e.n_union,
+           floor(e.nhat * 100.0e0 + 0.5e0) / 100.0e0 AS chapman_total_est,
+           floor(e.se * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS chapman_se,
+           floor(mt.n_captured / e.nhat * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS est_recall,
+           floor(e.n_union / e.nhat * 1000000.0e0 + 0.5e0) / 1000000.0e0
+             AS est_union_coverage
+    FROM methods mt CROSS JOIN est e
+    ORDER BY mt.method
+    """
+
+
+def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("winnow_fp", id(spark), sf_dir)
+    if key not in _MINHASH_STAGE_CACHE:
+        dedup_winnowing(spark, sf_dir)
+    mh = _minhash_pairs(spark, sf_dir)
+    view = f"cr_mh_pairs_{_dataset_suffix(sf_dir)}"
+    mh.createOrReplaceTempView(view)
+    return spark.sql(
+        _capture_recapture_tail(
+            _winnow_pairs4_sql(_Spark, _MINHASH_STAGE_CACHE[key]),
+            f"SELECT doc_a, doc_b FROM {view}",
+        )
+    )
+
+
+QUERIES["dedup_capture_recapture"] = dedup_capture_recapture
+ORACLE["dedup_capture_recapture"] = (
+    "WITH selfp AS MATERIALIZED (" + _winnow_fp_sql(_Duck) + ")"
+    + _capture_recapture_tail(
+        _winnow_pairs4_sql(_Duck, "selfp"),
+        "SELECT doc_a, doc_b FROM (" + _sql_minhash_oracle(_Duck) + ") v",
+    ).replace("WITH uni", ", uni", 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# text_js_divergence_sources — pairwise Jensen-Shannon divergence
+# between source unigram distributions over the df-capped global vocab
+# (top 64 words by corpus count, word tie-break): the symmetric,
+# bounded [0, ln 2] corpus-mix distance used to decide which sources
+# are interchangeable for mixing (near-0) and which carry genuinely
+# different text (near ln 2) — the pairwise companion to
+# doc_language_entropy_by_source and corpus_mix_report's marginal
+# views. Determinism: unigram shares are exact count rationals; each
+# word's JS term 0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)) is
+# ROUND(...,9)-quantized then DECIMAL-summed (the ln discipline);
+# the normalized output divides by the same quantized ln(2). Scale:
+# ONE corpus explode census; everything downstream is
+# |sources|^2 x |vocab| bounded (sources are a bounded registry key).
+# Non-vacuous at sf0.01 (probed): 190 source pairs, jsd_nats spans
+# 0.002793-0.009188 with 186 distinct values (190 normalized), union
+# sizes 30-31, exclusive words 0-1 — the near-uniform synthetic vocab
+# keeps magnitudes small but every pair's divergence is distinct.
+def _sql_js_divergence(E):
+    words = E.splitws("lower(text)")
+    return f"""
+    WITH wc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT source, {E.explode(words, 'w')}
+        FROM documents WHERE text IS NOT NULL
+      ) x GROUP BY source, w
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS tc FROM wc GROUP BY w
+        ORDER BY tc DESC, w LIMIT 64
+      ) v
+    ),
+    invocab AS (
+      SELECT wc.source, wc.w, wc.c
+      FROM wc JOIN vocab v ON v.w = wc.w
+    ),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM invocab GROUP BY source),
+    dist AS (
+      SELECT i.source, i.w, CAST(i.c AS DOUBLE) / t.n AS p
+      FROM invocab i JOIN tot t ON t.source = i.source
+    ),
+    srcs AS (SELECT source FROM tot),
+    grid AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    cells AS (
+      SELECT g.sa, g.sb, v.w,
+             COALESCE(da.p, 0.0e0) AS p, COALESCE(db.p, 0.0e0) AS q
+      FROM grid g
+      CROSS JOIN vocab v
+      LEFT JOIN dist da ON da.source = g.sa AND da.w = v.w
+      LEFT JOIN dist db ON db.source = g.sb AND db.w = v.w
+    ),
+    terms AS (
+      SELECT sa, sb,
+             CASE WHEN p > 0 OR q > 0 THEN 1 ELSE 0 END AS occupied,
+             CASE WHEN p > 0 AND q > 0 THEN 0 ELSE
+               CASE WHEN p > 0 OR q > 0 THEN 1 ELSE 0 END END AS exclusive,
+             CAST(ROUND(
+               CASE WHEN p > 0 THEN 0.5e0 * p * ln(2.0e0 * p / (p + q))
+                    ELSE 0.0e0 END
+               + CASE WHEN q > 0 THEN 0.5e0 * q * ln(2.0e0 * q / (p + q))
+                      ELSE 0.0e0 END, 9) AS DECIMAL(18, 9)) AS t
+      FROM cells
+    ),
+    ln2 AS (
+      SELECT CAST(CAST(ROUND(ln(2.0e0), 9) AS DECIMAL(18, 9)) AS DOUBLE) AS l
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(SUM(occupied) AS BIGINT) AS n_words_union,
+           CAST(SUM(exclusive) AS BIGINT) AS n_words_exclusive,
+           ROUND(CAST(SUM(t) AS DOUBLE), 6) AS jsd_nats,
+           floor(CAST(SUM(t) AS DOUBLE) / l.l * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS jsd_normalized
+    FROM terms CROSS JOIN ln2 l
+    GROUP BY sa, sb, l.l
+    ORDER BY sa, sb
+    """
+
+
+_register_pair("text_js_divergence_sources", _sql_js_divergence)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_color_histogram_census — color-distribution fingerprint
+# census over REAL decoded pixels: decode each genuine BMP/PPM payload
+# (the _encoded_media_frame 4x2 images), count high-intensity bytes
+# (>= 128) per RGB channel (0..8 each), quantize each channel count to
+# 3 levels (0-2 / 3-5 / 6-8), and census the 27-cell color signature
+# 9*lr + 3*lg + lb — the color-mix companion to multimodal_image_phash
+# (brightness-PATTERN buckets): images land in one cell when their
+# channel-intensity mix matches regardless of arrangement, the cheap
+# first-stage blocking key for color-based near-dup. The oracle
+# recomputes every channel count from the md5 byte derivation, so a
+# channel-order or stride bug in the decoder diverges the hash (the
+# multimodal_decode_real discipline). Determinism: all counts integer;
+# the mean high-intensity fraction is an exact int rational under the
+# floor(x*1e6+0.5) spelling. Scale: Arrow-batch map kernel; the census
+# shuffles <= 27 keys. Non-vacuous at sf0.01 (probed): 25 occupied
+# cells, n_images 2-158 (16 distinct), bmp/ppm splits 0-86 / 0-72,
+# mean_hi_frac 0.25-0.725 (23 distinct).
+def multimodal_color_histogram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..multimodal.decode import decode_image
+
+    frame = _encoded_media_frame(spark, sf_dir)
+
+    def hist_batch(batches):
+        for pdf in batches:
+            sigs, fmts, his = [], [], []
+            for payload in pdf["payload"]:
+                fmt, _w, _h, pix = decode_image(bytes(payload))
+                hr = sum(1 for b in pix[0::3] if b >= 128)
+                hg = sum(1 for b in pix[1::3] if b >= 128)
+                hb = sum(1 for b in pix[2::3] if b >= 128)
+                sigs.append(9 * (hr // 3) + 3 * (hg // 3) + hb // 3)
+                fmts.append(fmt)
+                his.append(hr + hg + hb)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sig": sigs, "fmt": fmts, "hi": his}
+            )
+
+    h = frame.mapInPandas(hist_batch, schema="doc_id long, sig int, fmt string, hi int")
+    return h.groupBy("sig").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum(F.when(F.col("fmt") == "bmp", 1).otherwise(0)).cast("long").alias("n_bmp"),
+        F.sum(F.when(F.col("fmt") == "ppm", 1).otherwise(0)).cast("long").alias("n_ppm"),
+        F.min("doc_id").alias("min_doc_id"),
+        (F.floor(F.sum("hi").cast("double") / (F.count("*") * 24)
+                 * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+         ).alias("mean_hi_frac"),
+    ).select(
+        F.col("sig").cast("bigint").alias("sig"),
+        "n_images", "n_bmp", "n_ppm", "min_doc_id", "mean_hi_frac",
+    )
+
+
+def _sql_color_hist_oracle(E):
+    h = f"md5(CAST(doc_id AS {E.STR})) || md5(CAST(doc_id AS {E.STR}) || 'x')"
+
+    def chan_hi(ch):
+        byte = E.hex2int(f"substring(h, 2 * (3 * j + {ch}) - 1, 2)")
+        return E.list_sum_int(
+            f"{E.TRANSFORM}({E.seq(0, 7)}, j -> CASE WHEN ({byte}) >= 128 THEN 1 ELSE 0 END)"
+        )
+
+    return f"""
+    WITH hx AS (SELECT doc_id, {h} AS h FROM documents),
+    chans AS (
+      SELECT doc_id,
+             {chan_hi(1)} AS hr, {chan_hi(2)} AS hg, {chan_hi(3)} AS hb
+      FROM hx
+    ),
+    sigs AS (
+      SELECT doc_id,
+             9 * {E.intdiv('hr', '3')} + 3 * {E.intdiv('hg', '3')}
+               + {E.intdiv('hb', '3')} AS sig,
+             hr + hg + hb AS hi
+      FROM chans
+    )
+    SELECT CAST(sig AS BIGINT) AS sig,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ppm,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           floor(CAST(SUM(hi) AS DOUBLE) / (COUNT(*) * 24) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS mean_hi_frac
+    FROM sigs GROUP BY sig
+    """
+
+
+QUERIES["multimodal_color_histogram_census"] = multimodal_color_histogram_census
+ORACLE["multimodal_color_histogram_census"] = _sql_color_hist_oracle(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_union_cascade_efficiency — the marginal value of each stage in
+# the COST-ORDERED dedup cascade (exact fingerprint -> simhash hamming
+# -> winnowing fingerprints -> minhash/LSH jaccard, cheapest generator
+# first): per stage, the pairs it catches, the pairs it catches FIRST
+# (no cheaper stage found them), the cumulative union, and the marginal
+# yield n_new/n_caught — the decision table for which stages justify
+# their cost at 100TB (dedup_method_agreement /
+# winnowing_minhash_agreement report pairwise overlap; this is the
+# cascade-ordered budget view across all four generators). Determinism:
+# pure set algebra on integer doc pairs; the only ratios are int
+# rationals under floor(x*1e6+0.5) with 0-guards; the cumulative count
+# is a stage<=stage self-join over 4 rows (no global window). Scale:
+# every pair set is bucket/band-valved (no all-pairs step anywhere);
+# the union frame is checkpointed once (each stage is referenced by
+# both the per-stage census and the first-catch dedup) and the cascade
+# algebra is joins on the canonical (doc_a, doc_b) key. Non-vacuous at
+# sf0.01 (probed): n_caught 0/20/24/25 per stage, n_new 20/4/1 after
+# the empty exact stage, marginal yields 1.0/0.166667/0.04 distinct,
+# union coverage climbs 0 -> 0.8 -> 0.96 -> 1.0.
+def _cascade_tail(allp):
+    return f"""
+    firsts AS (
+      SELECT doc_a, doc_b, MIN(st) AS first_st
+      FROM {allp} GROUP BY doc_a, doc_b
+    ),
+    stages AS (
+      SELECT 1 AS st UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+    ),
+    caught AS (
+      SELECT s.st,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_caught,
+             CAST(COALESCE(f.n, 0) AS BIGINT) AS n_new
+      FROM stages s
+      LEFT JOIN (SELECT st, COUNT(*) AS n FROM {allp} GROUP BY st) c
+        ON c.st = s.st
+      LEFT JOIN (SELECT first_st, COUNT(*) AS n FROM firsts GROUP BY first_st) f
+        ON f.first_st = s.st
+    ),
+    cum AS (
+      SELECT c.st, c.n_caught, c.n_new,
+             CAST(SUM(c2.n_new) AS BIGINT) AS cumulative_pairs
+      FROM caught c JOIN caught c2 ON c2.st <= c.st
+      GROUP BY c.st, c.n_caught, c.n_new
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS union_total FROM firsts)
+    SELECT c.st AS stage,
+           CASE c.st WHEN 1 THEN 'exact' WHEN 2 THEN 'simhash'
+                     WHEN 3 THEN 'winnowing' ELSE 'minhash' END AS method,
+           c.n_caught, c.n_new, c.cumulative_pairs, t.union_total,
+           floor(CASE WHEN c.n_caught > 0
+                      THEN CAST(c.n_new AS DOUBLE) / c.n_caught ELSE 0.0e0 END
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS marginal_yield,
+           floor(CAST(c.cumulative_pairs AS DOUBLE) / t.union_total
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS union_coverage
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.st
+    """
+
+
+def _exact_pairs_sql(E, docs="documents"):
+    return f"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, md5({E.collapse_ws("lower(text)")}) AS fp FROM {docs}) a
+      JOIN (SELECT fp FROM (SELECT md5({E.collapse_ws("lower(text)")}) AS fp
+                            FROM {docs}) f
+            GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 1000) k ON k.fp = a.fp
+      JOIN (SELECT doc_id, md5({E.collapse_ws("lower(text)")}) AS fp FROM {docs}) b
+        ON b.fp = a.fp AND a.doc_id < b.doc_id
+    """
+
+
+def dedup_union_cascade_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the union frame is built with DataFrame unionByName (a 4-branch
+    # SQL UNION ALL over checkpointed ExistingRDD scans trips Spark
+    # 4.1's UnionBase.rewriteConstraints on a missing attribute) and
+    # checkpointed once — the tail references it twice
+    key = ("casc_allp", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        mh = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        dfs = load_tables(spark, sf_dir, ("documents",))
+        _repartition_views(spark, dfs)
+        sh = (
+            spark.sql(_sql_simhash(_Spark))
+            .filter("hamming <= 3")
+            .select("doc_a", "doc_b")
+        )
+        wkey = ("winnow_fp", id(spark), sf_dir)
+        if wkey not in _MINHASH_STAGE_CACHE:
+            dedup_winnowing(spark, sf_dir)
+        wn = spark.sql(
+            "SELECT doc_a, doc_b FROM ("
+            + _winnow_pairs4_sql(_Spark, _MINHASH_STAGE_CACHE[wkey])
+            + ") w"
+        )
+        doc_view = _spread_view(spark, sf_dir, "documents", "casc_docs")
+        ex = spark.sql(
+            "SELECT doc_a, doc_b FROM ("
+            + _exact_pairs_sql(_Spark, doc_view)
+            + ") e"
+        )
+        allp = (
+            ex.withColumn("st", F.lit(1))
+            .unionByName(sh.withColumn("st", F.lit(2)))
+            .unionByName(wn.withColumn("st", F.lit(3)))
+            .unionByName(mh.withColumn("st", F.lit(4)))
+        )
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "casc_allp", allp)
+    return spark.sql(
+        "WITH " + _cascade_tail(_MINHASH_STAGE_CACHE[key]).lstrip()
+    )
+
+
+def _sql_cascade_duck():
+    E = _Duck
+    return (
+        "WITH selfp AS MATERIALIZED (" + _winnow_fp_sql(E) + "),\n"
+        + """allp AS MATERIALIZED (
+      SELECT doc_a, doc_b, 1 AS st FROM ("""
+        + _exact_pairs_sql(E)
+        + f""") e
+      UNION ALL SELECT doc_a, doc_b, 2 FROM ({_sql_simhash(E)}) s WHERE s.hamming <= 3
+      UNION ALL SELECT doc_a, doc_b, 3 FROM ({_winnow_pairs4_sql(E, "selfp")}) w
+      UNION ALL SELECT doc_a, doc_b, 4 FROM ({_sql_minhash_oracle(E)}) m
+    ),
+    """
+        + _cascade_tail("allp").lstrip()
+    )
+
+
+QUERIES["dedup_union_cascade_efficiency"] = dedup_union_cascade_efficiency
+ORACLE["dedup_union_cascade_efficiency"] = _sql_cascade_duck()

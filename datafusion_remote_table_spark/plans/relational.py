@@ -8742,3 +8742,167 @@ def orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _KW_SQL.format(day="CAST(unix_timestamp(o_orderdate) AS BIGINT) DIV 86400")
     )
+
+
+# --------------------------------------------------------------------------
+# events_entropy_rate — the entropy RATE of the corpus behavior chain:
+# H = -sum_i pi_i sum_j p_ij ln p_ij over the event-type transition
+# matrix, with pi the stationary distribution from the same quantized
+# 16-step power iteration events_markov_stationary uses. The single
+# number that says how compressible/predictable the event stream is AS
+# A PROCESS (vs events_user_predictability's per-user entropy and the
+# stationary query's long-run MIX): entropy rate near ln(k) means the
+# next event is unpredictable even knowing the current one, i.e.
+# sequence models add nothing over marginal frequencies. Per-state rows
+# carry the conditional entropy and its pi-weighted contribution;
+# entropy_rate / max_entropy (ln k) / efficiency repeat as global
+# scalars (allowed class). Determinism: p_ij are exact count rationals;
+# every p*ln(p) and pi*H term is ROUND(...,9)-quantized then
+# DECIMAL-summed (the ln discipline); the efficiency ratio uses the
+# floor(x*1e6+0.5) spelling. Scale: one LAG window on the user_id
+# shuffle + a k^2 census (k = |event types|, bounded); the iteration is
+# k-sized joins. Non-vacuous at sf0.01 (probed): 5 states, distinct
+# conditional entropies 1.607896-1.609135 nats, distinct contributions;
+# efficiency 0.999547 < 1 (near-uniform synthetic behavior, but every
+# defining column varies across rows).
+def _sql_entropy_rate(n_iters: int = 16) -> str:
+    parts = ["""trans AS (
+      SELECT f, t, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY f) AS p
+      FROM (
+        SELECT prev AS f, event_type AS t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+      ) x
+    )""", """states AS (SELECT f AS s FROM trans GROUP BY f)""", """pi0 AS (
+      SELECT s, CAST(1.0e0 AS DOUBLE) / (SELECT COUNT(*) FROM states) AS p
+      FROM states
+    )"""]
+    for k in range(1, n_iters + 1):
+        parts.append(f"""pi{k} AS (
+      SELECT t.t AS s,
+             CAST(CAST(SUM(CAST(ROUND(p.p * t.p, 9) AS DECIMAL(18, 9))) AS DECIMAL(18, 9))
+                  AS DOUBLE) AS p
+      FROM pi{k - 1} p JOIN trans t ON t.f = p.s
+      GROUP BY t.t
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    {ctes},
+    hcond AS (
+      SELECT f AS s,
+             CAST(-SUM(CAST(ROUND(p * ln(p), 9) AS DECIMAL(18, 9))) AS DOUBLE) AS h
+      FROM trans GROUP BY f
+    ),
+    contrib AS (
+      SELECT c.s, c.h, COALESCE(f.p, 0.0e0) AS pi,
+             CAST(ROUND(COALESCE(f.p, 0.0e0) * c.h, 9) AS DECIMAL(18, 9)) AS w
+      FROM hcond c LEFT JOIN pi{n_iters} f ON f.s = c.s
+    ),
+    rate AS (
+      SELECT CAST(SUM(w) AS DOUBLE) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM contrib
+    ),
+    maxent AS (
+      SELECT hr, k,
+             CAST(CAST(ROUND(ln(CAST(k AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS DOUBLE)
+               AS lnk
+      FROM rate
+    )
+    SELECT c.s AS event_type,
+           ROUND(c.pi, 6) AS stationary_prob,
+           ROUND(c.h, 6) AS cond_entropy_nats,
+           ROUND(CAST(c.w AS DOUBLE), 6) AS contribution_nats,
+           ROUND(m.hr, 6) AS entropy_rate_nats,
+           ROUND(m.lnk, 6) AS max_entropy_nats,
+           floor(m.hr / m.lnk * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS efficiency
+    FROM contrib c CROSS JOIN maxent m
+    ORDER BY c.s
+    """
+
+
+@register("events_entropy_rate", oracle=_sql_entropy_rate())
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events")
+    return spark.sql(_sql_entropy_rate())
+
+
+# --------------------------------------------------------------------------
+# orders_newsvendor_plan — per-brand newsvendor stocking table: for each
+# service-level target (80/90/95%), the exact empirical quantile of the
+# brand's DAILY demand distribution (type-1 quantile via rank census:
+# smallest stocked quantity whose rank >= ceil(beta*n_days)), plus what
+# that stock level actually achieves — in-stock day rate, mean daily
+# shortfall, and unit fill rate 1 - shortfall/total_demand. The standard
+# single-period inventory readout (critical-fractile stocking) that
+# lineitem_reorder_point (mean + z*sd lead-time heuristic) and
+# lineitem_eoq_plan (order sizing) don't cover: this one is
+# distribution-exact and reports the service/fill tradeoff curve.
+# Determinism: daily demand totals are integral (l_quantity is
+# integer-valued; DECIMAL-summed), so every ratio is an int/int
+# rational — identical doubles in both engines under the
+# floor(x*1e6+0.5) spelling; the quantile rank is pure integer
+# ceil-division; the rank window tie-breaks equal quantities by day.
+# Scale: one fact-table groupBy onto the bounded brand x day census
+# (~25 x 2500 keys), windows partitioned BY BRAND — never global; the
+# grid join is against 3 literals. Non-vacuous at sf0.01 (probed): 75
+# rows, 41 distinct stock levels spanning 49-102, fill rates
+# 0.855841-0.979879 and mean daily shortfalls all 75 distinct,
+# achieved_service spans 0.8-0.953903 straddling each target.
+_NEWSVENDOR_SQL = """
+    WITH daily AS (
+      SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(12, 2))) AS DOUBLE) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)
+    ),
+    stats AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(q AS DECIMAL(14, 2))) AS DOUBLE) AS total_q
+      FROM daily GROUP BY brand
+    ),
+    ranked AS (
+      SELECT brand, q,
+             ROW_NUMBER() OVER (PARTITION BY brand ORDER BY q, d) AS rk
+      FROM daily
+    ),
+    grid AS (SELECT 80 AS svc UNION ALL SELECT 90 UNION ALL SELECT 95),
+    stock AS (
+      SELECT r.brand, g.svc, MIN(r.q) AS s
+      FROM ranked r
+      JOIN stats st ON st.brand = r.brand
+      CROSS JOIN grid g
+      WHERE r.rk >= ((g.svc * st.n_days + 99) {idiv} 100)
+      GROUP BY r.brand, g.svc
+    ),
+    short AS (
+      SELECT d.brand, s.svc, s.s,
+             CAST(SUM(CAST(CASE WHEN d.q > s.s THEN d.q - s.s ELSE 0 END
+                           AS DECIMAL(14, 2))) AS DOUBLE) AS tot_short,
+             CAST(SUM(CASE WHEN d.q <= s.s THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      FROM daily d JOIN stock s ON s.brand = d.brand
+      GROUP BY d.brand, s.svc, s.s
+    )
+    SELECT sh.brand, CAST(sh.svc AS BIGINT) AS service_target_pct,
+           st.n_days,
+           CAST(sh.s AS DOUBLE) AS stock_level,
+           floor(CAST(sh.n_ok AS DOUBLE) / st.n_days * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS achieved_service,
+           floor(sh.tot_short / st.n_days * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS mean_daily_shortfall,
+           floor((1.0e0 - sh.tot_short / st.total_q) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS fill_rate
+    FROM short sh JOIN stats st ON st.brand = sh.brand
+    ORDER BY sh.brand, sh.svc
+"""
+
+
+@register("orders_newsvendor_plan", oracle=_NEWSVENDOR_SQL.format(idiv="//"))
+def orders_newsvendor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_NEWSVENDOR_SQL.format(idiv="DIV"))
