@@ -4153,14 +4153,22 @@ def _sql_pq_codebook(E):
 
 
 def _sql_pq_codes(E, cb):
+    # argmin over the 16 codewords as an integer-key MIN aggregation,
+    # NOT a ROW_NUMBER window: the window spelling sorts n*64 rows into
+    # n*4 single-row-winner partitions (10 of the 17 s at the 64x scale
+    # sweep, and the sort is the only super-constant term); the packed
+    # key floor(d2*1e6+0.5)*16 + cent_id aggregates with map-side
+    # partial MIN and decodes the winner with % 16 — same quantized
+    # distance, same cent_id tie-break, zero sort. floor(+0.5) (not
+    # ROUND) so the quantization is the repo's half-boundary-safe
+    # spelling in both engines; the packed value stays far under 2^53.
     d2 = E.sqdist(_sql_pq_sub(E, "v.embedding"), "cb.cw")
     return f"""
-    SELECT vec_id, j, cent_id FROM (
-      SELECT v.vec_id, cb.j, cb.cent_id,
-             ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j
-                                ORDER BY ROUND({d2}, 6), cb.cent_id) AS rn
-      FROM embeddings v CROSS JOIN {cb} cb
-    ) enc WHERE rn = 1
+    SELECT v.vec_id, cb.j,
+           MIN(CAST(floor(({d2}) * 1000000.0e0 + 0.5e0) AS BIGINT) * 16
+               + cb.cent_id) % 16 AS cent_id
+    FROM embeddings v CROSS JOIN {cb} cb
+    GROUP BY v.vec_id, cb.j
     """
 
 
@@ -10993,8 +11001,9 @@ def _sql_neyman(E):
       SELECT g.source, g.n_h, g.mean_y, g.sd_y,
              CAST(floor(CAST(t.budget AS DOUBLE) * g.n_h / t.n_pop + 0.5e0)
                   AS BIGINT) AS alloc_prop,
-             CAST(floor(CAST(t.budget AS DOUBLE) * CAST(g.w AS DOUBLE) / wt.wsum
-                        + 0.5e0) AS BIGINT) AS alloc_neyman
+             CAST(floor(CAST(t.budget AS DOUBLE) * CAST(g.w AS DOUBLE)
+                        / NULLIF(wt.wsum, 0.0e0) + 0.5e0) AS BIGINT)
+               AS alloc_neyman
       FROM wgt g CROSS JOIN tot t CROSS JOIN wtot wt
     ),
     vterms AS (
@@ -11024,10 +11033,10 @@ def _sql_neyman(E):
            v.alloc_prop, v.alloc_neyman,
            ROUND(sqrt(d.vprop) / t.n_pop, 6) AS se_proportional,
            ROUND(sqrt(d.vney) / t.n_pop, 6) AS se_neyman,
-           floor(d.vprop / d.vney * 1000000.0e0 + 0.5e0) / 1000000.0e0
-             AS realized_efficiency,
-           floor(t.n_pop * c.a / (wt.wsum * wt.wsum) * 1000000.0e0 + 0.5e0)
-             / 1000000.0e0 AS design_efficiency
+           floor(d.vprop / NULLIF(d.vney, 0.0e0) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS realized_efficiency,
+           floor(t.n_pop * c.a / NULLIF(wt.wsum * wt.wsum, 0.0e0)
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS design_efficiency
     FROM vterms v CROSS JOIN design d CROSS JOIN tot t
     CROSS JOIN wtot wt CROSS JOIN cont c
     ORDER BY v.source
@@ -11196,10 +11205,10 @@ def _capture_recapture_tail(wp, mp):
            e.m_both AS n_both, e.n_union,
            floor(e.nhat * 100.0e0 + 0.5e0) / 100.0e0 AS chapman_total_est,
            floor(e.se * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS chapman_se,
-           floor(mt.n_captured / e.nhat * 1000000.0e0 + 0.5e0) / 1000000.0e0
-             AS est_recall,
-           floor(e.n_union / e.nhat * 1000000.0e0 + 0.5e0) / 1000000.0e0
-             AS est_union_coverage
+           floor(mt.n_captured / NULLIF(e.nhat, 0.0e0) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS est_recall,
+           floor(e.n_union / NULLIF(e.nhat, 0.0e0) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS est_union_coverage
     FROM methods mt CROSS JOIN est e
     ORDER BY mt.method
     """
@@ -11462,7 +11471,7 @@ def _cascade_tail(allp):
            floor(CASE WHEN c.n_caught > 0
                       THEN CAST(c.n_new AS DOUBLE) / c.n_caught ELSE 0.0e0 END
                  * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS marginal_yield,
-           floor(CAST(c.cumulative_pairs AS DOUBLE) / t.union_total
+           floor(CAST(c.cumulative_pairs AS DOUBLE) / NULLIF(t.union_total, 0)
                  * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS union_coverage
     FROM cum c CROSS JOIN tot t
     ORDER BY c.st

@@ -8810,8 +8810,10 @@ def _sql_entropy_rate(n_iters: int = 16) -> str:
     ),
     maxent AS (
       SELECT hr, k,
-             CAST(CAST(ROUND(ln(CAST(k AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS DOUBLE)
-               AS lnk
+             CASE WHEN k > 1 THEN
+               CAST(CAST(ROUND(ln(CAST(k AS DOUBLE)), 9) AS DECIMAL(18, 9))
+                    AS DOUBLE)
+             ELSE CAST(NULL AS DOUBLE) END AS lnk
       FROM rate
     )
     SELECT c.s AS event_type,
@@ -8820,7 +8822,8 @@ def _sql_entropy_rate(n_iters: int = 16) -> str:
            ROUND(CAST(c.w AS DOUBLE), 6) AS contribution_nats,
            ROUND(m.hr, 6) AS entropy_rate_nats,
            ROUND(m.lnk, 6) AS max_entropy_nats,
-           floor(m.hr / m.lnk * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS efficiency
+           floor(m.hr / NULLIF(m.lnk, 0.0e0) * 1000000.0e0 + 0.5e0)
+             / 1000000.0e0 AS efficiency
     FROM contrib c CROSS JOIN maxent m
     ORDER BY c.s
     """
@@ -8895,8 +8898,8 @@ _NEWSVENDOR_SQL = """
              / 1000000.0e0 AS achieved_service,
            floor(sh.tot_short / st.n_days * 1000000.0e0 + 0.5e0)
              / 1000000.0e0 AS mean_daily_shortfall,
-           floor((1.0e0 - sh.tot_short / st.total_q) * 1000000.0e0 + 0.5e0)
-             / 1000000.0e0 AS fill_rate
+           floor((1.0e0 - sh.tot_short / NULLIF(st.total_q, 0.0e0))
+                 * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS fill_rate
     FROM short sh JOIN stats st ON st.brand = sh.brand
     ORDER BY sh.brand, sh.svc
 """

@@ -161,7 +161,48 @@ _TEMPLATES = [
     L._sql_quality_calibration,
     L._sql_ht_audit,
     L._aspect_oracle,
+    # round-8: stratified-design arithmetic (all-equal n_chars kill the
+    # sds; single-doc strata vanish), pairwise JS divergence (single-
+    # source corpora produce an empty grid; exclusive-word ln terms),
+    # capture-recapture (zero-capture corpora hit the 0-guards), the
+    # cost-ordered cascade union, and the color-census md5 derivation
+    L._sql_neyman,
+    L._sql_js_divergence,
+    _sql_capture_recapture_full,
+    _sql_cascade_full,
+    L._sql_color_hist_oracle,
 ]
+
+
+def _sql_capture_recapture_full(E):
+    """Inline composition of dedup_capture_recapture (the registered
+    Spark runner rides staged views; the template math is identical)."""
+    return (
+        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + ")"
+        + L._capture_recapture_tail(
+            L._winnow_pairs4_sql(E, "selfp"),
+            "SELECT doc_a, doc_b FROM (" + L._sql_minhash_oracle(E) + ") v",
+        ).replace("WITH uni", ", uni", 1)
+    )
+
+
+def _sql_cascade_full(E):
+    """Inline composition of dedup_union_cascade_efficiency (the Spark
+    runner builds the union with DataFrame unionByName over checkpointed
+    stagings; the set algebra is identical)."""
+    return (
+        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + "),\n"
+        + "allp AS " + E.MAT + """(
+      SELECT doc_a, doc_b, 1 AS st FROM ("""
+        + L._exact_pairs_sql(E)
+        + f""") e
+      UNION ALL SELECT doc_a, doc_b, 2 FROM ({L._sql_simhash(E)}) s WHERE s.hamming <= 3
+      UNION ALL SELECT doc_a, doc_b, 3 FROM ({L._winnow_pairs4_sql(E, "selfp")}) w
+      UNION ALL SELECT doc_a, doc_b, 4 FROM ({L._sql_minhash_oracle(E)}) m
+    ),
+    """
+        + L._cascade_tail("allp").lstrip()
+    )
 
 
 def _compare(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
@@ -371,6 +412,9 @@ _EVENT_QUERIES = [
     # round-7: non-contiguous subsequences (same-timestamp first
     # occurrences hit the lexicographic tie-break; single-user tables)
     "events_prefixspan_subsequences",
+    # round-8: chain entropy rate (single-state tables hit the ln(k)
+    # guard; users with one event leave the transition census empty)
+    "events_entropy_rate",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -582,6 +626,40 @@ def test_prefix_filter_join_is_exact(docs):
 _EMB_QUERIES = ["sample_mmr_diverse_topk"]
 
 
+# documents-table QUERIES (runner level — the CC label propagation runs
+# as a Python fixpoint loop Spark-side, so the chain can't be expressed
+# as one template): risky edges are corpora with no near-dup pairs at
+# all (empty members frame; every doc weight 1) and single-cluster
+# corpora (one component absorbing everything).
+_DOC_RUNNER_QUERIES = ["sample_dup_aware_weights"]
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_corpus())
+def test_doc_runner_queries_agree_on_random_tables(spark, docs):
+    from .conftest import SF_DIR
+
+    tmp = tempfile.mkdtemp(prefix="tpl_prop_docr_")
+    try:
+        for t in os.listdir(SF_DIR):
+            if t.endswith(".parquet"):
+                os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
+        os.unlink(os.path.join(tmp, "documents.parquet"))
+        docs.to_parquet(os.path.join(tmp, "documents.parquet"), index=False)
+        con = duckdb.connect()
+        for f in os.listdir(tmp):
+            t = f.removesuffix(".parquet")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
+            )
+        for name in _DOC_RUNNER_QUERIES:
+            got = plans.QUERIES[name](spark, tmp).toPandas()
+            want = con.execute(plans.ORACLE[name]).fetchdf()
+            _compare(got, want, name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(embs=_embeddings())
 def test_embedding_queries_agree_on_random_tables(spark, embs):
@@ -616,6 +694,9 @@ def test_embedding_queries_agree_on_random_tables(spark, embs):
 # families' degenerate moments (constant price, single return flag).
 _LINEITEM_QUERIES = [
     "basket_triples_apriori",
+    # round-8: empirical-quantile stocking (single-day brands, all-equal
+    # demand, brands with no lineitem rows)
+    "orders_newsvendor_plan",
     "basket_part_pairs",
     "lineitem_ols2",
     "lineitem_corr_matrix",
