@@ -93,6 +93,37 @@ def _sql_snm_full(E):
     )
 
 
+def _sql_capture_recapture_full(E):
+    """Inline composition of dedup_capture_recapture (the registered
+    Spark runner rides staged views; the template math is identical)."""
+    return (
+        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + ")"
+        + L._capture_recapture_tail(
+            L._winnow_pairs4_sql(E, "selfp"),
+            "SELECT doc_a, doc_b FROM (" + L._sql_minhash_oracle(E) + ") v",
+        ).replace("WITH uni", ", uni", 1)
+    )
+
+
+def _sql_cascade_full(E):
+    """Inline composition of dedup_union_cascade_efficiency (the Spark
+    runner builds the union with DataFrame unionByName over checkpointed
+    stagings; the set algebra is identical)."""
+    return (
+        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + "),\n"
+        + "allp AS " + E.MAT + """(
+      SELECT doc_a, doc_b, 1 AS st FROM ("""
+        + L._exact_pairs_sql(E)
+        + f""") e
+      UNION ALL SELECT doc_a, doc_b, 2 FROM ({L._sql_simhash(E)}) s WHERE s.hamming <= 3
+      UNION ALL SELECT doc_a, doc_b, 3 FROM ({L._winnow_pairs4_sql(E, "selfp")}) w
+      UNION ALL SELECT doc_a, doc_b, 4 FROM ({L._sql_minhash_oracle(E)}) m
+    ),
+    """
+        + L._cascade_tail("allp").lstrip()
+    )
+
+
 # templates whose inputs are just the documents table and whose outputs
 # are deterministic under the repo's SUM/ROUND discipline
 _TEMPLATES = [
@@ -172,37 +203,6 @@ _TEMPLATES = [
     _sql_cascade_full,
     L._sql_color_hist_oracle,
 ]
-
-
-def _sql_capture_recapture_full(E):
-    """Inline composition of dedup_capture_recapture (the registered
-    Spark runner rides staged views; the template math is identical)."""
-    return (
-        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + ")"
-        + L._capture_recapture_tail(
-            L._winnow_pairs4_sql(E, "selfp"),
-            "SELECT doc_a, doc_b FROM (" + L._sql_minhash_oracle(E) + ") v",
-        ).replace("WITH uni", ", uni", 1)
-    )
-
-
-def _sql_cascade_full(E):
-    """Inline composition of dedup_union_cascade_efficiency (the Spark
-    runner builds the union with DataFrame unionByName over checkpointed
-    stagings; the set algebra is identical)."""
-    return (
-        "WITH selfp AS " + E.MAT + "(" + L._winnow_fp_sql(E) + "),\n"
-        + "allp AS " + E.MAT + """(
-      SELECT doc_a, doc_b, 1 AS st FROM ("""
-        + L._exact_pairs_sql(E)
-        + f""") e
-      UNION ALL SELECT doc_a, doc_b, 2 FROM ({L._sql_simhash(E)}) s WHERE s.hamming <= 3
-      UNION ALL SELECT doc_a, doc_b, 3 FROM ({L._winnow_pairs4_sql(E, "selfp")}) w
-      UNION ALL SELECT doc_a, doc_b, 4 FROM ({L._sql_minhash_oracle(E)}) m
-    ),
-    """
-        + L._cascade_tail("allp").lstrip()
-    )
 
 
 def _compare(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
@@ -921,3 +921,50 @@ def test_decimal_product_keeps_scale_12(spark):
     import duckdb as _duck
 
     assert str(sdf.collect()[0][0]) == str(_duck.connect().execute(q).fetchone()[0])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(embs=_embeddings())
+def test_semdedup_two_phase_equals_brute_exists(embs):
+    """The round-8 two-phase semdedup (group-min first, pairwise only on
+    survivors) must produce the IDENTICAL verdict set as the brute
+    EXISTS definition: pruned iff some lower-id member of the same
+    (IVF cluster x LSH bucket) group has cosine >= t. DuckDB-only: the
+    property is about the two-phase set algebra; the cross-engine
+    parity of the underlying arithmetic is covered by the oracle
+    compare (the inline template is kept out of the Spark fuzz for the
+    same plan-cost reason as the NN-Descent chain)."""
+    con = duckdb.connect()
+    con.register("embeddings", embs)
+    E = L._Duck
+    got = con.execute(L._sql_semdedup(E)).fetchdf()
+    lists = f"({L._sql_ivf_lists(E)})"
+    cos = (
+        f"{E.dot('a.embedding', 'b.embedding')} / "
+        f"(sqrt({E.dot('a.embedding', 'a.embedding')})"
+        f" * sqrt({E.dot('b.embedding', 'b.embedding')}))"
+    )
+    brute = con.execute(f"""
+    WITH lb AS ({L._lsh_adaptive(E)}),
+    grp AS MATERIALIZED (
+      SELECT l.vec_id, l.cent_id, b.band, b.bucket
+      FROM {lists} l JOIN lb b ON b.vec_id = l.vec_id
+    ),
+    pruned AS (
+      SELECT DISTINCT gb.vec_id
+      FROM grp ga
+      JOIN grp gb ON gb.cent_id = ga.cent_id AND gb.band = ga.band
+        AND gb.bucket = ga.bucket AND ga.vec_id < gb.vec_id
+      JOIN embeddings a ON a.vec_id = ga.vec_id
+      JOIN embeddings b ON b.vec_id = gb.vec_id
+      WHERE {cos} >= {L._SEMDEDUP_T}e0
+    )
+    SELECT l.vec_id, l.cent_id,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM {lists} l LEFT JOIN pruned p ON l.vec_id = p.vec_id
+    """).fetchdf()
+    g = got.sort_values("vec_id").reset_index(drop=True)
+    b = brute.sort_values("vec_id").reset_index(drop=True)
+    assert g["kept"].tolist() == b["kept"].tolist(), (
+        f"two-phase {g['kept'].tolist()} vs brute {b['kept'].tolist()}"
+    )
