@@ -48,8 +48,15 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
 def test_no_cartesian_products(spark, sf_dir, name):
     plan = _plan(plans.QUERIES[name](spark, sf_dir))
     # bounded-block pairwise ops legitimately self-join on inequality via
-    # broadcast NLJ; everything else must be hash/sort-merge joined
-    allowed_nlj = {"dedup_ngram_jaccard", "embedding_similarity_join", "ann_cosine_topk"}
+    # broadcast NLJ; everything else must be hash/sort-merge joined.
+    # dedup_union_cascade_efficiency's cartesian is the st<=st cumulative
+    # self-join over the FOUR-row stage census — bounded control-plane.
+    allowed_nlj = {
+        "dedup_ngram_jaccard",
+        "embedding_similarity_join",
+        "ann_cosine_topk",
+        "dedup_union_cascade_efficiency",
+    }
     if name not in allowed_nlj:
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
@@ -937,3 +944,91 @@ def test_aspect_bucket_plan_is_arrow_mapinpandas(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed dims"
     assert "MapInPandas" not in plan, "encode/parse re-runs inside the tail"
     assert "CartesianProduct" not in plan
+
+
+# ---- round-8 operators ------------------------------------------------------
+
+
+def test_newsvendor_windows_partition_by_brand(spark, sf_dir):
+    # the quantile rank window must carry the brand partition spec
+    # (bounded ~2500-day partitions), never a global sort
+    plan = _plan(plans.QUERIES["orders_newsvendor_plan"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    wins = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert wins and all("brand" in ln for ln in wins), wins
+
+
+def test_entropy_rate_lag_partitions_by_user(spark, sf_dir):
+    plan = _plan(plans.QUERIES["events_entropy_rate"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    wins = [ln for ln in plan.splitlines() if "Window" in ln and "lag(" in ln]
+    assert wins and all("user_id" in ln for ln in wins), wins
+
+
+def test_neyman_is_one_census_pass(spark, sf_dir):
+    # everything after the source census is stratum-count-sized; no
+    # windows, no cartesian beyond the O(strata) scalar cross joins
+    plan = _plan(plans.QUERIES["sample_neyman_allocation"](spark, sf_dir))
+    assert "WindowExec" not in plan and "Window\n" not in plan
+
+
+def test_dup_weights_ride_members_staging(spark, sf_dir):
+    # the weights query must reuse the persisted CC members frame, not
+    # re-run the minhash chain
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    L._minhash_members(spark, sf_dir)  # staging present
+    plan = _plan(plans.QUERIES["sample_dup_aware_weights"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, (
+        "dup weights did not read the persisted members staging"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_cascade_reads_checkpointed_union(spark, sf_dir):
+    # the 4-generator union is checkpointed once; the tail (4 references)
+    # must read rows, not re-run any signature chain
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    key = ("casc_allp", id(spark), __import__("os").path.abspath(sf_dir))
+    L._MINHASH_STAGE_CACHE.pop(key, None)
+    plan = _plan(plans.QUERIES["dedup_union_cascade_efficiency"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed union"
+    # (the plan's one CartesianProduct is the st<=st cumulative self-join
+    # over the FOUR-row stage census — bounded control-plane, whitelisted
+    # in test_no_cartesian_products)
+
+
+def test_color_census_is_arrow_map_plus_bounded_groupby(spark, sf_dir):
+    plan = _plan(plans.QUERIES["multimodal_color_histogram_census"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_two_phase_reads_checkpointed_group(spark, sf_dir):
+    # the (vec, cluster, bucket) group frame is referenced four times by
+    # the two-phase tail — it must be checkpointed rows, and the plan
+    # must carry no global window and no cartesian
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    key = ("semdedup_grp", id(spark), __import__("os").path.abspath(sf_dir))
+    L._MINHASH_STAGE_CACHE.pop(key, None)
+    plan = _plan(plans.QUERIES["semdedup_embedding"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed group"
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_aggregation_not_window(spark, sf_dir):
+    # the round-8 argmin redesign: codeword assignment must be a hash
+    # aggregation with map-side partials, never a ROW_NUMBER sort window
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    plan = _plan(
+        spark.sql(
+            "SELECT COUNT(*) FROM ("
+            + L._sql_pq_codes(L._Spark, "(" + L._sql_pq_codebook(L._Spark) + ")")
+            + ") z"
+        )
+    )
+    assert "Window" not in plan, "PQ encode regressed to a sort window"
+    assert "HashAggregate" in plan
