@@ -36,6 +36,15 @@ QUERIES = [
     "corpus_clean_pipeline",
     "dedup_clusters",
     "dedup_keep_best",
+    # round-8 additions
+    "events_entropy_rate",
+    "orders_newsvendor_plan",
+    "sample_neyman_allocation",
+    "sample_dup_aware_weights",
+    "dedup_capture_recapture",
+    "text_js_divergence_sources",
+    "multimodal_color_histogram_census",
+    "dedup_union_cascade_efficiency",
     # embedding family
     "kmeans_embeddings",
     "ann_ivf_cosine",

@@ -11162,14 +11162,20 @@ def sample_dup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = _minhash_members(spark, sf_dir)
     key = ("daw_msize", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
+        # the (doc_id, n_members) frame must reach the SQL tail as
+        # CHECKPOINTED ROWS, not a lazy temp view over the persisted
+        # members frame: Spark 4.1 re-canonicalizes an InMemoryRelation
+        # referenced through a temp view per reference, misses the
+        # cache, and replays the whole CC fixpoint lineage — measured
+        # 412 s for this tail at the 16x sweep vs ~2 s checkpointed
+        # (the dedup_clusters direct-join comment, same trap)
         sizes = members.groupBy("cluster_id").agg(
             F.count("*").alias("n_members")
         )
-        view = f"daw_msize_{_dataset_suffix(sf_dir)}"
-        members.join(sizes, "cluster_id").select(
-            "doc_id", "n_members"
-        ).createOrReplaceTempView(view)
-        _MINHASH_STAGE_CACHE[key] = view
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "daw_msize",
+            members.join(sizes, "cluster_id").select("doc_id", "n_members"),
+        )
     msize = _MINHASH_STAGE_CACHE[key]
     doc_view = _spread_view(spark, sf_dir, "documents", "daw_docs")
     return spark.sql("WITH " + _dup_weight_tail(_Spark, doc_view, msize).lstrip())
