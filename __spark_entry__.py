@@ -21,63 +21,15 @@ from datafusion_remote_table_spark import plans
 # next so every §2 item accumulates at least one green row; then the
 # oldest greens rotate through as refresh.
 _VERIFY_FIRST = [
-    # Round-8 rotation (VERDICT r7 item 1): exactly the 69 queries that
-    # still have no driver CORRECTNESS row in any round — the r7 driver's
-    # 50-row budget cleared the head of the r7 list; those 50 now have
+    # Round-9 rotation (VERDICT r8 item 2): exactly the 27 queries that
+    # still have no driver CORRECTNESS row in any round — the r8 driver's
+    # 50-row budget cleared the head of the r8 list; those 50 now have
     # fresh green rows and drop to the refresh tail of _VERIFY_SECOND.
-    # Same relative order as round 7. All 69 pass the strict local sweep.
-    # Round-8 additions queue BEHIND them so the driver budget lands on
-    # the backlog first (target: backlog 69 - 50 + new <= 19 entering r9).
-    "orders_pacf_durbin",
-    "federated_topk_orders",
-    "winnowing_minhash_agreement",
-    "events_levene_test",
-    "orders_kruskal_wallis",
-    "idf_shard_stability",
-    "remote_predicate_pushdown",
-    "remote_insert_select",
-    "remote_delete_pushdown",
-    "remote_update_pushdown",
-    "remote_schema_drift_audit",
-    "remote_partition_balance_audit",
-    "federated_partial_agg",
-    "stream_decayed_popularity",
-    "stream_lang_entropy_monitor",
-    "stream_srm_monitor",
-    "stream_theta_distinct_monitor",
-    "stream_spectral_monitor",
-    "query_expansion_prf",
-    "curriculum_phase_plan",
-    "sample_label_balance",
-    "embedding_margin_audit",
-    "tokenizer_fertility_audit",
-    "ann_sq8_rerank_eval",
-    "ngram_crossval_perplexity",
-    "doc_language_entropy_by_source",
-    "context_window_utilization",
-    "corpus_dp_noisy_counts",
-    "embedding_cluster_purity",
-    "multimodal_phash_neardup",
-    "embedding_pq_codebook_balance",
-    "dedup_mix_shift_report",
-    "theta_sketch_set_ops",
-    "vocab_cutoff_coverage",
-    "embedding_exact_dup_census",
-    "text_burstiness_dispersion",
-    "ann_filtered_search_eval",
-    "dedup_quality_interaction",
-    "sample_seed_stability",
-    "multimodal_audio_silence_profile",
-    "orders_snapshot_asof",
-    "supplier_herfindahl",
-    "orders_keyspace_gap_audit",
-    "lineitem_reorder_point",
-    "events_power_users_pareto",
-    "events_value_winsorized_stats",
-    "events_ab_srm_check",
-    "part_single_source_risk",
-    "orders_cohort_ltv",
-    "lineitem_temporal_dq_audit",
+    # Same relative order as round 8. All 27 pass the strict local sweep.
+    # Round-9 additions queue BEHIND them; with a ~50-row driver budget
+    # the backlog reaches ZERO this round and the remainder of the budget
+    # lands on the oldest stale greens (_VERIFY_SECOND head — VERDICT r8
+    # item 6).
     "inventory_abc_xyz",
     "events_spectral_peaks",
     "events_markov_stationary",
@@ -97,9 +49,7 @@ _VERIFY_FIRST = [
     "multimodal_aspect_bucket_plan",
     "events_prefixspan_subsequences",
     "sample_ht_estimator_audit",
-    # round-8 additions (registered this round, never driver-verified;
-    # they queue BEHIND the 69 so the r8 budget lands on the backlog
-    # first — VERDICT r7 item 1)
+    # round-8 additions, still never driver-verified
     "events_entropy_rate",
     "orders_newsvendor_plan",
     "sample_neyman_allocation",
@@ -226,6 +176,57 @@ _VERIFY_SECOND = [
     "orders_expected_shortfall",
     "minhash_splithalf_reliability",
     "events_seasonal_adjusted_anomaly",
+    # r8 rows — the newest greens, refreshed last
+    "orders_pacf_durbin",
+    "federated_topk_orders",
+    "winnowing_minhash_agreement",
+    "events_levene_test",
+    "orders_kruskal_wallis",
+    "idf_shard_stability",
+    "remote_predicate_pushdown",
+    "remote_insert_select",
+    "remote_delete_pushdown",
+    "remote_update_pushdown",
+    "remote_schema_drift_audit",
+    "remote_partition_balance_audit",
+    "federated_partial_agg",
+    "stream_decayed_popularity",
+    "stream_lang_entropy_monitor",
+    "stream_srm_monitor",
+    "stream_theta_distinct_monitor",
+    "stream_spectral_monitor",
+    "query_expansion_prf",
+    "curriculum_phase_plan",
+    "sample_label_balance",
+    "embedding_margin_audit",
+    "tokenizer_fertility_audit",
+    "ann_sq8_rerank_eval",
+    "ngram_crossval_perplexity",
+    "doc_language_entropy_by_source",
+    "context_window_utilization",
+    "corpus_dp_noisy_counts",
+    "embedding_cluster_purity",
+    "multimodal_phash_neardup",
+    "embedding_pq_codebook_balance",
+    "dedup_mix_shift_report",
+    "theta_sketch_set_ops",
+    "vocab_cutoff_coverage",
+    "embedding_exact_dup_census",
+    "text_burstiness_dispersion",
+    "ann_filtered_search_eval",
+    "dedup_quality_interaction",
+    "sample_seed_stability",
+    "multimodal_audio_silence_profile",
+    "orders_snapshot_asof",
+    "supplier_herfindahl",
+    "orders_keyspace_gap_audit",
+    "lineitem_reorder_point",
+    "events_power_users_pareto",
+    "events_value_winsorized_stats",
+    "events_ab_srm_check",
+    "part_single_source_risk",
+    "orders_cohort_ltv",
+    "lineitem_temporal_dq_audit",
 ]
 
 

@@ -202,11 +202,28 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    # host_state (VERDICT r6 item 6): record 1-min loadavg at start so
-    # cross-round headline comparisons can tell idle runs from loaded
-    # ones (r6's 127.5 s headline was taken under ~2-3x external load
-    # and was not comparable to r5's idle 75.9 s).
+    # host_state (VERDICT r6 item 6, tightened r9 per VERDICT r8 item 3):
+    # record 1-min loadavg at start so cross-round headline comparisons
+    # can tell idle runs from loaded ones. The r8 threshold (0.25*ncpu=8)
+    # stamped a loadavg-5.73 run "idle" while its comparable-13 ran 2.6x
+    # slower than r7 — tighten to 0.05*ncpu and WAIT (bounded retries)
+    # for the host to drain before the timed region; if it never drains,
+    # stamp "contended" so a dirty measurement can't masquerade as clean.
+    import time as _time
+
+    ncpu_probe = os.cpu_count() or 1
+    idle_threshold = 0.05 * ncpu_probe
     load_start = os.getloadavg()[0]
+    for _ in range(6):  # up to ~3 min — loadavg_1m needs time to decay
+        if load_start < idle_threshold:
+            break
+        print(
+            f"# bench: host loadavg {load_start:.2f} >= {idle_threshold:.2f} "
+            f"(0.05*{ncpu_probe} cpus); waiting 30s for it to drain",
+            flush=True,
+        )
+        _time.sleep(30)
+        load_start = os.getloadavg()[0]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -283,10 +300,11 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     load_end = os.getloadavg()[0]
     ncpu = os.cpu_count() or 1
-    # external load ≈ loadavg beyond what this bench itself generates;
-    # label >25% of cores busy at start as "loaded" (start is measured
-    # before any Spark job of the timed region runs)
-    host_state = "idle" if load_start < 0.25 * ncpu else "loaded"
+    # external load ≈ loadavg beyond what this bench itself generates
+    # (start is measured before any Spark job of the timed region runs).
+    # 0.05*ncpu (= 1.6 on 32 cpus): stricter than r8's 0.25 threshold,
+    # which labeled a loadavg-5.73 (2.6x-slow) run "idle" — BENCH_r08.
+    host_state = "idle" if load_start < idle_threshold else "contended"
     print(
         json.dumps(
             {

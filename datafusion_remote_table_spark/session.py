@@ -135,6 +135,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 
     Reads are plain ``spark.read.parquet`` so Catalyst keeps full
     pushdown/pruning; views let plans be written in SQL where clearer.
+
+    STRICT since round 8: a missing sf_dir or any missing requested
+    table raises :class:`TestDataNotFoundError` for every caller
+    (earlier rounds silently skipped missing tables and returned a
+    partial dict, which surfaced as confusing downstream
+    TABLE_OR_VIEW_NOT_FOUND errors).
     """
     import pyarrow.parquet as pq
     import pyarrow.types as pat
@@ -158,18 +164,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     dfs = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
-            # Note: these driver-generated files are single-row-group, so a
-            # scan is one task; an explicit repartition-at-load was measured
-            # and lost (shuffle cost > parallel-agg savings at this SF) —
-            # per-row-heavy operators repartition selectively instead.
-            meta = pq.ParquetFile(path)
-            # Nanosecond timestamps arrive as long (see nanosAsLong config);
-            # truncate to µs — exactly what DuckDB does reading the same file.
-            for field in meta.schema_arrow:
-                if pat.is_timestamp(field.type) and field.type.unit == "ns":
-                    df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
-            df.createOrReplaceTempView(name)
-            dfs[name] = df
+        # existence was checked above (strict missing-table probe)
+        df = spark.read.parquet(path)
+        # Note: these driver-generated files are single-row-group, so a
+        # scan is one task; an explicit repartition-at-load was measured
+        # and lost (shuffle cost > parallel-agg savings at this SF) —
+        # per-row-heavy operators repartition selectively instead.
+        meta = pq.ParquetFile(path)
+        # Nanosecond timestamps arrive as long (see nanosAsLong config);
+        # truncate to µs — exactly what DuckDB does reading the same file.
+        for field in meta.schema_arrow:
+            if pat.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
     return dfs

