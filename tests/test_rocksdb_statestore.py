@@ -29,13 +29,19 @@ _ROCKSDB = (
 )
 _CONF = "spark.sql.streaming.stateStore.providerClass"
 
-# the three stateful ops the verdict names: per-key tuple state
-# (sessionize), string-typed state (scd2), and array-typed state with
-# update-mode emission (theta sketch)
+# round-8 proved tuple state (sessionize), string state (scd2) and
+# array state (theta sketch); round 9 extends to the remaining stateful
+# families (VERDICT r8 item 7): sorted-list state (funnel latency, the
+# encoding most likely to hit a RocksDB edge), the built-in
+# dropDuplicates state operator, and the stream-stream join state
+# (attribution).
 _STATEFUL = [
     "stream_sessionize_stateful",
     "stream_scd2_monitor",
     "stream_theta_distinct_monitor",
+    "stream_funnel_latency",
+    "stream_dedup_stateful",
+    "stream_stream_attribution",
 ]
 
 
