@@ -58,6 +58,12 @@ _VERIFY_FIRST = [
     "text_js_divergence_sources",
     "multimodal_color_histogram_census",
     "dedup_union_cascade_efficiency",
+    # round-9 additions — queued BEHIND the backlog (VERDICT r8 item 2)
+    "tokenize_unigram_train",
+    "tokenizer_unigram_bpe_compare",
+    "dedup_url_canonical_census",
+    "retrieval_ndcg_eval",
+    "kmeans_silhouette_eval",
 ]
 
 # Previously driver-green: refresh rotation once the never-verified

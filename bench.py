@@ -152,6 +152,17 @@ HEADLINE = [
     "aqp_sample_error_audit",
     "multimodal_image_contrast",
     "remote_checksum_reconcile",
+    # round 9: unigram tokenizer training (first consumer pays the
+    # census/vocab/segmentation staging; the BPE-vs-unigram compare
+    # rides it AND the shared BPE merge chain — incremental), the URL
+    # canonicalization census (pure map + host census), the nDCG
+    # ranking eval (rides the bounded LSH + brute legs), and the
+    # centroid-silhouette eval (rides the shared Lloyd assignment)
+    "tokenize_unigram_train",
+    "tokenizer_unigram_bpe_compare",
+    "dedup_url_canonical_census",
+    "retrieval_ndcg_eval",
+    "kmeans_silhouette_eval",
 ]
 
 

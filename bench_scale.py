@@ -195,6 +195,12 @@ QUERIES = [
     "table_profile_stats",
     "events_late_arrival_audit",
     "multimodal_audio_fingerprint",
+    # round 9: tokenizer-training + provenance-census family
+    "tokenize_unigram_train",
+    "tokenizer_unigram_bpe_compare",
+    "dedup_url_canonical_census",
+    "retrieval_ndcg_eval",
+    "kmeans_silhouette_eval",
     # round-4 continuation (5): governance/monitoring family — all
     # census-then-constant-rollup shapes that must stay linear in rows
     "split_leakage_audit",

@@ -11667,3 +11667,466 @@ def _sql_cascade_duck():
 
 QUERIES["dedup_union_cascade_efficiency"] = dedup_union_cascade_efficiency
 ORACLE["dedup_union_cascade_efficiency"] = _sql_cascade_duck()
+
+
+# ---------------------------------------------------------------------------
+# tokenize_unigram_train — SentencePiece-style unigram vocabulary
+# construction (Kudo 2018, arXiv:1804.10959) next to the BPE trainer,
+# as a deterministic subset:
+#   (1) corpus word census — the ONLY corpus-scale pass;
+#   (2) candidate-piece census: every substring of length 1..4 of every
+#       DISTINCT word, weighted by word frequency (the seed-vocab
+#       heuristic standing in for the suffix-array/ESA step);
+#   (3) seed vocabulary = all single characters + the top-60
+#       multi-character candidates by weighted count;
+#   (4) one hard-EM E-step: each distinct word is segmented by GREEDY
+#       LONGEST-MATCH (the WordPiece runtime rule). Greedy is chosen
+#       over score-driven Viterbi deliberately: the greedy walk uses
+#       only INTEGER comparisons, while a Viterbi argmax over
+#       ln()-derived double scores is exactly the cross-engine
+#       last-ulp comparison trap (CLAUDE.md: exp/ln divergence);
+#   (5) M-step scores: logprob = ln(usage / total_usage) — the unigram
+#       LM parameters a tokenizer ships. Greedy-match segmentation is
+#       invariant under pruning unused pieces (a pruned piece can only
+#       have matched at never-visited positions), so one E-step IS the
+#       fixpoint for this segmenter; documented rather than iterated.
+# The greedy walk itself is a bounded higher-order-function fold over
+# the per-word best-match-length array (Spark `aggregate`, DuckDB
+# `list_reduce` with a list accumulator) — no per-position join chain.
+# Scale: the census is map-side partials on uniform word keys; every
+# later stage runs on the DISTINCT-word frame (Heaps-law sublinear in
+# corpus size) with the piece-vocab joins broadcast-sized; words longer
+# than 16 chars are excluded from training (the SentencePiece
+# max-sentencepiece-length analogue, documented).
+# Non-vacuous at sf0.01 (probed): 228 candidate pieces (204 multi-char
+# → a real top-60 selection; 64 distinct weighted counts); emitted
+# usages and logprobs vary per piece.
+_UNI_MAXP = 4  # max piece length
+_UNI_TOPM = 60  # multi-char seed-vocab size
+_UNI_TOPV = 40  # emitted vocabulary rows
+
+
+def _uni_wf(E, src="documents"):
+    return f"""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) toks
+    WHERE length(w) > 0 AND length(w) <= 16
+    GROUP BY w
+    """
+
+
+def _uni_cand(E, wf="wf"):
+    sub = "substr(word, CAST(p AS INT), CAST(l AS INT))"
+    inner = f"{E.TRANSFORM}({E.seq(1, f'least({_UNI_MAXP}, length(word) - p + 1)')}, l -> {sub})"
+    pieces = f"flatten({E.TRANSFORM}({E.seq(1, 'length(word)')}, p -> {inner}))"
+    return f"""
+    SELECT piece, CAST(SUM(freq) AS BIGINT) AS wcount
+    FROM (SELECT {E.explode(pieces, 'piece')}, freq FROM {wf}) c
+    GROUP BY piece
+    """
+
+
+def _uni_vocab(E, cand="cand"):
+    # top-k via ORDER BY + LIMIT (distributed TakeOrdered), not a
+    # global ROW_NUMBER window (single-partition funnel at scale)
+    return f"""
+    SELECT piece FROM {cand} WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece FROM (
+      SELECT piece FROM {cand} WHERE length(piece) >= 2
+      ORDER BY wcount DESC, piece LIMIT {_UNI_TOPM}
+    ) m
+    """
+
+
+def _uni_bestlen(E, wf="wf", vocab="vocab"):
+    # one row per (distinct word, position); the three broadcast-sized
+    # LEFT JOINs probe piece lengths 4..2 on computed equi-keys (hash
+    # joins, never prefix-predicate nested loops). Length-1 always
+    # matches: every single character of the corpus is in the seed
+    # vocab by construction. A shorter-than-l substr tail can't
+    # false-match: the join also pins length(piece) = l.
+    return f"""
+    SELECT {E.bhint('v4', 'v3', 'v2')}w.word, w.p,
+           CAST(CASE WHEN v4.piece IS NOT NULL THEN 4
+                     WHEN v3.piece IS NOT NULL THEN 3
+                     WHEN v2.piece IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS bl
+    FROM (SELECT word, {E.explode(E.seq(1, 'length(word)'), 'p')} FROM {wf}) w
+    LEFT JOIN {vocab} v4 ON length(v4.piece) = 4 AND v4.piece = substr(w.word, CAST(w.p AS INT), 4)
+    LEFT JOIN {vocab} v3 ON length(v3.piece) = 3 AND v3.piece = substr(w.word, CAST(w.p AS INT), 3)
+    LEFT JOIN {vocab} v2 ON length(v2.piece) = 2 AND v2.piece = substr(w.word, CAST(w.p AS INT), 2)
+    """
+
+
+def _greedy_cuts(E, bl):
+    """Greedy longest-match cut positions as a bounded fold over the
+    best-length array: cuts start at 1 and each step jumps the matched
+    piece length; the first value past the word length terminates the
+    walk (filtered by the caller). Spark spells the fold `aggregate`;
+    DuckDB `list_reduce` folds a LIST accumulator over a dummy
+    list-of-lists spine (its init is the prepended first element)."""
+    if E is _Spark:
+        return (
+            f"aggregate(sequence(1, size({bl})), array(CAST(1 AS INT)), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) <= size({bl}) "
+            f"THEN concat(acc, array(CAST(element_at(acc, -1) "
+            f"+ element_at({bl}, element_at(acc, -1)) AS INT))) "
+            f"ELSE acc END)"
+        )
+    return (
+        f"list_reduce(list_prepend([CAST(1 AS INT)], "
+        f"list_transform(generate_series(1, len({bl})), i -> [CAST(0 AS INT)])), "
+        f"(acc, x) -> CASE WHEN acc[-1] <= len({bl}) "
+        f"THEN list_append(acc, CAST(acc[-1] + ({bl})[acc[-1]] AS INT)) "
+        f"ELSE acc END)"
+    )
+
+
+def _uni_segments(E, blsrc="bestlen"):
+    blarr = E.list_ordered("bl", "p")
+    cuts = _greedy_cuts(E, "bl_arr")
+    return f"""
+    SELECT word, substr(word, CAST(c AS INT), CAST({E.idx('bl_arr', 'c')} AS INT)) AS piece
+    FROM (
+      SELECT word, bl_arr,
+             {E.explode(f"{E.FILTER}({cuts}, c -> c <= {E.SIZE}(bl_arr))", 'c')}
+      FROM (SELECT word, {blarr} AS bl_arr FROM {blsrc} GROUP BY word) b
+    ) s
+    """
+
+
+def _uni_train_tail(E, wf="wf", segs="segs"):
+    return f"""
+    u AS {E.MAT}(
+      SELECT s.piece, CAST(SUM(w.freq) AS BIGINT) AS usage,
+             CAST(COUNT(DISTINCT s.word) AS BIGINT) AS n_words
+      FROM {segs} s JOIN {wf} w ON w.word = s.word
+      GROUP BY s.piece
+    ),
+    tot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total_usage FROM u),
+    top AS (SELECT piece, usage, n_words FROM u ORDER BY usage DESC, piece LIMIT {_UNI_TOPV})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY usage DESC, piece) AS INT) AS vocab_rank,
+           piece,
+           CAST(length(piece) AS INT) AS piece_len,
+           usage, n_words,
+           ROUND(ln(CAST(usage AS DOUBLE) / total_usage), 9) AS logprob
+    FROM top CROSS JOIN tot
+    """
+
+
+def _sql_unigram_train(E, src="documents"):
+    return f"""
+    WITH wf AS {E.MAT}({_uni_wf(E, src)}),
+    cand AS {E.MAT}({_uni_cand(E)}),
+    vocab AS {E.MAT}({_uni_vocab(E)}),
+    bestlen AS ({_uni_bestlen(E)}),
+    segs AS {E.MAT}({_uni_segments(E)}),
+    {_uni_train_tail(E)}
+    """
+
+
+def _uni_stage(spark: SparkSession, sf_dir: str) -> tuple:
+    """Staged unigram chain shared by tokenize_unigram_train and
+    tokenizer_unigram_bpe_compare: the word census (the corpus pass),
+    the seed vocabulary, and the greedy segmentation are each
+    checkpointed once — the census is referenced by three consumers and
+    the segmentation by two, the multi-reference class that replays
+    lineage through lazy temp views (docs/SCALE.md). Returns
+    (wf_view, vocab_view, segs_view)."""
+    key = ("unigram", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "uni_docs")
+        wf_view = _checkpoint_view(
+            spark, sf_dir, "uni_wf", spark.sql(_uni_wf(_Spark, doc_view))
+        )
+        vocab_view = _checkpoint_view(
+            spark,
+            sf_dir,
+            "uni_vocab",
+            spark.sql(
+                f"WITH cand AS ({_uni_cand(_Spark, wf_view)})\n    {_uni_vocab(_Spark, 'cand')}"
+            ),
+        )
+        segs_view = _checkpoint_view(
+            spark,
+            sf_dir,
+            "uni_segs",
+            spark.sql(
+                f"WITH bestlen AS ({_uni_bestlen(_Spark, wf_view, vocab_view)})\n"
+                f"    {_uni_segments(_Spark, 'bestlen')}"
+            ),
+        )
+        _MINHASH_STAGE_CACHE[key] = (wf_view, vocab_view, segs_view)
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def tokenize_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf_view, _vocab, segs_view = _uni_stage(spark, sf_dir)
+    return spark.sql("WITH " + _uni_train_tail(_Spark, wf_view, segs_view).lstrip())
+
+
+QUERIES["tokenize_unigram_train"] = tokenize_unigram_train
+ORACLE["tokenize_unigram_train"] = _sql_unigram_train(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_bpe_compare — head-to-head fertility of the two
+# trained tokenizers per language: the corpus words are exploded ONCE
+# and joined to both segmentations (the 6-merge BPE vocabulary and the
+# greedy-unigram segmentation above), giving tokens-per-word and the
+# unigram/BPE ratio per language — the readout that decides which
+# tokenizer family a corpus team ships. Extends tokenizer_fertility_audit
+# (BPE-only) with the cross-tokenizer comparison. Ratios are exact
+# integer-sum quotients, quantized with floor(x*1e6 + 0.5)/1e6 (the
+# half-boundary-safe spelling — sum/count rationals CAN land exactly on
+# a rounding boundary; CLAUDE.md). Scale: one corpus explode; both
+# segmentation tables are vocabulary-sized broadcast joins; the rollup
+# is language-bounded. Words beyond the unigram trainer's 16-char cap
+# are excluded from BOTH sides by the inner join (corpus max is 8).
+# Non-vacuous at sf0.01 (probed): per-language mean word length varies
+# (4.499..4.529) and every fertility/ratio column varies by language.
+def _uni_compare_select(E, src, bpe_vocab, segs):
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    bpe_n = f"{E.SIZE}({E.splitws('v.s')})"
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM({bpe_n}) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(u.n_uni) AS BIGINT) AS uni_tokens,
+           {q6(f'CAST(SUM({bpe_n}) AS DOUBLE) / COUNT(*)')} AS bpe_fertility,
+           {q6('CAST(SUM(u.n_uni) AS DOUBLE) / COUNT(*)')} AS uni_fertility,
+           {q6(f'CAST(SUM(u.n_uni) AS DOUBLE) / SUM({bpe_n})')} AS uni_vs_bpe
+    FROM (SELECT lang, {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) d
+    JOIN {bpe_vocab} v ON v.word = d.w
+    JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni FROM {segs} GROUP BY word) u
+      ON u.word = d.w
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """
+
+
+def _sql_uni_compare(E, src="documents"):
+    bpe_parts = [f"words0 AS ({_bpe_words0(E, src)})"]
+    for k in range(1, _BPE_MERGES + 1):
+        bpe_parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
+        bpe_parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
+        bpe_parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
+    uni_parts = [
+        f"wf AS {E.MAT}({_uni_wf(E, src)})",
+        f"cand AS {E.MAT}({_uni_cand(E)})",
+        f"vocab AS {E.MAT}({_uni_vocab(E)})",
+        f"bestlen AS ({_uni_bestlen(E)})",
+        f"segs AS {E.MAT}({_uni_segments(E)})",
+    ]
+    ctes = ",\n    ".join(bpe_parts + uni_parts)
+    return f"""
+    WITH {ctes}
+    {_uni_compare_select(E, src, f'words{_BPE_MERGES}', 'segs')}
+    """
+
+
+def tokenizer_unigram_bpe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _bests, bpe_vocab = _bpe_stage(spark, sf_dir)
+    _wf, _vocab, segs_view = _uni_stage(spark, sf_dir)
+    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
+    return spark.sql(_uni_compare_select(_Spark, doc_view, bpe_vocab, segs_view))
+
+
+QUERIES["tokenizer_unigram_bpe_compare"] = tokenizer_unigram_bpe_compare
+ORACLE["tokenizer_unigram_bpe_compare"] = _sql_uni_compare(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical_census — URL/host-level provenance dedup (the
+# crawl-frontier layer the near-dup stack doesn't cover): raw URLs are
+# canonicalized (lowercase; fragment stripped; scheme and www.
+# normalized; default :443 port dropped; trailing slash removed;
+# tracking params dropped by EXTRACTING the significant id param and
+# rebuilding — parse-then-rebuild, the robust production pattern) and
+# the per-host collapse census is reported. The synthetic corpus
+# carries no URL column, so a deterministic raw URL is derived per doc
+# first (md5-keyed variant bits choose scheme/www/port/case/slash/
+# utm-params/param-order/fragment; path_id = doc_id % 167 so ~3 docs
+# share each canonical target; host = path_id % 13) — the same
+# documented synthesize-then-provably-normalize pattern as
+# text_pii_redact. Scale: pure per-row map + one host-keyed census
+# (13 keys here; at 100 TB hosts are the natural high-cardinality
+# partition key) — no joins, no windows.
+# Non-vacuous at sf0.01 (probed): per-host n_raw_urls spans 35..44 and
+# collapse_rate takes 7 distinct values (0.638889..0.704545);
+# max_group is the constant 8 (every host carries a saturated hot
+# path — a repeated clean-data scalar, not the defining metric).
+def _sql_url_census(E, src="documents"):
+    hexd = lambda k: E.hex2int(  # noqa: E731
+        f"substring(md5('url' || CAST(doc_id AS {E.STR})), {k}, 1)"
+    )
+    b = lambda k: f"({hexd(k)} % 2)"  # noqa: E731
+    # two-tier path assignment (syndication skew): every third doc
+    # lands on one of 29 HOT paths (a re-posted article), the rest
+    # spread over 167 — docs-per-path then varies ~2..8 and the per-
+    # host census columns measure real skew instead of a constant.
+    path_id = "CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 29 ELSE doc_id % 167 END AS INT)"
+    host_id = f"({path_id} % 13)"
+    host = f"'host' || CAST({host_id} AS {E.STR}) || '.example.com'"
+    scheme = f"CASE WHEN {b(1)} = 1 THEN 'https' ELSE 'http' END"
+    www = f"CASE WHEN {b(2)} = 1 THEN 'www.' ELSE '' END"
+    hostc = f"CASE WHEN {b(3)} = 1 THEN upper({host}) ELSE {host} END"
+    port = f"CASE WHEN {b(1)} = 1 AND {b(4)} = 1 THEN ':443' ELSE '' END"
+    slash = f"CASE WHEN {b(5)} = 1 THEN '/' ELSE '' END"
+    idq = f"'id=' || CAST({path_id} AS {E.STR})"
+    utm = "'utm_source=feed&utm_medium=rss'"
+    query = (
+        f"CASE WHEN {b(6)} = 0 THEN '?' || {idq} "
+        f"WHEN {b(7)} = 1 THEN '?' || {utm} || '&' || {idq} "
+        f"ELSE '?' || {idq} || '&' || {utm} END"
+    )
+    frag = f"CASE WHEN {b(8)} = 1 THEN '#section-2' ELSE '' END"
+    raw = (
+        f"{scheme} || '://' || {www} || {hostc} || {port} || '/p/' "
+        f"|| CAST({path_id} AS {E.STR}) || {slash} || {query} || {frag}"
+    )
+    # canonicalize: normalize, then parse-and-rebuild
+    u = "lower(raw_url)"
+    u = E.regexp_replace_all(u, "#.*$", "")  # fragment
+    u = f"replace({u}, 'http://', 'https://')"  # scheme ('http://' never substring of https://)
+    u = f"replace({u}, '://www.', '://')"  # www
+    u = f"replace({u}, ':443/', '/')"  # default port (path always present)
+    canon = (
+        f"'https://' || regexp_extract(canon_base, 'https://([a-z0-9.-]+)', 1)"
+        f" || regexp_extract(canon_base, '(/p/[0-9]+)', 1)"
+        f" || '?id=' || regexp_extract(canon_base, 'id=([0-9]+)', 1)"
+    )
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    WITH raw AS (SELECT doc_id, {raw} AS raw_url FROM {src}),
+    norm AS (SELECT doc_id, raw_url, {u} AS canon_base FROM raw),
+    canon AS {E.MAT}(
+      SELECT doc_id, raw_url, {canon} AS canon_url,
+             regexp_extract(canon_base, 'https://([a-z0-9.-]+)', 1) AS host
+      FROM norm
+    ),
+    grp AS (SELECT host, canon_url, CAST(COUNT(*) AS BIGINT) AS n FROM canon GROUP BY host, canon_url)
+    SELECT host,
+           CAST(SUM(n) AS BIGINT) AS n_raw_urls,
+           CAST(COUNT(*) AS BIGINT) AS n_canonical,
+           {q6('1.0e0 - CAST(COUNT(*) AS DOUBLE) / SUM(n)')} AS collapse_rate,
+           CAST(MAX(n) AS BIGINT) AS max_group
+    FROM grp
+    GROUP BY host
+    ORDER BY host
+    """
+
+
+def _url_census_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_url_census(_Spark))
+
+
+QUERIES["dedup_url_canonical_census"] = _url_census_runner
+ORACLE["dedup_url_canonical_census"] = _sql_url_census(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_eval — graded-relevance nDCG@5 of the multi-table LSH
+# retrieval against the brute-force ideal ranking, per query: the
+# ranking-quality readout (recall says WHETHER truth items came back;
+# nDCG says whether the BEST ones came back FIRST). Relevance grades
+# come from the exact cosine (>= 0.35 -> 3, >= 0.30 -> 2, >= 0.25 -> 1,
+# calibrated to the probed sf0.01 brute top-10 range 0.24..0.40 so
+# every query's ideal head has nonzero gain and grades vary); since
+# grades are monotone in cosine, the ideal ranking IS the brute-force
+# top-5. Gains are (2^rel - 1) spelled as integer CASE values; the
+# log2 position discount is ROUND(ln2/ln(pos+1), 9) cast to DECIMAL so
+# the DCG sums are exact and order-independent (ln is only consumed
+# under ROUND(.,9) — the documented safe window); the final ratio is
+# floor-quantized. Scale: both retrieval legs are the existing bounded
+# templates (LSH bucket join + fixed-query brute force); the eval adds
+# one 5-row-per-query aggregate.
+def _sql_ndcg_eval(E):
+    gain = "CASE WHEN cosine >= 0.35e0 THEN 7 WHEN cosine >= 0.30e0 THEN 3 WHEN cosine >= 0.25e0 THEN 1 ELSE 0 END"
+    disc = "CAST(ROUND(0.6931471805599453e0 / ln(CAST(rn + 1 AS DOUBLE)), 9) AS DECIMAL(12, 9))"
+    term = f"CAST({gain} * {disc} AS DECIMAL(20, 9))"
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    WITH sys AS (
+      SELECT query_id, CAST(SUM({term}) AS DOUBLE) AS dcg,
+             CAST(COUNT(*) AS BIGINT) AS n_retrieved
+      FROM ({_sql_ann_lsh(E)}) r GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, CAST(SUM({term}) AS DOUBLE) AS idcg
+      FROM ({_sql_ann_brute(E)}) t WHERE rn <= 5 GROUP BY query_id
+    )
+    SELECT i.query_id,
+           CAST(COALESCE(s.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           {q6('COALESCE(s.dcg, 0.0e0)')} AS dcg,
+           {q6('i.idcg')} AS idcg,
+           CASE WHEN i.idcg = 0.0e0 THEN 0.0e0
+                ELSE {q6('COALESCE(s.dcg, 0.0e0) / i.idcg')} END AS ndcg_at_5
+    FROM ideal i LEFT JOIN sys s ON s.query_id = i.query_id
+    """
+
+
+_register_pair("retrieval_ndcg_eval", _sql_ndcg_eval, tables=("embeddings",))
+
+
+# ---------------------------------------------------------------------------
+# kmeans_silhouette_eval — simplified silhouette (centroid-based:
+# a = distance to own final centroid, b = min distance to any other
+# final centroid, s = (b - a) / max(a, b)) per cluster, over the SAME
+# staged Lloyd assignment as kmeans_embeddings — the cluster-quality
+# readout next to inertia (inertia falls monotonically with k;
+# silhouette peaks at the right k). The full silhouette's all-pairs
+# distances are quadratic and forbidden at scale; the centroid form is
+# the standard linear surrogate (one n×k map-side score). Final
+# centroids are recomputed FROM the final assignment with the same
+# fixed-point integer-mean arithmetic as the Lloyd update (exact in
+# both engines); distances are ROUND(.,6)-quantized before MIN/sqrt
+# (sqrt is IEEE-exact cross-engine); per-cluster mean silhouette is a
+# DECIMAL sum of 6dp-quantized values. Non-vacuous at sf0.01 (probed):
+# near-random unit embeddings give small but varying silhouettes
+# (cluster means 0.027341..0.030617, all distinct; n_negative 4..8).
+def _sql_silhouette(E, asrc=None, prefix=""):
+    asrc, prefix = _km_srcs(E, asrc, prefix)
+    opener = f"{prefix.rstrip()},\n    " if prefix else f"WITH dims AS ({_km_dims(E)}),\n    "
+    d2 = f"ROUND({E.sqdist('v.embedding', 'c.cent')}, 6)"
+    s_raw = "(b_dist - a_dist) / greatest(a_dist, b_dist)"
+    s = f"CASE WHEN greatest(a_dist, b_dist) = 0.0e0 THEN 0.0e0 ELSE floor(({s_raw}) * 1000000.0e0 + 0.5e0) / 1000000.0e0 END"
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    {opener}fcents AS ({_km_update(E, asrc, 'embeddings')}
+    ),
+    alld AS (
+      SELECT {E.bhint('c')}a.vec_id, a.cent_id AS own, c.cent_id, {d2} AS d2
+      FROM {asrc} a
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      CROSS JOIN fcents c
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             sqrt(MIN(CASE WHEN cent_id = own THEN d2 END)) AS a_dist,
+             sqrt(MIN(CASE WHEN cent_id <> own THEN d2 END)) AS b_dist
+      FROM alld GROUP BY vec_id, own
+    ),
+    sil AS (SELECT vec_id, own, {s} AS s FROM ab)
+    SELECT CAST(own AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {q6('CAST(SUM(CAST(s AS DECIMAL(20, 6))) AS DOUBLE) / COUNT(*)')} AS mean_silhouette,
+           CAST(SUM(CASE WHEN s < 0.0e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM sil
+    GROUP BY own
+    ORDER BY cluster
+    """
+
+
+def kmeans_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asrc = _km_stage(spark, sf_dir)
+    dfs = load_tables(spark, sf_dir, ("embeddings",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_silhouette(_Spark, asrc))
+
+
+QUERIES["kmeans_silhouette_eval"] = kmeans_silhouette_eval
+ORACLE["kmeans_silhouette_eval"] = _sql_silhouette(_Duck)

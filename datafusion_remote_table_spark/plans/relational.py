@@ -7191,7 +7191,12 @@ _APRIORI_REPORT = """
 # relative min-support: GREATEST(2, ceil(n_orders/100000)) — ~0.001% of
 # orders; identical to the old absolute 2 at sf0.01 AND sf0.1 (both
 # census thresholds land on 2), scale-stable above ({DIV} is the
-# engine's integer division: DIV / //)
+# engine's integer division: DIV / //). Calibration measured round 9
+# (ADVICE r8): on the 16x/64x replica corpora the threshold (24/95)
+# and every pair's count (x16/x64) grow in near-lockstep, so the
+# persisted frequent-pair census is CONSTANT at 3,573 pairs across
+# 1x/16x/64x — the valve tracks the base co-occurrence distribution,
+# not rows (docs/SCALE.md round-9 table).
 _APRIORI_THR = (
     "SELECT GREATEST(CAST(2 AS BIGINT), CAST((COUNT(DISTINCT l_orderkey)"
     " + 99999) {DIV} 100000 AS BIGINT)) FROM {items}"

@@ -1087,3 +1087,43 @@ def test_winnowing_minhash_agreement_reads_checkpointed_pairs(spark, sf_dir):
     plan = _plan(plans.QUERIES["winnowing_minhash_agreement"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "tail not reading checkpointed pairs"
     assert "Scan parquet" not in plan, "agreement re-derived from documents"
+
+
+def test_unigram_train_tail_reads_checkpointed_stagings(spark, sf_dir):
+    """Round-9: the unigram usage tail must plan over the checkpointed
+    word census + segmentation (Scan ExistingRDD), never replay the
+    census/vocab/bestlen chain or re-read the corpus — the same
+    lineage-truncation contract as the BPE merge chain."""
+    plan = _plan(plans.QUERIES["tokenize_unigram_train"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading checkpointed stagings"
+    assert "FileScan" not in plan, "usage tail re-reads the corpus"
+
+
+def test_unigram_compare_joins_are_vocabulary_sized(spark, sf_dir):
+    # the corpus explode is the ONE FileScan; both segmentation tables
+    # (BPE vocabulary, unigram token counts) join broadcast off the
+    # checkpointed stagings
+    plan = _plan(plans.QUERIES["tokenizer_unigram_bpe_compare"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "compare not riding the checkpointed stagings"
+    assert "BroadcastHashJoin" in plan, "vocabulary joins must broadcast"
+    assert plan.count("FileScan") <= 1, "compare re-scans the corpus"
+
+
+def test_url_census_is_pure_map_plus_census(spark, sf_dir):
+    # synthesize + canonicalize are per-row maps; the only join-free
+    # shuffle is the host-keyed census aggregate
+    plan = _plan(plans.QUERIES["dedup_url_canonical_census"](spark, sf_dir))
+    assert "Join" not in plan, "URL census must not join"
+    assert plan.count("HashAggregate") >= 2, "census must partial-aggregate map-side"
+
+
+def test_silhouette_rides_staged_assignment(spark, sf_dir):
+    # the n×k scoring pass reads the persisted Lloyd assignment (no
+    # re-clustering) and the k-row final-centroid frame broadcasts
+    plan = _plan(plans.QUERIES["kmeans_silhouette_eval"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan, (
+        "silhouette re-runs the Lloyd chain"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "k-row centroid frame must broadcast"
+    )

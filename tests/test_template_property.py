@@ -202,6 +202,13 @@ _TEMPLATES = [
     _sql_capture_recapture_full,
     _sql_cascade_full,
     L._sql_color_hist_oracle,
+    # round-9: unigram tokenizer chain (the greedy-cuts fold is the
+    # cross-engine risk — Spark `aggregate` vs DuckDB `list_reduce`),
+    # the BPE-vs-unigram fertility join, and the URL canonicalization
+    # census (regexp_extract parity over synthesized variants)
+    L._sql_unigram_train,
+    L._sql_uni_compare,
+    L._sql_url_census,
 ]
 
 
@@ -315,6 +322,11 @@ _EMB_TEMPLATES = [
     L._sql_margin_audit,
     L._sql_emb_exact_dup,
     L._sql_filtered_search,
+    # round-9: graded nDCG over the LSH + brute legs (zero-idcg guard;
+    # decimal DCG sums) and the centroid silhouette (a=b=0 duplicate
+    # guard; recomputed final centroids)
+    L._sql_ndcg_eval,
+    L._sql_silhouette,
     # L._gs_oracle is NOT fuzzed here: its template spelling (no
     # checkpoints — that's the runner's job) re-expands the NN-Descent
     # chain 2x per hop inside Catalyst, costing ~7 min of pure plan time
