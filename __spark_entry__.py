@@ -61,6 +61,7 @@ _VERIFY_FIRST = [
     # round-9 additions — queued BEHIND the backlog (VERDICT r8 item 2)
     "tokenize_unigram_train",
     "tokenizer_unigram_bpe_compare",
+    "tokenize_unigram_apply",
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",

@@ -160,6 +160,7 @@ HEADLINE = [
     # centroid-silhouette eval (rides the shared Lloyd assignment)
     "tokenize_unigram_train",
     "tokenizer_unigram_bpe_compare",
+    "tokenize_unigram_apply",
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",

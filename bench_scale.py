@@ -198,6 +198,7 @@ QUERIES = [
     # round 9: tokenizer-training + provenance-census family
     "tokenize_unigram_train",
     "tokenizer_unigram_bpe_compare",
+    "tokenize_unigram_apply",
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",

@@ -11690,9 +11690,9 @@ ORACLE["dedup_union_cascade_efficiency"] = _sql_cascade_duck()
 #       invariant under pruning unused pieces (a pruned piece can only
 #       have matched at never-visited positions), so one E-step IS the
 #       fixpoint for this segmenter; documented rather than iterated.
-# The greedy walk itself is a bounded higher-order-function fold over
-# the per-word best-match-length array (Spark `aggregate`, DuckDB
-# `list_reduce` with a list accumulator) — no per-position join chain.
+# The greedy walk is an unrolled 16-step join chain, identical SQL in
+# both engines (see _uni_walk_ctes — the fold spelling died on a real
+# DuckDB 1.0 list_reduce parallelism bug).
 # Scale: the census is map-side partials on uniform word keys; every
 # later stage runs on the DISTINCT-word frame (Heaps-law sublinear in
 # corpus size) with the piece-vocab joins broadcast-sized; words longer
@@ -11759,40 +11759,41 @@ def _uni_bestlen(E, wf="wf", vocab="vocab"):
     """
 
 
-def _greedy_cuts(E, bl):
-    """Greedy longest-match cut positions as a bounded fold over the
-    best-length array: cuts start at 1 and each step jumps the matched
-    piece length; the first value past the word length terminates the
-    walk (filtered by the caller). Spark spells the fold `aggregate`;
-    DuckDB `list_reduce` folds a LIST accumulator over a dummy
-    list-of-lists spine (its init is the prepended first element)."""
-    if E is _Spark:
-        return (
-            f"aggregate(sequence(1, size({bl})), array(CAST(1 AS INT)), "
-            f"(acc, x) -> CASE WHEN element_at(acc, -1) <= size({bl}) "
-            f"THEN concat(acc, array(CAST(element_at(acc, -1) "
-            f"+ element_at({bl}, element_at(acc, -1)) AS INT))) "
-            f"ELSE acc END)"
+_UNI_MAXW = 16  # word-length cap == max walk depth (the wf filter)
+
+
+def _uni_walk_ctes(E, wf="wf", blsrc="bestlen"):
+    """Greedy longest-match walk as an UNROLLED 16-step join chain —
+    identical SQL in both engines: w0 seeds every word's cursor at
+    position 1; step k advances each cursor by the matched piece length
+    (the b.p = w.c equi-join); a cursor past the word end finds no
+    position row and its chain dies naturally, so the union of all
+    steps IS the cut set (positions strictly increase — no dedup
+    needed). An earlier spelling expressed the walk as a higher-order
+    fold (Spark `aggregate` / DuckDB `list_reduce` with a list
+    accumulator); DuckDB 1.0's list_reduce silently DROPS rows under
+    multi-threaded execution (29 of 31 words segmented at sf0.001,
+    correct under SET threads=1 — caught by the sf0.001 oracle suite,
+    invisible at sf0.01), so the oracle cannot use a fold at all. The
+    chain is 16 broadcast-sized hash joins over the distinct-word
+    position frame — vocabulary-scale at any corpus size."""
+    parts = [f"w0 AS (SELECT word, CAST(1 AS INT) AS c FROM {wf})"]
+    for k in range(1, _UNI_MAXW + 1):
+        parts.append(
+            f"w{k} AS (SELECT b.word, CAST(w.c + b.bl AS INT) AS c"
+            f" FROM w{k - 1} w JOIN {blsrc} b ON b.word = w.word AND b.p = w.c)"
         )
-    return (
-        f"list_reduce(list_prepend([CAST(1 AS INT)], "
-        f"list_transform(generate_series(1, len({bl})), i -> [CAST(0 AS INT)])), "
-        f"(acc, x) -> CASE WHEN acc[-1] <= len({bl}) "
-        f"THEN list_append(acc, CAST(acc[-1] + ({bl})[acc[-1]] AS INT)) "
-        f"ELSE acc END)"
-    )
+    union = " UNION ALL ".join(f"SELECT word, c FROM w{k}" for k in range(_UNI_MAXW + 1))
+    parts.append(f"cuts AS ({union})")
+    return parts
 
 
-def _uni_segments(E, blsrc="bestlen"):
-    blarr = E.list_ordered("bl", "p")
-    cuts = _greedy_cuts(E, "bl_arr")
+def _uni_segments(E, blsrc="bestlen", cuts="cuts"):
+    # a cut past the word end has no bestlen row, so the join is also
+    # the c <= length(word) filter
     return f"""
-    SELECT word, substr(word, CAST(c AS INT), CAST({E.idx('bl_arr', 'c')} AS INT)) AS piece
-    FROM (
-      SELECT word, bl_arr,
-             {E.explode(f"{E.FILTER}({cuts}, c -> c <= {E.SIZE}(bl_arr))", 'c')}
-      FROM (SELECT word, {blarr} AS bl_arr FROM {blsrc} GROUP BY word) b
-    ) s
+    SELECT b.word, substr(b.word, CAST(b.p AS INT), CAST(b.bl AS INT)) AS piece
+    FROM {blsrc} b JOIN {cuts} c ON c.word = b.word AND c.c = b.p
     """
 
 
@@ -11815,13 +11816,25 @@ def _uni_train_tail(E, wf="wf", segs="segs"):
     """
 
 
+def _uni_chain_ctes(E, src="documents"):
+    """The full shared CTE chain census -> candidates -> vocab ->
+    best-match lengths -> walk -> segmentation (bestlen is MAT'd: the
+    17 walk references would re-run its three joins per reference in
+    DuckDB otherwise)."""
+    return [
+        f"wf AS {E.MAT}({_uni_wf(E, src)})",
+        f"cand AS {E.MAT}({_uni_cand(E)})",
+        f"vocab AS {E.MAT}({_uni_vocab(E)})",
+        f"bestlen AS {E.MAT}({_uni_bestlen(E)})",
+        *_uni_walk_ctes(E),
+        f"segs AS {E.MAT}({_uni_segments(E)})",
+    ]
+
+
 def _sql_unigram_train(E, src="documents"):
+    ctes = ",\n    ".join(_uni_chain_ctes(E, src))
     return f"""
-    WITH wf AS {E.MAT}({_uni_wf(E, src)}),
-    cand AS {E.MAT}({_uni_cand(E)}),
-    vocab AS {E.MAT}({_uni_vocab(E)}),
-    bestlen AS ({_uni_bestlen(E)}),
-    segs AS {E.MAT}({_uni_segments(E)}),
+    WITH {ctes},
     {_uni_train_tail(E)}
     """
 
@@ -11848,14 +11861,20 @@ def _uni_stage(spark: SparkSession, sf_dir: str) -> tuple:
                 f"WITH cand AS ({_uni_cand(_Spark, wf_view)})\n    {_uni_vocab(_Spark, 'cand')}"
             ),
         )
+        # bestlen is checkpointed too: the 16-step walk references it 17
+        # times, and each lazy reference would replay its three joins
+        bl_view = _checkpoint_view(
+            spark,
+            sf_dir,
+            "uni_bestlen",
+            spark.sql(_uni_bestlen(_Spark, wf_view, vocab_view)),
+        )
+        walk = ",\n    ".join(_uni_walk_ctes(_Spark, wf_view, bl_view))
         segs_view = _checkpoint_view(
             spark,
             sf_dir,
             "uni_segs",
-            spark.sql(
-                f"WITH bestlen AS ({_uni_bestlen(_Spark, wf_view, vocab_view)})\n"
-                f"    {_uni_segments(_Spark, 'bestlen')}"
-            ),
+            spark.sql(f"WITH {walk}\n    {_uni_segments(_Spark, bl_view, 'cuts')}"),
         )
         _MINHASH_STAGE_CACHE[key] = (wf_view, vocab_view, segs_view)
     return _MINHASH_STAGE_CACHE[key]
@@ -11912,14 +11931,7 @@ def _sql_uni_compare(E, src="documents"):
         bpe_parts.append(f"pairs{k} AS ({_bpe_pairs(E, f'words{k - 1}')})")
         bpe_parts.append(f"best{k} AS ({_bpe_best(E, f'pairs{k}')})")
         bpe_parts.append(f"words{k} AS ({_bpe_merge(E, f'words{k - 1}', f'best{k}')})")
-    uni_parts = [
-        f"wf AS {E.MAT}({_uni_wf(E, src)})",
-        f"cand AS {E.MAT}({_uni_cand(E)})",
-        f"vocab AS {E.MAT}({_uni_vocab(E)})",
-        f"bestlen AS ({_uni_bestlen(E)})",
-        f"segs AS {E.MAT}({_uni_segments(E)})",
-    ]
-    ctes = ",\n    ".join(bpe_parts + uni_parts)
+    ctes = ",\n    ".join(bpe_parts + _uni_chain_ctes(E, src))
     return f"""
     WITH {ctes}
     {_uni_compare_select(E, src, f'words{_BPE_MERGES}', 'segs')}
@@ -11935,6 +11947,51 @@ def tokenizer_unigram_bpe_compare(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["tokenizer_unigram_bpe_compare"] = tokenizer_unigram_bpe_compare
 ORACLE["tokenizer_unigram_bpe_compare"] = _sql_uni_compare(_Duck)
+
+
+# ---------------------------------------------------------------------------
+# tokenize_unigram_apply — the trained unigram vocabulary applied back
+# to the corpus: per-document whitespace tokens, unigram pieces, and
+# chars-per-piece (the tokenized-corpus artifact next to
+# tokenize_bpe_apply). One corpus explode joined to the vocabulary-
+# sized per-word piece counts (broadcast off the checkpointed
+# segmentation); empty/whitespace-only docs drop out of the inner join
+# identically in both engines. n_uni >= 1 for every segmented word, so
+# the chars-per-piece quotient needs no zero guard; it is floor-
+# quantized (half-boundary-safe). Scale: map + broadcast join + doc-key
+# aggregate — the same linear shape as the BPE apply pass.
+# Non-vacuous at sf0.01 (probed in-round): per-doc uni_tokens and
+# chars_per_piece vary doc to doc.
+def _uni_apply_select(E, src, segs):
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+           CAST(SUM(u.n_uni) AS BIGINT) AS uni_tokens,
+           {q6('CAST(SUM(length(d.w)) AS DOUBLE) / SUM(u.n_uni)')} AS chars_per_piece
+    FROM (SELECT doc_id, {E.explode(E.splitws("lower(text)"), 'w')} FROM {src}) d
+    JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni FROM {segs} GROUP BY word) u
+      ON u.word = d.w
+    GROUP BY d.doc_id
+    """
+
+
+def _sql_uni_apply(E, src="documents"):
+    ctes = ",\n    ".join(_uni_chain_ctes(E, src))
+    return f"""
+    WITH {ctes}
+    {_uni_apply_select(E, src, 'segs')}
+    """
+
+
+def tokenize_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _wf, _vocab, segs_view = _uni_stage(spark, sf_dir)
+    doc_view = _spread_view(spark, sf_dir, "documents", "uni_docs")
+    return spark.sql(_uni_apply_select(_Spark, doc_view, segs_view))
+
+
+QUERIES["tokenize_unigram_apply"] = tokenize_unigram_apply
+ORACLE["tokenize_unigram_apply"] = _sql_uni_apply(_Duck)
 
 
 # ---------------------------------------------------------------------------

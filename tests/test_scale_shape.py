@@ -1109,6 +1109,15 @@ def test_unigram_compare_joins_are_vocabulary_sized(spark, sf_dir):
     assert plan.count("FileScan") <= 1, "compare re-scans the corpus"
 
 
+def test_unigram_apply_rides_segmentation_staging(spark, sf_dir):
+    # per-doc tokenization joins the corpus explode to the CHECKPOINTED
+    # segmentation (broadcast) — one FileScan, no chain replay
+    plan = _plan(plans.QUERIES["tokenize_unigram_apply"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "apply not riding the checkpointed segmentation"
+    assert "BroadcastHashJoin" in plan, "piece-count join must broadcast"
+    assert plan.count("FileScan") <= 1, "apply re-scans the corpus"
+
+
 def test_url_census_is_pure_map_plus_census(spark, sf_dir):
     # synthesize + canonicalize are per-row maps; the only join-free
     # shuffle is the host-keyed census aggregate

@@ -202,12 +202,16 @@ _TEMPLATES = [
     _sql_capture_recapture_full,
     _sql_cascade_full,
     L._sql_color_hist_oracle,
-    # round-9: unigram tokenizer chain (the greedy-cuts fold is the
-    # cross-engine risk — Spark `aggregate` vs DuckDB `list_reduce`),
-    # the BPE-vs-unigram fertility join, and the URL canonicalization
-    # census (regexp_extract parity over synthesized variants)
-    L._sql_unigram_train,
-    L._sql_uni_compare,
+    # round-9: the URL canonicalization census (regexp_extract parity
+    # over synthesized variants). The three unigram-tokenizer templates
+    # are NOT fuzzed here (same reason as _gs_oracle): their inline
+    # spelling re-expands the census->vocab->bestlen chain once per
+    # walk-step reference inside Catalyst (~70 expansions on 8-row
+    # tables), costing minutes of pure plan time per example — the
+    # registered runners are checkpointed and covered by the sf0.001 +
+    # sf0.01 oracle suites, and the DuckDB side (where the round-9
+    # list_reduce parallelism bug actually lived) is fuzzed against a
+    # pure-Python reference in test_unigram_walk_matches_reference.
     L._sql_url_census,
 ]
 
@@ -980,3 +984,75 @@ def test_semdedup_two_phase_equals_brute_exists(embs):
     assert g["kept"].tolist() == b["kept"].tolist(), (
         f"two-phase {g['kept'].tolist()} vs brute {b['kept'].tolist()}"
     )
+
+
+# Round-9: the greedy longest-match unigram segmentation — DuckDB chain
+# vs a pure-Python reference. This is the regression net for the DuckDB
+# 1.0 list_reduce parallelism bug (the fold spelling silently dropped
+# 2 of 31 words at sf0.001 under multi-threaded execution; the unrolled
+# join-chain replacement must keep matching the reference at any
+# morsel count). Random words up to 16 chars exercise walk depths past
+# the fixed corpus's max of 8.
+_syll = st.sampled_from(["ab", "ba", "abc", "cab", "a", "b", "c", "dada", "dd"])
+
+
+@st.composite
+def _word_corpus(draw):
+    n = draw(st.integers(min_value=1, max_value=10))
+    words = [
+        "".join(draw(st.lists(_syll, min_size=1, max_size=5)))[:16] for _ in range(n)
+    ]
+    texts = [" ".join(words[i :: draw(st.integers(1, 3))] or [words[i]]) for i in range(n)]
+    return pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["src0"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+
+
+def _py_unigram_segments(texts):
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if 0 < len(w) <= 16:
+                wf[w] += 1
+    cand = Counter()
+    for w, f in wf.items():
+        for p in range(len(w)):
+            for ln in range(1, min(4, len(w) - p) + 1):
+                cand[w[p : p + ln]] += f
+    vocab = {p for p in cand if len(p) == 1}
+    vocab |= set(sorted((p for p in cand if len(p) >= 2), key=lambda p: (-cand[p], p))[:60])
+    segs = {}
+    for w in wf:
+        pieces, c = [], 0
+        while c < len(w):
+            for ln in (4, 3, 2, 1):
+                piece = w[c : c + ln]
+                if len(piece) == ln and piece in vocab:
+                    pieces.append(piece)
+                    c += ln
+                    break
+        segs[w] = sorted(pieces)
+    return segs
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_word_corpus())
+def test_unigram_walk_matches_reference(docs):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ctes = ",\n    ".join(L._uni_chain_ctes(L._Duck))
+    got = con.execute(f"WITH {ctes} SELECT word, piece FROM segs").fetchdf()
+    want = _py_unigram_segments(docs.text.tolist())
+    got_map = {w: sorted(g.piece.tolist()) for w, g in got.groupby("word")}
+    assert got_map == want, {
+        w: (got_map.get(w), want.get(w)) for w in set(got_map) | set(want)
+        if got_map.get(w) != want.get(w)
+    }
