@@ -77,6 +77,7 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "stream_late_arrival_monitor": (1, "cross-bucket carry max over the arrival-hour census (two-pass prefix scan)"),
     "stream_quantile_monitor": (2, "cumulative counts over the fixed-width bin census"),
     "stream_spectral_monitor": (1, "top-peak rank over the candidate-period census"),
+    "tokenize_unigram_train": (1, "vocab_rank row_number over the LIMIT-40 emitted-vocabulary frame (TakeOrdered upstream)"),
     "text_burrows_delta": (2, "top-150 vocabulary rank censuses (two author halves)"),
     "text_zipf_audit": (1, "frequency rank over the vocabulary census"),
 }
