@@ -1712,8 +1712,25 @@ _register_pair("quality_filter_gopher", _sql_quality_filter)
 # top-word / top-bigram counts explode then aggregate keyed by
 # (doc_id, gram) — uniform keys, partial aggregation map-side, and the
 # per-doc top-1 is a bounded window over already-aggregated counts.
-def _sql_repetition_signals(E):
+def _reps_base(E, src="documents"):
+    # non-whitespace char count = sum of word lengths over the split
+    # array — derived from the SAME words array in both engines (parity
+    # by construction), and cheaper than a second regexp pass over the
+    # full text (the round-3 strip-\s spelling re-scanned every byte and
+    # cost +0.75 s at sf0.1). Floor at 1: an empty/whitespace-only doc
+    # has 0 content chars, and Spark's ANSI mode turns the char-fraction
+    # division into a job-killing DIVIDE_BY_ZERO (one blank doc in 100TB
+    # fails the stage; found by the random-corpus property test).
     words = E.splitws("lower(text)")
+    sum_word_len = E.list_sum_int(f"{E.TRANSFORM}(words, w -> CAST(length(w) AS BIGINT))")
+    return f"""
+    SELECT doc_id, words,
+           CAST(greatest({sum_word_len}, 1) AS BIGINT) AS n_chars
+    FROM (SELECT doc_id, {words} AS words FROM {src}) toks
+    """
+
+
+def _reps_tail(E, base="base"):
     bigrams = (
         f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, "
         f"i -> array_join({E.slice('words', 'i', 2)}, ' '))"
@@ -1725,35 +1742,21 @@ def _sql_repetition_signals(E):
     if E is _Duck:
         bigrams = bigrams.replace("array_join", "array_to_string")
         trigrams = trigrams.replace("array_join", "array_to_string")
-    # non-whitespace char count = sum of word lengths over the split
-    # array — derived from the SAME words array in both engines (parity
-    # by construction), and cheaper than a second regexp pass over the
-    # full text (the round-3 strip-\s spelling re-scanned every byte and
-    # cost +0.75 s at sf0.1). Floor at 1: an empty/whitespace-only doc
-    # has 0 content chars, and Spark's ANSI mode turns the char-fraction
-    # division into a job-killing DIVIDE_BY_ZERO (one blank doc in 100TB
-    # fails the stage; found by the random-corpus property test).
-    sum_word_len = E.list_sum_int(f"{E.TRANSFORM}(words, w -> CAST(length(w) AS BIGINT))")
     return f"""
-    WITH base AS (
-      SELECT doc_id, words,
-             CAST(greatest({sum_word_len}, 1) AS BIGINT) AS n_chars
-      FROM (SELECT doc_id, {words} AS words FROM documents) toks
-    ),
     feats AS (
       SELECT doc_id, words, n_chars,
              CAST({E.SIZE}(words) AS BIGINT) AS n_tokens,
              1.0 - CAST({E.SIZE}({E.ADISTINCT}({trigrams})) AS DOUBLE)
                  / greatest({E.SIZE}(words) - 2, 1) AS dup_trigram_frac
-      FROM base
+      FROM {base}
     ),
-    uni AS (SELECT doc_id, {E.explode('words', 'w')} FROM base),
+    uni AS (SELECT doc_id, {E.explode('words', 'w')} FROM {base}),
     uni_top AS (
       SELECT doc_id, MAX(c) AS top_word_n
       FROM (SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY doc_id, w)
       GROUP BY doc_id
     ),
-    bi AS (SELECT doc_id, {E.explode(bigrams, 'gram')} FROM base),
+    bi AS (SELECT doc_id, {E.explode(bigrams, 'gram')} FROM {base}),
     bi_counts AS (
       SELECT doc_id, gram, COUNT(*) AS c,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn
@@ -1775,7 +1778,32 @@ def _sql_repetition_signals(E):
     """
 
 
-_register_pair("quality_repetition_signals", _sql_repetition_signals)
+def _sql_repetition_signals(E):
+    """One-shot template (oracle + property tests): base is MAT'd — it
+    is referenced by feats, uni AND bi, and the registered Spark runner
+    checkpoints it for the same reason (the lazy spelling re-ran the
+    corpus scan + split three times per execution; staged A/B measured
+    in docs/SCALE.md round-9)."""
+    return f"""
+    WITH base AS {E.MAT}({_reps_base(E)}),
+    {_reps_tail(E)}
+    """
+
+
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("reps_base", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "reps_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "reps_base", spark.sql(_reps_base(_Spark, doc_view))
+        )
+    return spark.sql(
+        "WITH " + _reps_tail(_Spark, _MINHASH_STAGE_CACHE[key]).lstrip()
+    )
+
+
+QUERIES["quality_repetition_signals"] = quality_repetition_signals
+ORACLE["quality_repetition_signals"] = _sql_repetition_signals(_Duck)
 
 
 # ---------------------------------------------------------------------------
