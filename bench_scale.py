@@ -156,6 +156,8 @@ QUERIES = [
     "embedding_pq_codebook_balance",
     "orders_cohort_ltv",
     "dedup_mix_shift_report",
+    "embedding_knn_symmetry_audit",
+    "multimodal_video_scene_cut",
     "lineitem_temporal_dq_audit",
     "inventory_abc_xyz",
     "theta_sketch_set_ops",
