@@ -661,7 +661,13 @@ def test_doc_runner_queries_agree_on_random_tables(spark, docs):
             if t.endswith(".parquet"):
                 os.symlink(os.path.join(SF_DIR, t), os.path.join(tmp, t))
         os.unlink(os.path.join(tmp, "documents.parquet"))
-        docs.to_parquet(os.path.join(tmp, "documents.parquet"), index=False)
+        # pin the text dtype: an all-None draw otherwise round-trips
+        # through parquet as a typeless/int column and every
+        # lower(text) call fails to bind in DuckDB (harness artifact,
+        # not a query property — found by the seed sweep)
+        docs.astype({"text": "string", "lang": "string", "source": "string"}).to_parquet(
+            os.path.join(tmp, "documents.parquet"), index=False
+        )
         con = duckdb.connect()
         for f in os.listdir(tmp):
             t = f.removesuffix(".parquet")
