@@ -65,6 +65,7 @@ _VERIFY_FIRST = [
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",
+    "stream_url_host_monitor",
 ]
 
 # Previously driver-green: refresh rotation once the never-verified

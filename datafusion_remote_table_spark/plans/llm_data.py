@@ -12042,7 +12042,11 @@ ORACLE["tokenize_unigram_apply"] = _sql_uni_apply(_Duck)
 # collapse_rate takes 7 distinct values (0.638889..0.704545);
 # max_group is the constant 8 (every host carries a saturated hot
 # path — a repeated clean-data scalar, not the defining metric).
-def _sql_url_census(E, src="documents"):
+def _url_exprs(E):
+    """(raw_url, canon_base, canon_url, host) expression strings —
+    raw_url reads `doc_id`; canon_base reads `raw_url`; canon_url and
+    host read `canon_base`. Shared by the batch census and the
+    streaming host monitor (stateless per-row maps in both)."""
     hexd = lambda k: E.hex2int(  # noqa: E731
         f"substring(md5('url' || CAST(doc_id AS {E.STR})), {k}, 1)"
     )
@@ -12082,24 +12086,36 @@ def _sql_url_census(E, src="documents"):
         f" || regexp_extract(canon_base, '(/p/[0-9]+)', 1)"
         f" || '?id=' || regexp_extract(canon_base, 'id=([0-9]+)', 1)"
     )
+    host_x = "regexp_extract(canon_base, 'https://([a-z0-9.-]+)', 1)"
+    return raw, u, canon, host_x
+
+
+def _url_census_tail(E, grp="grp"):
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
     return f"""
-    WITH raw AS (SELECT doc_id, {raw} AS raw_url FROM {src}),
-    norm AS (SELECT doc_id, raw_url, {u} AS canon_base FROM raw),
-    canon AS {E.MAT}(
-      SELECT doc_id, raw_url, {canon} AS canon_url,
-             regexp_extract(canon_base, 'https://([a-z0-9.-]+)', 1) AS host
-      FROM norm
-    ),
-    grp AS (SELECT host, canon_url, CAST(COUNT(*) AS BIGINT) AS n FROM canon GROUP BY host, canon_url)
     SELECT host,
            CAST(SUM(n) AS BIGINT) AS n_raw_urls,
            CAST(COUNT(*) AS BIGINT) AS n_canonical,
            {q6('1.0e0 - CAST(COUNT(*) AS DOUBLE) / SUM(n)')} AS collapse_rate,
            CAST(MAX(n) AS BIGINT) AS max_group
-    FROM grp
+    FROM {grp}
     GROUP BY host
     ORDER BY host
+    """
+
+
+def _sql_url_census(E, src="documents"):
+    raw, u, canon, host_x = _url_exprs(E)
+    return f"""
+    WITH raw AS (SELECT doc_id, {raw} AS raw_url FROM {src}),
+    norm AS (SELECT doc_id, raw_url, {u} AS canon_base FROM raw),
+    canon AS {E.MAT}(
+      SELECT doc_id, raw_url, {canon} AS canon_url,
+             {host_x} AS host
+      FROM norm
+    ),
+    grp AS (SELECT host, canon_url, CAST(COUNT(*) AS BIGINT) AS n FROM canon GROUP BY host, canon_url)
+    {_url_census_tail(E)}
     """
 
 

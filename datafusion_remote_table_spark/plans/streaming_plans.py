@@ -605,3 +605,13 @@ QUERIES["stream_cusum_monitor"] = stream_cusum_monitor
 ORACLE["stream_cusum_monitor"] = _CUSUM_SQL.format(
     day_num="CAST(floor(epoch(ts)) AS BIGINT) // 86400"
 )
+
+from ..streaming.events import stream_url_host_monitor  # noqa: E402
+from .llm_data import _sql_url_census as _urlc  # noqa: E402
+
+QUERIES["stream_url_host_monitor"] = stream_url_host_monitor
+# Stateless canonicalization + keyed (host, canon_url) counts converge
+# to the batch grp census on bounded input; the per-host collapse layer
+# is the identical _url_census_tail, so the batch census oracle is the
+# oracle.
+ORACLE["stream_url_host_monitor"] = _urlc(_D)

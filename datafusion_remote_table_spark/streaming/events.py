@@ -1272,3 +1272,35 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cus c CROSS JOIN peak p
     ORDER BY c.d
     """)
+
+
+def stream_url_host_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl-frontier dedup-pressure monitor: each arriving doc
+    maps STATELESSLY to its canonical URL + host (the same md5-derived
+    raw-URL synthesis and normalize-then-parse-and-rebuild
+    canonicalization as dedup_url_canonical_census), the stream
+    maintains per-(host, canonical URL) counts, and the per-host
+    collapse census — raw URLs seen vs canonical survivors, collapse
+    rate, hottest group — runs batch over the converged complete-mode
+    table: the live dashboard a frontier operator watches for
+    syndication storms. On bounded input the maintained counts equal
+    the batch grp census, so the batch census oracle is the oracle.
+    Scale: state is O(distinct canonical URLs) — the dedup ledger a
+    frontier keeps anyway; the census layer reads the rollup, never
+    the stream."""
+    from ..plans.llm_data import _Spark, _url_census_tail, _url_exprs
+
+    raw, canon_base, canon, host_x = _url_exprs(_Spark)
+    stream = _docs_stream(spark, sf_dir)
+    mapped = (
+        stream.selectExpr("doc_id", f"{raw} AS raw_url")
+        .selectExpr("doc_id", "raw_url", f"{canon_base} AS canon_base")
+        .selectExpr(f"{canon} AS canon_url", f"{host_x} AS host")
+    )
+    grp = mapped.groupBy("host", "canon_url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounded = _run_bounded(grp, "stream_url_host_monitor")
+    view = "stream_url_grp"
+    bounded.createOrReplaceTempView(view)
+    return spark.sql(_url_census_tail(_Spark, view))
