@@ -42,6 +42,10 @@ _STATEFUL = [
     "stream_funnel_latency",
     "stream_dedup_stateful",
     "stream_stream_attribution",
+    # round 9: the URL monitor's complete-mode agg keyed on a DERIVED
+    # string pair (host, canon_url) — regexp-built keys through the
+    # RocksDB encoder
+    "stream_url_host_monitor",
 ]
 
 
