@@ -164,6 +164,15 @@ HEADLINE = [
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",
+    # round 10: the substring-clip rewrite (first consumer of the
+    # span_pos staging in this suite — dedup_span_runs is not benched,
+    # so the clip's number includes the staging build), the
+    # unigram prune + re-walk (first consumer pays the round-2
+    # stagings), and the tokenizer roundtrip audit (one corpus explode
+    # over the shared unigram + BPE stagings)
+    "dedup_substring_clip",
+    "tokenize_unigram_prune",
+    "tokenizer_roundtrip_audit",
 ]
 
 

@@ -820,3 +820,84 @@ def test_sorted_neighborhood_pairs_matches_registered_query(spark, sf_dir):
         for r in plans.QUERIES["dedup_sorted_neighborhood"](spark, sf_dir).collect()
     )
     assert api == reg and len(api) > 0
+
+
+def test_substring_clip_merges_overlapping_runs(spark):
+    """Round-10 (VERDICT r9 item 2): the clip arithmetic must be a
+    union-of-intervals — two duplicated runs whose WORD spans overlap
+    (gram gap < gram width) merge into one clip interval and their
+    shared words are counted once, never twice; disjoint runs stay
+    separate clips. Hand-computed truth on a constructed corpus."""
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    rows = [
+        # X: two dup runs overlapping at word 5 -> ONE merged clip [1,9]
+        (1, "p q r s t u v w x y"),
+        (2, "p q r s t"),   # shares words 1-5 with X (run at gram pos 1-2)
+        (3, "t u v w x"),   # shares words 5-9 with X (run at gram pos 5-6)
+        # D: two DISJOINT dup runs -> two clips, one retained word (the M)
+        (4, "a b c d e f M g h i j k l"),
+        (5, "a b c d e f"),
+        (6, "g h i j k l"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "clip_docs_t"
+    )
+    pos = f"({L._span_pos_sql(L._Spark, src='clip_docs_t')})"
+    out = {
+        r.doc_id: r
+        for r in spark.sql(
+            L._span_clip_select(L._Spark, pos, src="clip_docs_t")
+        ).collect()
+    }
+    x = out[1]
+    assert (x.n_clips, x.clipped_words, x.retained_words) == (1, 9, 1), (
+        "overlapping runs must merge to one 9-word clip (naive sum = 10)"
+    )
+    assert x.longest_clip_words == 9 and abs(x.retained_fraction - 0.1) < 1e-9
+    d = out[4]
+    assert (d.n_clips, d.clipped_words, d.retained_words) == (2, 12, 1)
+    assert d.longest_clip_words == 6
+    # the wholly-duplicated phrase docs clip to nothing retained
+    assert out[2].retained_words == 0 and out[3].retained_words == 0
+
+
+def test_roundtrip_audit_detects_corruption(spark):
+    """Round-10 (VERDICT r9 item 5): the roundtrip audit's zero mismatch
+    columns are a clean-data true negative — this test certifies the
+    DETECTOR by feeding corrupted segmentations (a dropped unigram
+    piece, a duplicated BPE symbol) and a pathological word containing
+    a literal '</w>' (the anchored-strip edge) through the same tail."""
+    from datafusion_remote_table_spark.plans import llm_data as L
+
+    spark.createDataFrame(
+        [(1, "hello world world x</w>", "en"), (2, "hello", "de")],
+        "doc_id long, text string, lang string",
+    ).createOrReplaceTempView("rt_docs_t")
+    segs = [
+        ("hello", "he", 1), ("hello", "ll", 3), ("hello", "o", 5),
+        ("world", "wo", 1), ("world", "ld", 4),  # missing 'r' -> 'wold'
+        ("x</w>", "x", 1), ("x</w>", "<", 2), ("x</w>", "/", 3),
+        ("x</w>", "w", 4), ("x</w>", ">", 5),
+    ]
+    spark.createDataFrame(
+        segs, "word string, piece string, pos int"
+    ).createOrReplaceTempView("rt_segs_t")
+    vocab = [
+        ("hello", "h e l l o </w>"),
+        ("world", "w o r l d d </w>"),  # duplicated 'd' -> 'worldd'
+        ("x</w>", "x < / w > </w>"),  # anchored strip keeps the literal marker
+    ]
+    spark.createDataFrame(vocab, "word string, s string").createOrReplaceTempView(
+        "rt_vocab_t"
+    )
+    out = {
+        r.lang: r
+        for r in spark.sql(
+            L._roundtrip_select(L._Spark, "rt_docs_t", "rt_segs_t", "rt_vocab_t")
+        ).collect()
+    }
+    en = out["en"]
+    assert (en.n_words, en.uni_mismatches, en.bpe_mismatches) == (4, 2, 2)
+    de = out["de"]
+    assert (de.n_words, de.uni_mismatches, de.bpe_mismatches) == (1, 0, 0)

@@ -1136,3 +1136,33 @@ def test_silhouette_rides_staged_assignment(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "k-row centroid frame must broadcast"
     )
+
+
+def test_substring_clip_staged_no_cartesian(spark, sf_dir):
+    # round-10: the clip rides the SAME span_pos checkpoint as
+    # dedup_span_runs (census + back-join double reference); the merge
+    # windows run doc_id-partitioned over clip survivors only
+    plan = _plan(plans.QUERIES["dedup_substring_clip"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "clip re-exploded the corpus"
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_prune_tail_reads_checkpointed_stagings(spark, sf_dir):
+    """Round-10: the prune readout must plan over the checkpointed
+    round-1 stagings (census/vocab/segs) AND the checkpointed round-2
+    stagings (usage/vocab2/segs2) — never replay either walk chain or
+    re-read the corpus."""
+    plan = _plan(plans.QUERIES["tokenize_unigram_prune"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading checkpointed stagings"
+    assert "FileScan" not in plan, "prune tail re-reads the corpus"
+    assert "CartesianProduct" not in plan
+
+
+def test_roundtrip_audit_reads_checkpointed_stagings(spark, sf_dir):
+    """Round-10: the roundtrip tail is one corpus explode joined to the
+    checkpointed unigram segmentation and BPE vocabulary — both
+    vocabulary-scale joins must come from ExistingRDD stagings, never a
+    replayed merge/walk chain."""
+    plan = _plan(plans.QUERIES["tokenizer_roundtrip_audit"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "audit not reading checkpointed stagings"
+    assert "CartesianProduct" not in plan

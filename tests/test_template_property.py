@@ -68,6 +68,10 @@ def _sql_span_runs(E):
     return L._span_runs_select(E, f"({L._span_pos_sql(E)})")
 
 
+def _sql_span_clip(E):
+    return L._span_clip_select(E, f"({L._span_pos_sql(E)})")
+
+
 def _sql_curriculum_phases(E):
     return L._sql_curriculum(E, "DIV" if E is L._Spark else "//")
 
@@ -213,6 +217,10 @@ _TEMPLATES = [
     # list_reduce parallelism bug actually lived) is fuzzed against a
     # pure-Python reference in test_unigram_walk_matches_reference.
     L._sql_url_census,
+    # round-10: the substring-clip rewrite (interval-merge arithmetic —
+    # tiny corpora exercise zero-clip outputs, whole-doc clips, and the
+    # overlap-merge window on adjacent duplicated runs)
+    _sql_span_clip,
 ]
 
 
@@ -1062,3 +1070,79 @@ def test_unigram_walk_matches_reference(docs):
         w: (got_map.get(w), want.get(w)) for w in set(got_map) | set(want)
         if got_map.get(w) != want.get(w)
     }
+
+
+def _py_unigram_prune_segments(texts):
+    """Pure-Python reference for the prune + re-walk round
+    (tokenize_unigram_prune): round-1 greedy segmentation, usage
+    census, below-mean multi-char prune (usage * n_multi >= tot, the
+    integer spelling), greedy re-walk on the pruned vocabulary."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if 0 < len(w) <= 16:
+                wf[w] += 1
+    cand = Counter()
+    for w, f in wf.items():
+        for p in range(len(w)):
+            for ln in range(1, min(4, len(w) - p) + 1):
+                cand[w[p : p + ln]] += f
+
+    def _greedy(w, vocab):
+        pieces, c = [], 0
+        while c < len(w):
+            for ln in (4, 3, 2, 1):
+                piece = w[c : c + ln]
+                if len(piece) == ln and piece in vocab:
+                    pieces.append(piece)
+                    c += ln
+                    break
+        return pieces
+
+    vocab = {p for p in cand if len(p) == 1}
+    vocab |= set(sorted((p for p in cand if len(p) >= 2), key=lambda p: (-cand[p], p))[:60])
+    usage = Counter()
+    for w, f in wf.items():
+        for piece in _greedy(w, vocab):
+            usage[piece] += f
+    multi = {p: u for p, u in usage.items() if len(p) >= 2}
+    n_multi, tot = len(multi), sum(multi.values())
+    vocab2 = {p for p in vocab if len(p) == 1}
+    vocab2 |= {p for p, u in multi.items() if u * n_multi >= tot}
+    return {w: sorted(_greedy(w, vocab2)) for w in wf}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_word_corpus())
+def test_unigram_prune_rewalk_matches_reference(docs):
+    """Round-10: the pruned-vocabulary re-walk (the r2-prefixed join
+    chain) against the Python reference — random words up to 16 chars
+    exercise re-walk depths past the fixed corpus's max, including the
+    all-single-char segmentations a heavy prune produces."""
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ctes = ",\n    ".join(L._uni_prune_ctes(L._Duck))
+    got = con.execute(f"WITH {ctes} SELECT word, piece FROM segs2").fetchdf()
+    want = _py_unigram_prune_segments(docs.text.tolist())
+    got_map = {w: sorted(g.piece.tolist()) for w, g in got.groupby("word")}
+    assert got_map == want, {
+        w: (got_map.get(w), want.get(w)) for w in set(got_map) | set(want)
+        if got_map.get(w) != want.get(w)
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=_word_corpus())
+def test_roundtrip_audit_zero_on_random_corpora(docs):
+    """Round-10: the lossless-segmentation invariant must hold on
+    ARBITRARY corpora for both tokenizers — greedy longest-match always
+    covers (every character is in the seed vocab) and BPE merges only
+    concatenate; a nonzero mismatch on any random corpus is a trainer
+    bug. The detector itself is certified by the corrupted-input test
+    in test_operators."""
+    con = duckdb.connect()
+    con.register("documents", docs)
+    df = con.execute(L._sql_roundtrip_audit(L._Duck)).fetchdf()
+    assert (df.uni_mismatches == 0).all() and (df.bpe_mismatches == 0).all()
