@@ -204,6 +204,12 @@ QUERIES = [
     "dedup_url_canonical_census",
     "retrieval_ndcg_eval",
     "kmeans_silhouette_eval",
+    # round 10: the substring-clip rewrite (span_pos staging + bounded
+    # clip tail), the unigram prune/re-walk round, and the roundtrip
+    # integrity audit (corpus explode over the shared stagings)
+    "dedup_substring_clip",
+    "tokenize_unigram_prune",
+    "tokenizer_roundtrip_audit",
     # round-4 continuation (5): governance/monitoring family — all
     # census-then-constant-rollup shapes that must stay linear in rows
     "split_leakage_audit",
