@@ -173,6 +173,9 @@ HEADLINE = [
     "dedup_substring_clip",
     "tokenize_unigram_prune",
     "tokenizer_roundtrip_audit",
+    # round 10 (2): t-closeness EMD gate (broadcast dim join + one
+    # fact census; checkpointed per-class EMD frame)
+    "privacy_t_closeness_audit",
 ]
 
 

@@ -210,6 +210,7 @@ QUERIES = [
     "dedup_substring_clip",
     "tokenize_unigram_prune",
     "tokenizer_roundtrip_audit",
+    "privacy_t_closeness_audit",
     # round-4 continuation (5): governance/monitoring family — all
     # census-then-constant-rollup shapes that must stay linear in rows
     "split_leakage_audit",

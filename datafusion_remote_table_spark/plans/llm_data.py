@@ -10678,6 +10678,133 @@ _register_pair(
 
 
 # ---------------------------------------------------------------------------
+# privacy_t_closeness_audit — t-closeness (Li, Li & Venkatasubramanian
+# 2007) over the same order-level release, completing the privacy-gate
+# trio: kanonymity_audit checks class SIZES, privacy_l_diversity_audit
+# checks sensitive-value VARIETY, and this checks sensitive-value
+# DISTRIBUTION SKEW — a class can be large and diverse yet still leak
+# (e.g. 90% '1-URGENT' where the table runs 20%). Per QI class the
+# distance to the global o_orderpriority distribution is the ordered
+# Earth Mover's Distance (the paper's metric for ordered attributes —
+# o_orderpriority's 1-URGENT..5-LOW prefix makes lexical order the
+# semantic order): EMD = sum_i |cumsum_i(p - q)| / (m-1). Exactness:
+# the cumulative differences are kept as INTEGERS over the common
+# denominator n*N — dnum = c*N - g*n in DECIMAL(38,0), window-summed
+# exactly, |.| summed exactly, and only the final scalar divides into
+# a DOUBLE (then floor-quantized), so no float accumulation order
+# exists anywhere. Per t threshold the audit reports classes/rows whose
+# EMD exceeds t. Thresholds calibrated to the measured sf0.01 EMD
+# distribution (875 classes, min 0.001017, median ~0.083, p90 ~0.159,
+# max 0.500883, 556 distinct values): t in {0.05, 0.10, 0.15, 0.25}
+# spans it — every output row's counts differ. Scale: one broadcast
+# customer join + one fact-side (QI, sens) census (the only
+# corpus-scale shuffle, map-side partials); the dense class x sens grid
+# joins the 5-row global distribution broadcast; the cumulative window
+# is 5 rows per class, class-partitioned; rollups are class-bounded.
+def _tclose_emd_ctes(E):
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""rel AS (
+      SELECT {E.bhint('c')}c.c_nationkey AS nk, c.c_mktsegment AS seg,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS {E.MAT}(
+      SELECT nk, seg, yr, sens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rel GROUP BY nk, seg, yr, sens
+    ),
+    sizes AS (
+      SELECT nk, seg, yr, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY nk, seg, yr
+    ),
+    gdist AS (
+      SELECT sens, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY sens
+    ),
+    gtot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS gn, CAST(COUNT(*) AS BIGINT) AS m FROM gdist
+    ),
+    grid AS (
+      SELECT {E.bhint('g', 't')}s.nk, s.seg, s.yr, s.n, g.sens, t.gn, t.m,
+             CAST(COALESCE(c.c, 0) AS DECIMAL(38, 0)) * t.gn
+               - CAST(g.g AS DECIMAL(38, 0)) * s.n AS dnum
+      FROM sizes s CROSS JOIN gdist g CROSS JOIN gtot t
+      LEFT JOIN cells c ON c.nk = s.nk AND c.seg = s.seg AND c.yr = s.yr
+                        AND c.sens = g.sens
+    ),
+    cum AS (
+      SELECT nk, seg, yr, n, gn, m,
+             SUM(dnum) OVER (PARTITION BY nk, seg, yr ORDER BY sens
+                             ROWS UNBOUNDED PRECEDING) AS cumnum
+      FROM grid
+    ),
+    emd AS {E.MAT}(
+      SELECT nk, seg, yr, n,
+             {q6('CAST(SUM(ABS(cumnum)) AS DOUBLE) / ((m - 1) * CAST(n AS DOUBLE) * gn)')} AS emd
+      FROM cum GROUP BY nk, seg, yr, n, m, gn
+    )"""
+
+
+def _tclose_tail(E, emd_src="emd"):
+    tspine = (
+        f"SELECT {E.explode('array(0.05e0, 0.10e0, 0.15e0, 0.25e0)', 't_threshold')}"
+        if E is _Spark
+        else "SELECT unnest([0.05e0, 0.10e0, 0.15e0, 0.25e0]) AS t_threshold"
+    )
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(emd) AS DOUBLE) AS max_emd
+      FROM {emd_src}
+    ),
+    thr AS ({tspine})
+    SELECT t.t_threshold, x.n_classes, x.n_rows, x.max_emd,
+           CAST(SUM(CASE WHEN e.emd > t.t_threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_above,
+           CAST(SUM(CASE WHEN e.emd > t.t_threshold THEN e.n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           {q6('CAST(SUM(CASE WHEN e.emd > t.t_threshold THEN e.n ELSE 0 END) AS DOUBLE) / x.n_rows')}
+             AS frac_rows_at_risk
+    FROM thr t CROSS JOIN {emd_src} e CROSS JOIN tot x
+    GROUP BY t.t_threshold, x.n_classes, x.n_rows, x.max_emd
+    ORDER BY t.t_threshold
+    """
+
+
+def _sql_t_closeness(E):
+    return f"""
+    WITH {_tclose_emd_ctes(E)},
+    {_tclose_tail(E)}
+    """
+
+
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-class EMD frame is referenced twice (global rollup +
+    threshold join) and Spark re-expands CTE references — without
+    staging the whole corpus census chain ran TWICE (16 parquet scans
+    measured vs 8). The frame is one row per QI class, so it is
+    checkpointed once per session+sf_dir and the tail runs over rows;
+    the oracle keeps the lazy spelling under AS MATERIALIZED."""
+    dfs = load_tables(spark, sf_dir, ("orders", "customer"))
+    _repartition_views(spark, dfs)
+    key = ("tclose_emd", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark,
+            sf_dir,
+            "tclose_emd",
+            spark.sql(f"WITH {_tclose_emd_ctes(_Spark)}\n    SELECT * FROM emd"),
+        )
+    return spark.sql(
+        "WITH " + _tclose_tail(_Spark, _MINHASH_STAGE_CACHE[key]).lstrip()
+    )
+
+
+QUERIES["privacy_t_closeness_audit"] = privacy_t_closeness_audit
+ORACLE["privacy_t_closeness_audit"] = _sql_t_closeness(_Duck)
+
+
+# ---------------------------------------------------------------------------
 # quality_score_calibration — reliability diagram + Brier decomposition
 # of the composite quality score as a PREDICTOR of the Gopher keep
 # decision: score bins (4%-wide — the corpus's scores span 0.21-0.44 at

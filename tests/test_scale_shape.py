@@ -1166,3 +1166,14 @@ def test_roundtrip_audit_reads_checkpointed_stagings(spark, sf_dir):
     plan = _plan(plans.QUERIES["tokenizer_roundtrip_audit"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "audit not reading checkpointed stagings"
     assert "CartesianProduct" not in plan
+
+
+def test_t_closeness_tail_reads_checkpointed_emd(spark, sf_dir):
+    """Round-10: the per-class EMD frame is referenced twice (global
+    rollup + threshold join) — the tail must read the checkpointed
+    frame (Scan ExistingRDD), never replay the corpus census chain
+    (16 parquet scans measured on the lazy spelling vs 0 staged)."""
+    plan = _plan(plans.QUERIES["privacy_t_closeness_audit"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed EMD frame"
+    assert "Scan parquet" not in plan, "t-closeness tail re-ran the census"
+    assert "CartesianProduct" not in plan
