@@ -10701,34 +10701,32 @@ _register_pair(
 # corpus-scale shuffle, map-side partials); the dense class x sens grid
 # joins the 5-row global distribution broadcast; the cumulative window
 # is 5 rows per class, class-partitioned; rollups are class-bounded.
-def _tclose_emd_ctes(E):
+def _tclose_post_cells(E, cells="cells"):
+    """sizes -> global distribution -> dense grid -> cumulative EMD, all
+    reading a (nk, seg, yr, sens, c) cell census — shared verbatim by
+    the batch audit (census from orders x customer) and the streaming
+    monitor (census = the stream's converged keyed-agg state)."""
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
-    return f"""rel AS (
-      SELECT {E.bhint('c')}c.c_nationkey AS nk, c.c_mktsegment AS seg,
-             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
-             o.o_orderpriority AS sens
-      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-    ),
-    cells AS {E.MAT}(
-      SELECT nk, seg, yr, sens, CAST(COUNT(*) AS BIGINT) AS c
-      FROM rel GROUP BY nk, seg, yr, sens
-    ),
-    sizes AS (
-      SELECT nk, seg, yr, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY nk, seg, yr
+    return f"""sizes AS (
+      SELECT nk, seg, yr, CAST(SUM(c) AS BIGINT) AS n FROM {cells} GROUP BY nk, seg, yr
     ),
     gdist AS (
-      SELECT sens, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY sens
+      SELECT sens, CAST(SUM(c) AS BIGINT) AS g FROM {cells} GROUP BY sens
     ),
     gtot AS (
       SELECT CAST(SUM(g) AS BIGINT) AS gn, CAST(COUNT(*) AS BIGINT) AS m FROM gdist
     ),
     grid AS (
+      -- alias 'cl', never 'c': the census relation carries a column
+      -- named c, and when the source is a TEMP VIEW (the streaming
+      -- monitor) Spark resolves the qualified c.nk as a struct-field
+      -- access on the column c and fails analysis
       SELECT {E.bhint('g', 't')}s.nk, s.seg, s.yr, s.n, g.sens, t.gn, t.m,
-             CAST(COALESCE(c.c, 0) AS DECIMAL(38, 0)) * t.gn
+             CAST(COALESCE(cl.c, 0) AS DECIMAL(38, 0)) * t.gn
                - CAST(g.g AS DECIMAL(38, 0)) * s.n AS dnum
       FROM sizes s CROSS JOIN gdist g CROSS JOIN gtot t
-      LEFT JOIN cells c ON c.nk = s.nk AND c.seg = s.seg AND c.yr = s.yr
-                        AND c.sens = g.sens
+      LEFT JOIN {cells} cl ON cl.nk = s.nk AND cl.seg = s.seg AND cl.yr = s.yr
+                        AND cl.sens = g.sens
     ),
     cum AS (
       SELECT nk, seg, yr, n, gn, m,
@@ -10771,9 +10769,23 @@ def _tclose_tail(E, emd_src="emd"):
     """
 
 
+def _tclose_census_ctes(E):
+    return f"""rel AS (
+      SELECT {E.bhint('c')}c.c_nationkey AS nk, c.c_mktsegment AS seg,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS {E.MAT}(
+      SELECT nk, seg, yr, sens, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rel GROUP BY nk, seg, yr, sens
+    )"""
+
+
 def _sql_t_closeness(E):
     return f"""
-    WITH {_tclose_emd_ctes(E)},
+    WITH {_tclose_census_ctes(E)},
+    {_tclose_post_cells(E)},
     {_tclose_tail(E)}
     """
 
@@ -10793,7 +10805,10 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             "tclose_emd",
-            spark.sql(f"WITH {_tclose_emd_ctes(_Spark)}\n    SELECT * FROM emd"),
+            spark.sql(
+                f"WITH {_tclose_census_ctes(_Spark)},\n    "
+                f"{_tclose_post_cells(_Spark)}\n    SELECT * FROM emd"
+            ),
         )
     return spark.sql(
         "WITH " + _tclose_tail(_Spark, _MINHASH_STAGE_CACHE[key]).lstrip()

@@ -615,3 +615,12 @@ QUERIES["stream_url_host_monitor"] = stream_url_host_monitor
 # is the identical _url_census_tail, so the batch census oracle is the
 # oracle.
 ORACLE["stream_url_host_monitor"] = _urlc(_D)
+
+from ..plans.llm_data import _sql_t_closeness as _tclose_sql  # noqa: E402
+from ..streaming.events import stream_t_closeness_monitor  # noqa: E402
+
+# Streaming t-closeness monitor (round-10): the maintained QI-cell
+# census converges to the batch census on bounded input, so the batch
+# privacy_t_closeness_audit SQL is the oracle verbatim.
+QUERIES["stream_t_closeness_monitor"] = stream_t_closeness_monitor
+ORACLE["stream_t_closeness_monitor"] = _tclose_sql(_D)

@@ -1304,3 +1304,82 @@ def stream_url_host_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = "stream_url_grp"
     bounded.createOrReplaceTempView(view)
     return spark.sql(_url_census_tail(_Spark, view))
+
+
+def _orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders.parquet as a file-source stream (the order-ingest shape).
+    o_orderdate's parquet unit is probed exactly like _events_stream's
+    ts — a ns file is declared bigint and truncated to µs; never assume
+    a unit (the round-2 lesson)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "orders.parquet")
+    unit = pq.ParquetFile(path).schema_arrow.field("o_orderdate").type.unit
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"dfrt_orders_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "orders.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    dt_type = "bigint" if unit == "ns" else "timestamp"
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        f"o_totalprice double, o_orderdate {dt_type}, o_orderpriority string"
+    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if unit == "ns":
+        stream = stream.withColumn(
+            "o_orderdate", F.expr("timestamp_micros(o_orderdate div 1000)")
+        )
+    return stream
+
+
+def stream_t_closeness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-closeness privacy monitor: arriving orders broadcast-
+    join the static customer dimension (stream-static joins are
+    STATELESS — the stream_join_enrich class), the stream maintains the
+    (nation, segment, year, priority) cell census as keyed-agg state
+    (bounded by QI classes x 5 sensitive values — the same grid the
+    batch audit groups once), and the ordered-EMD + threshold layer —
+    the IDENTICAL _tclose_post_cells/_tclose_tail spelling as the
+    batch privacy_t_closeness_audit — runs over the converged rollup:
+    the live "is this release still shareable?" tile a privacy officer
+    watches during an ingest. On bounded input the maintained census
+    equals the batch census, so the batch audit IS the oracle.
+    Scale: state is class-bounded, not row-bounded; the only stream
+    shuffle is the keyed agg with map-side partials."""
+    from ..plans.llm_data import _Spark, _tclose_post_cells, _tclose_tail
+    from ..session import load_tables
+
+    stream = _orders_stream(spark, sf_dir)
+    customer = F.broadcast(load_tables(spark, sf_dir, ("customer",))["customer"])
+    cells = (
+        stream.join(customer, stream.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.col("o_orderpriority").alias("sens"),
+        )
+        .groupBy("nk", "seg", "yr", "sens")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounded = _run_bounded(cells, "stream_t_closeness_monitor")
+    view = "stream_tclose_cells"
+    # localCheckpoint before registering: the EMD layer references the
+    # census THREE times (sizes, global distribution, dense-grid join)
+    # and a MemorySink-backed view exposes the SAME attribute ids to
+    # every branch — Spark's self-join dedup fails analysis on the
+    # third reference (cl.nk unresolvable). A checkpointed LogicalRDD
+    # view is the repo's standard multi-reference staging and the
+    # frame is class-bounded (875 rows at sf0.01).
+    bounded.localCheckpoint(eager=True).createOrReplaceTempView(view)
+    return spark.sql(
+        f"WITH {_tclose_post_cells(_Spark, view)},\n    "
+        + _tclose_tail(_Spark).lstrip()
+    )

@@ -46,6 +46,11 @@ _STATEFUL = [
     # string pair (host, canon_url) — regexp-built keys through the
     # RocksDB encoder
     "stream_url_host_monitor",
+    # round 10: the t-closeness monitor's complete-mode agg keyed on a
+    # FOUR-part mixed-type composite (int, string, bigint, string)
+    # built through a stream-static broadcast join — the widest
+    # composite grouping key in the suite
+    "stream_t_closeness_monitor",
 ]
 
 
