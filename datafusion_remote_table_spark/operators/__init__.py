@@ -3,6 +3,7 @@ from .corpus import (  # noqa: F401
     boilerplate_stats,
     ngram_decontaminate,
     pack_sequences,
+    substring_clip,
     substring_span_stats,
 )
 from .dedup import containment_pairs, exact_dedup, minhash_lsh_pairs, simhash_signatures  # noqa: F401

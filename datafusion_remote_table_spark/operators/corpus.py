@@ -202,3 +202,85 @@ def ngram_novelty(
             F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6).alias("novelty_rate"),
         )
     )
+
+
+def substring_clip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_words: int = 4,
+    min_clip_words: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-dedup CLIP rewrite (Lee et al. 2022 span removal;
+    tunable twin of the registered ``dedup_substring_clip`` instance):
+    maximal runs of cross-doc duplicated ``gram_words``-gram positions
+    spanning at least ``min_clip_words`` words are clipped, their word
+    intervals union-merged (consecutive runs closer than the gram
+    width OVERLAP in word space and must not double-count), and each
+    clipped doc reports exact removed/retained word counts. Returns
+    (id, n_words, n_clips, clipped_words, longest_clip_words,
+    retained_words, retained_fraction) for docs with >= 1 clip. All
+    windows run over duplicated positions / clip survivors only,
+    partitioned by doc id — never over the corpus."""
+    from pyspark.sql import Window
+
+    min_grams = min_clip_words - gram_words + 1
+    words = tokens(F.lower(F.col(text_col)))
+    n_pos = F.greatest(F.size("w") - F.lit(gram_words - 1), F.lit(1))
+    pos = (
+        df.select(F.col(id_col).alias("id"), words.alias("w"))
+        .select("id", "w", F.explode(F.sequence(F.lit(1), n_pos)).alias("i"))
+        .select(
+            "id",
+            "i",
+            F.md5(F.array_join(F.slice(F.col("w"), F.col("i"), gram_words), " ")).alias("fp"),
+        )
+    )
+    dup = (
+        pos.groupBy("fp")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("fp")
+    )
+    dpos = pos.join(dup, "fp").select("id", "i")
+    isl = dpos.withColumn(
+        "grp", F.col("i") - F.row_number().over(Window.partitionBy("id").orderBy("i"))
+    )
+    runs = (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + F.lit(gram_words - 1)).alias("e"),
+            F.count(F.lit(1)).alias("g"),
+        )
+        .filter(F.col("g") >= min_grams)
+    )
+    w_prev = Window.partitionBy("id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.partitionBy("id").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    clips = (
+        runs.withColumn(
+            "new_clip", F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1)
+        )
+        .withColumn("clip_id", F.sum("new_clip").over(w_cum))
+        .groupBy("id", "clip_id")
+        .agg(F.min("s").alias("cs"), F.max("e").alias("ce"))
+    )
+    perdoc = clips.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clips"),
+        F.sum(F.col("ce") - F.col("cs") + 1).cast("long").alias("clipped_words"),
+        F.max(F.col("ce") - F.col("cs") + 1).cast("long").alias("longest_clip_words"),
+    )
+    wc = df.select(F.col(id_col).alias("id"), F.size(words).cast("long").alias("n_words"))
+    retained = (F.col("n_words") - F.col("clipped_words")).cast("long")
+    return perdoc.join(wc, "id").select(
+        F.col("id").alias(id_col),
+        "n_words",
+        "n_clips",
+        "clipped_words",
+        "longest_clip_words",
+        retained.alias("retained_words"),
+        (F.floor(retained / F.col("n_words") * 1000000.0 + 0.5) / 1000000.0).alias(
+            "retained_fraction"
+        ),
+    )

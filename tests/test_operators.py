@@ -901,3 +901,20 @@ def test_roundtrip_audit_detects_corruption(spark):
     assert (en.n_words, en.uni_mismatches, en.bpe_mismatches) == (4, 2, 2)
     de = out["de"]
     assert (de.n_words, de.uni_mismatches, de.bpe_mismatches) == (1, 0, 0)
+
+
+def test_substring_clip_api_matches_registered_query(spark, sf_dir):
+    from datafusion_remote_table_spark.operators.corpus import substring_clip
+    from datafusion_remote_table_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cols = [
+        "doc_id", "n_words", "n_clips", "clipped_words",
+        "longest_clip_words", "retained_words", "retained_fraction",
+    ]
+    api = sorted(tuple(r[c] for c in cols) for r in substring_clip(docs).collect())
+    reg = sorted(
+        tuple(r[c] for c in cols)
+        for r in plans.QUERIES["dedup_substring_clip"](spark, sf_dir).collect()
+    )
+    assert api == reg and len(api) > 0
