@@ -174,8 +174,11 @@ HEADLINE = [
     "tokenize_unigram_prune",
     "tokenizer_roundtrip_audit",
     # round 10 (2): t-closeness EMD gate (broadcast dim join + one
-    # fact census; checkpointed per-class EMD frame)
+    # fact census; checkpointed per-class EMD frame) and the clip's
+    # source-governance rollup (rides the span_pos staging the clip
+    # already paid)
     "privacy_t_closeness_audit",
+    "dedup_clip_impact_by_source",
 ]
 
 

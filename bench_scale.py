@@ -211,6 +211,7 @@ QUERIES = [
     "tokenize_unigram_prune",
     "tokenizer_roundtrip_audit",
     "privacy_t_closeness_audit",
+    "dedup_clip_impact_by_source",
     # round-4 continuation (5): governance/monitoring family — all
     # census-then-constant-rollup shapes that must stay linear in rows
     "split_leakage_audit",

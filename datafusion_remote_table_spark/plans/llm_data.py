@@ -5039,10 +5039,11 @@ _CLIP_MIN_WORDS = 5
 _CLIP_MIN_GRAMS = _CLIP_MIN_WORDS - _SPAN_RUN_N + 1
 
 
-def _span_clip_select(E, pos, src="documents"):
-    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
-    return f"""
-    WITH dup AS (
+def _span_clip_ctes(E, pos):
+    """dup census -> maximal runs -> clip-threshold filter -> interval
+    merge -> per-doc clip arithmetic, shared by dedup_substring_clip
+    (per-doc readout) and dedup_clip_impact_by_source (source rollup)."""
+    return f"""dup AS (
       SELECT gram_fp FROM {pos} GROUP BY gram_fp HAVING COUNT(DISTINCT doc_id) >= 2
     ),
     dpos AS (
@@ -5080,7 +5081,13 @@ def _span_clip_select(E, pos, src="documents"):
              CAST(SUM(ce - cs + 1) AS BIGINT) AS clipped_words,
              CAST(MAX(ce - cs + 1) AS BIGINT) AS longest_clip_words
       FROM clips GROUP BY doc_id
-    ),
+    )"""
+
+
+def _span_clip_select(E, pos, src="documents"):
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    WITH {_span_clip_ctes(E, pos)},
     wc AS (
       SELECT doc_id, CAST({E.SIZE}({E.splitws('lower(text)')}) AS BIGINT) AS n_words
       FROM {src}
@@ -5112,6 +5119,68 @@ def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_substring_clip"] = dedup_substring_clip
 ORACLE["dedup_substring_clip"] = _span_clip_select(_Duck, f"({_span_pos_sql(_Duck)})")
+
+
+# ---------------------------------------------------------------------------
+# dedup_clip_impact_by_source — the governance rollup of the substring
+# clip: per source, docs clipped, words removed vs retained, and the
+# doc/word clip rates — the number a corpus owner reads to decide
+# whether a provider's feed is syndication-heavy enough to renegotiate
+# (the per-doc clip says WHAT to rewrite; this says WHO ships the
+# duplication). Same chain as dedup_substring_clip (shared
+# _span_clip_ctes + the shared span_pos staging), one extra corpus
+# LEFT JOIN so unclipped docs contribute their word mass to the
+# denominators. Rates are floor-quantized ratios of exact BIGINTs.
+# Non-vacuous at sf0.01 (probed): clipped docs per source span 0..9
+# across the 20 sources (word_clip_rate varies accordingly); every
+# source has 25 docs (a uniform design constant, not a metric).
+# Scale: identical to the clip (the rollup adds one broadcast-sized
+# source-keyed aggregate over the corpus word census).
+def _span_clip_impact_select(E, pos, src="documents"):
+    q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    return f"""
+    WITH {_span_clip_ctes(E, pos)},
+    wc AS (
+      SELECT doc_id, source,
+             CAST({E.SIZE}({E.splitws('lower(text)')}) AS BIGINT) AS n_words
+      FROM {src}
+    )
+    SELECT w.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_clipped_docs,
+           CAST(SUM(w.n_words) AS BIGINT) AS words_total,
+           CAST(SUM(COALESCE(p.clipped_words, 0)) AS BIGINT) AS words_clipped,
+           CAST(SUM(w.n_words) - SUM(COALESCE(p.clipped_words, 0)) AS BIGINT)
+             AS words_retained,
+           {q6('CAST(COUNT(p.doc_id) AS DOUBLE) / COUNT(*)')} AS doc_clip_rate,
+           {q6('CAST(SUM(COALESCE(p.clipped_words, 0)) AS DOUBLE) / SUM(w.n_words)')}
+             AS word_clip_rate
+    FROM wc w LEFT JOIN perdoc p ON p.doc_id = w.doc_id
+    GROUP BY w.source
+    ORDER BY w.source
+    """
+
+
+def dedup_clip_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared span_pos checkpoint exactly like
+    dedup_substring_clip (same cache key — whichever consumer runs
+    first pays the staging)."""
+    key = ("span_pos", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "span_pos", spark.sql(_span_pos_sql(_Spark, src=doc_view))
+        )
+    doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
+    return spark.sql(
+        _span_clip_impact_select(_Spark, _MINHASH_STAGE_CACHE[key], src=doc_view)
+    )
+
+
+QUERIES["dedup_clip_impact_by_source"] = dedup_clip_impact_by_source
+ORACLE["dedup_clip_impact_by_source"] = _span_clip_impact_select(
+    _Duck, f"({_span_pos_sql(_Duck)})"
+)
 
 
 # ---------------------------------------------------------------------------

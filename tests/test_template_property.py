@@ -72,6 +72,10 @@ def _sql_span_clip(E):
     return L._span_clip_select(E, f"({L._span_pos_sql(E)})")
 
 
+def _sql_span_clip_impact(E):
+    return L._span_clip_impact_select(E, f"({L._span_pos_sql(E)})")
+
+
 def _sql_curriculum_phases(E):
     return L._sql_curriculum(E, "DIV" if E is L._Spark else "//")
 
@@ -221,6 +225,9 @@ _TEMPLATES = [
     # tiny corpora exercise zero-clip outputs, whole-doc clips, and the
     # overlap-merge window on adjacent duplicated runs)
     _sql_span_clip,
+    # round-10 (2): the clip's source rollup (all-unclipped corpora hit
+    # the zero-COALESCE denominators)
+    _sql_span_clip_impact,
 ]
 
 
