@@ -18,6 +18,8 @@ Scale posture (100TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from ..session import local_frame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -161,7 +163,7 @@ def pca_top_component(
     )
     cov = {(r["i"], r["j"]): r["c"] for r in cov_df.collect()}
     rows = power_iterate(cov, dim, iters)
-    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
+    return local_frame(spark, rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
 
 
 def power_iterate(cov: dict, dim: int, iters: int) -> list:

@@ -24,6 +24,8 @@ Scale posture (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ..session import local_frame
 from pyspark.sql import functions as F
 
 
@@ -173,7 +175,8 @@ def referential_integrity(
         )
         spark = child.sparkSession
         reports.append(
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [(name, n_child, n_orphans, round(n_orphans / n_child, 6) if n_child else 0.0)],
                 "relationship string, n_child long, n_orphans long, orphan_rate double",
             )
@@ -198,7 +201,8 @@ def kanonymity(
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.min("k").cast("bigint").alias("min_k"),
     )
-    thr = classes.sparkSession.createDataFrame(
+    thr = local_frame(
+        classes.sparkSession,
         [(int(t),) for t in sorted(thresholds)], "threshold long"
     )
     return (

@@ -19,6 +19,8 @@ Scale posture (100TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from ..session import local_frame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -207,7 +209,7 @@ def prf_search(
         .limit(n_expansion)
     )
     terms2 = cand.select("w").union(
-        cand.sparkSession.createDataFrame([(t,) for t in seed_terms], "w string")
+        local_frame(cand.sparkSession, [(t,) for t in seed_terms], "w string")
     )
     r2 = _score(terms2, None)
     return (

@@ -24,7 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, local_frame
 from . import ORACLE, QUERIES
 
 
@@ -643,9 +643,13 @@ ORACLE["dedup_minhash_lsh"] = _sql_minhash_oracle(_Duck)
 # shuffled for dedup, so the n^2/2^15 candidate volume never crosses
 # the wire (it previously fed the DISTINCT and dominated the 16x->64x
 # segment — docs/SCALE.md).
-def _sql_simhash(E, src="documents", max_bucket_size=1000):
-    bits, band_bits, n_bands = 60, 15, 4
-    mask = (1 << band_bits) - 1
+def _sql_simhash_sig(E, src="documents", bits=60):
+    """Per-doc 60-bit signature leg alone — the expensive per-row
+    compute, split out (round-10) so the Spark runner can stage it once:
+    the one-shot template references `bands` four times (ok_buckets +
+    dropped + both join sides) and Spark re-evaluates CTEs per
+    reference, so the inline form computed every signature 4x (plan: 8
+    parquet scan mentions; cold 3.3 s at sf0.1 → ~1.3 s staged)."""
     words = E.splitws("lower(text)")
     vals = f"{E.TRANSFORM}({words}, t -> {E.hex2int(f'substring(md5(t), 1, {bits // 4})')})"
     vote = lambda j: E.list_sum_int(f"{E.TRANSFORM}(vals, v -> ({E.shr('v', bits - 1 - j)} & 1) * 2 - 1)")  # noqa: E731
@@ -654,15 +658,21 @@ def _sql_simhash(E, src="documents", max_bucket_size=1000):
         for j in range(bits)
     )
     return f"""
-    WITH vals AS (
-      SELECT doc_id, {vals} AS vals FROM {src}
-    ),
-    sig AS (
-      SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM vals
-    ),
-    bands AS (
+    SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash
+    FROM (SELECT doc_id, {vals} AS vals FROM {src}) vals
+    """
+
+
+def _sql_simhash_tail(E, sig_src, max_bucket_size=1000, bits=60):
+    """Banding + valve + hamming verify over an existing (doc_id,
+    simhash) source (a staged view on the Spark side; the `sig` CTE in
+    the one-shot template form)."""
+    band_bits, n_bands = 15, 4
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH bands AS (
       SELECT doc_id, simhash, b, {E.shr('simhash', f'{band_bits}*b')} & {mask} AS band_key
-      FROM sig, (SELECT {E.explode(E.seq(0, n_bands - 1), 'b')}) AS band_ids
+      FROM {sig_src}, (SELECT {E.explode(E.seq(0, n_bands - 1), 'b')}) AS band_ids
     ),
     ok_buckets AS (
       SELECT b, band_key FROM bands
@@ -687,7 +697,45 @@ def _sql_simhash(E, src="documents", max_bucket_size=1000):
     """
 
 
-_register_pair("dedup_simhash", _sql_simhash)
+def _sql_simhash(E, src="documents", max_bucket_size=1000):
+    """One-shot template form (oracle SQL, property tests, the valve
+    test): the sig leg inline as a CTE feeding the shared tail — each
+    CTE body is spelled exactly once (_sql_simhash_sig / _sql_simhash_tail)."""
+    tail = _sql_simhash_tail(E, "sig", max_bucket_size)
+    return tail.replace(
+        "WITH bands AS",
+        f"WITH sig AS ({_sql_simhash_sig(E, src)}),\n    bands AS",
+        1,
+    )
+
+
+def _simhash_sig_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed per-doc simhash signature frame (doc_id, simhash) —
+    tiny (2 columns), but its per-row compute is the expensive leg and
+    the tail references the derived bands FOUR times (Spark re-evaluates
+    CTEs per reference; checkpoint rather than persist per the
+    multi-reference temp-view rule). Shared by dedup_simhash and
+    simhash_accuracy_eval."""
+    key = ("simhash_sig", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "simh_docs")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "simh_sig", spark.sql(_sql_simhash_sig(_Spark, doc_view))
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged execution (round-10): the signature leg is computed once
+    into a checkpointed frame; the band/valve/verify tail references it
+    as rows. The inline template computed the signatures once per bands
+    reference — 4x (plan: 8 parquet scan mentions → 2; the remaining
+    scans are the staging build, paid once per session)."""
+    return spark.sql(_sql_simhash_tail(_Spark, _simhash_sig_stage(spark, sf_dir)))
+
+
+QUERIES["dedup_simhash"] = dedup_simhash
+ORACLE["dedup_simhash"] = _sql_simhash(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -1514,9 +1562,18 @@ def _minhash_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.dedup import connected_components
 
         cc = connected_components(_minhash_pairs(spark, sf_dir), a_col="doc_a", b_col="doc_b")
+        # localCheckpoint, not persist (round-10): the fixpoint's LOGICAL
+        # plan is the whole K-iteration join lineage, and a persist keeps
+        # it — every consumer query re-analyzes a ~2,500-operator plan
+        # (dedup_mix_shift_report's explain held 2,509 Exchange nodes /
+        # ~770 parquet scan mentions) and leans on Spark 4.1's
+        # best-effort InMemoryRelation matching per reference. The
+        # checkpoint replaces the plan with the computed rows (the
+        # standard converged-frame rule, _checkpoint_view): consumer
+        # plans collapse to an ExistingRDD scan.
         _MINHASH_STAGE_CACHE[key] = cc.select(
             F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-        ).persist()
+        ).localCheckpoint(eager=True)
     return _MINHASH_STAGE_CACHE[key]
 
 
@@ -2868,7 +2925,8 @@ def corpus_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     decisions = _clean_decisions_stage(spark, sf_dir)
-    stages = spark.createDataFrame(
+    stages = local_frame(
+        spark,
         [("exact_dup", 1), ("near_dup", 2), ("quality", 3),
          ("boilerplate", 4), ("contaminated", 5)],
         "stage string, ord int",
@@ -3939,7 +3997,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     _repartition_views(spark, dfs)
     cov = {(r["i"], r["j"]): r["c"] for r in spark.sql(_sql_pca_cov(_Spark, triangle=True)).collect()}
     rows = power_iterate(cov, 64, 8)
-    return spark.createDataFrame(rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
+    return local_frame(spark, rows, "dim int, pc1_loading double, eigenvalue_fp9 bigint")
 
 
 QUERIES["embedding_pca_top_component"] = embedding_pca_top_component
@@ -4107,9 +4165,14 @@ def simhash_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("simhash_pairs", id(spark), os.path.abspath(sf_dir))
     sh_view, _sig, _bands = _minhash_stage(spark, sf_dir)
     if key not in _MINHASH_STAGE_CACHE:
-        doc_view = f"mh_docs_{_dataset_suffix(sf_dir)}"  # registered by _minhash_stage
+        # rides the shared checkpointed signature frame (round-10) so
+        # the signature leg is computed once per session across
+        # dedup_simhash AND this eval, not once per bands reference
         _MINHASH_STAGE_CACHE[key] = _persist_view(
-            spark, sf_dir, "simhash_pairs", spark.sql(_sql_simhash(_Spark, src=doc_view))
+            spark,
+            sf_dir,
+            "simhash_pairs",
+            spark.sql(_sql_simhash_tail(_Spark, _simhash_sig_stage(spark, sf_dir))),
         )
     return spark.sql(_simhash_accuracy_select(_Spark, _MINHASH_STAGE_CACHE[key], sh_view))
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, local_frame
 from . import register
 
 # Money/quantity columns are doubles in the source; summing doubles is
@@ -1059,7 +1059,8 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(
+    bands = local_frame(
+        spark,
         [
             ("p00_10k", 0.0, 10000.0),
             ("p10_25k", 10000.0, 25000.0),

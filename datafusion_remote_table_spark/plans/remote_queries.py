@@ -25,7 +25,7 @@ from ..remote import (
     SqliteConnectionOptions,
 )
 from ..remote.transform import RemoteTransform
-from ..session import load_tables
+from ..session import load_tables, local_frame
 from . import register
 
 _SQLITE_TABLES = {
@@ -227,7 +227,7 @@ def remote_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def remote_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(*) evaluated wholly on the remote DB (count1_agg parity)."""
     n = RemoteTable(_sqlite_opts(sf_dir), ["orders"]).count()
-    return spark.createDataFrame([(n,)], "n_rows bigint")
+    return local_frame(spark, [(n,)], "n_rows bigint")
 
 
 @register(
@@ -243,7 +243,7 @@ def remote_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inferred remote schema pinned against the schema.rs sqlite mapping
     (INTEGER→bigint, REAL→double, TEXT→string)."""
     t = RemoteTable(_sqlite_opts(sf_dir), ["supplier"])
-    return spark.createDataFrame(t.remote_schema(), "col_name string, spark_type string")
+    return local_frame(spark, t.remote_schema(), "col_name string, spark_type string")
 
 
 @register(
@@ -598,7 +598,7 @@ def remote_command_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if t in base_duckdb
     ]
-    return spark.createDataFrame(rows, "backend string, table_name string")
+    return local_frame(spark, rows, "backend string, table_name string")
 
 
 @register(
@@ -707,7 +707,8 @@ def remote_command_table_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             DuckdbConnectionOptions(path=ensure_duckdb_remote(sf_dir)), "nation"
         )
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows, "backend string, table_name string, column_name string, position bigint"
     )
 
@@ -965,7 +966,7 @@ def remote_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     remote = [c for c, _pos in RemoteTable.list_columns(_sqlite_opts(sf_dir), "orders")]
     rows = [(c, "ok" if c in remote else "missing_remote") for c in expected]
     rows += [(c, "unexpected_remote") for c in remote if c not in expected]
-    df = spark.createDataFrame(rows, "col_name string, status string")
+    df = local_frame(spark, rows, "col_name string, status string")
     return df.orderBy("status", "col_name")
 
 
@@ -1026,7 +1027,8 @@ def remote_partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFram
     rows = [
         (i, n, round(n / total, 6), round(n * k / total, 4)) for i, n in counts
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows, "range_id bigint, n_rows bigint, row_share double, skew_vs_ideal double"
     )
 
@@ -1334,7 +1336,8 @@ def federated_ship_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
          _ship_strategy(rl * wl, rr * wr))
         for name, rl, rr, wl, wr in probes
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         sorted(rows),
         "join_name string, rows_left long, rows_right long, "
         "bytes_left long, bytes_right long, strategy string",

