@@ -2595,31 +2595,36 @@ ORACLE["decontaminate_ngram_overlap"] = _sql_decontaminate(_Duck)
 # vocabulary-sized → broadcast; the only corpus-scale shuffles are the
 # bigram census and the per-doc agg, both on uniform-ish keys with AQE
 # handling the zipf head.
-def _sql_bigram_score(E):
+def _bigram_toks_body(E, src="documents"):
     words = E.splitws("lower(text)")
+    return f"SELECT doc_id, {words} AS words FROM {src}"
+
+
+def _bigram_grams_body(E, toks="toks"):
     gram = f"array_join({E.slice('words', 'i', 2)}, ' ')"
     gram_arr = f"{E.TRANSFORM}({E.seq(1, f'greatest({E.SIZE}(words) - 1, 1)')}, i -> {gram})"
     if E is _Duck:
         gram_arr = gram_arr.replace("array_join", "array_to_string")
+    return f"SELECT doc_id, {E.explode(gram_arr, 'gram')} FROM {toks}"
+
+
+def _sql_bigram_tail(E, toks, grams):
+    """Model build + per-doc scoring over existing token/bigram sources
+    (staged views on the Spark side; the toks/doc_grams CTEs in the
+    one-shot template)."""
     return f"""
-    WITH toks AS (
-      SELECT doc_id, {words} AS words FROM documents
-    ),
-    uni AS (
+    WITH uni AS (
       SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM (SELECT {E.explode('words', 'w1')} FROM toks) u GROUP BY w1
+      FROM (SELECT {E.explode('words', 'w1')} FROM {toks}) u GROUP BY w1
     ),
     vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
-    doc_grams AS (
-      SELECT doc_id, {E.explode(gram_arr, 'gram')} FROM toks
-    ),
     gram_counts AS (
-      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM doc_grams GROUP BY gram
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS c12 FROM {grams} GROUP BY gram
     ),
     scored AS (
       SELECT {E.bhint('u')}d.doc_id,
              CAST(ROUND(CAST(g.c12 + 1 AS DOUBLE) / (u.c1 + vocab.v), 9) AS DECIMAL(12, 9)) AS p
-      FROM doc_grams d
+      FROM {grams} d
       JOIN gram_counts g ON d.gram = g.gram
       JOIN uni u ON split_part(d.gram, ' ', 1) = u.w1
       CROSS JOIN vocab
@@ -2631,6 +2636,26 @@ def _sql_bigram_score(E):
     """
 
 
+def _sql_bigram_score(E):
+    """One-shot template form (oracle SQL): toks/doc_grams inline as
+    CTEs feeding the shared tail — each body spelled exactly once."""
+    tail = _sql_bigram_tail(E, "toks", "doc_grams")
+    return tail.replace(
+        "WITH uni AS",
+        f"WITH toks AS ({_bigram_toks_body(E)}),\n"
+        f"    doc_grams AS ({_bigram_grams_body(E, 'toks')}),\n    uni AS",
+        1,
+    )
+
+
+# Staging A/B (round-10, measured and REJECTED): checkpointing toks
+# (and optionally the exploded doc_grams) to stop the per-reference CTE
+# re-evaluation LOST to the inline form at sf0.1 — inline steady-state
+# 1.5-1.7 s vs 2.0-3.9 s staged-cold (min-of-3, interleaved, same
+# session). The regex re-tokenization the CTE replay pays is cheaper
+# than eagerly materializing the word-array / exploded-bigram frames.
+# Kept inline; the template is single-sourced through the tail builders
+# above so a future re-test is a runner-only change.
 _register_pair("text_bigram_score", _sql_bigram_score)
 
 
@@ -3451,16 +3476,21 @@ _register_pair("hybrid_search_rrf", _sql_hybrid_rrf, tables=("documents", "embed
 # at extreme per-lang volume the production variant swaps NTILE for
 # per-lang score-quantile thresholds computed on a sample, trading exact
 # terciles for a fully map-side bucket assignment.
-def _sql_perplexity_buckets(E):
+def _sql_perplexity_tail(E, scored_src):
     return f"""
-    WITH scored AS ({_sql_bigram_score(E)})
     SELECT d.doc_id, d.lang,
            CAST(NTILE(3) OVER (PARTITION BY d.lang
                                ORDER BY s.avg_cond_prob DESC, d.doc_id) AS BIGINT) AS bucket
-    FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    FROM documents d JOIN {scored_src} s ON d.doc_id = s.doc_id
     """
 
 
+def _sql_perplexity_buckets(E):
+    return f"WITH scored AS ({_sql_bigram_score(E)})" + _sql_perplexity_tail(E, "scored")
+
+
+# inline for the same measured reason as text_bigram_score (see the
+# staging A/B note above)
 _register_pair("quality_perplexity_buckets", _sql_perplexity_buckets)
 
 
