@@ -2078,7 +2078,12 @@ def _km_stage(spark: SparkSession, sf_dir: str) -> str:
             ).collect()
         ]
     final = spark.sql(_km_assign_inline(emb_view, cents)).select("vec_id", "cent_id", "sqd")
-    _MINHASH_STAGE_CACHE[key] = _persist_view(spark, sf_dir, "km_assign_final", final)
+    # checkpoint, not persist (round-10): the silhouette/purity consumers
+    # reference this view 2-3x inside one SQL (fcents re-derivation +
+    # the distance join) and the persisted form re-ran the assignment
+    # map per reference through Spark 4.1's best-effort view-cache
+    # matching. The frame is k-bounded rows — materializing it is free.
+    _MINHASH_STAGE_CACHE[key] = _checkpoint_view(spark, sf_dir, "km_assign_final", final)
     return _MINHASH_STAGE_CACHE[key]
 
 

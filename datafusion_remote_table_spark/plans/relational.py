@@ -7266,8 +7266,15 @@ def basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT pr.pa AS pa, pr.pb AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
             FROM pair_rows GROUP BY pr.pa, pr.pb
             HAVING COUNT(*) >= ({_APRIORI_THR.format(items=iview, DIV="DIV")})
-        """).persist()
-        fp.count()  # the pair census materializes exactly once
+        """).localCheckpoint(eager=True)
+        # localCheckpoint, not persist+count (round-10): the candidate
+        # generate/prune SQL references this frame 3x through the temp
+        # view, and Spark 4.1's best-effort InMemoryRelation matching
+        # MISSED here (the HAVING's scalar threshold subquery survives
+        # canonicalization differently per reference) — the prune stage
+        # re-ran the census per reference. Measured min-of-2 interleaved
+        # at sf0.1: census 4.2 -> 2.0 s (no separate count action),
+        # prune 3.2 -> 0.24 s.
         fview = f"apriori_pairs_{suffix}"
         fp.createOrReplaceTempView(fview)
         # checkpoint the generated+pruned candidates: the report reads
