@@ -132,7 +132,11 @@ def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     plan = _plan(plans.QUERIES["kmeans_embeddings"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # assignment carries everything it needs
-    assert "InMemoryTableScan" in plan  # shared persisted staging
+    # the shared staging is lineage-truncated (localCheckpoint, r10):
+    # consumers plan over the materialized RDD and never re-run Lloyd
+    # rounds or re-read the vectors
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
     # the assignment pass itself (stage-build SQL) is pure map work:
     # no exchange of the vector table before the scored projection
     cents = [(1, [0.0] * L._KM_DIM), (2, [1.0] * L._KM_DIM)]
@@ -263,11 +267,15 @@ def test_knn_audit_candidates_broadcast_the_query_block(spark, sf_dir):
 
 
 def test_cluster_histogram_reads_staged_members(spark, sf_dir):
-    # the histogram must ride the SAME persisted CC members frame as
-    # dedup_clusters — no second pair-graph propagation
+    # the histogram must ride the SAME staged CC members frame as
+    # dedup_clusters — no second pair-graph propagation. Since r10 the
+    # members staging is lineage-truncated (localCheckpoint): consumers
+    # plan over the materialized RDD, not a replay of the CC fixpoint
+    # (no FileScan = no re-read of the corpus, no re-propagation)
     plans.QUERIES["dedup_clusters"](spark, sf_dir).count()
     plan = _plan(plans.QUERIES["dedup_cluster_size_histogram"](spark, sf_dir))
-    assert "InMemoryTableScan" in plan, "histogram lost the members staging"
+    assert "Scan ExistingRDD" in plan, "histogram lost the members staging"
+    assert "FileScan" not in plan, "histogram re-derives the pair graph"
 
 
 def test_bpe_chain_is_lineage_truncated(spark, sf_dir):
