@@ -757,7 +757,11 @@ def test_rake_word_scores_are_census_join_not_window(spark, sf_dir):
     plan = _plan(plans.QUERIES["text_keyword_rake"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "RAKE did not read the staged phrase-word frame"
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
 
 
 def test_bootstrap_fanout_is_collapsed_map_side(spark, sf_dir):
