@@ -5182,37 +5182,71 @@ def _span_clip_ctes(E, pos):
     )"""
 
 
-def _span_clip_select(E, pos, src="documents"):
+def _span_clip_final(E, perdoc, src="documents"):
+    """Final clip readout over an already-computed ``perdoc`` relation —
+    the body both the one-shot template (oracle, perdoc as a CTE) and
+    the staged Spark runner (perdoc as a checkpointed view) share, so
+    the spelling stays single-sourced."""
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
-    return f"""
-    WITH {_span_clip_ctes(E, pos)},
-    wc AS (
+    return f"""wc AS (
       SELECT doc_id, CAST({E.SIZE}({E.splitws('lower(text)')}) AS BIGINT) AS n_words
       FROM {src}
     )
     SELECT p.doc_id, w.n_words, p.n_clips, p.clipped_words, p.longest_clip_words,
            CAST(w.n_words - p.clipped_words AS BIGINT) AS retained_words,
            {q6('CAST(w.n_words - p.clipped_words AS DOUBLE) / w.n_words')} AS retained_fraction
-    FROM perdoc p JOIN wc w ON w.doc_id = p.doc_id
+    FROM {perdoc} p JOIN wc w ON w.doc_id = p.doc_id
     """
+
+
+def _span_clip_select(E, pos, src="documents"):
+    return f"""
+    WITH {_span_clip_ctes(E, pos)},
+    {_span_clip_final(E, 'perdoc', src)}"""
+
+
+def _span_perdoc_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The clip chain's shared staging pair: the span_pos positional
+    gram checkpoint (shared with dedup_span_runs) AND the perdoc clip
+    frame computed from it. dedup_substring_clip and
+    dedup_clip_impact_by_source both consume the IDENTICAL
+    dup-census -> islands -> interval-merge -> perdoc chain; without
+    this stage each consumer re-runs the corpus-scale gram census over
+    span_pos (measured r10: impact-warm ~2.0-2.5 s with span_pos
+    already staged — the same cost as the clip itself). perdoc is
+    clipped docs only (95 rows at sf0.01 — bounded, a small fraction of
+    the corpus at any scale), so the checkpoint is free. Returns
+    (docs_view, perdoc_view)."""
+    doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
+    pos_key = ("span_pos", id(spark), os.path.abspath(sf_dir))
+    if pos_key not in _MINHASH_STAGE_CACHE:
+        _MINHASH_STAGE_CACHE[pos_key] = _checkpoint_view(
+            spark, sf_dir, "span_pos", spark.sql(_span_pos_sql(_Spark, src=doc_view))
+        )
+    key = ("span_perdoc", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        perdoc_df = spark.sql(
+            f"WITH {_span_clip_ctes(_Spark, _MINHASH_STAGE_CACHE[pos_key])} "
+            "SELECT * FROM perdoc"
+        )
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark, sf_dir, "span_perdoc", perdoc_df
+        )
+    return doc_view, _MINHASH_STAGE_CACHE[key]
 
 
 def dedup_substring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rides the SAME span_pos checkpoint as dedup_span_runs (the
     positional gram frame is the expensive corpus pass; census +
-    back-join reference it twice). The clip tail — threshold filter,
-    interval merge, per-doc rollup — runs over the bounded duplicated
-    subset only. Cites Lee et al. 2022 (span removal over a length
-    threshold); see the template comment for the measured threshold
-    calibration."""
-    key = ("span_pos", id(spark), os.path.abspath(sf_dir))
-    if key not in _MINHASH_STAGE_CACHE:
-        doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
-        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
-            spark, sf_dir, "span_pos", spark.sql(_span_pos_sql(_Spark, src=doc_view))
-        )
-    doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
-    return spark.sql(_span_clip_select(_Spark, _MINHASH_STAGE_CACHE[key], src=doc_view))
+    back-join reference it twice), and stages the perdoc clip frame
+    once per session (shared with dedup_clip_impact_by_source — the
+    two consume the identical census->merge chain). The clip tail —
+    one corpus word-count pass joined to the bounded perdoc frame —
+    is all that runs per consumer. Cites Lee et al. 2022 (span removal
+    over a length threshold); see the template comment for the
+    measured threshold calibration."""
+    doc_view, perdoc_view = _span_perdoc_stage(spark, sf_dir)
+    return spark.sql("WITH " + _span_clip_final(_Spark, perdoc_view, src=doc_view))
 
 
 QUERIES["dedup_substring_clip"] = dedup_substring_clip
@@ -5234,11 +5268,11 @@ ORACLE["dedup_substring_clip"] = _span_clip_select(_Duck, f"({_span_pos_sql(_Duc
 # source has 25 docs (a uniform design constant, not a metric).
 # Scale: identical to the clip (the rollup adds one broadcast-sized
 # source-keyed aggregate over the corpus word census).
-def _span_clip_impact_select(E, pos, src="documents"):
+def _span_clip_impact_final(E, perdoc, src="documents"):
+    """Final source-rollup readout over an already-computed ``perdoc``
+    relation (single-sourced body, same split as _span_clip_final)."""
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
-    return f"""
-    WITH {_span_clip_ctes(E, pos)},
-    wc AS (
+    return f"""wc AS (
       SELECT doc_id, source,
              CAST({E.SIZE}({E.splitws('lower(text)')}) AS BIGINT) AS n_words
       FROM {src}
@@ -5253,25 +5287,27 @@ def _span_clip_impact_select(E, pos, src="documents"):
            {q6('CAST(COUNT(p.doc_id) AS DOUBLE) / COUNT(*)')} AS doc_clip_rate,
            {q6('CAST(SUM(COALESCE(p.clipped_words, 0)) AS DOUBLE) / SUM(w.n_words)')}
              AS word_clip_rate
-    FROM wc w LEFT JOIN perdoc p ON p.doc_id = w.doc_id
+    FROM wc w LEFT JOIN {perdoc} p ON p.doc_id = w.doc_id
     GROUP BY w.source
     ORDER BY w.source
     """
 
 
+def _span_clip_impact_select(E, pos, src="documents"):
+    return f"""
+    WITH {_span_clip_ctes(E, pos)},
+    {_span_clip_impact_final(E, 'perdoc', src)}"""
+
+
 def dedup_clip_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rides the shared span_pos checkpoint exactly like
-    dedup_substring_clip (same cache key — whichever consumer runs
-    first pays the staging)."""
-    key = ("span_pos", id(spark), os.path.abspath(sf_dir))
-    if key not in _MINHASH_STAGE_CACHE:
-        doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
-        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
-            spark, sf_dir, "span_pos", spark.sql(_span_pos_sql(_Spark, src=doc_view))
-        )
-    doc_view = _spread_view(spark, sf_dir, "documents", "spanrun_docs")
+    """Rides the shared span_pos checkpoint AND the shared perdoc clip
+    frame exactly like dedup_substring_clip (same stage — whichever
+    consumer runs first pays the census->merge chain once; the rollup
+    itself is one corpus word-count pass LEFT JOINed to the bounded
+    perdoc rows)."""
+    doc_view, perdoc_view = _span_perdoc_stage(spark, sf_dir)
     return spark.sql(
-        _span_clip_impact_select(_Spark, _MINHASH_STAGE_CACHE[key], src=doc_view)
+        "WITH " + _span_clip_impact_final(_Spark, perdoc_view, src=doc_view)
     )
 
 

@@ -1152,11 +1152,27 @@ def test_silhouette_rides_staged_assignment(spark, sf_dir):
 
 def test_substring_clip_staged_no_cartesian(spark, sf_dir):
     # round-10: the clip rides the SAME span_pos checkpoint as
-    # dedup_span_runs (census + back-join double reference); the merge
-    # windows run doc_id-partitioned over clip survivors only
+    # dedup_span_runs (census + back-join double reference) AND the
+    # staged perdoc clip frame (shared with the source rollup); the
+    # per-consumer tail is one corpus word-count pass joined to the
+    # checkpointed perdoc rows — the census/island/merge windows must
+    # NOT replay per consumer (r10 finding 8: 6 Window nodes -> 0)
     plan = _plan(plans.QUERIES["dedup_substring_clip"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan, "clip re-exploded the corpus"
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "clip tail replayed the census->merge chain"
+
+
+def test_clip_impact_rides_staged_perdoc(spark, sf_dir):
+    # round-10 finding 8: dedup_clip_impact_by_source consumes the
+    # IDENTICAL census->islands->interval-merge chain as the clip —
+    # the chain runs once in the shared perdoc checkpoint, and the
+    # rollup tail is a corpus word census LEFT JOINed to ExistingRDD
+    # rows (measured: impact-warm 2.0-2.5 s -> 0.4-0.5 s)
+    plan = _plan(plans.QUERIES["dedup_clip_impact_by_source"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan, "rollup not reading the staged perdoc frame"
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "rollup tail replayed the census->merge chain"
 
 
 def test_unigram_prune_tail_reads_checkpointed_stagings(spark, sf_dir):
