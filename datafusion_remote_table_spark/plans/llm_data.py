@@ -7698,7 +7698,28 @@ def _sql_prf_tf(E):
       GROUP BY doc_id, w"""
 
 
-def _sql_query_expansion(E, tfrel: str | None = None):
+def _sql_prf_doclen(E, rel):
+    return f"SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id"
+
+
+def _sql_prf_stats(E, dl_rel):
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM {dl_rel}"
+    )
+
+
+def _sql_prf_df(E, rel):
+    return f"SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM {rel} GROUP BY w"
+
+
+def _sql_query_expansion(
+    E,
+    tfrel: str | None = None,
+    doclenrel: str | None = None,
+    dfrel: str | None = None,
+    statsrel: str | None = None,
+):
     seeds = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     seed_rows = " UNION ALL ".join(f"SELECT '{t}' AS w" for t in _BM25_TERMS)
     idf = "ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
@@ -7707,26 +7728,32 @@ def _sql_query_expansion(E, tfrel: str | None = None):
         "(t.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * l.dl / s.avgdl))"
     )
     rel = tfrel or "tf"
-    prelude = f"tf AS {E.MAT}({_sql_prf_tf(E)}),\n    " if tfrel is None else ""
+    dl_rel = doclenrel or "doclen"
+    df_rel = dfrel or "df"
+    st_rel = statsrel or "stats"
+    # the derived index frames (doclen / df / stats) are CTEs only when
+    # no staged relation is supplied — the Spark runner checkpoints
+    # them once per session (each is referenced 2-3x and Spark
+    # re-evaluates CTE references; DuckDB materializes, so the one-shot
+    # oracle spelling keeps them inline)
+    parts = []
+    if tfrel is None:
+        parts.append(f"tf AS {E.MAT}({_sql_prf_tf(E)})")
+    if doclenrel is None:
+        parts.append(f"doclen AS ({_sql_prf_doclen(E, rel)})")
+    if statsrel is None:
+        parts.append(f"stats AS ({_sql_prf_stats(E, dl_rel)})")
+    if dfrel is None:
+        parts.append(f"df AS ({_sql_prf_df(E, rel)})")
+    prelude = (",\n    ".join(parts) + ",\n    ") if parts else ""
     return f"""
-    WITH {prelude}doclen AS (
-      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM {rel} GROUP BY doc_id
-    ),
-    stats AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM doclen
-    ),
-    df AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM {rel} GROUP BY w
-    ),
-    r1 AS (
+    WITH {prelude}r1 AS (
       SELECT {E.bhint('d', 's')}t.doc_id,
              SUM(CAST({idf} * {tf_norm} AS DECIMAL(18, 9))) AS score
       FROM {rel} t
-      JOIN df d ON t.w = d.w
-      JOIN doclen l ON t.doc_id = l.doc_id
-      CROSS JOIN stats s
+      JOIN {df_rel} d ON t.w = d.w
+      JOIN {dl_rel} l ON t.doc_id = l.doc_id
+      CROSS JOIN {st_rel} s
       WHERE t.w IN ({seeds})
       GROUP BY t.doc_id
       ORDER BY score DESC, t.doc_id
@@ -7738,8 +7765,8 @@ def _sql_query_expansion(E, tfrel: str | None = None):
                       AS DECIMAL(18, 6))) AS escore
       FROM {rel} t
       JOIN r1 ON t.doc_id = r1.doc_id
-      JOIN df d ON t.w = d.w
-      CROSS JOIN stats s
+      JOIN {df_rel} d ON t.w = d.w
+      CROSS JOIN {st_rel} s
       WHERE t.w NOT IN ({seeds}) AND length(t.w) >= 4
       GROUP BY t.w
       ORDER BY escore DESC, t.w
@@ -7753,9 +7780,9 @@ def _sql_query_expansion(E, tfrel: str | None = None):
              SUM(CAST({idf} * {tf_norm} AS DECIMAL(18, 9))) AS score
       FROM {rel} t
       JOIN terms2 q2 ON t.w = q2.w
-      JOIN df d ON t.w = d.w
-      JOIN doclen l ON t.doc_id = l.doc_id
-      CROSS JOIN stats s
+      JOIN {df_rel} d ON t.w = d.w
+      JOIN {dl_rel} l ON t.doc_id = l.doc_id
+      CROSS JOIN {st_rel} s
       GROUP BY t.doc_id
     )
     SELECT r2.doc_id,
@@ -7779,8 +7806,38 @@ def _prf_tf_stage(spark: SparkSession, sf_dir: str) -> str:
     return _MINHASH_STAGE_CACHE[key]
 
 
+def _prf_idx_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str, str, str]:
+    """The PRF inverted-index staging quad: tf plus its derived frames
+    doclen (doc-count rows), df (vocab rows) and stats (1 row). The
+    tail references each of them 2-3x and Spark re-evaluates CTE
+    references, so without this the tf->doclen / tf->df aggregations
+    re-ran per reference (measured r10: 33 Exchanges in the tail,
+    1.4-2.0 s warm-staged). All three derived frames are bounded
+    (docs / vocabulary / scalar), so the checkpoints are free."""
+    tf = _prf_tf_stage(spark, sf_dir)
+    key = ("prf_idx", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doclen = _checkpoint_view(
+            spark, sf_dir, "prf_doclen", spark.sql(_sql_prf_doclen(_Spark, tf))
+        )
+        stats = _checkpoint_view(
+            spark, sf_dir, "prf_stats", spark.sql(_sql_prf_stats(_Spark, doclen))
+        )
+        dfv = _checkpoint_view(
+            spark, sf_dir, "prf_df", spark.sql(_sql_prf_df(_Spark, tf))
+        )
+        _MINHASH_STAGE_CACHE[key] = (doclen, stats, dfv)
+    doclen, stats, dfv = _MINHASH_STAGE_CACHE[key]
+    return tf, doclen, dfv, stats
+
+
 def _prf_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(_sql_query_expansion(_Spark, tfrel=_prf_tf_stage(spark, sf_dir)))
+    tf, doclen, dfv, stats = _prf_idx_stage(spark, sf_dir)
+    return spark.sql(
+        _sql_query_expansion(
+            _Spark, tfrel=tf, doclenrel=doclen, dfrel=dfv, statsrel=stats
+        )
+    )
 
 
 _prf_runner.__name__ = "query_expansion_prf"

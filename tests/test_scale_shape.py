@@ -636,6 +636,13 @@ def test_prf_topk_cuts_are_bounded(spark, sf_dir):
     plan = _plan(plans.QUERIES["query_expansion_prf"](spark, sf_dir))
     assert "Window" not in plan, "PRF fell back to a rank window"
     assert "CartesianProduct" not in plan
+    # r10 finding 9: doclen/df/stats are checkpointed once per session —
+    # the tail must NOT re-aggregate the tf frame per CTE reference
+    # (the unstaged spelling planned ~30 HashAggregates; staged, the
+    # only aggregates left are the three retrieval-round SUMs)
+    assert plan.count("HashAggregate") <= 12, (
+        "PRF tail re-expanded the doclen/df/stats aggregations"
+    )
 
 
 def test_sq8_windows_partition_per_query(spark, sf_dir):
