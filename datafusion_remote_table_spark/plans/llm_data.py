@@ -4111,8 +4111,13 @@ def _bloom_key(E):
     return f"md5({E.collapse_ws('lower(text)')})"
 
 
-def _newdocs_sql(E, src="documents"):
-    key = _bloom_key(E)
+def _newdocs_sql(E, src="documents", hcol: str | None = None):
+    """The incoming batch: all of src0, a deterministic ~25% sample of
+    the standing corpus (true dups), and 200 synthetic absent keys.
+    ``hcol`` names an already-computed hash column when ``src`` is the
+    staged per-doc hash frame (Spark runner); by default the hash is
+    computed inline from text (the one-shot oracle spelling)."""
+    key = hcol or _bloom_key(E)
     return f"""
       SELECT doc_id, {key} AS h FROM {src} WHERE source = 'src0'
       UNION ALL
@@ -4139,24 +4144,31 @@ def _sql_bloom_incremental(E, src="documents"):
 
 
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The olddocs hash pass is referenced three times (filter sizing,
-    bit set, exact-truth set) and Spark re-evaluates CTE references —
-    persist the standing-corpus hashes once per session+sf_dir so the
-    corpus is scanned and md5'd once (the _minhash_stage pattern); the
-    oracle keeps the single-SQL lazy spelling."""
-    key = ("bloom_old", id(spark), os.path.abspath(sf_dir))
+    """The corpus hash (md5 over collapsed text — the expensive map) is
+    needed by olddocs (referenced 3x: filter sizing, bit set,
+    exact-truth set) AND both corpus legs of newdocs; the lazy spelling
+    md5'd the corpus three times and Spark additionally re-evaluates
+    CTE references. Checkpoint ONE per-doc hash frame per
+    session+sf_dir and derive olddocs/newdocs as filters over it, so
+    the corpus is scanned and hashed exactly once (r10 finding 10; the
+    earlier persist of olddocs alone still left 2 newdocs hash passes).
+    The oracle keeps the single-SQL lazy spelling."""
+    key = ("bloom_allh", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
         doc_view = _spread_view(spark, sf_dir, "documents", "bloom_docs")
-        old_view = _persist_view(
+        allh_view = _checkpoint_view(
             spark,
             sf_dir,
-            "bloom_old",
-            spark.sql(f"SELECT {_bloom_key(_Spark)} AS h FROM {doc_view} WHERE source <> 'src0'"),
+            "bloom_allh",
+            spark.sql(
+                f"SELECT doc_id, source, {_bloom_key(_Spark)} AS h FROM {doc_view}"
+            ),
         )
-        _MINHASH_STAGE_CACHE[key] = (doc_view, old_view)
-    doc_view, old_view = _MINHASH_STAGE_CACHE[key]
-    newdocs = f"newdocs AS ({_newdocs_sql(_Spark, src=doc_view)}),\n    "
-    return spark.sql(f"WITH {_bloom_body(_Spark, olddocs=old_view, extra_cte=newdocs)}")
+        _MINHASH_STAGE_CACHE[key] = allh_view
+    allh_view = _MINHASH_STAGE_CACHE[key]
+    olddocs = f"olddocs AS (SELECT h FROM {allh_view} WHERE source <> 'src0'),\n    "
+    newdocs = f"newdocs AS ({_newdocs_sql(_Spark, src=allh_view, hcol='h')}),\n    "
+    return spark.sql(f"WITH {olddocs}{_bloom_body(_Spark, extra_cte=newdocs)}")
 
 
 QUERIES["dedup_bloom_incremental"] = dedup_bloom_incremental

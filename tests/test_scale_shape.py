@@ -235,6 +235,11 @@ def test_bloom_incremental_no_cartesian_of_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+    # r10 finding 10: olddocs AND both newdocs corpus legs derive from
+    # ONE checkpointed per-doc hash frame — the tail must never re-scan
+    # the corpus or re-run the md5-over-text map (was 3 hash passes)
+    assert "Scan ExistingRDD" in plan, "bloom tail not reading the staged hash frame"
+    assert "FileScan" not in plan, "bloom tail re-scanned the corpus"
 
 
 def test_entropy_partial_agg(spark, sf_dir):
