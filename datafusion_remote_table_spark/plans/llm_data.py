@@ -3336,13 +3336,53 @@ _register_pair("multimodal_frame_sample", _sql_frame_sample)
 _BM25_TERMS = ("hash", "join", "scan")
 
 
-def _sql_bm25(E):
+def _tf_census_stage(spark: SparkSession, sf_dir: str) -> str:
+    """ONE checkpointed per-(doc_id, word) tf census shared by every
+    consumer whose tokenization is explode(splitws(lower(text))):
+    bm25_topk (w IN seed-terms), tfidf_top_terms (unfiltered),
+    hybrid_search_rrf (its bm25 leg) and query_expansion_prf
+    (w <> ''). Every consumer's filter is on the census GROUP KEY, so
+    filter-after-group equals filter-before-group and each query's
+    rows are identical to its one-shot spelling (which the oracles
+    keep). Before this stage the suite exploded the corpus four times
+    (r10 finding 11)."""
+    key = ("tf_census", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        doc_view = _spread_view(spark, sf_dir, "documents", "tfc_docs")
+        words = _Spark.splitws("lower(text)")
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark,
+            sf_dir,
+            "tf_census",
+            spark.sql(
+                f"""SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, {_Spark.explode(words, 'w')} FROM {doc_view}) x
+                GROUP BY doc_id, w"""
+            ),
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _sql_bm25(E, tfrel: str | None = None):
+    """``tfrel`` names the staged unfiltered (doc_id, w, tf) census
+    (Spark runner); the seed-term filter is on the census's GROUP KEY,
+    so filtering the staged census equals the inline
+    explode->filter->group spelling row for row. Default: the one-shot
+    oracle spelling."""
     words = E.splitws("lower(text)")
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     idf = "ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
     tf_norm = (
         "(t.tf * (1.2e0 + 1.0e0)) / "
         "(t.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * l.dl / s.avgdl))"
+    )
+    tf_body = (
+        f"""SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) posting
+      WHERE w IN ({terms})
+      GROUP BY doc_id, w"""
+        if tfrel is None
+        else f"SELECT doc_id, w, tf FROM {tfrel} WHERE w IN ({terms})"
     )
     return f"""
     WITH doclen AS (
@@ -3354,10 +3394,7 @@ def _sql_bm25(E):
       FROM doclen
     ),
     tf AS (
-      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) posting
-      WHERE w IN ({terms})
-      GROUP BY doc_id, w
+      {tf_body}
     ),
     df AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
@@ -3378,7 +3415,18 @@ def _sql_bm25(E):
     """
 
 
-_register_pair("bm25_topk", _sql_bm25)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census (r10 finding 11) — the corpus
+    explode+group runs once per session across bm25/tfidf/rrf/PRF; the
+    doclen leg stays an inline corpus map (size over raw split — NOT
+    derivable from the census, which drops nothing but groups)."""
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_bm25(_Spark, tfrel=_tf_census_stage(spark, sf_dir)))
+
+
+QUERIES["bm25_topk"] = bm25_topk
+ORACLE["bm25_topk"] = _sql_bm25(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -3389,13 +3437,18 @@ _register_pair("bm25_topk", _sql_bm25)
 # much smaller tf frame; the df join back is term-keyed (zipf head — AQE
 # skew-join handles it, and the df relation is vocab-sized so Catalyst
 # broadcasts it); the final window partitions by doc_id (uniform).
-def _sql_tfidf_terms(E):
+def _sql_tfidf_terms(E, tfrel: str | None = None):
     words = E.splitws("lower(text)")
+    tf_body = (
+        f"""SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) x
+      GROUP BY doc_id, w"""
+        if tfrel is None
+        else f"SELECT doc_id, w, tf FROM {tfrel}"
+    )
     return f"""
     WITH tf AS (
-      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM (SELECT doc_id, {E.explode(words, 'w')} FROM documents) x
-      GROUP BY doc_id, w
+      {tf_body}
     ),
     df AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
@@ -3416,7 +3469,16 @@ def _sql_tfidf_terms(E):
     """
 
 
-_register_pair("tfidf_top_terms", _sql_tfidf_terms)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census (r10 finding 11) — the tf CTE IS the
+    census, unfiltered."""
+    dfs = load_tables(spark, sf_dir, ("documents",))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_tfidf_terms(_Spark, tfrel=_tf_census_stage(spark, sf_dir)))
+
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLE["tfidf_top_terms"] = _sql_tfidf_terms(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -3428,7 +3490,7 @@ _register_pair("tfidf_top_terms", _sql_tfidf_terms)
 # 20-row full outer join. Scale: each leg is the scale path of its
 # operator family (BM25 above, ANN via IVF in ann_ivf_cosine); fusion
 # cost is O(k).
-def _sql_hybrid_rrf(E):
+def _sql_hybrid_rrf(E, tfrel: str | None = None):
     cosd = (
         f"{E.dot('e.embedding', 'q.embedding')} / "
         f"(sqrt({E.dot('e.embedding', 'e.embedding')}) * sqrt({E.dot('q.embedding', 'q.embedding')}))"
@@ -3437,7 +3499,7 @@ def _sql_hybrid_rrf(E):
     WITH bm AS (
       SELECT doc_id, bm25,
              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
-      FROM ({_sql_bm25(E)}) bm_top
+      FROM ({_sql_bm25(E, tfrel)}) bm_top
     ),
     qvec AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cos_top AS (
@@ -3467,7 +3529,16 @@ def _sql_hybrid_rrf(E):
     """
 
 
-_register_pair("hybrid_search_rrf", _sql_hybrid_rrf, tables=("documents", "embeddings"))
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census through its BM25 leg (r10 finding
+    11); the dense leg's bounded cosine top-20 is unchanged."""
+    dfs = load_tables(spark, sf_dir, ("documents", "embeddings"))
+    _repartition_views(spark, dfs)
+    return spark.sql(_sql_hybrid_rrf(_Spark, tfrel=_tf_census_stage(spark, sf_dir)))
+
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLE["hybrid_search_rrf"] = _sql_hybrid_rrf(_Duck)
 
 
 # ---------------------------------------------------------------------------
@@ -7808,13 +7879,19 @@ def _sql_query_expansion(
 
 
 def _prf_tf_stage(spark: SparkSession, sf_dir: str) -> str:
+    """PRF's tf relation is the shared tf census (r10 finding 11) with
+    the empty-token filter applied — the filter is on the census GROUP
+    KEY, so this equals _sql_prf_tf's explode->filter->group row for
+    row (the oracle keeps that one-shot spelling). A plain view: the
+    filter re-runs per reference over checkpointed rows, no re-explode."""
     key = ("prf_tf", id(spark), os.path.abspath(sf_dir))
     if key not in _MINHASH_STAGE_CACHE:
-        dfs = load_tables(spark, sf_dir, ("documents",))
-        _repartition_views(spark, dfs)
-        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
-            spark, sf_dir, "prf_tf", spark.sql(_sql_prf_tf(_Spark))
-        )
+        census = _tf_census_stage(spark, sf_dir)
+        view = f"prf_tf_{_dataset_suffix(sf_dir)}"
+        spark.sql(
+            f"SELECT doc_id, w, tf FROM {census} WHERE w IS NOT NULL AND w <> ''"
+        ).createOrReplaceTempView(view)
+        _MINHASH_STAGE_CACHE[key] = view
     return _MINHASH_STAGE_CACHE[key]
 
 
