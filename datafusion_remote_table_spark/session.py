@@ -166,9 +166,9 @@ def local_frame(spark: SparkSession, rows, schema: str) -> "DataFrame":  # noqa:
     import pandas as pd
 
     rows = list(rows)
-    n_cols = len(spark.createDataFrame([], schema).columns) if not rows else len(rows[0])
     if not rows:
         return spark.createDataFrame([], schema)
+    n_cols = len(rows[0])
     arr = np.empty((len(rows), n_cols), dtype=object)
     for i, row in enumerate(rows):
         for j, value in enumerate(row):

@@ -1240,6 +1240,5 @@ def test_local_frame_is_localtablescan(spark, sf_dir):
 def test_range_join_bands_local(spark, sf_dir):
     plan = _plan(plans.QUERIES["range_join_price_bands"](spark, sf_dir))
     assert "LocalTableScan" in plan
-    assert "ExistingRDD" not in plan.split("BroadcastNestedLoopJoin")[0] or True
     # the literal bands side must not be a Python RDD scan
     assert "Scan ExistingRDD[band" not in plan
