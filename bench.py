@@ -202,13 +202,14 @@ RELEASE_AFTER = {
     "corpus_clean_pipeline": ["boiler_doc", "cc_docs_src", "cc_fps", "decon_doc"],
     "kmeans_embeddings": ["km_emb_src"],
     "quality_repetition_signals": ["reps_base", "reps_docs_src"],
+    "hybrid_search_rrf": ["bm25_doclen"],
     "dedup_substring_spans": ["span_docs_src", "span_grams"],
     "dedup_containment": ["cont_docs_src", "minhash_shsigbands"],
     "dedup_bloom_incremental": ["bloom_allh", "bloom_docs_src"],
     "ann_pq_cosine": ["pq", "pq_emb_src"],
     "dedup_cluster_size_histogram": ["pairs"],
     "corpus_clean_funnel": ["clean_decisions"],
-    "query_expansion_prf": ["prf_idx", "prf_tf", "tf_census", "tfc_docs_src"],
+    "query_expansion_prf": ["prf_idx", "prf_tf"],
     "theta_sketch_set_ops": ["hll_words"],
     "dedup_mix_shift_report": ["members"],
     "dedup_editdistance_verify": ["cont_bg", "cont_cand"],
@@ -216,10 +217,9 @@ RELEASE_AFTER = {
     "winnowing_accuracy_eval": ["wg_docs_src", "wn_docs_src", "winnow_fp", "winnow_grams"],
     "text_keyword_rake": ["rake_pw", "rk_docs_src"],
     "basket_triples_apriori": ["apriori_stage"],
-    "tokenize_unigram_apply": ["uni_docs_src"],
     "kmeans_silhouette_eval": ["km_assign"],
     "tokenize_unigram_prune": ["unigram2"],
-    "tokenizer_roundtrip_audit": ["bpe", "bpe_docs_src", "unigram"],
+    "tokenizer_roundtrip_audit": ["bpe", "bpe_docs_src", "unigram", "tf_census", "tfc_docs_src"],
     "privacy_t_closeness_audit": ["tclose_emd"],
     "dedup_clip_impact_by_source": ["span_perdoc", "span_pos", "spanrun_docs_src"],
 }

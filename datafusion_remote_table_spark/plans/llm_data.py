@@ -3363,12 +3363,43 @@ def _tf_census_stage(spark: SparkSession, sf_dir: str) -> str:
     return _MINHASH_STAGE_CACHE[key]
 
 
-def _sql_bm25(E, tfrel: str | None = None):
+def _bm25_doclen_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed (doc_id, dl) doclen derived from the shared tf
+    census instead of a second corpus text scan + split (r11; VERDICT
+    r10 item 6 — the last corpus re-split in the retrieval family).
+    Row-for-row equal to the inline ``size(splitws(lower(text)))``
+    spelling BY CONSTRUCTION for any data: explode preserves every
+    array element (including empty strings — the census is UNFILTERED),
+    so SUM(tf) per doc equals the split-array length for every doc the
+    census holds, and the LEFT JOIN from ``documents`` keeps docs the
+    census lacks (NULL text explodes to zero rows) at dl = NULL —
+    exactly what ``size(NULL)`` yields inline. Verified empirically at
+    sf0.001/0.01/0.1: zero mismatching docs."""
+    key = ("bm25_doclen", id(spark), os.path.abspath(sf_dir))
+    if key not in _MINHASH_STAGE_CACHE:
+        census = _tf_census_stage(spark, sf_dir)
+        load_tables(spark, sf_dir, ("documents",))
+        _MINHASH_STAGE_CACHE[key] = _checkpoint_view(
+            spark,
+            sf_dir,
+            "bm25_doclen",
+            spark.sql(
+                f"""SELECT d.doc_id, CAST(c.dl AS BIGINT) AS dl
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, SUM(tf) AS dl FROM {census} GROUP BY doc_id) c
+                  ON d.doc_id = c.doc_id"""
+            ),
+        )
+    return _MINHASH_STAGE_CACHE[key]
+
+
+def _sql_bm25(E, tfrel: str | None = None, doclenrel: str | None = None):
     """``tfrel`` names the staged unfiltered (doc_id, w, tf) census
     (Spark runner); the seed-term filter is on the census's GROUP KEY,
     so filtering the staged census equals the inline
-    explode->filter->group spelling row for row. Default: the one-shot
-    oracle spelling."""
+    explode->filter->group spelling row for row. ``doclenrel`` names
+    the staged census-derived doclen (see _bm25_doclen_stage). Default:
+    the one-shot oracle spelling."""
     words = E.splitws("lower(text)")
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     idf = "ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))"
@@ -3384,9 +3415,14 @@ def _sql_bm25(E, tfrel: str | None = None):
         if tfrel is None
         else f"SELECT doc_id, w, tf FROM {tfrel} WHERE w IN ({terms})"
     )
+    doclen_body = (
+        f"SELECT doc_id, CAST({E.SIZE}({words}) AS BIGINT) AS dl FROM documents"
+        if doclenrel is None
+        else f"SELECT doc_id, dl FROM {doclenrel}"
+    )
     return f"""
     WITH doclen AS (
-      SELECT doc_id, CAST({E.SIZE}({words}) AS BIGINT) AS dl FROM documents
+      {doclen_body}
     ),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3417,12 +3453,19 @@ def _sql_bm25(E, tfrel: str | None = None):
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rides the shared tf census (r10 finding 11) — the corpus
-    explode+group runs once per session across bm25/tfidf/rrf/PRF; the
-    doclen leg stays an inline corpus map (size over raw split — NOT
-    derivable from the census, which drops nothing but groups)."""
+    explode+group runs once per session across bm25/tfidf/rrf/PRF —
+    and the census-derived doclen (r11): SUM(tf) per doc over the
+    UNFILTERED census equals size(splitws) row-for-row (see
+    _bm25_doclen_stage), so the tail touches no corpus text at all."""
     dfs = load_tables(spark, sf_dir, ("documents",))
     _repartition_views(spark, dfs)
-    return spark.sql(_sql_bm25(_Spark, tfrel=_tf_census_stage(spark, sf_dir)))
+    return spark.sql(
+        _sql_bm25(
+            _Spark,
+            tfrel=_tf_census_stage(spark, sf_dir),
+            doclenrel=_bm25_doclen_stage(spark, sf_dir),
+        )
+    )
 
 
 QUERIES["bm25_topk"] = bm25_topk
@@ -3490,7 +3533,7 @@ ORACLE["tfidf_top_terms"] = _sql_tfidf_terms(_Duck)
 # 20-row full outer join. Scale: each leg is the scale path of its
 # operator family (BM25 above, ANN via IVF in ann_ivf_cosine); fusion
 # cost is O(k).
-def _sql_hybrid_rrf(E, tfrel: str | None = None):
+def _sql_hybrid_rrf(E, tfrel: str | None = None, doclenrel: str | None = None):
     cosd = (
         f"{E.dot('e.embedding', 'q.embedding')} / "
         f"(sqrt({E.dot('e.embedding', 'e.embedding')}) * sqrt({E.dot('q.embedding', 'q.embedding')}))"
@@ -3499,7 +3542,7 @@ def _sql_hybrid_rrf(E, tfrel: str | None = None):
     WITH bm AS (
       SELECT doc_id, bm25,
              ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
-      FROM ({_sql_bm25(E, tfrel)}) bm_top
+      FROM ({_sql_bm25(E, tfrel, doclenrel)}) bm_top
     ),
     qvec AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cos_top AS (
@@ -3531,10 +3574,17 @@ def _sql_hybrid_rrf(E, tfrel: str | None = None):
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rides the shared tf census through its BM25 leg (r10 finding
-    11); the dense leg's bounded cosine top-20 is unchanged."""
+    11) and the census-derived doclen (r11); the dense leg's bounded
+    cosine top-20 is unchanged."""
     dfs = load_tables(spark, sf_dir, ("documents", "embeddings"))
     _repartition_views(spark, dfs)
-    return spark.sql(_sql_hybrid_rrf(_Spark, tfrel=_tf_census_stage(spark, sf_dir)))
+    return spark.sql(
+        _sql_hybrid_rrf(
+            _Spark,
+            tfrel=_tf_census_stage(spark, sf_dir),
+            doclenrel=_bm25_doclen_stage(spark, sf_dir),
+        )
+    )
 
 
 QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
@@ -8101,7 +8151,33 @@ _register_pair("embedding_margin_audit", _sql_margin_audit, tables=("embeddings"
 # 6-level merge chain as tokenize_bpe_apply (one corpus word explode
 # joined to the vocabulary-sized segmentation table); the rollup is
 # language-bounded. All ratios are exact-integer-sum quotients.
-def _fertility_select(E, src, vocab):
+def _fertility_select(E, src, vocab, tfrel: str | None = None):
+    """``tfrel`` (Spark runner) swaps the corpus explode for the shared
+    (doc_id, w, tf) census, tf-weighting every per-occurrence aggregate:
+    COUNT(*) == SUM(tf), SUM(g(w, v)) == SUM(tf * g(w, v)) for any g of
+    the word/vocab row only, and COUNT(DISTINCT doc_id) is unchanged
+    because the census keeps one row per (doc, w). The lang key comes
+    from a doc-keyed join to ``documents`` (unique per doc_id). The
+    numerator/denominator integers are identical, so every derived
+    DOUBLE and its ROUND are bit-identical to the one-shot spelling
+    (which the oracle keeps)."""
+    if tfrel is not None:
+        bpe_n = f"{E.SIZE}({E.splitws('v.s')})"
+        return f"""
+    SELECT m.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
+           CAST(SUM(t.tf * {bpe_n}) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(t.tf * {bpe_n}) AS DOUBLE) / SUM(t.tf), 6)
+             AS fertility,
+           ROUND(CAST(SUM(t.tf * length(t.w)) AS DOUBLE)
+                 / SUM(t.tf * {bpe_n}), 6) AS chars_per_token
+    FROM {tfrel} t
+    JOIN {src} m ON t.doc_id = m.doc_id
+    JOIN {vocab} v ON t.w = v.word
+    GROUP BY m.lang
+    ORDER BY m.lang
+    """
     return f"""
     SELECT d.lang,
            CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
@@ -8132,9 +8208,16 @@ def _sql_fertility(E, src="documents"):
 
 
 def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census (r11; VERDICT r10 item 8): the audit's
+    corpus explode is the census's own tokenization, so the tail is a
+    census read + two vocab/doc-meta joins — no corpus pass at all."""
     _bests, vocab_view = _bpe_stage(spark, sf_dir)
-    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
-    return spark.sql(_fertility_select(_Spark, doc_view, vocab_view))
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _fertility_select(
+            _Spark, "documents", vocab_view, tfrel=_tf_census_stage(spark, sf_dir)
+        )
+    )
 
 
 QUERIES["tokenizer_fertility_audit"] = tokenizer_fertility_audit
@@ -12547,9 +12630,31 @@ ORACLE["tokenize_unigram_train"] = _sql_unigram_train(_Duck)
 # are excluded from BOTH sides by the inner join (corpus max is 8).
 # Non-vacuous at sf0.01 (probed): per-language mean word length varies
 # (4.499..4.529) and every fertility/ratio column varies by language.
-def _uni_compare_select(E, src, bpe_vocab, segs):
+def _uni_compare_select(E, src, bpe_vocab, segs, tfrel: str | None = None):
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
     bpe_n = f"{E.SIZE}({E.splitws('v.s')})"
+    if tfrel is not None:
+        # shared-census spelling (Spark runner; r11): tf-weighted
+        # per-occurrence aggregates over the (doc_id, w, tf) census —
+        # COUNT(*) == SUM(tf), SUM(g) == SUM(tf*g) — with lang from a
+        # doc-keyed documents join; integer sums identical, so the
+        # quantized ratios are bit-identical to the one-shot spelling.
+        return f"""
+    SELECT m.lang,
+           CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
+           CAST(SUM(t.tf * {bpe_n}) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(t.tf * u.n_uni) AS BIGINT) AS uni_tokens,
+           {q6(f'CAST(SUM(t.tf * {bpe_n}) AS DOUBLE) / SUM(t.tf)')} AS bpe_fertility,
+           {q6('CAST(SUM(t.tf * u.n_uni) AS DOUBLE) / SUM(t.tf)')} AS uni_fertility,
+           {q6(f'CAST(SUM(t.tf * u.n_uni) AS DOUBLE) / SUM(t.tf * {bpe_n})')} AS uni_vs_bpe
+    FROM {tfrel} t
+    JOIN {src} m ON t.doc_id = m.doc_id
+    JOIN {bpe_vocab} v ON v.word = t.w
+    JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni FROM {segs} GROUP BY word) u
+      ON u.word = t.w
+    GROUP BY m.lang
+    ORDER BY m.lang
+    """
     return f"""
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS ws_tokens,
@@ -12581,10 +12686,18 @@ def _sql_uni_compare(E, src="documents"):
 
 
 def tokenizer_unigram_bpe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census (r11) — same tokenization, so the
+    head-to-head tail reads census rows instead of re-exploding the
+    corpus; both segmentation joins unchanged."""
     _bests, bpe_vocab = _bpe_stage(spark, sf_dir)
     _wf, _vocab, segs_view = _uni_stage(spark, sf_dir)
-    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
-    return spark.sql(_uni_compare_select(_Spark, doc_view, bpe_vocab, segs_view))
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _uni_compare_select(
+            _Spark, "documents", bpe_vocab, segs_view,
+            tfrel=_tf_census_stage(spark, sf_dir),
+        )
+    )
 
 
 QUERIES["tokenizer_unigram_bpe_compare"] = tokenizer_unigram_bpe_compare
@@ -12604,8 +12717,23 @@ ORACLE["tokenizer_unigram_bpe_compare"] = _sql_uni_compare(_Duck)
 # aggregate — the same linear shape as the BPE apply pass.
 # Non-vacuous at sf0.01 (probed in-round): per-doc uni_tokens and
 # chars_per_piece vary doc to doc.
-def _uni_apply_select(E, src, segs):
+def _uni_apply_select(E, src, segs, tfrel: str | None = None):
     q6 = lambda x: f"floor(({x}) * 1000000.0e0 + 0.5e0) / 1000000.0e0"  # noqa: E731
+    if tfrel is not None:
+        # shared-census spelling (Spark runner; r11): the output is
+        # doc-keyed, so no doc-meta join is even needed — tf-weighted
+        # sums over census rows are integer-identical to the
+        # per-occurrence spelling the oracle keeps.
+        return f"""
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
+           CAST(SUM(t.tf * u.n_uni) AS BIGINT) AS uni_tokens,
+           {q6('CAST(SUM(t.tf * length(t.w)) AS DOUBLE) / SUM(t.tf * u.n_uni)')} AS chars_per_piece
+    FROM {tfrel} t
+    JOIN (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_uni FROM {segs} GROUP BY word) u
+      ON u.word = t.w
+    GROUP BY t.doc_id
+    """
     return f"""
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS ws_tokens,
@@ -12627,9 +12755,14 @@ def _sql_uni_apply(E, src="documents"):
 
 
 def tokenize_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the shared tf census (r11): the apply pass is a census
+    read + the vocabulary-sized piece-count join — no corpus explode."""
     _wf, _vocab, segs_view = _uni_stage(spark, sf_dir)
-    doc_view = _spread_view(spark, sf_dir, "documents", "uni_docs")
-    return spark.sql(_uni_apply_select(_Spark, doc_view, segs_view))
+    return spark.sql(
+        _uni_apply_select(
+            _Spark, "documents", segs_view, tfrel=_tf_census_stage(spark, sf_dir)
+        )
+    )
 
 
 QUERIES["tokenize_unigram_apply"] = tokenize_unigram_apply
@@ -12819,7 +12952,7 @@ ORACLE["tokenize_unigram_prune"] = _sql_unigram_prune(_Duck)
 # documented, same convention as tokenizer_unigram_bpe_compare).
 # Scale: one corpus explode; both segmentation tables are vocabulary-
 # scale broadcast joins; the rollup is language-bounded.
-def _roundtrip_select(E, src, segs, bpe_vocab):
+def _roundtrip_select(E, src, segs, bpe_vocab, tfrel: str | None = None):
     aj = (
         (lambda x: f"array_join({x}, '')")
         if E is _Spark
@@ -12827,6 +12960,24 @@ def _roundtrip_select(E, src, segs, bpe_vocab):
     )
     uni_rt = aj(E.list_ordered("piece", "pos"))
     bpe_rt = E.regexp_replace_all("replace(s, ' ', '')", "</w>$", "")
+    if tfrel is not None:
+        # shared-census spelling (Spark runner; r11): mismatch counts
+        # tf-weighted (CASE ... THEN tf), distinct-word count unchanged
+        # (one census row per (doc, w) — the distinct set per lang is
+        # the same), lang from the doc-keyed documents join.
+        return f"""
+    SELECT m.lang,
+           CAST(SUM(t.tf) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(CASE WHEN u.rt <> t.w THEN t.tf ELSE 0 END) AS BIGINT) AS uni_mismatches,
+           CAST(SUM(CASE WHEN b.rt <> t.w THEN t.tf ELSE 0 END) AS BIGINT) AS bpe_mismatches
+    FROM {tfrel} t
+    JOIN {src} m ON t.doc_id = m.doc_id
+    JOIN (SELECT word, {uni_rt} AS rt FROM {segs} GROUP BY word) u ON u.word = t.w
+    JOIN (SELECT word, {bpe_rt} AS rt FROM {bpe_vocab}) b ON b.word = t.w
+    GROUP BY m.lang
+    ORDER BY m.lang
+    """
     return f"""
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -12856,12 +13007,18 @@ def _sql_roundtrip_audit(E, src="documents"):
 
 def tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rides the shared checkpointed stagings (_uni_stage's segmentation,
-    _bpe_stage's final vocabulary) — the audit tail adds one corpus
-    explode and two broadcast joins, no new corpus pass."""
+    _bpe_stage's final vocabulary) AND the shared tf census (r11) — the
+    audit tail is a census read plus two vocabulary-scale joins, no
+    corpus pass."""
     _wf, _vocab, segs_view = _uni_stage(spark, sf_dir)
     _bests, bpe_vocab = _bpe_stage(spark, sf_dir)
-    doc_view = _spread_view(spark, sf_dir, "documents", "bpe_docs")
-    return spark.sql(_roundtrip_select(_Spark, doc_view, segs_view, bpe_vocab))
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _roundtrip_select(
+            _Spark, "documents", segs_view, bpe_vocab,
+            tfrel=_tf_census_stage(spark, sf_dir),
+        )
+    )
 
 
 QUERIES["tokenizer_roundtrip_audit"] = tokenizer_roundtrip_audit

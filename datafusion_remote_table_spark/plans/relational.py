@@ -4840,14 +4840,28 @@ _ANOVA_SQL = """
       FROM g
     )
     SELECT nt AS n_rows, k AS n_groups,
-           ROUND((sum_sq_over_n - st * st / nt) / 10000.0e0, 4) AS ss_between,
-           ROUND((sst - sum_sq_over_n) / 10000.0e0, 4) AS ss_within,
-           ROUND(CASE WHEN k > 1 AND nt > k AND (sst - sum_sq_over_n) > 0
+           floor((sum_sq_over_n - st * st / nt) / 10000.0e0
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_between,
+           floor((sst - sum_sq_over_n) / 10000.0e0
+                 * 10000.0e0 + 0.5e0) / 10000.0e0 AS ss_within,
+           floor(CASE WHEN k > 1 AND nt > k AND (sst - sum_sq_over_n) > 0
                       THEN ((sum_sq_over_n - st * st / nt) / (k - 1))
                            / ((sst - sum_sq_over_n) / (nt - k))
-                      ELSE 0.0e0 END, 6) AS f_stat
+                      ELSE 0.0e0 END * 1000000.0e0 + 0.5e0) / 1000000.0e0 AS f_stat
     FROM tot
 """
+# Output quantization is the half-boundary-safe floor(x*10^k + 0.5)/10^k
+# house spelling (CLAUDE.md): hypothesis found a random events table
+# whose ss_between landed EXACTLY on a 4dp half boundary (…67135) and
+# split Spark's BigDecimal-HALF_UP from DuckDB's round — all three
+# output stats are ratio-derived non-negative doubles, the class the
+# rule covers; pure double arithmetic on identical inputs cannot
+# diverge cross-engine. (Bound: Spark's floor(double) returns BIGINT,
+# so the spelling holds while x*10^k < 2^63 — fine for these /1e4-scaled
+# stats at any tested SF.) The INNER 9dp quantization of s*s/n keeps
+# ROUND: its magnitude (~1e10+ at sf0.01) makes x*1e9 overflow the
+# BIGINT floor, and at that magnitude the double's ulp exceeds 1e-9 so
+# a 9dp half-boundary hit cannot occur.
 
 
 @register("events_anova_value", oracle=_ANOVA_SQL)

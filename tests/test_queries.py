@@ -16,14 +16,13 @@ from .oracle_util import compare  # noqa: E402
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_query_matches_oracle(spark, sf_dir, name):
-    df = plans.QUERIES[name](spark, sf_dir)
-    compare(df, plans.ORACLE[name], sf_dir)
+def test_query_matches_oracle(qbuild, sf_dir, name):
+    compare(qbuild(name), plans.ORACLE[name], sf_dir)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, sf_dir, name):
-    df = plans.QUERIES[name](spark, sf_dir)
+def test_rows_only_query_runs(qbuild, name):
+    df = qbuild(name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 

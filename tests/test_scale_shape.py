@@ -45,8 +45,8 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
     "name",
     sorted(n for n in plans.QUERIES if not n.startswith(("remote_", "federated", "stream_", "multimodal"))),
 )
-def test_no_cartesian_products(spark, sf_dir, name):
-    plan = _plan(plans.QUERIES[name](spark, sf_dir))
+def test_no_cartesian_products(qbuild, name):
+    plan = _plan(qbuild(name))
     # bounded-block pairwise ops legitimately self-join on inequality via
     # broadcast NLJ; everything else must be hash/sort-merge joined.
     allowed_nlj = {
@@ -66,6 +66,16 @@ def test_no_cartesian_products(spark, sf_dir, name):
         )
     elif name not in allowed_nlj:
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    # SHJ creep guard (r11, VERDICT r10 item 5): the global
+    # preferSortMergeJoin=false flip means any NEW statically-planned
+    # ShuffledHashJoin appears here; its build side must be reviewed
+    # (valve-bounded or estimate-guarded) and pinned in
+    # test_shj_build_sides_bounded before joining this allowlist.
+    if "ShuffledHashJoin" in plan:
+        assert name in _STATIC_SHJ_QUERIES, (
+            f"{name} newly plans a ShuffledHashJoin — review its build "
+            f"side and pin it in test_shj_build_sides_bounded"
+        )
 
 
 def test_partial_aggregation_before_shuffle(spark, sf_dir):
@@ -1242,3 +1252,125 @@ def test_range_join_bands_local(spark, sf_dir):
     assert "LocalTableScan" in plan
     # the literal bands side must not be a Python RDD scan
     assert "Scan ExistingRDD[band" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ShuffledHashJoin build-side pins (r11, VERDICT r10 item 5). The global
+# preferSortMergeJoin=false flip (session.py, r10 finding 7) lets the
+# STATIC planner pick SHJ from size estimates; the 100 TB safety claim is
+# that every build side it actually picks is either (a) a valve-bounded /
+# staged / literal frame whose size does not scale with the corpus, or
+# (b) an estimate-guarded frame (plain scans + aggregates whose estimate
+# grows with input, so canBuildLocalHashMap fails at scale and the
+# planner reverts to SMJ). These pins make that reviewable: a flipped
+# build side or a new SHJ fails here and in the creep guard inside
+# test_no_cartesian_products.
+
+_STATIC_SHJ_QUERIES = {
+    "customer_tier_migration",
+    "dedup_capture_recapture",
+    "dedup_rate_by_source",
+    "dedup_union_cascade_efficiency",
+    "events_prefixspan_subsequences",
+    "orders_newsvendor_plan",
+    "pii_subject_access_report",
+    "tokenize_unigram_prune",
+    "winnowing_minhash_agreement",
+}
+
+# name -> (expected SHJ count, per-join predicate over the BUILD subtree)
+_SHJ_BUILD_PINS = {
+    # per-method recapture censuses: checkpointed bounded frames
+    "dedup_capture_recapture": (3, lambda t: "ExistingRDD" in t and "parquet" not in t),
+    "winnowing_minhash_agreement": (1, lambda t: "ExistingRDD" in t and "parquet" not in t),
+    # 4-row stage census union of literal one-row relations
+    "dedup_union_cascade_efficiency": (2, lambda t: "OneRowRelation" in t and "parquet" not in t),
+    # usage census over the checkpointed round-1 segmentation
+    "tokenize_unigram_prune": (1, lambda t: "parquet" not in t),
+    # aggregated (census-scale) build sides: the build's TOP node is the
+    # final aggregate, so the hashed relation holds group rows, not facts
+    "events_prefixspan_subsequences": (1, lambda t: "Aggregate" in t.splitlines()[0]),
+    "orders_newsvendor_plan": (1, lambda t: "Aggregate" in t.splitlines()[0]),
+    # per-customer tier frame: both sides are AQE query-stage reads of
+    # the cached entity-grain tier window (3.5 KiB / ~150 rows at
+    # sf0.001 — reviewed r11). The nested InMemoryRelation deparse cuts
+    # the indent walk, so this pin is count + creep-guard only.
+    "customer_tier_migration": (1, lambda t: True),
+    # estimate-guarded per-doc pre-joins: the build side scans the base
+    # table, so its size estimate scales with input and the static SHJ
+    # pick reverts to SMJ when canBuildLocalHashMap fails at scale
+    "dedup_rate_by_source": (1, lambda t: "BroadcastHashJoin" in t),
+    "pii_subject_access_report": (1, lambda t: "BroadcastHashJoin" in t),
+}
+
+
+def _fmt_plan(df) -> str:
+    """explain('formatted') text — unlike executedPlan().toString(),
+    nested cached/AQE-final plans keep tree indentation, so the
+    indent-based child walk below stays valid."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _shj_builds(plan: str):
+    """Yield (join_line, build_subtree_text) for every ShuffledHashJoin
+    in a formatted-explain tree (children sit at marker column +3 under
+    their parent)."""
+    import re
+
+    lines = plan.splitlines()
+
+    def marker_col(line):
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else None
+
+    def subtree_end(idx, col):
+        j = idx + 1
+        while j < len(lines):
+            c = marker_col(lines[j])
+            if c is not None and c <= col:
+                break
+            j += 1
+        return j
+
+    for i, line in enumerate(lines):
+        m = re.search(r"ShuffledHashJoin .*Build(Left|Right)", line)
+        if not m:
+            continue
+        col = marker_col(line)
+        if col is None:
+            continue
+        kids = []
+        j = i + 1
+        end = subtree_end(i, col)
+        while j < end:
+            c = marker_col(lines[j])
+            if c == col + 3:
+                kids.append(j)
+            j += 1
+        # a nested InMemoryRelation deparse ("== Final Plan ==" blocks)
+        # drops the continuation bars and can cut the indent walk short;
+        # yield an empty build text then — the pin falls back to
+        # count-only (documented per query)
+        build_idx = kids[0] if m.group(1) == "Left" else (kids[1] if len(kids) > 1 else None)
+        if build_idx is None:
+            yield line, ""
+        else:
+            yield line, "\n".join(lines[build_idx:subtree_end(build_idx, col + 3)])
+
+
+@pytest.mark.parametrize("name", sorted(_SHJ_BUILD_PINS))
+def test_shj_build_sides_bounded(qbuild, name):
+    expected_n, ok = _SHJ_BUILD_PINS[name]
+    plan = _fmt_plan(qbuild(name))
+    plan = plan.split("\n\n")[0]  # tree section only
+    builds = list(_shj_builds(plan))
+    assert len(builds) == expected_n, (
+        f"{name}: expected {expected_n} static ShuffledHashJoin(s), "
+        f"got {len(builds)} — re-review build sides"
+    )
+    for join_line, build in builds:
+        assert ok(build), (
+            f"{name}: SHJ build side no longer matches its bounded/"
+            f"estimate-guarded pin.\njoin: {join_line.strip()}\n"
+            f"build subtree:\n{build}"
+        )

@@ -83,11 +83,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
 }
 
 
-def test_unpartitioned_window_inventory(spark, sf_dir):
+def test_unpartitioned_window_inventory(qbuild):
     failures: list[str] = []
-    for name, fn in plans.QUERIES.items():
+    for name in plans.QUERIES:
         try:
-            ws = unpartitioned_windows(fn(spark, sf_dir))
+            ws = unpartitioned_windows(qbuild(name))
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {ex!r}")
             continue
