@@ -8164,7 +8164,7 @@ def _fertility_select(E, src, vocab, tfrel: str | None = None):
     if tfrel is not None:
         bpe_n = f"{E.SIZE}({E.splitws('v.s')})"
         return f"""
-    SELECT m.lang,
+    SELECT {E.bhint('v')}m.lang,
            CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
            CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
            CAST(SUM(t.tf * {bpe_n}) AS BIGINT) AS bpe_tokens,
@@ -12640,7 +12640,7 @@ def _uni_compare_select(E, src, bpe_vocab, segs, tfrel: str | None = None):
         # doc-keyed documents join; integer sums identical, so the
         # quantized ratios are bit-identical to the one-shot spelling.
         return f"""
-    SELECT m.lang,
+    SELECT {E.bhint('v', 'u')}m.lang,
            CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
            CAST(SUM(t.tf * {bpe_n}) AS BIGINT) AS bpe_tokens,
            CAST(SUM(t.tf * u.n_uni) AS BIGINT) AS uni_tokens,
@@ -12725,7 +12725,7 @@ def _uni_apply_select(E, src, segs, tfrel: str | None = None):
         # sums over census rows are integer-identical to the
         # per-occurrence spelling the oracle keeps.
         return f"""
-    SELECT t.doc_id,
+    SELECT {E.bhint('u')}t.doc_id,
            CAST(SUM(t.tf) AS BIGINT) AS ws_tokens,
            CAST(SUM(t.tf * u.n_uni) AS BIGINT) AS uni_tokens,
            {q6('CAST(SUM(t.tf * length(t.w)) AS DOUBLE) / SUM(t.tf * u.n_uni)')} AS chars_per_piece
@@ -12966,7 +12966,7 @@ def _roundtrip_select(E, src, segs, bpe_vocab, tfrel: str | None = None):
         # (one census row per (doc, w) — the distinct set per lang is
         # the same), lang from the doc-keyed documents join.
         return f"""
-    SELECT m.lang,
+    SELECT {E.bhint('u', 'b')}m.lang,
            CAST(SUM(t.tf) AS BIGINT) AS n_words,
            CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_distinct_words,
            CAST(SUM(CASE WHEN u.rt <> t.w THEN t.tf ELSE 0 END) AS BIGINT) AS uni_mismatches,

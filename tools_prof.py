@@ -2,7 +2,7 @@
 
 Times one or more queries under the bench's exact cold convention
 (clear all query-owned staged state, noop sink, min of N runs) and
-optionally dumps `.explain("formatted")` to plans/r10/.
+optionally dumps `.explain("formatted")` to $SPARK_GRAFT_PLANS_DIR (default plans/r11/).
 
 Usage:
     python tools_prof.py [--runs 2] [--explain before|after] name [name ...]
@@ -80,7 +80,8 @@ def main() -> None:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            path = os.path.join("plans", "r10", f"{name}_{args.explain}.txt")
+            rdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", os.path.join("plans", "r11"))
+            path = os.path.join(rdir, f"{name}_{args.explain}.txt")
             with open(path, "w") as fh:
                 fh.write(buf.getvalue())
             out[name]["plan"] = path
