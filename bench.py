@@ -204,10 +204,18 @@ RELEASE_AFTER = {
     "quality_repetition_signals": ["reps_base", "reps_docs_src"],
     "hybrid_search_rrf": ["bm25_doclen"],
     "dedup_substring_spans": ["span_docs_src", "span_grams"],
-    "dedup_containment": ["cont_docs_src", "minhash_shsigbands"],
+    "dedup_containment": ["cont_docs_src"],
     "dedup_bloom_incremental": ["bloom_allh", "bloom_docs_src"],
     "ann_pq_cosine": ["pq", "pq_emb_src"],
-    "dedup_cluster_size_histogram": ["pairs"],
+    # shsigbands (persisted sh/sig frames) must ride with "pairs": the
+    # persisted pairs frame's cached plan embeds the sh/sig
+    # InMemoryRelations, and removing the PARENT cache entries makes the
+    # next SQL re-resolution of pairs miss the cache and replay the full
+    # band-join + verify lineage per reference (measured this round:
+    # dedup_rate_by_source 2.7 s -> 172 s isolated, 363 s in the full
+    # bench). A persisted parent is only freeable after the last reader
+    # of every persisted child built over it.
+    "dedup_cluster_size_histogram": ["pairs", "minhash_shsigbands"],
     "corpus_clean_funnel": ["clean_decisions"],
     "query_expansion_prf": ["prf_idx", "prf_tf"],
     "theta_sketch_set_ops": ["hll_words"],
@@ -416,8 +424,12 @@ def main() -> None:
 
             gc.collect()
         # free stagings whose last wide-set consumer just ran (outside
-        # the timed region — see RELEASE_AFTER)
-        if name in RELEASE_AFTER:
+        # the timed region — see RELEASE_AFTER). Env kill-switch for
+        # A/B-ing the mechanism itself (measurement hygiene only —
+        # results are identical either way).
+        if name in RELEASE_AFTER and os.environ.get(
+            "SPARK_GRAFT_RELEASE_STAGINGS", "1"
+        ) == "1":
             _release_stagings(RELEASE_AFTER[name])
 
     total = round(sum(timings.values()), 3)
