@@ -72,7 +72,19 @@ def _family(arr: np.ndarray) -> str:
 
 def compare(spark_df, oracle: str, sf_dir: str, float_rtol: float = 1e-9,
             label: str = "", require_rows: bool = False) -> None:
-    got = _canon(spark_df.toPandas())
+    compare_pandas(
+        spark_df.toPandas(), oracle, sf_dir,
+        float_rtol=float_rtol, label=label, require_rows=require_rows,
+    )
+
+
+def compare_pandas(got_pd: pd.DataFrame, oracle: str, sf_dir: str,
+                   float_rtol: float = 1e-9, label: str = "",
+                   require_rows: bool = False) -> None:
+    """compare() with the Spark collect already done — lets a caller run
+    many independent toPandas actions concurrently (guide §2.6) and feed
+    the results through the identical strict checks serially."""
+    got = _canon(got_pd)
     if require_rows:
         assert len(got) > 0, "VACUOUS (0 rows proves nothing)"
     con = duckdb_conn(sf_dir)

@@ -12,12 +12,14 @@ plans.load_all()
 ORACLED = sorted(n for n in plans.QUERIES if n in plans.ORACLE)
 ROWS_ONLY = sorted(n for n in plans.QUERIES if n not in plans.ORACLE)
 
-from .oracle_util import compare  # noqa: E402
+from .oracle_util import compare_pandas  # noqa: E402
 
 
 @pytest.mark.parametrize("name", ORACLED)
-def test_query_matches_oracle(qbuild, sf_dir, name):
-    compare(qbuild(name), plans.ORACLE[name], sf_dir)
+def test_query_matches_oracle(qpandas, sf_dir, name):
+    # qpandas collects all queries through a thread pool on first use
+    # (guide §2.6); the strict compare itself is unchanged
+    compare_pandas(qpandas(name), plans.ORACLE[name], sf_dir, label=name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -45,8 +45,8 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
     "name",
     sorted(n for n in plans.QUERIES if not n.startswith(("remote_", "federated", "stream_", "multimodal"))),
 )
-def test_no_cartesian_products(qbuild, name):
-    plan = _plan(qbuild(name))
+def test_no_cartesian_products(qplan, name):
+    plan = _plan(qplan(name))
     # bounded-block pairwise ops legitimately self-join on inequality via
     # broadcast NLJ; everything else must be hash/sort-merge joined.
     allowed_nlj = {
@@ -1359,9 +1359,9 @@ def _shj_builds(plan: str):
 
 
 @pytest.mark.parametrize("name", sorted(_SHJ_BUILD_PINS))
-def test_shj_build_sides_bounded(qbuild, name):
+def test_shj_build_sides_bounded(qplan, name):
     expected_n, ok = _SHJ_BUILD_PINS[name]
-    plan = _fmt_plan(qbuild(name))
+    plan = _fmt_plan(qplan(name))
     plan = plan.split("\n\n")[0]  # tree section only
     builds = list(_shj_builds(plan))
     assert len(builds) == expected_n, (

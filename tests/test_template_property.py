@@ -231,6 +231,24 @@ _TEMPLATES = [
 ]
 
 
+def _collect_parallel(named_dfs, max_workers: int = 8) -> dict:
+    """toPandas each (label, DataFrame) through a thread pool (guide
+    §2.6 — actions on one session are independent jobs the scheduler
+    overlaps). Each example costs dozens of tiny actions whose fixed
+    per-action overhead dominates; overlapping them cuts the harness
+    wall time ~3x with identical results. Builds happen BEFORE the pool
+    (plan construction / temp-view registration stay single-threaded);
+    the DuckDB side stays serial on the caller."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        label, df = item
+        return label, df.toPandas()
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(one, named_dfs))
+
+
 def _compare(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
     assert list(sorted(got.columns)) == list(sorted(want.columns)), label
     assert len(got) == len(want), f"{label}: {len(got)} vs {len(want)} rows"
@@ -267,9 +285,12 @@ def test_templates_agree_on_random_corpora(spark, docs):
     sdf.createOrReplaceTempView("documents")
     con = duckdb.connect()
     con.register("documents", docs)
+    got_all = _collect_parallel(
+        [(b.__name__, spark.sql(b(L._Spark))) for b in _TEMPLATES]
+    )
     for build in _TEMPLATES:
         label = build.__name__
-        got = spark.sql(build(L._Spark)).toPandas()
+        got = got_all[label]
         want = con.execute(build(L._Duck)).fetchdf()
         try:
             _compare(got, want, label)
@@ -373,9 +394,12 @@ def test_embedding_templates_agree_on_random_tables(spark, embs):
         "CREATE OR REPLACE VIEW embeddings AS "
         "SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, label FROM embeddings_pd"
     )
+    got_all = _collect_parallel(
+        [(b.__name__, spark.sql(b(L._Spark))) for b in _EMB_TEMPLATES]
+    )
     for build in _EMB_TEMPLATES:
         label = build.__name__
-        got = spark.sql(build(L._Spark)).toPandas()
+        got = got_all[label]
         want = con.execute(build(L._Duck)).fetchdf()
         _compare(got, want, label)
 
@@ -493,10 +517,12 @@ def test_event_queries_agree_on_random_tables(spark, events):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
             )
+        got_all = _collect_parallel(
+            [(name, plans.QUERIES[name](spark, tmp)) for name in _EVENT_QUERIES]
+        )
         for name in _EVENT_QUERIES:
-            got = plans.QUERIES[name](spark, tmp).toPandas()
             want = con.execute(plans.ORACLE[name]).fetchdf()
-            _compare(got, want, name)
+            _compare(got_all[name], want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -605,10 +631,12 @@ def test_order_queries_agree_on_random_tables(spark, orders):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp}/{f}')"
             )
+        got_all = _collect_parallel(
+            [(name, plans.QUERIES[name](spark, tmp)) for name in _ORDER_QUERIES]
+        )
         for name in _ORDER_QUERIES:
-            got = plans.QUERIES[name](spark, tmp).toPandas()
             want = con.execute(plans.ORACLE[name]).fetchdf()
-            _compare(got, want, name)
+            _compare(got_all[name], want, name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -83,11 +83,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
 }
 
 
-def test_unpartitioned_window_inventory(qbuild):
+def test_unpartitioned_window_inventory(qplan):
     failures: list[str] = []
     for name in plans.QUERIES:
         try:
-            ws = unpartitioned_windows(qbuild(name))
+            ws = unpartitioned_windows(qplan(name))
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {ex!r}")
             continue
