@@ -331,10 +331,33 @@ def main() -> None:
         pass
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    def _cpu_snap() -> tuple[int, int]:
+        """(steal_ticks, total_ticks) from /proc/stat — one line read."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(v) for v in parts[1:9]]
+            return vals[7], sum(vals)
+        except (OSError, ValueError, IndexError):
+            return 0, 0
+
+    # per-timed-run hypervisor steal (%): this round's stall triage found
+    # roving 10-30x one-query stalls whose only correlate is CPU time
+    # stolen by the host (aggregate and single-vCPU bursts) — recording
+    # steal per query lets a reader of the bench separate "this plan got
+    # slower" from "the VM lost its CPU for 20 s" without a re-run.
+    steal_pct: dict[str, list[float]] = {}
+
     def _run(name: str) -> float:
+        s0 = _cpu_snap()
         start = time.perf_counter()
         plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - start, 3)
+        elapsed = round(time.perf_counter() - start, 3)
+        s1 = _cpu_snap()
+        dtot = s1[1] - s0[1]
+        if dtot > 0:
+            steal_pct.setdefault(name, []).append(round(100.0 * (s1[0] - s0[0]) / dtot, 1))
+        return elapsed
 
     def _release_stagings(names: list[str]) -> None:
         """Drop the named staging-cache entries (RELEASE_AFTER) and nudge
@@ -406,6 +429,15 @@ def main() -> None:
         gc.collect()
         spark._jvm.System.gc()
 
+    # optional per-query progress marks on STDERR (the contract line on
+    # stdout is untouched) — lets an external sampler (jstat/steal) align
+    # its timeline with query boundaries when diagnosing in-suite noise
+    progress = os.environ.get("SPARK_GRAFT_BENCH_PROGRESS") == "1"
+
+    def _mark(name: str, sec: float) -> None:
+        if progress:
+            print(f"# done {time.time():.1f} {sec:7.3f} {name}", file=sys.stderr, flush=True)
+
     timings: dict[str, float] = {}
     comparable_runs: dict[str, list[float]] = {}
     for name in COMPARABLE_13:
@@ -415,9 +447,11 @@ def main() -> None:
             runs.append(_run(name))
         comparable_runs[name] = runs
         timings[name] = min(runs)
+        _mark(name, timings[name])
     for name in HEADLINE:
         if name not in timings:
             timings[name] = _run(name)
+            _mark(name, timings[name])
             # drop dead Python-side handles between timed queries so the
             # JVM cleaner (periodic GC, session.py) sees their weak refs
             import gc
@@ -461,6 +495,7 @@ def main() -> None:
                         "gate number is full plan cost, never a cache hit"
                     ),
                     "loadavg_1m": {"start": round(load_start, 2), "end": round(load_end, 2)},
+                    "steal_pct_per_run": steal_pct,
                 },
                 fh,
                 indent=1,
