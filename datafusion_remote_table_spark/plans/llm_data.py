@@ -435,13 +435,27 @@ def _minhash_bands(E, src):
     return f"SELECT doc_id, {band_key} AS band_key FROM {src}, (SELECT {E.explode(E.seq(0, 7), 'b')}) AS band_ids"
 
 
-def _lsh_cand_prefix(bands, prelude="", max_bucket_size=1000):
+def _lsh_cand_prefix(bands, prelude="", max_bucket_size=1000, grouped=False):
     """Shared WITH-prefix: skew-valved LSH candidate pairs. The skew
     valve drops degenerate buckets (e.g. thousands of identical or empty
     docs sharing a band key) that would emit |bucket|^2 candidate pairs
     — exact dedup owns identical docs. Single home for the valve and the
-    a.doc_id < b.doc_id candidate rule (minhash + containment verify)."""
-    return f"""
+    a.doc_id < b.doc_id candidate rule (minhash + containment verify).
+
+    grouped=True (the Spark runners) replaces the band self-join with a
+    bucket GROUP BY + in-bucket pair explode: the self-join shuffled the
+    exploded bands frame TWICE (both join sides) and evaluated the bands
+    view twice; the grouped form shuffles it once into sorted member
+    lists (valved at max_bucket_size BEFORE the collect — the count
+    census stays a cheap partial-aggregated shuffle, and singleton
+    buckets, the vast majority, never reach the heavy exchange) and
+    emits each bucket's C(n,2) ordered pairs map-side. Same candidate
+    set: pairs exist only inside buckets with 2..max members, and
+    sort_array + (i, j>i) enumeration is exactly a.doc_id < b.doc_id.
+    The oracle keeps the self-join spelling (DuckDB materializes CTEs,
+    and the oracle's plan is not the optimization target)."""
+    if not grouped:
+        return f"""
     WITH {prelude}ok_buckets AS (
       SELECT band_key FROM {bands} GROUP BY band_key HAVING COUNT(*) <= {max_bucket_size}
     ),
@@ -451,10 +465,27 @@ def _lsh_cand_prefix(bands, prelude="", max_bucket_size=1000):
       JOIN ok_buckets k ON a.band_key = k.band_key
       JOIN {bands} b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     )"""
+    return f"""
+    WITH {prelude}ok_buckets AS (
+      SELECT band_key FROM {bands} GROUP BY band_key
+      HAVING COUNT(*) BETWEEN 2 AND {max_bucket_size}
+    ),
+    buckets AS (
+      SELECT sort_array(collect_list(a.doc_id)) AS ds
+      FROM {bands} a JOIN ok_buckets k ON a.band_key = k.band_key
+      GROUP BY a.band_key
+    ),
+    cand AS (
+      SELECT DISTINCT p.doc_a, p.doc_b
+      FROM buckets
+      LATERAL VIEW explode(flatten(transform(ds, (x, i) ->
+        transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))) t AS p
+      WHERE p.doc_a < p.doc_b
+    )"""
 
 
 def _minhash_verify(E, bands, sh, prelude="", max_bucket_size=1000):
-    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
+    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size, grouped=E is _Spark)},
     verified AS (
       SELECT c.doc_a, c.doc_b,
              CAST({E.SIZE}({E.AINTERSECT}(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -3953,15 +3984,40 @@ def _containment_cand_prefix(E, bands, prelude="", max_bucket_size=1000, bg_src=
         if bg_src
         else f"SELECT doc_id, {_bigram_expr(E)} AS s FROM documents"
     )
-    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size)},
-    bg AS ({bg_body}),
-    gexp AS (SELECT doc_id, {E.explode('s', 'g')} FROM bg),
+    if E is _Spark:
+        # the posting-list self-join gets the same grouped rewrite as the
+        # banded-LSH leg (_lsh_cand_prefix grouped=True): one shuffle of
+        # the exploded grams into rare (2..16 docs) sorted posting lists
+        # instead of two, pairs enumerated map-side. Same candidate set:
+        # the bigram arrays are ADISTINCT so doc_ids are unique per gram,
+        # and sorted (i, j>i) enumeration is a.doc_id < b.doc_id.
+        rcand_body = f"""
+    rposts AS (
+      SELECT g FROM gexp GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 16
+    ),
+    rbuckets AS (
+      SELECT sort_array(collect_list(a.doc_id)) AS ds
+      FROM gexp a JOIN rposts r ON a.g = r.g
+      GROUP BY a.g
+    ),
+    rcand AS (
+      SELECT DISTINCT p.doc_a, p.doc_b
+      FROM rbuckets
+      LATERAL VIEW explode(flatten(transform(ds, (x, i) ->
+        transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc_a, y AS doc_b))))) t AS p
+      WHERE p.doc_a < p.doc_b
+    )"""
+    else:
+        rcand_body = """
     rare AS (SELECT g FROM gexp GROUP BY g HAVING COUNT(*) <= 16),
     rcand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM gexp a JOIN rare r ON a.g = r.g
       JOIN gexp b ON b.g = a.g AND a.doc_id < b.doc_id
-    ),
+    )"""
+    return f"""{_lsh_cand_prefix(bands, prelude, max_bucket_size, grouped=E is _Spark)},
+    bg AS ({bg_body}),
+    gexp AS (SELECT doc_id, {E.explode('s', 'g')} FROM bg),{rcand_body},
     allcand AS (
       SELECT doc_a, doc_b FROM cand UNION SELECT doc_a, doc_b FROM rcand
     )"""
